@@ -1,0 +1,106 @@
+"""Registered dedup queries over the `documents` table (SURVEY §2C).
+
+Oracle-checked where SQL-expressible (exact, fingerprint-normalized,
+n-gram Jaccard); rows-only for the hash-family approximations (MinHash-LSH,
+SimHash) whose xxhash64 primitives DuckDB does not share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.dedup.exact import dedup_exact
+from philotes_spark.dedup.minhash import minhash_dedup
+from philotes_spark.dedup.ngram import jaccard_pairs
+from philotes_spark.dedup.simhash import simhash_near_dups
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor per distinct text (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_normalized",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS content_hash,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case/punctuation/whitespace
+    variants collapse to the same fingerprint before the hash-groupBy."""
+    from philotes_spark.functions.text import fingerprint_md5, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint_md5(tokens(F.col("text"))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + 2], ' ') AS shingle
+        FROM toks, (SELECT UNNEST(generate_series(1, 600)) AS i) i
+        WHERE i.i <= len(t) - 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.12
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.12 via inverted-index self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 not portable to DuckDB
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs with
+    signature-estimated Jaccard ≥ 0.35."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", min_est_jaccard=0.35).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 not portable to DuckDB
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dups within hamming distance 3 via 4-band
+    pigeonhole join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )

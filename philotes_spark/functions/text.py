@@ -1,0 +1,97 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface
+(SURVEY §2C): tokenization, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expression compositions — JVM-side,
+whole-stage-codegen, zero Python in the hot path. Each has an exact ANSI
+SQL twin used by the DuckDB oracles in ``text_queries.py``.
+
+At 100 TB these are embarrassingly parallel projections: no shuffle, and
+the token arrays never round-trip through Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deterministic and mirrored verbatim in the oracle SQL.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (the BPE-ish regex tokenizer)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def word_count(toks: Column) -> Column:
+    return F.size(toks).cast("long")
+
+
+def unique_word_count(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)).cast("long")
+
+
+def avg_word_len(toks: Column) -> Column:
+    """Mean token length, rounded for oracle comparison."""
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return F.round(total / F.size(toks), 4)
+
+
+def stopword_ratio(toks: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — the classic quality signal."""
+    sw = stopwords or STOPWORDS_EN
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*sw)))
+    return F.round(n_sw / F.size(toks), 4)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters outside [a-z0-9 ] after lowercasing."""
+    stripped = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", ""))
+    return F.round(stripped / F.length(text), 4)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_predict(toks: Column) -> Column:
+    """Argmax language with deterministic tie-break (en > es > de > fr),
+    'und' (undetermined) when no stopword hits at all."""
+    s = lang_scores(toks)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # reversed so earlier langs win ties (last WHEN evaluated first wins
+    # via otherwise-chaining below)
+    for lang in ["fr", "de", "es", "en"]:
+        expr = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(toks: Column) -> Column:
+    """Normalization fingerprint: md5 over the canonical token stream.
+    Collapses case/punctuation/whitespace variants to one identity."""
+    return F.md5(F.array_join(toks, " "))
+
+
+def token_ord_hash(tok: Column, pos: Column) -> Column:
+    """Per-token order-weighted hash term for the rolling fingerprint:
+    ``(pos+1) * (31*length(tok) + ascii(first_char))``. Cross-engine exact
+    (same arithmetic in the DuckDB oracle)."""
+    return (pos + 1) * (
+        F.length(tok) * 31 + F.ascii(F.substring(tok, 1, 1))
+    ).cast("long")

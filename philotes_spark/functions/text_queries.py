@@ -1,0 +1,168 @@
+"""Registered text-analysis queries over the `documents` table (SURVEY §2C
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+Each Spark plan is a single pushdown-friendly projection (+ small agg);
+oracles replicate the arithmetic exactly in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.functions import text as X
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+# Shared oracle fragment: tokenization must match X.tokens exactly.
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang]) + "]"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
+           ROUND(list_sum(list_transform(t, x -> length(x))) / len(t), 4) AS avg_word_len,
+           ROUND(len(list_filter(t, x -> list_contains({_sw_list('en')}, x))) / len(t), 4)
+               AS stopword_ratio,
+           ROUND(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) / length(text), 4)
+               AS punct_ratio
+    FROM toks
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length/diversity/stopword/punctuation
+    signals — the filters a training-data pipeline gates on. Pure
+    projection, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        X.word_count(t).alias("n_words"),
+        X.unique_word_count(t).alias("n_unique_words"),
+        X.avg_word_len(t).alias("avg_word_len"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> list_contains({_sw_list('en')}, x))) AS s_en,
+               len(list_filter(t, x -> list_contains({_sw_list('es')}, x))) AS s_es,
+               len(list_filter(t, x -> list_contains({_sw_list('de')}, x))) AS s_de,
+               len(list_filter(t, x -> list_contains({_sw_list('fr')}, x))) AS s_fr
+        FROM toks
+    ), pred AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+                 WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword n-gram scoring) + confusion rollup
+    against the labeled `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return (
+        docs.select("lang", X.lang_predict(t).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "token_counts_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(t)), 4) AS avg_tokens
+    FROM toks GROUP BY source ORDER BY source
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the billing/budget query of a
+    training-data pipeline. Map-side combine keeps the shuffle at
+    n_sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return (
+        docs.select("source", X.word_count(t).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (
+        SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS i FROM toks
+    ),
+    rolled AS (
+        SELECT doc_id,
+               CAST(SUM(i * (31 * length(t[i]) + ascii(substring(t[i], 1, 1))))
+                    % 2147483647 AS BIGINT) AS rolling_fp
+        FROM idx GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           md5(array_to_string(t, ' ')) AS fingerprint,
+           rolled.rolling_fp
+    FROM toks JOIN rolled ON toks.doc_id = rolled.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the canonical token stream +
+    an order-sensitive rolling hash (position-weighted polynomial).
+
+    Spark side stays in one projection: the rolling hash folds over the
+    token array with ``aggregate`` — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    # fold: sum of (pos+1)*(31*len+ascii(first)), positions via zip_with
+    # against a sequence — expression-only rolling hash
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    pos = F.sequence(F.lit(1), F.size("t"))
+    terms = F.zip_with(
+        F.col("t"),
+        pos,
+        lambda tok, p: p.cast("long")
+        * (F.length(tok) * 31 + F.ascii(F.substring(tok, 1, 1))).cast("long"),
+    )
+    rolling = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % F.lit(
+        2147483647
+    )
+    return toks.select(
+        "doc_id",
+        F.md5(F.array_join("t", " ")).alias("fingerprint"),
+        rolling.cast("long").alias("rolling_fp"),
+    )

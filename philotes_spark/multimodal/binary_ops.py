@@ -1,0 +1,109 @@
+"""Multimodal column plumbing (SURVEY §2C): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
+``mapInPandas`` signatures — is real and tested. The actual media decode
+is STUBBED: the container has no image/audio libraries, so ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by the payload hash) produces the same
+shaped output a real decoder would. Swap the inner function for
+PIL/torchaudio/ffmpeg on a real cluster — the dataflow does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried next to every binary payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_length", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def to_binary(text: Column) -> Column:
+    """Fixture adapter: UTF-8 encode a text column into an opaque payload
+    (stands in for reading real media bytes via `binaryFile`)."""
+    return F.encode(text, "UTF-8")
+
+
+def media_meta(payload: Column, media_type: str = "text/plain") -> Column:
+    """Typed metadata struct computed JVM-side — no decode needed."""
+    return F.struct(
+        F.octet_length(payload).cast("long").alias("byte_length"),
+        F.sha2(payload, 256).alias("content_hash"),
+        F.lit(media_type).alias("media_type"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
+
+    ``fake=True`` returns a deterministic FEATURE_DIM-float vector derived
+    from the payload digest, so the distributed plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv — not present in this "
+            "container; pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the real decode slots into ``decode_image``.
+
+    Output schema: input columns + ``features array<double>``. Batches
+    stream through Arrow; nothing is collected to the driver, and the
+    operation is a narrow map (no shuffle) however large the corpus."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["features"] = pdf[payload_col].map(
+                lambda p: decode_image(bytes(p), fake=fake)
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    chunk_size: int = 64,
+    every_nth: int = 4,
+) -> DataFrame:
+    """'Video' frame sampling on an opaque payload: split the byte stream
+    into fixed-size chunks and keep every Nth — one output row per kept
+    chunk (explode), exactly the shape a real frame sampler produces.
+
+    Implemented as a JVM-side expression (substring over binary + explode);
+    a real codec version would swap in mapInPandas like extract_features."""
+    n_chunks = F.ceil(F.octet_length(F.col(payload_col)) / F.lit(chunk_size))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    kept = F.filter(idx, lambda i: i % every_nth == 0)
+    chunk = F.explode(kept).alias("frame_idx")
+    return df.select("*", chunk).select(
+        "*",
+        F.substring(
+            F.col(payload_col), F.col("frame_idx") * chunk_size + 1, chunk_size
+        ).alias("frame_bytes"),
+    )

@@ -1,0 +1,60 @@
+"""Registered multimodal queries — binary-column plumbing over the
+`documents` fixture (text bytes stand in for media payloads).
+
+`multimodal_meta` is oracle-checked (byte length + sha256 agree across
+engines); the decode/feature path is rows-only (the fake decoder is
+engine-local by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.multimodal.binary_ops import (
+    extract_features,
+    media_meta,
+    to_binary,
+)
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_length,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — computed without any
+    decode, purely JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = to_binary(F.col("text"))
+    meta = media_meta(payload)
+    return docs.select(
+        "doc_id",
+        meta["byte_length"].alias("byte_length"),
+        meta["content_hash"].alias("content_hash"),
+    )
+
+
+@query("multimodal_features")  # rows-only: fake decoder is engine-local
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake decoder): doc_id, byte_length, 16-dim feature vector summary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", to_binary(F.col("text")).alias("payload")
+    )
+    feats = extract_features(docs, "payload", fake=True)
+    return feats.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("byte_length"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+        F.size("features").alias("feature_dim"),
+    ).orderBy("doc_id")

@@ -1,0 +1,107 @@
+"""CDC dataflow operators, Spark-first.
+
+Reference parity map (SURVEY §2A):
+- ``normalize_events``      ← A2 decode/normalize (``internal/cdc/source/
+  postgres/reader.go:172-253``): op mapping, before/after handling per op,
+  CDC system columns (``internal/iceberg/types.go:178-201``).
+- ``latest_view``           ← B10 dedup-to-latest (``docs/query/
+  sample-queries.sql:94-102``) — the canonical "current state" view.
+- ``history_view``          ← B11 change history (``sample-queries.sql:104-112``).
+- ``apply_cdc``             ← materialize current state from a CDC log
+  (insert/update upsert, delete removal) — what MERGE INTO would do on
+  Delta/Iceberg, expressed as window-dedup + filter so it runs anywhere.
+- ``buffer_stats``          ← A8 (``internal/cdc/buffer/postgres.go:237-265``).
+
+Everything is built-in DataFrame ops — single window shuffle per view, no
+Python in the hot path. At 100 TB the latest-view shuffle partitions by the
+key column; AQE splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def op_from_wal_action(action: Column) -> Column:
+    """WAL action code → operation name (reader.go:172-186 op-code map:
+    I/U/D/T → INSERT/UPDATE/DELETE/TRUNCATE)."""
+    return (
+        F.when(action == "I", "INSERT")
+        .when(action == "U", "UPDATE")
+        .when(action == "D", "DELETE")
+        .when(action == "T", "TRUNCATE")
+        .otherwise(None)
+    )
+
+
+def with_cdc_system_columns(
+    df: DataFrame, op: Column, ts: Column, lsn: Column
+) -> DataFrame:
+    """Append the three required CDC system columns every lake table gets
+    (internal/iceberg/types.go:178-201)."""
+    return (
+        df.withColumn("_cdc_operation", op)
+        .withColumn("_cdc_timestamp", ts)
+        .withColumn("_cdc_lsn", lsn)
+    )
+
+
+def latest_window(key_cols: list[str], order_cols: list[Column]) -> Window:
+    """The dedup-to-latest window: partition by key, newest first.
+
+    Ordering must end with a unique column (LSN / event id) so replays and
+    out-of-order delivery resolve deterministically (SURVEY §2B note on
+    LSN monotonicity)."""
+    return Window.partitionBy(*key_cols).orderBy(*[c.desc() for c in order_cols])
+
+
+def latest_view(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """B10: one row per key — the newest version.
+
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, lsn DESC) = 1``.
+    Single shuffle on the key; at scale this is the same plan Trino runs
+    for the reference's canonical query (sample-queries.sql:94-102).
+    """
+    if order_cols is None:
+        order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
+    w = latest_window(key_cols, order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column] | None = None,
+    op_col: str = "_cdc_operation",
+) -> DataFrame:
+    """Current-state materialization: latest version per key, minus keys
+    whose latest operation is DELETE. This is the read-side equivalent of
+    the reference's at-least-once + dedup-at-read design (SURVEY §7.4
+    risk 3)."""
+    return latest_view(df, key_cols, order_cols).filter(F.col(op_col) != "DELETE")
+
+
+def history_view(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """B11: full change history for filtering by key, ordered by commit
+    position. Filter-by-key prunes partitions/row-groups before the sort."""
+    return df.orderBy(*key_cols, order_col)
+
+
+def buffer_stats(df: DataFrame, processed_col: str = "processed_at") -> DataFrame:
+    """A8: queue depth + oldest-unprocessed lag in one aggregate pass
+    (COUNT / COUNT FILTER / MIN FILTER — buffer/postgres.go:237-265)."""
+    unprocessed = F.col(processed_col).isNull()
+    return df.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(unprocessed, 1)).alias("unprocessed_events"),
+        F.min(F.when(unprocessed, F.col("created_at"))).alias("oldest_unprocessed"),
+    )

@@ -1,0 +1,154 @@
+"""CDC pipeline queries over the `events` fixture, registered for the
+correctness gate.
+
+The fixture plays the role of the reference's CDC event stream (FIXTURES.md
+F1): `event_id` ≈ LSN/commit position (monotone), `user_id` ≈ primary key,
+`event_type` → operation via a fixed mapping, `props` ≈ row payload (JSON).
+
+Parity targets:
+- A2 normalize (internal/cdc/source/postgres/reader.go:172-253)
+- B10/B11 dedup-to-latest & history (docs/query/sample-queries.sql:94-112)
+- system columns (internal/iceberg/types.go:178-201)
+- LSN handling (SURVEY §7.4 risk 4 — parsed to int64, strictly better than
+  the reference's created_at ordering, buffer/postgres.go:134)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.operators.cdc import apply_cdc, latest_view, with_cdc_system_columns
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+# event_type → CDC operation (deterministic stand-in for the reference's
+# I/U/D/T op-code map, reader.go:172-186)
+_OP_CASE_SQL = """
+    CASE event_type
+        WHEN 'signup'   THEN 'INSERT'
+        WHEN 'purchase' THEN 'INSERT'
+        WHEN 'click'    THEN 'UPDATE'
+        WHEN 'view'     THEN 'UPDATE'
+        WHEN 'error'    THEN 'DELETE'
+    END
+"""
+
+
+def _op_col() -> Column:
+    return (
+        F.when(F.col("event_type").isin("signup", "purchase"), "INSERT")
+        .when(F.col("event_type").isin("click", "view"), "UPDATE")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise(None)
+    )
+
+
+def normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: raw event → normalized CDC row with typed payload projection and
+    the three required system columns. Pure projection — no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("user_id").alias("key_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.col("value"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type"),
+    )
+    return with_cdc_system_columns(
+        df, _op_col(), F.col("ts"), F.col("event_id").cast("string")
+    ).drop("event_type")
+
+
+@query(
+    "cdc_normalize",
+    oracle=f"""
+    SELECT user_id AS key_id,
+           CAST(props->>'k' AS BIGINT) AS k_value,
+           value, event_id, ts,
+           {_OP_CASE_SQL} AS _cdc_operation,
+           ts AS _cdc_timestamp,
+           CAST(event_id AS VARCHAR) AS _cdc_lsn
+    FROM events
+    """,
+)
+def cdc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_events(spark, sf_dir)
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    WITH normalized AS (
+        SELECT user_id AS key_id,
+               CAST(props->>'k' AS BIGINT) AS k_value,
+               value, event_id, ts,
+               {_OP_CASE_SQL} AS _cdc_operation
+        FROM events
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM normalized
+    )
+    SELECT key_id, k_value, value, event_id, ts, _cdc_operation
+    FROM ranked WHERE rn = 1 AND _cdc_operation <> 'DELETE'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state materialization: normalize → latest per key → drop keys
+    whose newest op is DELETE (read-side MERGE equivalent, SURVEY §7.4
+    risk 3). One shuffle, partitioned by the key."""
+    df = normalized_events(spark, sf_dir)
+    return apply_cdc(
+        df, ["key_id"], [F.col("ts"), F.col("event_id")]
+    ).select("key_id", "k_value", "value", "event_id", "ts", "_cdc_operation")
+
+
+@query(
+    "cdc_op_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {_OP_CASE_SQL} AS _cdc_operation,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cdc_op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × operation activity rollup (B7 × B12): the shape of the
+    reference's events_total{operation} metric family
+    (internal/metrics/metrics.go:35-58) served as a query."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), _op_col().alias("_cdc_operation"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "_cdc_operation")
+    )
+
+
+@query(
+    "cdc_lsn_roundtrip",
+    oracle="""
+    SELECT event_id,
+           printf('%x/%x', event_id // 1024, event_id % 1024) AS lsn,
+           CAST((event_id // 1024) * 4294967296 + (event_id % 1024) AS BIGINT) AS lsn_int
+    FROM events
+    """,
+)
+def cdc_lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSN parse (SURVEY §7.4 risk 4): synthesize a PG-style ``X/Y`` hex LSN
+    from the commit position, then parse it back to a sortable int64 with
+    ``parse_lsn`` — pure JVM expressions (conv/shiftleft), no UDF."""
+    from philotes_spark.types import parse_lsn
+
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.expr("event_id DIV 1024")
+    lo = F.col("event_id") % 1024
+    lsn = F.concat(F.lower(F.hex(hi)), F.lit("/"), F.lower(F.hex(lo)))
+    return ev.select(
+        "event_id",
+        lsn.alias("lsn"),
+        parse_lsn(lsn).alias("lsn_int"),
+    )

@@ -1,0 +1,573 @@
+"""The declared SQL query surface (SURVEY §2B, B1-B20) served natively by
+Spark SQL — the reference delegates these to Trino (`docs/query/
+sample-queries.sql`, `internal/api/services/query.go:22-27`); here Catalyst
+plans and executes them.
+
+Every query is registered with a DuckDB oracle for the driver harness.
+Determinism rules (see registry.py): LIMIT always carries a total ORDER BY;
+float aggregates are ROUNDed identically on both sides; integer sums are
+cast to BIGINT on the DuckDB side (DuckDB widens to HUGEINT).
+
+Scale notes are inline per query — the fixtures are small, but each plan is
+written for the 100 TB shape (pushdown-friendly filters, broadcast of dim
+tables, single-shuffle windows partitioned by high-cardinality keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (exercise scan/filter/agg/join/topn at scale)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
+           ROUND(AVG(l_discount), 4)                                          AS avg_disc,
+           COUNT(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed-down filter → partial+final hash agg (B3/B7/B17 class).
+
+    At 100 TB: map-side combine makes the shuffle tiny (4 groups); the
+    shipdate predicate reaches the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-N (B8/B13). customer is the small side →
+    explicit broadcast; top-N compiles to TakeOrderedAndProject (no global
+    sort at scale)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join (B13 at its hardest). region/nation/supplier broadcast;
+    the orders⋈lineitem shuffle joins on the same key so AQE reuses the
+    exchange. Catalyst handles join reordering."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+global agg — every predicate pushes to parquet;
+    whole-stage codegen end to end, no shuffle beyond the 1-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "q_pushdown_projection",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def q_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19-adjacent: 2-column projection + selective filter. ReadSchema must
+    show only 3 columns and PushedFilters the shipdate bound — verified in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= "2001-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# B-surface on the event stream table (sample-queries.sql parity)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "b2_scan_limit",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events ORDER BY event_id LIMIT 100
+    """,
+)
+def b2_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 `SELECT * FROM t LIMIT 100` (sample-queries.sql:32) — made
+    deterministic with a unique ORDER BY (CollectLimit → TakeOrdered)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@query("b3_count_star", oracle="SELECT COUNT(*) AS n FROM events")
+def b3_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 global COUNT(*) (sample-queries.sql:35) — parquet footer counts
+    make this metadata-only under Spark's count optimization."""
+    return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "b4_recent_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts > TIMESTAMP '2024-02-01' - INTERVAL 7 DAY
+    """,
+)
+def b4_recent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 date-arithmetic filter (sample-queries.sql:38-39). Fixed anchor
+    instead of CURRENT_DATE so runs are reproducible; the interval math is
+    identical. Predicate pushes to the scan → at scale only recent
+    partitions are read (B19 partition pruning on a date-partitioned lake
+    table)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-02-01")) - F.expr("INTERVAL 7 DAYS")
+    return ev.filter(F.col("ts") > cutoff).select("event_id", "ts", "user_id", "event_type")
+
+
+@query(
+    "b7_daily_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1 DESC
+    """,
+)
+def b7_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 group-by-expression + count + order (sample-queries.sql:69-74)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("day"))
+    )
+
+
+@query(
+    "b8_top_n",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY value DESC, event_id LIMIT 10
+    """,
+)
+def b8_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 top-N (sample-queries.sql:77-80) → TakeOrderedAndProject: each
+    task keeps 10 rows, driver merges — no global sort at 100 TB."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(10)
+    )
+
+
+@query(
+    "b9_running_total",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+)
+def b9_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 running total (sample-queries.sql:83-87). Partitioned by user_id —
+    unlike the reference's unpartitioned SUM OVER (ORDER BY), this scales:
+    one shuffle on a high-cardinality key, no single-task global window.
+    Explicit ROWS frame + unique tie-break make it deterministic."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "b10_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts, value
+    FROM (
+        SELECT user_id, event_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def b10_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 dedup-to-latest (sample-queries.sql:94-102) — the reference's
+    canonical CDC 'current state' query, via the latest_view operator."""
+    from philotes_spark.operators.cdc import latest_view
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_view(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_id", "event_type", "ts", "value")
+
+
+@query(
+    "b11_change_history",
+    oracle="""
+    SELECT event_id, ts, event_type, value, props
+    FROM events WHERE user_id = 7
+    """,
+)
+def b11_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 change history for one key (sample-queries.sql:104-112); the key
+    filter pushes down so only that key's row groups are read."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "ts", "event_type", "value", "props")
+    )
+
+
+@query(
+    "b12_op_counts",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def b12_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 categorical group-by (sample-queries.sql:114-119)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "b13_join_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def b13_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 equi inner join (sample-queries.sql:126-132). customer is the dim
+    side → broadcast hash join, zero shuffle of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "b13_join_agg_segment",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def b13_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate: broadcast join keeps the plan shuffle-free until
+    the 5-group final agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "b14_duplicate_detection",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events GROUP BY user_id HAVING COUNT(*) > 1
+    """,
+)
+def b14_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 GROUP BY ... HAVING COUNT(*) > 1 (sample-queries.sql:165-169)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "b15_count_nonnull",
+    oracle="""
+    SELECT COUNT(*) AS n_total, COUNT(props) AS n_props, COUNT(value) AS n_value
+    FROM events
+    """,
+)
+def b15_count_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 null-skipping COUNT(col) (sample-queries.sql:171-176)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("props").alias("n_props"),
+        F.count("value").alias("n_value"),
+    )
+
+
+@query(
+    "b16_freshness",
+    oracle="""
+    SELECT MAX(ts) AS last_event_ts,
+           date_diff('second', MAX(ts), TIMESTAMP '2024-02-01') AS freshness_seconds,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def b16_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 MAX(ts) + freshness lag (sample-queries.sql:178-182). Anchored to
+    a fixed 'now' for reproducibility; the reference computes the same gauge
+    as now − event ts (pipeline/pipeline.go:246-250)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.to_timestamp(F.lit("2024-02-01")).cast("long")
+    return ev.agg(
+        F.max("ts").alias("last_event_ts"),
+        (anchor - F.max("ts").cast("long")).alias("freshness_seconds"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "b17_pipeline_monitoring",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def b17_pipeline_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 monitoring aggregate (sample-queries.sql:189-196)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "a8_buffer_stats",
+    oracle="""
+    SELECT COUNT(*) AS total_events,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS unprocessed_events,
+           MIN(CASE WHEN event_type = 'error' THEN ts END) AS oldest_unprocessed
+    FROM events
+    """,
+)
+def a8_buffer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 buffer stats shape (buffer/postgres.go:237-265): COUNT + filtered
+    COUNT + filtered MIN in a single pass ('error' events stand in for the
+    unprocessed partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(is_err, 1)).alias("unprocessed_events"),
+        F.min(F.when(is_err, F.col("ts"))).alias("oldest_unprocessed"),
+    )
+
+
+@query(
+    "set_ops_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface: nations with customers but no suppliers.
+    EXCEPT compiles to a left-anti hash join after distinct."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(year(o_orderdate) AS INT)  AS order_year,
+           upper(o_orderstatus)            AS status_uc,
+           substring(o_orderpriority, 1, 1) AS priority_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority,
+           coalesce(NULLIF(o_orderstatus, 'F'), 'FINAL') AS status_coalesced,
+           CASE WHEN o_totalprice > 100000 THEN 'large' ELSE 'small' END AS size_class,
+           ROUND(abs(o_totalprice) / 100.0, 3) AS price_hundreds
+    FROM orders
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 scalar-function surface: date_trunc / extract / string ops /
+    CASE / COALESCE / NULLIF — all whole-stage-codegen expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.upper("o_orderstatus").alias("status_uc"),
+            F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("F")), F.lit("FINAL")).alias(
+                "status_coalesced"
+            ),
+            F.when(F.col("o_totalprice") > 100000, "large")
+            .otherwise("small")
+            .alias("size_class"),
+            F.round(F.abs("o_totalprice") / 100.0, 3).alias("price_hundreds"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )

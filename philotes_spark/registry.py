@@ -1,0 +1,52 @@
+"""Query registry: one place where every implemented operator/query from
+SURVEY.md §2 is declared as (name → Spark callable, name → oracle SQL).
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` and ``bench.py`` both
+consume this registry, so adding an operator here is the single step that
+wires it into the correctness gate and the benchmark.
+
+Contract (driver harness):
+- each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- the oracle SQL is ANSI SQL DuckDB can run on the same parquet tables
+  (views: region nation customer supplier part orders lineitem events
+  documents embeddings);
+- column names must match exactly (the compare sorts columns by name);
+- results must be deterministic: every LIMIT carries a total ORDER BY with
+  a unique tie-break, float aggregates are rounded on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a query. ``oracle=None`` ⇒ non-SQL-expressible op; the
+    driver records a weaker rows-only check (documented per-op)."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import philotes_spark.operators.relational  # noqa: F401
+    import philotes_spark.operators.cdc_queries  # noqa: F401
+    import philotes_spark.dedup.queries  # noqa: F401
+    import philotes_spark.similarity.queries  # noqa: F401
+    import philotes_spark.functions.text_queries  # noqa: F401
+    import philotes_spark.multimodal.queries  # noqa: F401

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (SURVEY §2C).
+
+Two tiers:
+- ``cosine_topk``  — brute-force exact top-k: broadcast the (small) query
+  set against the full corpus; dot products computed JVM-side with
+  ``zip_with``/``aggregate`` — no Python, no shuffle of the corpus.
+- ``lsh_topk``     — the 100 TB path: random-hyperplane LSH buckets both
+  sides, the join touches only colliding buckets, exact cosine re-ranks
+  within buckets. Probe multiple hash tables for recall.
+
+Vectors are cast float→double before arithmetic so results are stable and
+comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding self):
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    Plan: broadcast-nested-loop of |queries| × corpus — the corpus is
+    scanned once, never shuffled; per-query top-k via window on the
+    (tiny) scored set partitioned by query."""
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), (l2_norm(v)).alias("nrm"))
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def similarity_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus pairs with cosine ≥ threshold (embedding near-dup tier):
+    (vec_a, vec_b, cosine_sim). O(n²) scoring — exact baseline; use
+    ``lsh_topk``'s bucketing at scale."""
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm"))
+    a = base.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian-ish hyperplanes (Box-Muller-free: sum of
+    uniforms is fine for sign hashes)."""
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one hash table: bit_p = 1[<v, plane_p> > 0]."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets × n_tables hash tables;
+    exact cosine re-rank within colliding buckets.
+
+    At 100 TB: corpus bucket ids are computed once in a projection; the
+    join per table is equi on (table, bucket) — no cross join anywhere.
+    Recall is tuned by n_tables/n_planes, not by scanning more data."""
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm"))
+    tables = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+    buckets = F.array(*[lsh_bucket(F.col("v"), planes) for planes in tables])
+    bucketed = base.select(
+        "id", "v", "nrm", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    q = bucketed.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "tbl",
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "tbl",
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,136 @@
+"""Registered similarity-search queries over the `embeddings` table.
+
+The brute-force tiers are oracle-checked: the DuckDB twin computes the
+same double-precision dot products via UNNEST WITH ORDINALITY, and both
+sides round cosine to 4 decimals. The LSH tier is rows-only (hyperplane
+set lives in the Spark process).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.registry import query
+from philotes_spark.similarity.knn import (
+    as_double,
+    cosine_topk,
+    l2_norm,
+    lsh_topk,
+    similarity_pairs,
+)
+from philotes_spark.sources.catalog import load_table
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+# DuckDB fragments: per-element double-cast values (DuckDB v1.0 has no
+# UNNEST WITH ORDINALITY — index via a select-list UNNEST of a series) and
+# per-vector L2 norms computed in double precision.
+_ELEMS = """
+    idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INT) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors — the ANN
+    baseline (corpus scanned once, queries broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, QUERY_IDS, k=10)
+
+
+@query(
+    "sim_threshold_pairs",
+    oracle=f"""
+    WITH {_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 4) AS cosine_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dp / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.8) — exact O(n²)
+    baseline for the embedding dedup tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity_pairs(emb, 0.8)
+
+
+@query(
+    "sim_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sq.nrm), 4) AS avg_norm,
+           ROUND(MIN(sq.nrm), 4) AS min_norm,
+           ROUND(MAX(sq.nrm), 4) AS max_norm
+    FROM embeddings,
+    LATERAL (
+        SELECT sqrt(SUM(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))) AS nrm
+        FROM UNNEST(embedding) AS u(x)
+    ) sq
+    GROUP BY label ORDER BY label
+    """,
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile — the sanity/drift query of an
+    embedding pipeline; exercises aggregate-over-array + groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(as_double(F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("sim_lsh_topk")  # rows-only: hyperplane tables are engine-local
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for the same query set — the scale
+    path (equi-join on buckets instead of a cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, QUERY_IDS, k=10).orderBy("query_id", "rank")

@@ -1,0 +1,66 @@
+"""Catalog over the parquet fixture tables.
+
+Mirrors the reference's catalog browsing surface (SURVEY §2 A16/A32/A33:
+``internal/iceberg/catalog/rest.go:40-184``, ``internal/api/services/
+source.go:227-384``, ``services/query.go:121-265``) — in Spark this is the
+built-in catalog: temp views + ``spark.catalog`` / ``SHOW TABLES`` /
+``DESCRIBE``; no REST client needed.
+
+All reads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated star schema + event stream + LLM-pipeline tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Pure ``spark.read.parquet`` — scans stay
+    pushdown- and pruning-capable."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in the fixture parquet — Spark reads it
+    # as long (nanosAsLong, see session.py); truncate ns→µs exactly like
+    # DuckDB does so both engines see identical values.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the SQL surface
+    (SURVEY §2B) works verbatim: ``spark.sql("SELECT ... FROM lineitem")``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog browsing (A33) — built-in ``spark.catalog``."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def describe_table(spark: SparkSession, name: str) -> DataFrame:
+    """``DESCRIBE t`` (B1) — served by Spark SQL natively."""
+    return spark.sql(f"DESCRIBE {name}")
