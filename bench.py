@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = one representative per operator family (scan/agg, joins,
+top-N, window, CDC, dedup, similarity, text) — the queries a user of the
+reference would actually run, weighted toward shuffle/join-heavy plans so
+regressions at scale show up here first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from philotes_spark import registry
+    from philotes_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="philotes_bench")
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "b7_daily_rollup",
+        "b8_top_n",
+        "b9_running_total",
+        "b10_latest_by_key",
+        "b13_join_agg_segment",
+        "cdc_latest_state",
+        "cdc_op_rollup",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_cosine_topk",
+        "text_quality_stats",
+        "token_counts_by_source",
+        "doc_fingerprint",
+    ]
+
+    # warm the JVM/codegen paths once so timings measure the queries,
+    # not first-call classloading
+    registry.QUERIES["b3_count_star"](spark, sf_dir).collect()
+
+    # Best-of-2 per query: this host shows CPU-steal spikes of 15%+ that
+    # can inflate a single measurement 5x; the minimum measures the
+    # engine, not the neighbor VMs.
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = registry.QUERIES[name]
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # materialize fully (driver does .collect(); mirror that cost)
+            rows = len(fn(spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
