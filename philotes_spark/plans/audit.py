@@ -1,0 +1,104 @@
+"""Physical-plan audits — the 100 TB-readiness checks, as code.
+
+The reference has no optimizer of its own (SURVEY §4: all planning is
+delegated to Trino); in this engine Catalyst plans everything, so the
+scale contract lives in plan *properties*: filters reach the scan,
+projections prune the read schema, small dims broadcast, shuffles are
+counted and bounded. These helpers expose those properties so tests can
+pin them — a regression that un-broadcasts a dim join or un-pushes a
+scan filter fails CI before it costs hours on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain string (same source as ``df.explain(mode)``) as a value."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the (pre-AQE) physical plan.
+
+    Broadcast exchanges are excluded — they ship a dim table, not the
+    dataset. AQE may later coalesce/eliminate some of these at runtime;
+    the static count is the upper bound the plan commits to."""
+    plan = physical_plan(df, "simple")
+    return len(re.findall(r"Exchange (?:hash|range|rounds|Single)", plan))
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) in the plan."""
+    plan = physical_plan(df, "simple")
+    return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries that reached a file scan, flattened."""
+    plan = physical_plan(df, "formatted")
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            # split on commas between predicates, not inside EqualTo(a,b)
+            out.extend(p.strip() for p in re.split(r",\s*(?![^()]*\))", body))
+    return out
+
+def scan_columns(df: DataFrame) -> dict[str, set[str]]:
+    """Per-scan read schema: {location-ish key: column names read}.
+
+    The column-pruning check: a query projecting 2 columns whose scan
+    reads 16 is wrong at any scale."""
+    plan = physical_plan(df, "formatted")
+    scans: dict[str, set[str]] = {}
+    # formatted explain lists per-scan sections:
+    #   Location: InMemoryFileIndex [file:/.../lineitem.parquet]
+    #   ...
+    #   ReadSchema: struct<l_orderkey:bigint,...>
+    for section in re.split(r"\n\(\d+\) ", plan):
+        m = re.search(
+            r"Location: \w+ \[([^\]]*)\][\s\S]*?ReadSchema: struct<(.*)>", section
+        )
+        if not m:
+            continue
+        key = m.group(1).rstrip("/").rsplit("/", 1)[-1]
+        # top-level field names only (nested struct<> bodies have no
+        # top-level commas before their own names' colons)
+        cols = {
+            c.split(":")[0].strip()
+            for c in re.split(r",(?![^<]*>)", m.group(2))
+            if c.strip()
+        }
+        scans[key] = cols
+    return scans
+
+
+@dataclass
+class PlanAudit:
+    shuffles: int
+    broadcast_joins: int
+    pushed: list[str] = field(default_factory=list)
+    scans: dict[str, set[str]] = field(default_factory=dict)
+    plan: str = ""
+
+    def scan_reads_only(self, *cols: str) -> bool:
+        """True if every scan reads a subset of the given columns."""
+        allowed = set(cols)
+        return all(read <= allowed for read in self.scans.values())
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    """One-call plan summary for tests and interactive tuning."""
+    return PlanAudit(
+        shuffles=count_shuffles(df),
+        broadcast_joins=count_broadcast_joins(df),
+        pushed=pushed_filters(df),
+        scans=scan_columns(df),
+        plan=physical_plan(df, "formatted"),
+    )

@@ -1,0 +1,106 @@
+"""Scale-contract tests: pin the physical-plan properties that make each
+query viable at 100 TB (SURVEY §4). These fail when a code change silently
+un-broadcasts a dim join, un-pushes a scan filter, widens a read schema,
+or adds a shuffle — regressions invisible to result-correctness tests.
+"""
+
+import pytest
+
+from philotes_spark import registry
+from philotes_spark.plans import audit
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_dir):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = audit(registry.QUERIES[name](spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_projection_prunes_scan(plan_of):
+    a = plan_of("q_pushdown_projection")
+    assert a.scans["lineitem.parquet"] == {
+        "l_orderkey",
+        "l_extendedprice",
+        "l_shipdate",
+    }, "scan must read only the projected+filtered columns"
+    assert any("l_shipdate" in p for p in a.pushed), "filter must reach the scan"
+
+
+def test_q1_pushdown_and_pruning(plan_of):
+    a = plan_of("q1_pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in p for p in a.pushed)
+    # 7 needed columns out of 11 — no SELECT *
+    assert a.scans["lineitem.parquet"] == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+    # partial+final hash agg over 4 groups: agg shuffle + final orderBy only
+    assert a.shuffles <= 2
+
+
+def test_q3_broadcasts_dim_side(plan_of):
+    a = plan_of("q3_shipping_priority")
+    assert a.broadcast_joins >= 1, "filtered customer dim must broadcast"
+    assert "TakeOrderedAndProject" in a.plan, "top-N must not globally sort"
+    assert a.scans["customer.parquet"] == {"c_custkey", "c_mktsegment"}
+    assert any("l_shipdate" in p for p in a.pushed)
+
+
+def test_q5_broadcasts_small_dims(plan_of):
+    a = plan_of("q5_local_supplier_volume")
+    assert a.broadcast_joins >= 2, "nation+region must broadcast"
+
+
+def test_q10_broadcasts_nation(plan_of):
+    a = plan_of("q10_returned_items")
+    assert a.broadcast_joins >= 1
+    assert any("EqualTo(l_returnflag,R)" in p for p in a.pushed)
+
+
+def test_rollup_uses_expand(plan_of):
+    a = plan_of("q_rollup_revenue")
+    assert "Expand" in a.plan, "ROLLUP must compile to the Expand operator"
+
+
+def test_windows_single_shuffle(plan_of):
+    # one hash-partitioning exchange serves the whole window computation —
+    # the B9/B10 family must not re-shuffle per window function
+    for q in ("b9_running_total", "b10_latest_by_key", "w_moving_avg"):
+        a = plan_of(q)
+        assert a.shuffles == 1, f"{q}: expected exactly 1 shuffle, got {a.shuffles}"
+
+
+def test_cdc_latest_state_single_shuffle(plan_of):
+    a = plan_of("cdc_latest_state")
+    assert a.shuffles == 1, "dedup-to-latest is one window shuffle on the key"
+
+
+def test_dedup_exact_single_shuffle(plan_of):
+    a = plan_of("dedup_exact")
+    assert a.shuffles == 1, "exact dedup is one hash aggregation"
+
+
+def test_semi_anti_join_shapes(plan_of):
+    assert "LeftSemi" in plan_of("q4_order_priority").plan
+    assert "LeftAnti" in plan_of("q22_inactive_customers").plan
+
+
+def test_q19_pushes_derived_conjuncts(plan_of):
+    # Catalyst must extract the common single-side disjuncts from the
+    # OR-of-ANDs and push them below the join
+    a = plan_of("q19_disjunctive_filter")
+    assert any("p_brand" in p for p in a.pushed), "brand disjunction must push to part scan"
+    assert any("l_quantity" in p for p in a.pushed), "quantity range must push to lineitem scan"
