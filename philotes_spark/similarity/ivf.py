@@ -1,0 +1,142 @@
+"""IVF (inverted-file) approximate nearest neighbor — the cluster-pruned
+scale path beside lsh_topk (SURVEY §2C).
+
+Index shape (classic IVF-Flat, e.g. the FAISS scheme):
+  train: k-means centroids on a BOUNDED sample (driver-side numpy — at any
+         corpus scale the training sample stays ~`sample_size` rows; this
+         is the standard IVF training path, not a driver-side corpus scan);
+  assign: every corpus vector → nearest centroid, computed as one JVM
+         expression over the broadcast centroid literal (no shuffle — a
+         projection on the scan);
+  probe: each query expands to its `n_probe` closest centroid lists; the
+         candidate join is equi on `cell`, so the corpus is never
+         cross-joined; exact cosine re-ranks within probed cells.
+
+At 100 TB the corpus-side work is: one projection (cell id) + one shuffle
+by cell for the join. Recall tunes with n_probe/n_centroids, not data
+scanned. All vector math is whole-stage-codegen'd (`transform`/
+`aggregate`); Python appears only in centroid training on the sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from philotes_spark.similarity.knn import as_double, dot, l2_norm
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """K-means(ish) centroids from a bounded sample, L2-normalized so
+    nearest-by-dot == nearest-by-cosine."""
+    import numpy as np
+
+    rows = (
+        emb.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(n_iter):
+        sims = x @ c.T  # cosine == dot on normalized vectors
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / np.linalg.norm(m)
+    return c.tolist()
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, nrm, cell): nearest-centroid cell id as a pure projection."""
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm"))
+    unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    sims = F.transform(_centroid_lit(centroids), lambda c: dot(unit, c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return base.withColumn("cell", cell)
+
+
+def probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Expand each query row to its n_probe nearest cells: one row per
+    (query, cell). Sort-by-similarity is expressed with array_sort over
+    (sim, idx) structs — still a projection."""
+    unit = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
+    sims = F.transform(_centroid_lit(centroids), lambda c: dot(unit, c))
+    pairs = F.zip_with(
+        sims,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
+    )
+    probed = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return queries.withColumn(
+        "cell", F.explode(F.transform(probed, lambda p: p["idx"].cast("int")))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: (query_id, neighbor_id,
+    cosine_sim, rank). Pass precomputed ``centroids`` to skip training
+    (the production shape: train once, reuse per query batch)."""
+    if centroids is None:
+        centroids = train_centroids(
+            emb, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    q = cells.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    probed = probe_cells(q, centroids, n_probe)
+    cand = cells.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    scored = (
+        cand.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

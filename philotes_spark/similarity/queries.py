@@ -131,6 +131,24 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_lsh_topk")  # rows-only: hyperplane tables are engine-local
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 for the same query set — the scale
-    path (equi-join on buckets instead of a cross join)."""
+    path (equi-join on buckets instead of a cross join).
+
+    4 planes × 8 tables: tuned for this corpus's weak structure (top
+    cosine ≈ 0.33 → per-table collision ≈ 0.13 for true neighbors). At
+    larger corpora raise n_planes ~ log2(n) to keep buckets bounded."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, QUERY_IDS, k=10).orderBy("query_id", "rank")
+    return lsh_topk(emb, QUERY_IDS, k=10, n_planes=4, n_tables=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("sim_ivf_topk")  # rows-only: centroid index is engine-local
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-10 for the same query set — the
+    cluster-pruned ANN path (train on sample, probe nearest cells)."""
+    from philotes_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, QUERY_IDS, k=10, n_centroids=16, n_probe=6).orderBy(
+        "query_id", "rank"
+    )
