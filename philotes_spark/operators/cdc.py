@@ -86,8 +86,28 @@ def apply_cdc(
     """Current-state materialization: latest version per key, minus keys
     whose latest operation is DELETE. This is the read-side equivalent of
     the reference's at-least-once + dedup-at-read design (SURVEY §7.4
-    risk 3)."""
-    return latest_view(df, key_cols, order_cols).filter(F.col(op_col) != "DELETE")
+    risk 3).
+
+    TRUNCATE semantics: a TRUNCATE event carries no row data
+    (reader.go:236-238) but wipes the table — every event at or before the
+    newest TRUNCATE's commit position is dropped before the latest-version
+    window. The cut point is a scalar aggregate broadcast against the log
+    (no extra shuffle); struct comparison gives lexicographic order over
+    the (ts, lsn) ordering columns."""
+    if order_cols is None:
+        order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
+    ord_struct = F.struct(*order_cols)
+    cut = df.filter(F.col(op_col) == "TRUNCATE").agg(
+        F.max(ord_struct).alias("__cut")
+    )
+    survivors = (
+        df.join(F.broadcast(cut))
+        .filter(F.col("__cut").isNull() | (ord_struct > F.col("__cut")))
+        .drop("__cut")
+    )
+    return latest_view(survivors, key_cols, order_cols).filter(
+        ~F.col(op_col).isin("DELETE", "TRUNCATE")
+    )
 
 
 def history_view(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

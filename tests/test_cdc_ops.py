@@ -1,0 +1,147 @@
+"""Unit tests for the CDC operator kernel (SURVEY §2A A2/A8, §2B B10/B11)
+— the op-code map, dedup-to-latest determinism under replays and
+out-of-order delivery, DELETE/TRUNCATE current-state semantics, and
+buffer stats. Mirrors the reference's table-driven style
+(internal/cdc/types_test.go, buffer_test.go).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.operators.cdc import (
+    apply_cdc,
+    buffer_stats,
+    latest_view,
+    op_from_wal_action,
+    with_cdc_system_columns,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _log(spark, rows):
+    """rows: (key, ts_offset_min, lsn, op, payload)"""
+    data = [
+        (k, T0 + dt.timedelta(minutes=m), lsn, op, p) for k, m, lsn, op, p in rows
+    ]
+    return spark.createDataFrame(
+        data, "key long, _cdc_timestamp timestamp, _cdc_lsn string, _cdc_operation string, v string"
+    )
+
+
+def test_op_code_map(spark):
+    df = spark.createDataFrame([("I",), ("U",), ("D",), ("T",), ("X",)], ["a"])
+    out = df.select(op_from_wal_action(F.col("a")).alias("op")).collect()
+    assert [r.op for r in out] == ["INSERT", "UPDATE", "DELETE", "TRUNCATE", None]
+
+
+def test_system_columns(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = with_cdc_system_columns(
+        df, F.lit("INSERT"), F.lit(T0), F.lit("0/1")
+    )
+    assert out.columns == ["id", "_cdc_operation", "_cdc_timestamp", "_cdc_lsn"]
+
+
+def test_latest_view_picks_newest(spark):
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (1, 5, "0/2", "UPDATE", "v2"),
+            (2, 1, "0/3", "INSERT", "w1"),
+        ],
+    )
+    out = {r.key: r.v for r in latest_view(df, ["key"]).collect()}
+    assert out == {1: "v2", 2: "w1"}
+
+
+def test_latest_view_replay_deduplicates(spark):
+    # at-least-once redelivery: the same (ts, lsn) row appears twice —
+    # row_number (not rank) guarantees exactly one survivor
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (1, 5, "0/2", "UPDATE", "v2"),
+            (1, 5, "0/2", "UPDATE", "v2"),  # replay
+        ],
+    )
+    out = latest_view(df, ["key"]).collect()
+    assert len(out) == 1 and out[0].v == "v2"
+
+
+def test_latest_view_out_of_order_resolves_by_lsn(spark):
+    # same timestamp, different lsn → lsn breaks the tie
+    df = _log(
+        spark,
+        [
+            (1, 5, "0/9", "UPDATE", "newer"),
+            (1, 5, "0/8", "UPDATE", "older"),
+        ],
+    )
+    out = latest_view(df, ["key"]).collect()
+    assert out[0].v == "newer"
+
+
+def test_apply_cdc_drops_deleted_keys(spark):
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (1, 5, "0/2", "DELETE", None),
+            (2, 1, "0/3", "INSERT", "w1"),
+        ],
+    )
+    out = apply_cdc(df, ["key"]).collect()
+    assert [r.key for r in out] == [2]
+
+
+def test_apply_cdc_resurrected_key_survives(spark):
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (1, 5, "0/2", "DELETE", None),
+            (1, 9, "0/3", "INSERT", "v3"),  # re-inserted after delete
+        ],
+    )
+    out = apply_cdc(df, ["key"]).collect()
+    assert len(out) == 1 and out[0].v == "v3"
+
+
+def test_apply_cdc_truncate_wipes_earlier_rows(spark):
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (2, 1, "0/2", "INSERT", "w1"),
+            (None, 5, "0/3", "TRUNCATE", None),  # table-wide wipe
+            (3, 9, "0/4", "INSERT", "x1"),  # only post-truncate row survives
+        ],
+    )
+    out = apply_cdc(df, ["key"]).collect()
+    assert [(r.key, r.v) for r in out] == [(3, "x1")]
+
+
+def test_apply_cdc_no_truncate_is_noop_path(spark):
+    df = _log(spark, [(1, 0, "0/1", "INSERT", "v1")])
+    out = apply_cdc(df, ["key"]).collect()
+    assert len(out) == 1
+
+
+def test_buffer_stats(spark):
+    rows = [
+        (1, T0, T0),
+        (2, T0 + dt.timedelta(minutes=1), None),
+        (3, T0 + dt.timedelta(minutes=2), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, created_at timestamp, processed_at timestamp"
+    )
+    s = buffer_stats(df).collect()[0]
+    assert s.total_events == 3
+    assert s.unprocessed_events == 2
+    assert s.oldest_unprocessed == T0 + dt.timedelta(minutes=1)

@@ -83,9 +83,11 @@ def test_windows_single_shuffle(plan_of):
         assert a.shuffles == 1, f"{q}: expected exactly 1 shuffle, got {a.shuffles}"
 
 
-def test_cdc_latest_state_single_shuffle(plan_of):
+def test_cdc_latest_state_shuffle_budget(plan_of):
+    # one window shuffle on the key + one scalar-aggregate exchange for
+    # the TRUNCATE cut point (rows: exactly #truncate-events → ~0)
     a = plan_of("cdc_latest_state")
-    assert a.shuffles == 1, "dedup-to-latest is one window shuffle on the key"
+    assert a.shuffles <= 2, f"dedup-to-latest grew extra shuffles: {a.shuffles}"
 
 
 def test_dedup_exact_single_shuffle(plan_of):
