@@ -1,0 +1,195 @@
+"""Snapshot-versioned parquet tables: time travel + metadata tables +
+snapshot expiry (SURVEY §2B B5/B6, §2A A7/A17).
+
+The reference gets these from Iceberg through a REST catalog
+(`internal/iceberg/catalog/rest.go:186-217` append commits;
+`docs/query/sample-queries.sql:47-61` time travel + `$snapshots`/
+`$history` metadata tables). On a cluster with Iceberg/Delta on the
+classpath this whole module is replaced by `VERSION AS OF` — it exists so
+the engine serves the same surface standalone:
+
+  layout:  <path>/data/<uuid>.parquet           (immutable data files)
+           <path>/_snapshots/v00000001.json      (manifest per version)
+
+  commit:  write data files first, manifest last — the manifest IS the
+           commit point (same ordering as the reference's upload-then-
+           commit, writer.go:95-194). Commits carry the expected parent
+           version; a concurrent writer that lost the race fails instead
+           of silently forking history — stronger than the reference's
+           empty-requirements commit (rest.go:200-203).
+
+  read:    a snapshot is an explicit file list; `spark.read.parquet(*files)`
+           scans exactly that version. File-level pruning/pushdown work
+           unchanged (the scan is ordinary parquet).
+
+Scale: manifests hold file paths + stats, not data; a 100 TB table is a
+few thousand 128 MB files → manifest stays KB-MB. Expiry (A7) removes
+manifests older than the retention and data files no live manifest
+references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this commit expected to create."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.snap_dir = os.path.join(path, _SNAP_DIR)
+        self.data_dir = os.path.join(path, _DATA_DIR)
+
+    # --- commit log --------------------------------------------------------
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self.snap_dir) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _load(self, manifest: str) -> dict:
+        with open(os.path.join(self.snap_dir, manifest)) as fh:
+            return json.load(fh)
+
+    def current_version(self) -> int:
+        ms = self._manifests()
+        return int(ms[-1][1:9]) if ms else 0
+
+    def commit(self, df: DataFrame, operation: str = "append") -> int:
+        """Write a new snapshot. ``append`` adds to the parent's file list;
+        ``overwrite`` replaces it. Returns the committed version."""
+        if operation not in ("append", "overwrite"):
+            raise ValueError(f"unknown operation {operation!r}")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        parent = self.current_version()
+
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.parquet(staged)
+        new_files = [
+            os.path.join(staged, f)
+            for f in os.listdir(staged)
+            if f.endswith(".parquet")
+        ]
+        files = new_files if operation == "overwrite" else (
+            (self._load(f"v{parent:08d}.json")["files"] if parent else []) + new_files
+        )
+
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": sorted(files),
+            "added_files": len(new_files),
+            "added_rows": df.count(),
+        }
+        target = os.path.join(self.snap_dir, f"v{version:08d}.json")
+        if os.path.exists(target):  # optimistic concurrency (A17, improved)
+            raise CommitConflict(f"version {version} already committed")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, target)  # atomic commit point
+        return version
+
+    # --- reads (B5) ----------------------------------------------------------
+
+    def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
+        ms = self._manifests()
+        if not ms:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if version is not None:
+            name = f"v{version:08d}.json"
+            if name not in ms:
+                raise ValueError(f"unknown version {version}; have 1..{len(ms)}")
+            return self._load(name)
+        if as_of_ms is not None:
+            live = [self._load(m) for m in ms]
+            older = [m for m in live if m["timestamp_ms"] <= as_of_ms]
+            if not older:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return older[-1]
+        return self._load(ms[-1])
+
+    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """Latest snapshot by default; ``version=`` ≙ VERSION AS OF,
+        ``as_of_ms=`` ≙ TIMESTAMP AS OF (sample-queries.sql:47-52)."""
+        m = self._resolve(version, as_of_ms)
+        if not m["files"]:
+            raise ValueError(f"snapshot {m['version']} is empty")
+        return self.spark.read.parquet(*m["files"])
+
+    # --- metadata tables (B6) -------------------------------------------------
+
+    def snapshots(self) -> DataFrame:
+        """≙ `t$snapshots` (sample-queries.sql:55-61)."""
+        rows = [
+            (
+                m["version"],
+                m["parent"],
+                m["timestamp_ms"],
+                m["operation"],
+                len(m["files"]),
+                m["added_files"],
+                m["added_rows"],
+            )
+            for m in (self._load(f) for f in self._manifests())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, timestamp_ms long, operation string, "
+            "total_files int, added_files int, added_rows long",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """≙ `t$files`: the data files of one snapshot, with sizes."""
+        m = self._resolve(version)
+        rows = [(f, os.path.getsize(f)) for f in m["files"]]
+        return self.spark.createDataFrame(rows, "file_path string, size_bytes long")
+
+    # --- maintenance (A7) -------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> int:
+        """Drop manifests beyond the retention (but always keep the newest
+        ``keep_last``), then delete data files no live manifest references
+        (buffer retention cleanup analogue, buffer/postgres.go:218-234).
+        Returns the number of data files deleted."""
+        ms = self._manifests()
+        keep = set(ms[-keep_last:]) if keep_last else set()
+        for name in ms:
+            if name in keep:
+                continue
+            m = self._load(name)
+            if older_than_ms is None or m["timestamp_ms"] < older_than_ms:
+                os.remove(os.path.join(self.snap_dir, name))
+        live: set[str] = set()
+        for name in self._manifests():
+            live.update(self._load(name)["files"])
+        deleted = 0
+        for sub in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
+            subdir = os.path.join(self.data_dir, sub)
+            for f in os.listdir(subdir):
+                p = os.path.join(subdir, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    deleted += 1
+            if not any(x.endswith(".parquet") for x in os.listdir(subdir)):
+                for leftover in os.listdir(subdir):
+                    os.remove(os.path.join(subdir, leftover))
+                os.rmdir(subdir)
+        return deleted

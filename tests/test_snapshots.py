@@ -1,0 +1,77 @@
+"""Time-travel + metadata-table + expiry tests for the snapshot layer
+(B5/B6/A7/A17 parity, sample-queries.sql:47-61 surface).
+"""
+
+import pytest
+
+from philotes_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+def test_append_and_time_travel(spark, table):
+    v1 = table.commit(_df(spark, 0, 10))
+    v2 = table.commit(_df(spark, 10, 15))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 15  # latest
+    assert table.read(version=1).count() == 10  # VERSION AS OF 1
+    assert table.read(version=2).count() == 15
+
+
+def test_timestamp_as_of(spark, table):
+    table.commit(_df(spark, 0, 10))
+    t1 = table.snapshots().collect()[0].timestamp_ms
+    table.commit(_df(spark, 10, 15))
+    assert table.read(as_of_ms=t1).count() == 10
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        table.read(as_of_ms=t1 - 10_000)
+
+
+def test_overwrite_replaces_history_forward(spark, table):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 100, 103), operation="overwrite")
+    assert table.read().count() == 3
+    assert table.read(version=1).count() == 10  # history intact
+
+
+def test_snapshots_metadata_table(spark, table):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 10, 15))
+    snaps = table.snapshots().orderBy("version").collect()
+    assert [s.version for s in snaps] == [1, 2]
+    assert snaps[0].parent == 0 and snaps[1].parent == 1
+    assert snaps[1].added_rows == 5 and snaps[1].total_files > snaps[1].added_files - 1
+    files = table.files().collect()
+    assert all(f.size_bytes > 0 for f in files)
+
+
+def test_commit_conflict_detected(spark, table, monkeypatch):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 10, 15))
+    # a writer with a stale view of the log (thinks parent is v1) must
+    # fail its commit of v2 instead of silently forking history
+    monkeypatch.setattr(table, "current_version", lambda: 1)
+    with pytest.raises(CommitConflict):
+        table.commit(_df(spark, 50, 60))
+
+
+def test_expire_snapshots_removes_unreferenced_files(spark, table):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 100, 103), operation="overwrite")
+    deleted = table.expire_snapshots(keep_last=1)
+    assert deleted > 0  # v1's files are unreferenced by the overwrite
+    assert table.read().count() == 3  # latest still readable
+    with pytest.raises(ValueError, match="unknown version"):
+        table.read(version=1)
+
+
+def test_empty_table_read_raises(spark, table):
+    with pytest.raises(FileNotFoundError):
+        table.read()
