@@ -51,3 +51,4 @@ def load_all() -> None:
     import philotes_spark.functions.text_queries  # noqa: F401
     import philotes_spark.multimodal.queries  # noqa: F401
     import philotes_spark.sources.snapshot_queries  # noqa: F401
+    import philotes_spark.streaming.window_queries  # noqa: F401

@@ -1,0 +1,67 @@
+"""Event-time window operators registered for the correctness gate.
+
+Spark defines streaming window semantics by batch equivalence, so the
+batch run of the same operators is oracle-checkable: tumbling windows
+against DuckDB ``time_bucket``, session windows against a gaps-and-
+islands rewrite. The streaming path of the identical functions is
+covered by tests/test_streaming_windows.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+from philotes_spark.streaming.windows import sessionized_counts, windowed_counts
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — the canonical
+    streaming aggregation, verified here through its batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(ev, window="1 hour", watermark="2 hours")
+
+
+@query(
+    "stream_session_counts",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS n
+    FROM grouped
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user — Spark's
+    session_window vs a DuckDB gaps-and-islands rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionized_counts(ev, gap="30 minutes", watermark="1 hour")

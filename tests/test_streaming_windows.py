@@ -1,0 +1,103 @@
+"""Streaming window/dedup tests: run each operator BOTH as a real
+Structured Streaming query (file source → memory sink, availableNow) and
+in batch mode, asserting the two agree — that equivalence is how Spark
+defines event-time window semantics.
+"""
+
+import datetime as dt
+
+import pytest
+
+from philotes_spark.streaming.windows import (
+    dedup_stream,
+    sessionized_counts,
+    windowed_counts,
+)
+
+T0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+ROWS = [
+    # (event_id, ts, user_id, event_type, value)
+    (1, T0 + dt.timedelta(seconds=10), 7, "click", 1.0),
+    (2, T0 + dt.timedelta(seconds=40), 7, "click", 2.0),
+    (3, T0 + dt.timedelta(seconds=70), 8, "view", 3.0),
+    (4, T0 + dt.timedelta(seconds=200), 7, "click", 4.0),
+    (5, T0 + dt.timedelta(seconds=200), 7, "click", 4.0),  # dup payload, new id
+    (2, T0 + dt.timedelta(seconds=40), 7, "click", 2.0),  # exact redelivery
+]
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture(scope="module")
+def feed_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("winfeed"))
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(d, mode="append")
+    return d
+
+
+def _run_stream(spark, feed_dir, transform, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+    out = transform(stream)
+    name = f"win_{abs(hash(ckpt)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "dedup" in ckpt else "complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name).collect()
+
+
+def test_windowed_counts_stream_equals_batch(spark, feed_dir, tmp_path):
+    batch = windowed_counts(spark.createDataFrame(ROWS, SCHEMA)).collect()
+    stream = _run_stream(
+        spark, feed_dir, lambda s: windowed_counts(s), str(tmp_path / "c1")
+    )
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    # sanity on content: first minute has 3 click events (incl. redelivery)
+    m = {
+        (r.window_start, r.event_type): (r.n, r.total_value) for r in batch
+    }
+    assert m[(T0, "click")] == (3, 5.0)
+
+
+def test_sliding_windows_overlap(spark):
+    out = windowed_counts(
+        spark.createDataFrame(ROWS, SCHEMA), window="2 minutes", slide="1 minute"
+    ).collect()
+    # an event belongs to window_len/slide = 2 overlapping windows
+    clicks = [r for r in out if r.event_type == "click"]
+    assert sum(r.n for r in clicks) == 2 * 5  # 5 click rows, 2 windows each
+
+
+def test_sessionized_counts_stream_equals_batch(spark, feed_dir, tmp_path):
+    batch = sessionized_counts(spark.createDataFrame(ROWS, SCHEMA), gap="1 minute").collect()
+    stream = _run_stream(
+        spark,
+        feed_dir,
+        lambda s: sessionized_counts(s, gap="1 minute"),
+        str(tmp_path / "c2"),
+    )
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 7: events at 10s/40s merge into one session; 200s starts another
+    assert len(by_user[7]) == 2
+    assert {r.n for r in by_user[7]} == {3, 2}
+
+
+def test_dedup_stream_drops_redelivery(spark, feed_dir, tmp_path):
+    rows = _run_stream(
+        spark,
+        feed_dir,
+        lambda s: dedup_stream(s, ["event_id"], watermark="10 minutes"),
+        str(tmp_path / "c3_dedup"),
+    )
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4, 5], "exact redelivery of id=2 must collapse"
