@@ -80,3 +80,54 @@ def read_lake_table(spark: SparkSession, table_path: str) -> DataFrame:
     """Read an evolved lake table: ``mergeSchema`` unions all historical
     schemas additively (A12 semantics, built-in)."""
     return spark.read.option("mergeSchema", "true").parquet(table_path)
+
+
+# --- A7 maintenance: retention cleanup + small-file compaction --------------
+
+
+def expire_partitions(table_path: str, older_than) -> list[str]:
+    """Drop day partitions older than the retention horizon — the lake
+    analogue of the buffer's hourly retention delete
+    (``internal/cdc/buffer/postgres.go:218-234``; default 7d,
+    ``buffer/batch.go:351-382``). Partition pruning by directory: nothing
+    is scanned, only `_cdc_date=<d>` dirs older than the cutoff removed.
+    Returns the dropped partition names."""
+    import datetime as dt
+    import shutil
+
+    if isinstance(older_than, dt.datetime):
+        older_than = older_than.date()
+    dropped = []
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith(f"{PARTITION_COL}="):
+            continue
+        day = dt.date.fromisoformat(entry.split("=", 1)[1])
+        if day < older_than:
+            shutil.rmtree(os.path.join(table_path, entry))
+            dropped.append(entry)
+    return dropped
+
+
+def compact_partition(
+    spark: SparkSession, table_path: str, partition_value: str, target_files: int = 1
+) -> int:
+    """Rewrite one day-partition's many micro-batch files into
+    ``target_files`` (the OPTIMIZE/rewrite_data_files maintenance job a
+    table format would run; here: read → coalesce → atomic directory
+    swap). Returns the file count before compaction."""
+    import shutil
+    import uuid
+
+    part_dir = os.path.join(table_path, f"{PARTITION_COL}={partition_value}")
+    before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    tmp = part_dir + f".compact-{uuid.uuid4().hex}"
+    spark.read.parquet(part_dir).coalesce(target_files).write.parquet(tmp)
+    swap = part_dir + f".old-{uuid.uuid4().hex}"
+    os.rename(part_dir, swap)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(swap)
+    for extra in ("_SUCCESS",):
+        p = os.path.join(part_dir, extra)
+        if os.path.exists(p):
+            os.remove(p)
+    return len(before)
