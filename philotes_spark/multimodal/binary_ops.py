@@ -85,6 +85,55 @@ def extract_features(
     return df.mapInPandas(batches, out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """STUB resize: real impl is PIL `Image.resize((w,h))` inside the same
+    mapInPandas; the fake deterministically re-derives a payload of the
+    right size from the source digest so downstream schema/partitioning
+    are exercised for real.
+
+    Output: input columns + `resized binary` + `resized_meta struct` —
+    a narrow Arrow-batched map, no shuffle at any corpus size."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    target = width * height
+
+    def _resize(payload: bytes) -> bytes:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL — pass fake=True for the "
+                "deterministic test path"
+            )
+        digest = hashlib.sha256(payload).digest()
+        return (digest * (target // len(digest) + 1))[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            resized = pdf[payload_col].map(lambda p: _resize(bytes(p)))
+            pdf["resized"] = resized
+            pdf["resized_meta"] = resized.map(
+                lambda b: {
+                    "byte_length": len(b),
+                    "content_hash": hashlib.sha256(b).hexdigest(),
+                    "media_type": f"image/fake;w={width};h={height}",
+                }
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

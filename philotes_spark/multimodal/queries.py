@@ -58,3 +58,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("feature_sum"),
         F.size("features").alias("feature_dim"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS blen,
+               UNNEST(generate_series(0,
+                   CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) - 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+    FROM chunks WHERE i % 4 = 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over opaque payloads: fixed-size chunking,
+    keep every 4th — JVM-side expressions only (no decode, no Python).
+    The oracle checks the sampling arithmetic (chunk indices)."""
+    from philotes_spark.multimodal.binary_ops import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", to_binary(F.col("text")).alias("payload")
+    )
+    frames = frame_sample(docs, "payload", chunk_size=64, every_nth=4)
+    return frames.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@query("multimodal_resize")  # rows-only: fake resizer is engine-local
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image resize (Arrow-batched mapInPandas): the plumbing —
+    schema with nested meta struct, batch shape, no shuffle — is real;
+    the pixel math is a deterministic fake (no codecs in this container)."""
+    from philotes_spark.multimodal.binary_ops import resize_image
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", to_binary(F.col("text")).alias("payload")
+    )
+    out = resize_image(docs, "payload", width=32, height=32, fake=True)
+    return out.select(
+        "doc_id",
+        F.col("resized_meta")["byte_length"].alias("resized_bytes"),
+        F.col("resized_meta")["content_hash"].alias("resized_hash"),
+    ).orderBy("doc_id")
