@@ -33,6 +33,8 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "q10_returned_items",
+        "q18_large_orders",
         "b7_daily_rollup",
         "b8_top_n",
         "b9_running_total",
@@ -40,9 +42,11 @@ def main() -> None:
         "b13_join_agg_segment",
         "cdc_latest_state",
         "cdc_op_rollup",
+        "stream_tumbling_counts",
         "dedup_exact",
         "dedup_minhash_lsh",
         "sim_cosine_topk",
+        "sim_ivf_topk",
         "text_quality_stats",
         "token_counts_by_source",
         "doc_fingerprint",

@@ -59,9 +59,9 @@ def train_centroids(
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
-    )
+    # one nested-array Literal node — NOT array(array(lit,...)) which
+    # expands to n_centroids × dim AST nodes and dominates codegen time
+    return F.lit([[float(w) for w in c] for c in centroids])
 
 
 def assign_cells(
@@ -118,7 +118,9 @@ def ivf_topk(
         centroids = train_centroids(
             emb, n_centroids=n_centroids, vec_col=vec_col, seed=seed
         )
-    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    # persisted: the query-probe branch and the candidate branch would
+    # otherwise each recompute the full assignment projection
+    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col).persist()
     q = cells.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

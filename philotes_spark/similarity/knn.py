@@ -116,16 +116,19 @@ def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for one hash table: bit_p = 1[<v, plane_p> > 0]."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Sign-bit bucket id for one hash table: bit_p = 1[<v, plane_p> > 0].
+
+    The plane matrix is a single nested-array literal (one AST node);
+    the bit-fold runs as one aggregate over (plane, bit-weight) pairs —
+    keeps codegen linear in expression count, not in n_planes × dim."""
+    plane_lit = F.lit([[float(w) for w in p] for p in planes])
+    weights = F.lit([1 << p for p in range(len(planes))])
+    bits = F.zip_with(
+        plane_lit,
+        weights,
+        lambda plane, wt: F.when(dot(vec, plane) > 0, wt).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def lsh_topk(
