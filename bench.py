@@ -33,7 +33,9 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "q8_market_share",
         "q10_returned_items",
+        "q13_customer_distribution",
         "q18_large_orders",
         "b7_daily_rollup",
         "b8_top_n",

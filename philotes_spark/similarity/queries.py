@@ -152,3 +152,46 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, QUERY_IDS, k=10, n_centroids=16, n_probe=6).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pairs AS (
+        SELECT vec_a, vec_b FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dp / (na.nrm * nb.nrm) >= 0.8
+    )
+    SELECT e.vec_id,
+           COALESCE(MIN(p.vec_a), e.vec_id) AS canonical_id,
+           MIN(p.vec_a) IS NOT NULL AS is_duplicate
+    FROM embeddings e LEFT JOIN pairs p ON p.vec_b = e.vec_id
+    GROUP BY e.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup canonicalization (§2C): every vector maps
+    to the smallest vec_id it duplicates (cos ≥ 0.8), else itself — the
+    keep/drop assignment of an embedding-dedup pass. Single-pass min over
+    the pair list (ids are pre-ordered vec_a < vec_b), not a transitive
+    closure: chains A~B~C with cos(A,C) < τ keep B→A, C→B, matching the
+    reference-free 'drop anything that has a smaller near-duplicate'
+    policy. At scale the O(n²) pair step is replaced by the LSH-bucketed
+    pair generator (similarity_pairs is the exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, 0.8).select("vec_a", "vec_b")
+    canon = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_dup")
+    )
+    return emb.select("vec_id").join(canon, "vec_id", "left_outer").select(
+        "vec_id",
+        F.coalesce(F.col("min_dup"), F.col("vec_id")).alias("canonical_id"),
+        F.col("min_dup").isNotNull().alias("is_duplicate"),
+    )
