@@ -100,6 +100,26 @@ def probe_cells(
     )
 
 
+def build_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index once: (centroids, persisted cell assignment).
+    This is the amortized half of IVF — train + one corpus projection —
+    reused across every subsequent query batch. Caller owns the persist
+    (unpersist the returned DataFrame to drop the index)."""
+    if centroids is None:
+        centroids = train_centroids(
+            emb, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col).persist()
+    return centroids, cells
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -110,17 +130,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    index: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: (query_id, neighbor_id,
-    cosine_sim, rank). Pass precomputed ``centroids`` to skip training
-    (the production shape: train once, reuse per query batch)."""
-    if centroids is None:
-        centroids = train_centroids(
-            emb, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+    cosine_sim, rank). Pass ``index`` from build_index to skip both
+    training and the corpus assignment scan (the production shape:
+    build once, query many)."""
+    if index is None:
+        index = build_index(
+            emb,
+            n_centroids=n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            centroids=centroids,
         )
-    # persisted: the query-probe branch and the candidate branch would
-    # otherwise each recompute the full assignment projection
-    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col).persist()
+    centroids, cells = index
     q = cells.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
