@@ -58,14 +58,16 @@ def main() -> None:
     # not first-call classloading
     registry.QUERIES["b3_count_star"](spark, sf_dir).collect()
 
-    # Best-of-2 per query: this host shows CPU-steal spikes of 15%+ that
-    # can inflate a single measurement 5x; the minimum measures the
-    # engine, not the neighbor VMs.
+    # Best-of-N per query: this host shows CPU-steal spikes that can
+    # inflate a single measurement 5-20x (measured: the same deterministic
+    # query at 0.8s and 47s minutes apart, idle machine both times); the
+    # minimum measures the engine, not the neighbor VMs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         fn = registry.QUERIES[name]
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             # materialize fully (driver does .collect(); mirror that cost)
             rows = len(fn(spark, sf_dir).collect())
