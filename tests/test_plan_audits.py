@@ -106,3 +106,50 @@ def test_q19_pushes_derived_conjuncts(plan_of):
     a = plan_of("q19_disjunctive_filter")
     assert any("p_brand" in p for p in a.pushed), "brand disjunction must push to part scan"
     assert any("l_quantity" in p for p in a.pushed), "quantity range must push to lineitem scan"
+
+
+def test_q7_two_role_dims_broadcast(plan_of):
+    # nation joins twice (supplier role, customer role) + supplier dim:
+    # all three must broadcast; only orders⋈lineitem may shuffle
+    a = plan_of("q7_volume_shipping")
+    assert a.broadcast_joins >= 3, "supplier + both nation roles must broadcast"
+
+
+def test_q8_window_over_aggregate(plan_of):
+    # the market-share window must run on the aggregated (year, nation)
+    # rows, not the fact table: Window appears above the final aggregate
+    # and the plan stays within the join+agg+window shuffle budget
+    a = plan_of("q8_market_share")
+    assert "Window" in a.plan
+    assert a.broadcast_joins >= 4, "part/supplier/nations/region must broadcast"
+
+
+def test_q13_outer_join_preserves_zero_count_side(plan_of):
+    a = plan_of("q13_customer_distribution")
+    assert "LeftOuter" in a.plan or "left_outer" in a.plan
+    # join-side filter must reach the orders scan (not post-join WHERE)
+    assert any("o_orderpriority" in p for p in a.pushed)
+
+
+def test_q15_aggregates_before_dim_join(plan_of):
+    # revenue agg shrinks lineitem before the supplier join → the join's
+    # streamed side is the aggregate, supplier broadcasts
+    a = plan_of("q15_top_supplier")
+    assert a.broadcast_joins >= 1
+    assert any("l_shipdate" in p for p in a.pushed)
+    assert "TakeOrderedAndProject" in a.plan
+
+
+def test_q16_distinct_agg_two_phase(plan_of):
+    # COUNT(DISTINCT) must plan as expanded two-phase aggregate, with the
+    # part filters pushed to the scan
+    a = plan_of("q16_supplier_cnt")
+    assert any("p_size" in p or "p_brand" in p for p in a.pushed)
+
+
+def test_q17_decorrelated_threshold_join(plan_of):
+    # the correlated avg subquery runs as aggregate-then-join: per-part
+    # threshold aggregate + broadcast part dim, no nested-loop re-scan
+    a = plan_of("q17_small_qty_revenue")
+    assert a.broadcast_joins >= 1, "brand-filtered part dim must broadcast"
+    assert any("p_brand" in p for p in a.pushed)
