@@ -1236,3 +1236,27 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "b1_describe_columns",
+    oracle="""
+    SELECT column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name = 'lineitem'
+    ORDER BY ordinal_position
+    """,
+)
+def b1_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 metadata surface (`DESCRIBE t`, services/query.go:238): the
+    column inventory of a table, answered from Spark's catalog — the
+    engine-side equivalent of the reference's Trino-delegated DESCRIBE.
+    Pure metadata: no data files are read."""
+    from philotes_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    cols = spark.catalog.listColumns("lineitem")
+    return spark.createDataFrame(
+        [(c.name, i + 1) for i, c in enumerate(cols)],
+        "column_name string, ordinal_position long",
+    ).orderBy("ordinal_position")
