@@ -1260,3 +1260,33 @@ def b1_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c.name, i + 1) for i, c in enumerate(cols)],
         "column_name string, ordinal_position long",
     ).orderBy("ordinal_position")
+
+
+@query(
+    "events_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the latency/value
+    distribution query of a monitoring surface (A26/A27 family: the
+    reference's Prometheus histograms answer the same question with
+    fixed buckets). Spark's `percentile` and DuckDB's `quantile_cont`
+    share linear-interpolation semantics, so this is oracle-exact. At
+    100 TB swap in `approx_percentile` (t-digest, mergeable map-side)
+    — same call shape, bounded memory."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
