@@ -1290,3 +1290,27 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "skew_salted_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS count_ctag, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.py) on the events
+    table — result-identical to a plain GROUP BY (that's the oracle), but
+    the shuffle key is (event_type, salt): the Zipf-head group spreads
+    over salt_buckets partitions before recombining. The scale path for
+    aggregations whose hot key exceeds one executor's memory."""
+    from philotes_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ctag", F.lit(1))
+    out = salted_agg(ev, ["event_type"], {"ctag": "count", "value": "sum"})
+    return out.select(
+        "event_type",
+        "count_ctag",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("event_type")
