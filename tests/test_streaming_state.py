@@ -1,0 +1,86 @@
+"""applyInPandasWithState running-state operator: streaming result must
+equal the batch B10 latest-view, state must survive across micro-batches
+via the checkpoint, and out-of-order input must not regress it.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.operators.cdc import latest_view
+from philotes_spark.streaming.state import running_latest
+
+T0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+BATCH1 = [
+    (1, T0 + dt.timedelta(seconds=10), 7, "click", 1.0),
+    (2, T0 + dt.timedelta(seconds=40), 7, "click", 2.0),
+    (3, T0 + dt.timedelta(seconds=70), 8, "view", 3.0),
+    (2, T0 + dt.timedelta(seconds=40), 7, "click", 2.0),  # redelivery
+]
+
+BATCH2 = [
+    (9, T0 + dt.timedelta(seconds=5), 7, "stale", 99.0),   # late: must NOT win
+    (10, T0 + dt.timedelta(seconds=300), 8, "purchase", 8.0),  # new winner for 8
+]
+
+
+def _run(spark, feed_dir, ckpt, name):
+    # foreachBatch sink: supports restart-from-checkpoint (memory sink
+    # does not), which run 2 depends on
+    rows: list = []
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+    q = (
+        running_latest(stream)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return {r.user_id: (r.ts_micros, r.event_id, r.event_type, r.value)
+            for r in rows}
+
+
+def _batch_latest(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = latest_view(df, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return {
+        r.user_id: (
+            int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+            r.event_id,
+            r.event_type,
+            r.value,
+        )
+        for r in out.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    feed = str(tmp_path_factory.mktemp("statefeed"))
+    ckpt = str(tmp_path_factory.mktemp("stateckpt"))
+    return feed, ckpt
+
+
+def test_stream_state_equals_batch_latest_view(spark, dirs):
+    feed, ckpt = dirs
+    spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.parquet(feed, mode="append")
+    got = _run(spark, feed, ckpt, "state_run1")
+    assert got == _batch_latest(spark, BATCH1)
+
+
+def test_state_survives_restart_and_ignores_late_events(spark, dirs):
+    feed, ckpt = dirs
+    # second file + restart from the same checkpoint: only key 8 changes
+    # (key 7's new event is older than its stored state → no emission)
+    spark.createDataFrame(BATCH2, SCHEMA).coalesce(1).write.parquet(feed, mode="append")
+    got = _run(spark, feed, ckpt, "state_run2")
+    full = _batch_latest(spark, BATCH1 + BATCH2)
+    assert set(got) == {8}, "only the genuinely-updated key may emit"
+    assert got[8] == full[8]
