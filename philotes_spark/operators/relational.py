@@ -1057,12 +1057,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                   - p_retailprice * l_quantity * 0.1 AS amount
+               CAST(l_extendedprice * (1 - l_discount)
+                   - p_retailprice * l_quantity * 0.1
+                   AS DECIMAL(38, 6)) AS amount
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1083,9 +1084,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.1
+    # Decimal-summed so the aggregate is order-independent: double partial
+    # sums accumulate in a partition-dependent order, and ULP drift can
+    # cross the 2-dp rounding boundary (seen vs DuckDB in round 1).
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(38,6)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -1095,7 +1100,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

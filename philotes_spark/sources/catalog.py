@@ -38,6 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown- and pruning-capable."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
+        # by default. The conf is runtime-settable, so set it here rather
+        # than at session build time — load_table must work under ANY
+        # externally built SparkSession, not just our own session factory.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down: fall through, read may still work
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in the fixture parquet — Spark reads it
     # as long (nanosAsLong, see session.py); truncate ns→µs exactly like
