@@ -26,11 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §2C."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 / §2C, in
+    coverage-priority order (core §2 + §2C first, TPC-H extras last) —
+    the driver checks a bounded prefix of this dict."""
+    return {n: registry.QUERIES[n] for n in registry.ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query;
     hash-family and LSH ops are intentionally absent (rows-only check)."""
-    return dict(registry.ORACLES)
+    return {
+        n: registry.ORACLES[n]
+        for n in registry.ordered_names()
+        if n in registry.ORACLES
+    }

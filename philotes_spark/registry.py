@@ -17,6 +17,7 @@ Contract (driver harness):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,32 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
+
+# The driver's correctness harness checks a bounded prefix of queries()
+# (round 1: exactly the first 50 of 70), so emission order is coverage
+# policy. Tiers: the SURVEY §2 surface and the §2C LLM-pipeline operators
+# come first; the TPC-H shapes are extras beyond §2 and go last.
+_TPCH_RE = re.compile(r"^q\d+_")
+
+
+def _tier(name: str) -> tuple[int, int]:
+    if _TPCH_RE.match(name):
+        return (9, 0)
+    if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
+        return (1, 0)
+    if name.startswith(("snapshot_", "stream_", "show_")):
+        return (2, 0)
+    if name.startswith("multimodal_"):
+        # oracle-checked multimodal before rows-only, so if the window cuts
+        # here it cuts the weaker checks first
+        return (3, 0 if name in ORACLES else 1)
+    return (0, 0)  # B-surface, cdc, windows, skew, scalar — core §2
+
+
+def ordered_names() -> list[str]:
+    """Registration order within a tier, tiers as documented above."""
+    names = list(QUERIES)
+    return sorted(names, key=lambda n: (*_tier(n), names.index(n)))
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:

@@ -1,0 +1,42 @@
+"""The driver checks a bounded prefix of ``queries()`` (round 1: first 50),
+so emission order is coverage policy: every SURVEY §2/§2C family must land
+inside the first 50 slots; the TPC-H extras go last.
+"""
+
+import re
+
+import __spark_entry__ as entry
+from philotes_spark import registry
+
+registry.load_all()
+
+
+def test_families_inside_driver_window():
+    head = list(entry.queries())[:50]
+    for family in (
+        "b2_",
+        "b9_",
+        "cdc_",
+        "w_",
+        "dedup_minhash",
+        "sim_ivf",
+        "text_",
+        "snapshot_",
+        "stream_",
+        "multimodal_meta",
+    ):
+        assert any(n.startswith(family) for n in head), family
+
+
+def test_tpch_extras_last():
+    names = list(entry.queries())
+    tpch = [i for i, n in enumerate(names) if re.match(r"^q\d+_", n)]
+    non_tpch = [i for i, n in enumerate(names) if not re.match(r"^q\d+_", n)]
+    assert min(tpch) > max(non_tpch)
+
+
+def test_oracle_keys_subset_and_ordered():
+    qs, osql = list(entry.queries()), list(entry.oracle_sql())
+    assert set(osql) <= set(qs)
+    positions = [qs.index(n) for n in osql]
+    assert positions == sorted(positions)
