@@ -63,7 +63,8 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
         SELECT DISTINCT doc_id,
                array_to_string(t[i.i : i.i + 2], ' ') AS shingle
-        FROM toks, (SELECT UNNEST(generate_series(1, 600)) AS i) i
+        FROM toks,
+             (SELECT UNNEST(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i) i
         WHERE i.i <= len(t) - 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -70,6 +70,23 @@ def list_tables(spark: SparkSession) -> list[str]:
     return sorted(t.name for t in spark.catalog.listTables())
 
 
+def show_create_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """``SHOW CREATE TABLE`` (B1, sample-queries.sql:24): reconstruct the
+    DDL from the live schema. Spark's built-in SHOW CREATE TABLE needs a
+    persisted catalog table; the fixture tables are path-based parquet, so
+    the statement is generated — same text a catalog-backed table yields."""
+    df = load_table(spark, sf_dir, name)
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields
+    )
+    return f"CREATE TABLE {name} ({cols}) USING parquet"
+
+
 def describe_table(spark: SparkSession, name: str) -> DataFrame:
-    """``DESCRIBE t`` (B1) — served by Spark SQL natively."""
-    return spark.sql(f"DESCRIBE {name}")
+    """``DESCRIBE t`` (B1) — served by Spark SQL natively. The name is
+    validated part-by-part before interpolation (names can arrive from an
+    external API caller, control.py:121-135)."""
+    from philotes_spark.control import validate_identifier
+
+    qualified = ".".join(validate_identifier(p) for p in name.split("."))
+    return spark.sql(f"DESCRIBE {qualified}")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from philotes_spark.registry import query
-from philotes_spark.sources.catalog import load_table
+from philotes_spark.sources.catalog import load_table, show_create_table
 from philotes_spark.sources.snapshots import SnapshotTable
 
 
@@ -70,3 +70,48 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_partitions",
+    oracle="""
+    SELECT DISTINCT 'event_type=' || event_type AS partition,
+           1 AS file_count
+    FROM events
+    """,
+)
+def snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 `t$partitions` metadata table (sample-queries.sql:55-61): commit
+    events hive-partitioned by event_type, surface partition values + file
+    counts from the manifest. coalesce(1) pins one file per partition so
+    the count is deterministic under any session parallelism."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.coalesce(1), partition_by=["event_type"])
+        return (
+            tbl.partitions()
+            .select("partition", F.col("file_count").cast("int").alias("file_count"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "show_create_events",
+    oracle="""
+    SELECT 'events' AS table_name,
+           'CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, '
+           || 'user_id BIGINT, event_type STRING, value DOUBLE, '
+           || 'props STRING) USING parquet' AS create_stmt
+    """,
+)
+def show_create_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 `SHOW CREATE TABLE` (sample-queries.sql:24): the generated DDL for
+    the events table, hash-pinned against the expected statement."""
+    ddl = show_create_table(spark, sf_dir, "events")
+    return spark.createDataFrame(
+        [("events", ddl)], "table_name string, create_stmt string"
+    )

@@ -69,24 +69,40 @@ class SnapshotTable:
         ms = self._manifests()
         return int(ms[-1][1:9]) if ms else 0
 
-    def commit(self, df: DataFrame, operation: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> int:
         """Write a new snapshot. ``append`` adds to the parent's file list;
-        ``overwrite`` replaces it. Returns the committed version."""
+        ``overwrite`` replaces it. ``partition_by`` writes hive-layout
+        ``key=value`` directories (surfaced by :meth:`partitions`);
+        ``properties`` merge into the table properties carried across
+        versions (surfaced by :meth:`properties`). Returns the version."""
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
         os.makedirs(self.snap_dir, exist_ok=True)
         parent = self.current_version()
+        parent_manifest = self._load(f"v{parent:08d}.json") if parent else {}
 
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.parquet(staged)
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
         new_files = [
-            os.path.join(staged, f)
-            for f in os.listdir(staged)
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(staged)
+            for f in fs
             if f.endswith(".parquet")
         ]
         files = new_files if operation == "overwrite" else (
-            (self._load(f"v{parent:08d}.json")["files"] if parent else []) + new_files
+            parent_manifest.get("files", []) + new_files
         )
+        props = dict(parent_manifest.get("properties", {}))
+        props.update(properties or {})
 
         version = parent + 1
         manifest = {
@@ -97,14 +113,23 @@ class SnapshotTable:
             "files": sorted(files),
             "added_files": len(new_files),
             "added_rows": df.count(),
+            "partition_by": partition_by or parent_manifest.get("partition_by") or [],
+            "properties": props,
         }
         target = os.path.join(self.snap_dir, f"v{version:08d}.json")
-        if os.path.exists(target):  # optimistic concurrency (A17, improved)
-            raise CommitConflict(f"version {version} already committed")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, target)  # atomic commit point
+        try:
+            # os.link is an atomic create: two racers that both computed the
+            # same parent cannot both win — the loser gets EEXIST instead of
+            # silently replacing the winner's manifest (optimistic
+            # concurrency, A17; exists-check + rename had a TOCTOU window).
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(f"version {version} already committed") from None
+        finally:
+            os.remove(tmp)
         return version
 
     # --- reads (B5) ----------------------------------------------------------
@@ -132,6 +157,22 @@ class SnapshotTable:
         m = self._resolve(version, as_of_ms)
         if not m["files"]:
             raise ValueError(f"snapshot {m['version']} is empty")
+        if m.get("partition_by"):
+            # hive-layout files: give Spark the staged root as basePath so the
+            # key=value path segments come back as partition columns
+            by_root: dict[str, list[str]] = {}
+            for f in m["files"]:
+                rel = os.path.relpath(f, self.data_dir)
+                root = os.path.join(self.data_dir, rel.split(os.sep)[0])
+                by_root.setdefault(root, []).append(f)
+            parts = [
+                self.spark.read.option("basePath", root).parquet(*fs)
+                for root, fs in sorted(by_root.items())
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         return self.spark.read.parquet(*m["files"])
 
     # --- metadata tables (B6) -------------------------------------------------
@@ -161,6 +202,28 @@ class SnapshotTable:
         m = self._resolve(version)
         rows = [(f, os.path.getsize(f)) for f in m["files"]]
         return self.spark.createDataFrame(rows, "file_path string, size_bytes long")
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """≙ `t$partitions` (sample-queries.sql:55-61): partition values with
+        file counts/sizes, parsed from the hive-layout manifest paths."""
+        m = self._resolve(version)
+        agg: dict[str, tuple[int, int]] = {}
+        for f in m["files"]:
+            segs = [s for s in f.split(os.sep) if "=" in s and not s.endswith(".parquet")]
+            key = "/".join(segs) or "<unpartitioned>"
+            cnt, size = agg.get(key, (0, 0))
+            agg[key] = (cnt + 1, size + os.path.getsize(f))
+        rows = [(k, c, s) for k, (c, s) in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, file_count int, size_bytes long"
+        )
+
+    def properties(self, version: int | None = None) -> DataFrame:
+        """≙ `t$properties`: the table-property key/value pairs of a
+        snapshot (sample-queries.sql:55-61)."""
+        m = self._resolve(version)
+        rows = sorted(m.get("properties", {}).items())
+        return self.spark.createDataFrame(rows, "key string, value string")
 
     # --- maintenance (A7) -------------------------------------------------------
 

@@ -75,3 +75,46 @@ def test_expire_snapshots_removes_unreferenced_files(spark, table):
 def test_empty_table_read_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read()
+
+
+def test_partitioned_commit_and_partitions_metadata(spark, table):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("v"), (F.col("id") % 4).alias("bucket")
+    )
+    table.commit(df, partition_by=["bucket"])
+    # partition columns survive the snapshot read (basePath discovery)
+    got = table.read()
+    assert set(got.columns) == {"v", "bucket"}
+    assert got.count() == 100
+    assert got.filter(F.col("bucket") == 2).count() == 25
+    # $partitions: one row per hive partition, with file counts + sizes
+    parts = {r.partition: r for r in table.partitions().collect()}
+    assert set(parts) == {f"bucket={i}" for i in range(4)}
+    assert all(r.file_count >= 1 and r.size_bytes > 0 for r in parts.values())
+
+
+def test_properties_carry_and_merge(spark, table):
+    table.commit(_df(spark, 0, 5), properties={"owner": "cdc", "fmt": "parquet"})
+    table.commit(_df(spark, 5, 9), properties={"fmt": "parquet-v2"})
+    props = {r.key: r.value for r in table.properties().collect()}
+    assert props == {"owner": "cdc", "fmt": "parquet-v2"}  # merged forward
+    v1 = {r.key: r.value for r in table.properties(version=1).collect()}
+    assert v1["fmt"] == "parquet"  # versioned like the data
+
+
+def test_commit_conflict_leaves_no_tmp(spark, table, tmp_path):
+    import os
+
+    table.commit(_df(spark, 0, 10))
+    monkey_parent = table.current_version() - 1  # stale writer view
+    orig = table.current_version
+    table.current_version = lambda: monkey_parent
+    try:
+        with pytest.raises(CommitConflict):
+            table.commit(_df(spark, 50, 60))
+    finally:
+        table.current_version = orig
+    leftovers = [f for f in os.listdir(table.snap_dir) if ".tmp-" in f]
+    assert leftovers == []
