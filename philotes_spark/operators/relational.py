@@ -313,6 +313,78 @@ def b9_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b9_running_total_global",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def b9_running_total_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact B9 semantics (sample-queries.sql:83-87): a
+    GLOBAL running total. A naive ``SUM OVER (ORDER BY ts)`` serializes
+    through one task at any scale, so this is the distributed prefix-sum:
+
+      1. range-partition on the order key (one shuffle, ordered buckets);
+      2. local running sum inside each bucket (parallel window per bucket);
+      3. per-bucket totals → prefix offsets (bucket-count rows, trivially
+         small) broadcast back and added to the local sums.
+
+    The only single-task step is the offset scan over n_buckets rows.
+    Sums are decimal so bucket-local + offset accumulation is bit-identical
+    to a sequential scan.
+
+    The bucket id is a pure function of the order key (quantile cutpoints,
+    one bounded driver-side collect like the IVF centroids) — NOT
+    ``spark_partition_id()``, which is not stable across the plan branches
+    that reuse it (AQE may coalesce each instantiation differently)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(38,6)").alias("v"),
+        F.unix_micros("ts").alias("_k"),
+    )
+    buckets = 32
+    cuts = ev.stat.approxQuantile(
+        "_k", [i / buckets for i in range(1, buckets)], 0.001
+    )
+    bucket = F.lit(0)
+    for c in sorted(set(cuts)):
+        bucket = bucket + F.when(F.col("_k") > F.lit(int(c)), 1).otherwise(0)
+    part = ev.withColumn("_b", bucket)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_run", F.sum("v").over(w_local))
+    w_prev = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_b")
+        .agg(F.sum("v").alias("_tot"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_tot").over(w_prev), F.lit(0).cast("decimal(38,6)")).alias(
+                "_off"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("_run") + F.col("_off"), 2).cast("double").alias("running_value"),
+        )
+    )
+
+
+@query(
     "b10_latest_by_key",
     oracle="""
     SELECT user_id, event_id, event_type, ts, value

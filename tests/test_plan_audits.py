@@ -153,3 +153,27 @@ def test_q17_decorrelated_threshold_join(plan_of):
     a = plan_of("q17_small_qty_revenue")
     assert a.broadcast_joins >= 1, "brand-filtered part dim must broadcast"
     assert any("p_brand" in p for p in a.pushed)
+
+
+def test_global_running_total_no_full_data_global_window(plan_of, spark, sf_dir):
+    """The distributed prefix-sum must never move the full dataset through a
+    single-partition window: the only unpartitioned window runs over the
+    n_buckets offset rows. The events-sized windows are all bucketed."""
+    from philotes_spark.plans.audit import physical_plan
+
+    df = registry.QUERIES["b9_running_total_global"](spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    import re
+
+    # every Window over the event stream is partitioned by the bucket id;
+    # the single global Window is the offsets scan (input = a groupBy over
+    # 32 buckets, i.e. 32 rows), recognizable by its _tot aggregate input
+    arg_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert arg_lines, "no windows in plan?"
+    for line in arg_lines:
+        if "sum(v#" in line:  # running sum over the full event stream
+            assert re.search(r"windowspecdefinition\(_b#\d+,", line), (
+                "full-data window lost its bucket partitioning:\n" + line
+            )
+        else:  # offsets prefix-sum: global is fine, input is n_buckets rows
+            assert "sum(_tot#" in line
