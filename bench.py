@@ -2,12 +2,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "reps": N}.
 
 Headline set = one representative per operator family (scan/agg, joins,
 top-N, window, CDC, dedup, similarity, text) — the queries a user of the
 reference would actually run, weighted toward shuffle/join-heavy plans so
 regressions at scale show up here first.
+
+``bench.py --sweep`` instead times Spark AND the DuckDB oracle for the
+SQL-expressible headline queries at sf0.001/0.01/0.1 and prints a
+markdown table — the scale-inversion evidence: Spark's total is flat
+(per-action scheduling floor) while the oracle's grows with data.
 """
 
 from __future__ import annotations
@@ -17,42 +22,55 @@ import os
 import sys
 import time
 
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "b7_daily_rollup",
+    "b8_top_n",
+    "b9_running_total",
+    "b10_latest_by_key",
+    "b13_join_agg_segment",
+    "cdc_latest_state",
+    "cdc_op_rollup",
+    "stream_tumbling_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "text_quality_stats",
+    "token_counts_by_source",
+    "doc_fingerprint",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def _best_of(reps: int, fn) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+def _setup():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
     from philotes_spark import registry
     from philotes_spark.session import get_spark
 
     registry.load_all()
     spark = get_spark(app_name="philotes_bench")
+    return registry, spark
 
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q8_market_share",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q18_large_orders",
-        "b7_daily_rollup",
-        "b8_top_n",
-        "b9_running_total",
-        "b10_latest_by_key",
-        "b13_join_agg_segment",
-        "cdc_latest_state",
-        "cdc_op_rollup",
-        "stream_tumbling_counts",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "sim_cosine_topk",
-        "sim_ivf_topk",
-        "text_quality_stats",
-        "token_counts_by_source",
-        "doc_fingerprint",
-    ]
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry, spark = _setup()
 
     # warm the JVM/codegen paths once so timings measure the queries,
     # not first-call classloading
@@ -61,17 +79,14 @@ def main() -> None:
     # Best-of-N per query: this host shows CPU-steal spikes that can
     # inflate a single measurement 5-20x (measured: the same deterministic
     # query at 0.8s and 47s minutes apart, idle machine both times); the
-    # minimum measures the engine, not the neighbor VMs.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # minimum measures the engine, not the neighbor VMs. Self-contained:
+    # at least 2 reps even when invoked cold with REPS=1.
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in headline:
+    for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best, rows = float("inf"), 0
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            # materialize fully (driver does .collect(); mirror that cost)
-            rows = len(fn(spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
+        # materialize fully (driver does .collect(); mirror that cost)
+        best, rows = _best_of(reps, lambda: len(fn(spark, sf_dir).collect()))
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
@@ -84,10 +99,54 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "reps": reps,
             }
         )
     )
 
 
+def sweep() -> None:
+    """Spark vs DuckDB-oracle totals at each scale factor (markdown)."""
+    import duckdb
+
+    registry, spark = _setup()
+    from philotes_spark.sources.catalog import TABLES
+
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    names = [n for n in HEADLINE if n in registry.ORACLES]
+    skipped = [n for n in HEADLINE if n not in registry.ORACLES]
+    print(f"# sweep over {len(names)} oracle-backed headline queries", file=sys.stderr)
+    print(f"# skipped (no SQL oracle): {skipped}", file=sys.stderr)
+
+    rows_out = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        registry.QUERIES["b3_count_star"](spark, sf_dir).collect()  # warm
+        s_total = 0.0
+        for name in names:
+            fn = registry.QUERIES[name]
+            best, _ = _best_of(reps, lambda: len(fn(spark, sf_dir).collect()))
+            s_total += best
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        d_total = 0.0
+        for name in names:
+            sql = registry.ORACLES[name]
+            best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
+            d_total += best
+        con.close()
+        rows_out.append((sf, round(s_total, 2), round(d_total, 2)))
+        print(f"# {sf}: spark={s_total:.2f}s duckdb={d_total:.2f}s", file=sys.stderr)
+
+    print("| sf | spark total (s) | duckdb oracle total (s) | ratio |")
+    print("|---|---|---|---|")
+    for sf, s, d in rows_out:
+        print(f"| {sf} | {s:.2f} | {d:.2f} | {s / d:.1f}x |")
+
+
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

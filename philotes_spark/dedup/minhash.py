@@ -2,25 +2,27 @@
 tier that scales where exact n-gram Jaccard (ngram.py) cannot.
 
 Pipeline (JVM-only — no Python in the hot path):
-  shingle → xxhash64 to 31-bit → per-doc hash list (groupBy +
-  collect_list) → k universal-hash mins via ONE nested
-  ``transform(coeffs, c -> array_min(transform(hs, h -> (a*h+b) % p)))``
-  expression → signature array → band hashes → inverted-index self-join
-  on (band_idx, band_hash) → candidate pairs → signature-overlap Jaccard
-  estimate.
+  per-row shingle hashes (tokens → slices → xxhash64 to 31-bit) → ONE
+  ``aggregate`` fold keeping a running k-vector of minima
+  (``zip_with``/``least`` against the coefficient array) → signature
+  array → band hashes → inverted-index self-join on (band_idx,
+  band_hash) → candidate pairs → signature-overlap Jaccard estimate.
 
-Why the nested transform: the naive alternative (k=128 *separate*
-``min((a*h+b)%p)`` aggregate columns) unrolls into megabytes of generated
-Java and spends ~100 s in Janino at any data size. The nested transform
-compiles to two short loops; the same math runs whole-stage-codegen'd at
-~k·|shingles| ops per document. (A pandas_udf variant was measured too:
-correct, but it drags an Arrow boundary into every recomputed plan branch,
-and concurrent branch stages stampede the Python worker pool.)
+Why the single fold: k=128 *separate* ``min((a*h+b)%p)`` aggregate
+columns unroll into megabytes of generated Java and spend ~100 s in
+Janino at any data size; a ``transform(coeffs, …)`` per-coefficient pass
+re-evaluates the shingle pipeline k times once Catalyst collapses the
+projections. The fold evaluates each hash exactly once and runs
+whole-stage-codegen'd at ~k·|shingles| ops per document. (A pandas_udf
+variant was measured too: correct, but it drags an Arrow boundary into
+every recomputed plan branch, and concurrent branch stages stampede the
+Python worker pool.)
 
-Scale shape: two shuffles (signature groupBy on doc id; candidate join on
-band hash). Band-hash postings are (long, long) pairs — bytes, not
-documents. Hot buckets (boilerplate text) are handled the same way as
-ngram.py's df-cut: ``max_bucket_size`` drops degenerate buckets.
+Scale shape: ONE shuffle (candidate join on band hash) — signatures are
+a pure projection, no groupBy. Band-hash postings are (long, long) pairs
+— bytes, not documents. Hot buckets (boilerplate text) are handled the
+same way as ngram.py's df-cut: ``max_bucket_size`` drops degenerate
+buckets.
 
 Arithmetic stays inside 63 bits (ANSI-safe): 31-bit shingle hashes,
 multipliers < 2^31, so a*h+b < 2^62.
@@ -33,7 +35,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from philotes_spark.dedup.ngram import shingles
+from philotes_spark.functions.text import tokens
 
 _P = 4294967311  # smallest prime > 2^32
 
@@ -51,28 +53,39 @@ def minhash_signatures(
     k: int = 128,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc, sig: array<long> of length k). One explode + one groupBy;
-    the min-hash math is one nested higher-order-function expression."""
+    """(doc, sig: array<long> of length k) as a PURE PROJECTION — zero
+    shuffle. MinHash over a multiset equals MinHash over the set
+    (duplicates never change a min), so no explode → distinct → groupBy
+    round-trip is needed: shingle hashes are built per row and folded in
+    one ``aggregate`` pass that keeps a running k-vector of minima
+    (``zip_with``/``least``). The hash array is evaluated exactly once per
+    document — the nested ``transform(coeffs, …)`` alternative re-evaluates
+    the shingle pipeline once per coefficient after Catalyst collapses the
+    projections."""
     coeffs = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _coeffs(k, seed)
         ]
     )
-    sig = F.transform(
-        coeffs,
-        lambda c: F.array_min(
-            F.transform("hs", lambda h: (c["a"] * h + c["b"]) % F.lit(_P))
+    t = tokens(F.col(text_col))
+    src = df.select(F.col(id_col).alias("doc"), t.alias("t")).filter(
+        F.size("t") >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+    )
+    hs = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(2**31)))
+    init = F.array_repeat(F.lit(_P).cast("long"), k)
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs, lambda mn, c: F.least(mn, (c["a"] * h + c["b"]) % F.lit(_P))
         ),
     )
-    sh = shingles(df, id_col, text_col, n)
-    h31 = F.pmod(F.xxhash64("shingle"), F.lit(2**31)).alias("h")
-    hashed = sh.select("doc", h31)
-    return (
-        hashed.groupBy("doc")
-        .agg(F.collect_list("h").alias("hs"))
-        .select("doc", sig.alias("sig"))
-    )
+    return src.select("doc", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

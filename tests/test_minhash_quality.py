@@ -1,0 +1,52 @@
+"""MinHash-LSH quality pins: the signature estimate must track the exact
+n-gram Jaccard, and LSH must recall the strong near-dup pairs the exact
+tier finds. Rows-only driver checks can't see broken recall — pin it here.
+"""
+
+import pytest
+
+from philotes_spark.dedup.minhash import minhash_dedup
+from philotes_spark.dedup.ngram import jaccard_pairs
+from philotes_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+
+
+def test_lsh_recalls_strong_exact_pairs(docs, exact_pairs):
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_dedup(
+            docs, "doc_id", "text", min_est_jaccard=0.35
+        ).collect()
+    }
+    strong = {p for p, j in exact_pairs.items() if j >= 0.6}
+    if not strong:
+        pytest.skip("fixture has no strong near-dup pairs at this sf")
+    recall = len(strong & set(got)) / len(strong)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(strong)} pairs"
+
+
+def test_estimate_tracks_exact_jaccard(docs, exact_pairs):
+    got = {
+        (r.doc_a, r.doc_b): float(r.est_jaccard)
+        for r in minhash_dedup(
+            docs, "doc_id", "text", min_est_jaccard=0.35
+        ).collect()
+    }
+    common = set(got) & set(exact_pairs)
+    if not common:
+        pytest.skip("no overlapping pairs at this sf")
+    for p in common:
+        # k=128 signature ⇒ σ ≈ sqrt(j(1-j)/128) ≤ 0.045; allow 4σ
+        assert abs(got[p] - float(exact_pairs[p])) < 0.2, (p, got[p], exact_pairs[p])
