@@ -98,6 +98,25 @@ class CdcIngestPipeline:
         self.state = StateMachine()
         self.listener = MetricsListener()
         self.query = None
+        self.backpressure = None
+
+    def attach_backpressure(self, get_size, bp_config=None):
+        """A24: wire the hysteresis controller to this pipeline's
+        pause/resume; ``get_size`` is the buffer-depth gauge (injectable
+        like the reference's BufferSizeFunc). Call ``.check()`` on the
+        operator's cadence."""
+        from philotes_spark.streaming.backpressure import (
+            BackpressureConfig,
+            BackpressureController,
+        )
+
+        self.backpressure = BackpressureController(
+            bp_config or BackpressureConfig(),
+            get_size,
+            pause=self.pause,
+            resume=self.resume,
+        )
+        return self.backpressure
 
     # --- source (A1): file-based CDC event feed ---------------------------
     def _read_stream(self) -> DataFrame:
@@ -184,9 +203,18 @@ class CdcIngestPipeline:
     # --- health (A25) ------------------------------------------------------
     def health(self) -> dict:
         active = self.query is not None and self.query.isActive
-        return {
+        out = {
             "state": self.state.state,
             "healthy": active or self.state.state in ("stopped", "paused"),
             "query_active": active,
             "metrics": self.listener.metrics.__dict__,
         }
+        if self.backpressure is not None:
+            bp = self.backpressure.stats
+            out["backpressure"] = {
+                "is_paused": bp.is_paused,
+                "pause_count": bp.pause_count,
+                "resume_count": bp.resume_count,
+                "buffer_depth": bp.last_size,
+            }
+        return out
