@@ -134,6 +134,100 @@ def resize_image(
     return df.mapInPandas(batches, out_schema)
 
 
+# --- audio: REAL decode (stdlib wave — no external codec needed) -----------
+
+AUDIO_FEATURE_FIELDS = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+    ]
+)
+
+
+def encode_wav(
+    samples, sample_rate: int = 8000, sampwidth: int = 2
+) -> bytes:
+    """PCM WAV encoder (stdlib). ``samples`` are floats in [-1, 1]."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    scale = float(2 ** (8 * sampwidth - 1) - 1)
+    ints = np.clip(np.round(x * scale), -scale - 1, scale).astype(
+        {1: np.int8, 2: np.int16, 4: np.int32}[sampwidth]
+    )
+    if sampwidth == 1:
+        ints = (ints.astype(np.int16) + 128).astype(np.uint8)  # 8-bit is unsigned
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_wav(payload: bytes) -> dict:
+    """REAL audio decode: PCM WAV bytes → sample stats. Unlike the image
+    path (no codec libs in this container), WAV parses with the stdlib, so
+    this modality runs the genuine decode in the distributed plumbing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, ch, sw, n = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        )
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0
+    x = x / float(2 ** (8 * sw - 1) - 1)
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    n_samp = int(len(x))
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_samples": n_samp,
+        "duration_s": n_samp / sr if sr else 0.0,
+        "rms": float(np.sqrt((x**2).mean())) if n_samp else 0.0,
+        "peak": float(np.abs(x).max()) if n_samp else 0.0,
+    }
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL audio decode over WAV payloads via
+    ``mapInPandas``: input columns + ``audio`` struct. Narrow map, no
+    shuffle, nothing collected — same plumbing as extract_features but
+    with a genuine decoder inside."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("audio", AUDIO_FEATURE_FIELDS)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["audio"] = pdf[payload_col].map(
+                lambda p: decode_audio_wav(bytes(p))
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

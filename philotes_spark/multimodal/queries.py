@@ -103,3 +103,51 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resized_meta")["byte_length"].alias("resized_bytes"),
         F.col("resized_meta")["content_hash"].alias("resized_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(8000 + (doc_id % 10) * 800 AS BIGINT) AS n_samples,
+           ROUND((8000 + (doc_id % 10) * 800) / 8000.0, 6) AS duration_s
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode roundtrip: synthesize a PCM WAV per document
+    (440 Hz sine, length keyed by doc_id), then decode it with the stdlib
+    WAV parser inside Arrow-batched mapInPandas — the one modality whose
+    genuine decoder runs in this container. The oracle pins the decoded
+    sample counts and durations; rms/peak physics are pinned in pytest."""
+    import math
+
+    from philotes_spark.multimodal.binary_ops import audio_features, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["doc_id"].map(
+                lambda d: encode_wav(
+                    [
+                        0.5 * math.sin(2 * math.pi * 440 * i / 8000)
+                        for i in range(8000 + (int(d) % 10) * 800)
+                    ]
+                )
+            )
+            yield pdf
+
+    wavs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    out = audio_features(wavs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.round(F.col("audio.duration_s"), 6).alias("duration_s"),
+    )

@@ -37,7 +37,12 @@ _TPCH_RE = re.compile(r"^q\d+_")
 def _tier(name: str) -> tuple[int, int]:
     if _TPCH_RE.match(name):
         return (9, 0)
-    if name in ("set_ops_nations", "q_rollup_revenue", "b13_join_agg_segment"):
+    if name in (
+        "set_ops_nations",
+        "q_rollup_revenue",
+        "b13_join_agg_segment",
+        "events_percentiles",
+    ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
         return (1, 0)
