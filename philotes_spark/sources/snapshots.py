@@ -225,6 +225,26 @@ class SnapshotTable:
         rows = sorted(m.get("properties", {}).items())
         return self.spark.createDataFrame(rows, "key string, value string")
 
+    def metadata(self, version: int | None = None) -> DataFrame:
+        """≙ `t$metadata`: one-row summary of a snapshot — version, file
+        and byte totals, partition spec (sample-queries.sql:55-61)."""
+        m = self._resolve(version)
+        total_bytes = sum(os.path.getsize(f) for f in m["files"])
+        row = (
+            m["version"],
+            m["timestamp_ms"],
+            m["operation"],
+            len(m["files"]),
+            total_bytes,
+            ",".join(m.get("partition_by") or []) or None,
+            len(m.get("properties", {})),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "version int, timestamp_ms long, operation string, total_files int, "
+            "total_bytes long, partition_spec string, n_properties int",
+        )
+
     # --- maintenance (A7) -------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> int:

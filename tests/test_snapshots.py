@@ -118,3 +118,17 @@ def test_commit_conflict_leaves_no_tmp(spark, table, tmp_path):
         table.current_version = orig
     leftovers = [f for f in os.listdir(table.snap_dir) if ".tmp-" in f]
     assert leftovers == []
+
+
+def test_metadata_summary_table(spark, table):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("v"), (F.col("id") % 2).alias("bucket")
+    )
+    table.commit(df, partition_by=["bucket"], properties={"owner": "cdc"})
+    m = table.metadata().collect()[0]
+    assert m.version == 1 and m.operation == "append"
+    assert m.total_files >= 2 and m.total_bytes > 0
+    assert m.partition_spec == "bucket"
+    assert m.n_properties == 1
