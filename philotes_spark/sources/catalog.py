@@ -32,12 +32,22 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure ``spark.read.parquet`` — scans stay
-    pushdown- and pruning-capable."""
+    pushdown- and pruning-capable.
+
+    The analyzed DataFrame is cached ON the session (re-reading parquet
+    footers + schema analysis costs 50–115 ms per call, and a query roster
+    touches tables dozens of times). The cached object is a lazy plan, not
+    data — scans, pushdown, and pruning behave identically; a fresh
+    session gets a fresh cache and re-runs the conf setup below."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    cache = spark.__dict__.setdefault("_philotes_plan_cache", {})
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
         # by default. The conf is runtime-settable, so set it here rather
@@ -55,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache[key] = df
     return df
 
 
