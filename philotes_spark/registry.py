@@ -42,6 +42,8 @@ def _tier(name: str) -> tuple[int, int]:
         "q_rollup_revenue",
         "b13_join_agg_segment",
         "events_percentiles",
+        "sim_quantized_topk",  # rows-only variant of the checked exact tier
+        "show_tables",  # B1 already window-checked via describe + show_create
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -183,3 +183,71 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+# --- int8-quantized tier (memory-bound scale path) --------------------------
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(127 · x_i /
+    max|x|). Cosine is scale-invariant, so the per-vector scale cancels —
+    quantized cosine approximates exact cosine to ~1/127 resolution while
+    the stored corpus shrinks 4× (float32→int8) / 8× (float64→int8).
+    At 100 TB of embeddings this is the difference between a corpus that
+    fits executor memory and one that doesn't; same broadcast-scan plan
+    as ``cosine_topk``, integer multiply-adds inside codegen."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * 127.0 / mx).cast("int")
+    )
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine over int8-quantized vectors: (query_id, neighbor_id,
+    est_cosine, rank). Same plan shape as the exact tier (broadcast small
+    query side × one corpus scan, no corpus shuffle); only the element
+    width changes."""
+    q = quantize_int8(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        q.alias("qv"),
+    ).select("id", "qv", F.sqrt(dot_int("qv", "qv")).alias("nrm"))
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("a"), F.col("nrm").alias("na")
+    )
+    cand = base.select(
+        F.col("id").alias("neighbor_id"), F.col("qv").alias("b"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot_int("a", "b") / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("est_cosine"),
+            "rank",
+        )
+    )
+
+
+def dot_int(a, b) -> Column:
+    """Integer-accumulator dot product (exact: |q|≤127 ⇒ fits long)."""
+    return F.aggregate(
+        F.zip_with(F.col(a) if isinstance(a, str) else a,
+                   F.col(b) if isinstance(b, str) else b,
+                   lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")

@@ -204,3 +204,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("min_dup"), F.col("vec_id")).alias("canonical_id"),
         F.col("min_dup").isNotNull().alias("is_duplicate"),
     )
+
+
+@query("sim_quantized_topk")  # rows-only: int8 rounding is engine-local
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-10 — the memory-bound scale
+    tier: the stored corpus shrinks 4-8x while cosine (scale-invariant)
+    survives quantization to ~1/127 resolution. Same broadcast-scan plan
+    as the exact tier; recall pinned vs exact in pytest."""
+    from philotes_spark.similarity.knn import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(emb, QUERY_IDS, k=10).orderBy("query_id", "rank")

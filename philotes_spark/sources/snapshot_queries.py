@@ -115,3 +115,22 @@ def show_create_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("events", ddl)], "table_name string, create_stmt string"
     )
+
+
+@query(
+    "show_tables",
+    oracle="""
+    SELECT UNNEST([
+        'customer','documents','embeddings','events','lineitem',
+        'nation','orders','part','region','supplier'
+    ]) AS table_name
+    """,
+)
+def show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 `SHOW TABLES` (sample-queries.sql:20-22): the registered fixture
+    catalog, served by spark.catalog after view registration."""
+    from philotes_spark.sources.catalog import list_tables, register_views
+
+    register_views(spark, sf_dir)
+    names = [t for t in list_tables(spark)]
+    return spark.createDataFrame([(n,) for n in names], "table_name string")

@@ -75,3 +75,28 @@ def test_ivf_deterministic(emb):
     a = ivf_topk(emb, QUERY_IDS, k=5, seed=7).collect()
     b = ivf_topk(emb, QUERY_IDS, k=5, seed=7).collect()
     assert a == b
+
+
+def test_quantized_recall_near_exact(emb, exact_neighbors):
+    from philotes_spark.similarity.knn import quantized_cosine_topk
+
+    rows = quantized_cosine_topk(emb, QUERY_IDS, k=10).collect()
+    # int8 keeps ~1/127 cosine resolution: near-perfect top-10 agreement
+    assert _recall(rows, exact_neighbors) >= 0.9
+
+
+def test_quantized_estimate_close_to_exact(emb):
+    from philotes_spark.similarity.knn import cosine_topk, quantized_cosine_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id): float(r.cosine_sim)
+        for r in cosine_topk(emb, QUERY_IDS, k=10).collect()
+    }
+    est = {
+        (r.query_id, r.neighbor_id): float(r.est_cosine)
+        for r in quantized_cosine_topk(emb, QUERY_IDS, k=10).collect()
+    }
+    common = set(exact) & set(est)
+    assert common, "no overlapping top-k pairs?"
+    for p in common:
+        assert abs(exact[p] - est[p]) < 0.02  # ~2 LSBs of int8 resolution
