@@ -177,3 +177,18 @@ def test_global_running_total_no_full_data_global_window(plan_of, spark, sf_dir)
             )
         else:  # offsets prefix-sum: global is fine, input is n_buckets rows
             assert "sum(_tot#" in line
+
+
+def test_quantized_topk_no_corpus_shuffle(plan_of):
+    # broadcast the 5-query side, scan the corpus once; the only shuffles
+    # are the per-query top-k window + its AQE read — never the corpus
+    a = plan_of("sim_quantized_topk")
+    assert a.broadcast_joins >= 1, "query side must broadcast"
+    assert a.shuffles <= 2, f"corpus shuffle crept in: {a.shuffles}"
+
+
+def test_multimodal_audio_is_narrow(plan_of):
+    # synth + decode are chained mapInPandas stages: zero shuffles at any
+    # corpus size
+    a = plan_of("multimodal_audio")
+    assert a.shuffles == 0, f"audio pipeline must stay narrow: {a.shuffles}"
