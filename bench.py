@@ -136,13 +136,14 @@ def sweep() -> None:
             best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
             d_total += best
         con.close()
-        rows_out.append((sf, round(s_total, 2), round(d_total, 2)))
+        rows_out.append((sf, s_total, d_total))  # raw; round only at print
         print(f"# {sf}: spark={s_total:.2f}s duckdb={d_total:.2f}s", file=sys.stderr)
 
     print("| sf | spark total (s) | duckdb oracle total (s) | ratio |")
     print("|---|---|---|---|")
     for sf, s, d in rows_out:
-        print(f"| {sf} | {s:.2f} | {d:.2f} | {s / d:.1f}x |")
+        ratio = f"{s / d:.1f}x" if d > 0 else "n/a"
+        print(f"| {sf} | {s:.2f} | {d:.2f} | {ratio} |")
 
 
 if __name__ == "__main__":

@@ -132,5 +132,5 @@ def show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from philotes_spark.sources.catalog import list_tables, register_views
 
     register_views(spark, sf_dir)
-    names = [t for t in list_tables(spark)]
+    names = list_tables(spark)
     return spark.createDataFrame([(n,) for n in names], "table_name string")

@@ -87,6 +87,21 @@ class SnapshotTable:
         parent = self.current_version()
         parent_manifest = self._load(f"v{parent:08d}.json") if parent else {}
 
+        # A snapshot's file list must have ONE layout: appends inherit the
+        # parent's partition spec (so their files land hive-partitioned
+        # too); changing the spec requires an overwrite. Without this, a
+        # mixed file list makes the partitioned read un-unionable.
+        parent_spec = parent_manifest.get("partition_by") or []
+        if operation == "append" and parent_spec:
+            if partition_by is None:
+                partition_by = list(parent_spec)
+            elif list(partition_by) != list(parent_spec):
+                raise ValueError(
+                    f"append partition spec {partition_by} conflicts with the "
+                    f"table's spec {parent_spec}; use operation='overwrite' "
+                    "to change the layout"
+                )
+
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         writer = df.write
         if partition_by:
@@ -113,7 +128,9 @@ class SnapshotTable:
             "files": sorted(files),
             "added_files": len(new_files),
             "added_rows": df.count(),
-            "partition_by": partition_by or parent_manifest.get("partition_by") or [],
+            # append: resolved against the parent spec above; overwrite:
+            # whatever this commit wrote (None ⇒ back to unpartitioned)
+            "partition_by": list(partition_by) if partition_by else [],
             "properties": props,
         }
         target = os.path.join(self.snap_dir, f"v{version:08d}.json")

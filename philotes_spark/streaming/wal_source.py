@@ -41,10 +41,13 @@ WAL_GLOB_PREFIX = "wal-"
 
 
 class _WalRange(InputPartition):
-    def __init__(self, path: str, start_lsn: int, end_lsn: int) -> None:
+    def __init__(
+        self, path: str, start_lsn: int, end_lsn: int, files: list[str]
+    ) -> None:
         self.path = path
         self.start_lsn = start_lsn
         self.end_lsn = end_lsn
+        self.files = files  # only segments overlapping (start, end]
 
 
 class WalStreamReader(DataSourceStreamReader):
@@ -58,50 +61,74 @@ class WalStreamReader(DataSourceStreamReader):
             raise ValueError("philotes_wal requires .option('path', <dir>)")
         cap = options.get("maxLsnPerBatch")
         self.max_lsn_per_batch = int(cap) if cap else None
-        self._last_seen = 0
+        # The committed position, when known. The API has no
+        # latestOffset(start, limit) and calls latestOffset BEFORE
+        # initialOffset even on a fresh query (verified), so the first
+        # batch is always uncapped catch-up; the reader learns the
+        # engine's position from initialOffset/partitions/commit and the
+        # cap governs every batch after that. Capping the first batch
+        # from 0 would hand a restarted engine an offset BEHIND its
+        # checkpointed start — a stalled (availableNow) or regressed
+        # stream.
+        self._position: int | None = None
+        # per-segment (size, min_lsn, max_lsn) — segments are append-only,
+        # so a segment is only re-parsed when its size changes; this keeps
+        # latestOffset incremental (O(new data), not O(whole log) per tick)
+        self._seg_stats: dict[str, tuple[int, int, int]] = {}
 
     # --- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802
+        self._position = 0  # fresh query (restarts skip this call)
         return {"lsn": 0}
 
-    def _max_lsn_on_disk(self) -> int:
-        mx = 0
+    def _scan_segments(self) -> dict[str, tuple[int, int, int]]:
         if not os.path.isdir(self.path):
-            return mx
+            return {}
+        live = {}
         for f in sorted(os.listdir(self.path)):
             if not f.startswith(WAL_GLOB_PREFIX):
                 continue
-            with open(os.path.join(self.path, f)) as fh:
+            full = os.path.join(self.path, f)
+            size = os.path.getsize(full)
+            cached = self._seg_stats.get(f)
+            if cached is not None and cached[0] == size:
+                live[f] = cached
+                continue
+            mn, mx = None, 0
+            with open(full) as fh:
                 for line in fh:
                     if line.strip():
-                        mx = max(mx, int(json.loads(line)["lsn_int"]))
-        return mx
+                        lsn = int(json.loads(line)["lsn_int"])
+                        mn = lsn if mn is None else min(mn, lsn)
+                        mx = max(mx, lsn)
+            live[f] = (size, mn if mn is not None else 0, mx)
+        self._seg_stats = live
+        return live
 
     def latestOffset(self) -> dict:  # noqa: N802
-        mx = self._max_lsn_on_disk()
-        if self.max_lsn_per_batch is not None:
-            # admission control relative to the last planned batch. The API
-            # has no latestOffset(start, limit); after a restart _last_seen
-            # is 0 until partitions()/commit() report the engine's start
-            # offset, so the first post-restart batch may be empty — then
-            # the cap advances from the checkpointed position (liveness).
-            mx = min(mx, self._last_seen + self.max_lsn_per_batch)
-        self._last_seen = max(self._last_seen, mx)
+        stats = self._scan_segments()
+        mx = max((s[2] for s in stats.values()), default=0)
+        if self.max_lsn_per_batch is not None and self._position is not None:
+            # steady-state admission control relative to the known position
+            mx = min(mx, self._position + self.max_lsn_per_batch)
         return {"lsn": mx}
 
     # --- partitions/read ---------------------------------------------------
 
     def partitions(self, start: dict, end: dict):
-        self._last_seen = max(self._last_seen, start["lsn"], end["lsn"])
-        if start["lsn"] >= end["lsn"]:
+        lo, hi = start["lsn"], end["lsn"]
+        self._position = max(self._position or 0, lo, hi)
+        if lo >= hi:
             return []
-        return [_WalRange(self.path, start["lsn"], end["lsn"])]
+        stats = self._scan_segments()
+        files = [
+            f for f, (_, mn, mx) in sorted(stats.items()) if mx > lo and mn <= hi
+        ]
+        return [_WalRange(self.path, lo, hi, files)]
 
     def read(self, partition: _WalRange):
-        for f in sorted(os.listdir(partition.path)):
-            if not f.startswith(WAL_GLOB_PREFIX):
-                continue
+        for f in partition.files:
             with open(os.path.join(partition.path, f)) as fh:
                 for line in fh:
                     if not line.strip():
@@ -135,7 +162,7 @@ class WalStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # durability is the engine's checkpoint; just track progress so the
         # admission cap advances relative to the committed position
-        self._last_seen = max(self._last_seen, end["lsn"])
+        self._position = max(self._position or 0, end["lsn"])
 
 
 class WalDataSource(DataSource):

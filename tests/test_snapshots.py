@@ -132,3 +132,24 @@ def test_metadata_summary_table(spark, table):
     assert m.total_files >= 2 and m.total_bytes > 0
     assert m.partition_spec == "bucket"
     assert m.n_properties == 1
+
+
+def test_append_inherits_partition_spec(spark, table):
+    from pyspark.sql import functions as F
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("v"), (F.col("id") % 2).alias("bucket")
+        )
+
+    table.commit(df(0, 20), partition_by=["bucket"])
+    table.commit(df(20, 30))  # plain append: must inherit hive layout
+    got = table.read()
+    assert got.count() == 30
+    assert got.filter(F.col("bucket") == 1).count() == 15  # readable union
+    # conflicting spec on append is rejected; overwrite may change layout
+    with pytest.raises(ValueError, match="conflicts with the table's spec"):
+        table.commit(df(30, 40), partition_by=["v"])
+    table.commit(df(0, 6), operation="overwrite")  # back to unpartitioned
+    assert table.read().count() == 6
+    assert table.partitions().collect()[0].partition == "<unpartitioned>"

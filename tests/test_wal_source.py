@@ -80,12 +80,16 @@ def test_wal_resumes_from_checkpoint(spark, tmp_path):
     assert {r.id for r in delivered} == {"ev-3", "ev-4"}
 
 
-def test_wal_admission_control_caps_batch(spark, tmp_path):
-    """Each micro-batch admits at most maxLsnPerBatch LSNs (A5/A24)."""
+def test_wal_admission_control_caps_steady_state(spark, tmp_path):
+    """Steady-state batches admit at most maxLsnPerBatch LSNs (A5/A24).
+    The engine calls latestOffset before initialOffset, so the FIRST batch
+    is uncapped catch-up by design (capping it would regress/stall a
+    restarted stream); the cap governs every batch after the reader knows
+    its position."""
     import time
 
     wal = str(tmp_path / "wal")
-    _write_segment(wal, "001", [_wal_event(i) for i in range(1, 11)])
+    _write_segment(wal, "001", [_wal_event(i) for i in range(1, 3)])
     batches = []
     q = (
         read_wal_stream(spark, wal, max_lsn_per_batch=3)
@@ -95,14 +99,19 @@ def test_wal_admission_control_caps_batch(spark, tmp_path):
         .start()
     )
     try:
+        deadline = time.time() + 60
+        while time.time() < deadline and sum(len(b) for b in batches) < 2:
+            time.sleep(0.5)  # catch-up batch has landed
+        _write_segment(wal, "002", [_wal_event(i) for i in range(3, 13)])
         deadline = time.time() + 120
-        while time.time() < deadline and sum(len(b) for b in batches) < 10:
+        while time.time() < deadline and sum(len(b) for b in batches) < 12:
             time.sleep(0.5)
     finally:
         q.stop()
     sizes = [len(b) for b in batches if b]
-    assert sum(sizes) == 10
-    assert max(sizes) <= 3  # the source admits at most 3 LSNs per batch
+    assert sum(sizes) == 12
+    # every batch after the catch-up (2 rows) is capped at 3 LSNs
+    assert all(s <= 3 for s in sizes[1:]), sizes
 
 
 def test_wal_feeds_normalize(spark, tmp_path):
@@ -142,3 +151,27 @@ def test_debezium_adapter_maps_envelope(spark):
     assert row.lsn == "1/1A"
     assert row.transaction_id == 77
     assert json.loads(row.after) == {"id": 7, "v": 2}
+
+
+def test_wal_cap_does_not_regress_offsets_on_restart(spark, tmp_path):
+    """Restart regression (round-2 review finding): with maxLsnPerBatch
+    set, a fresh reader must never hand the engine an offset behind the
+    checkpointed start — that would re-deliver committed LSNs. After a
+    restart the first batch is uncapped catch-up; nothing is re-read."""
+    wal = str(tmp_path / "wal")
+    ck = str(tmp_path / "ck")
+    _write_segment(wal, "001", [_wal_event(i) for i in range(1, 9)])
+    first = []
+    _drain(spark, wal, ck, first, max_lsn_per_batch=3)  # catch-up batch
+    delivered = [r for b in first for r in b]
+    assert {r.id for r in delivered} == {f"ev-{i}" for i in range(1, 9)}
+    # restart with new data present: only the new LSNs may appear
+    _write_segment(wal, "002", [_wal_event(i) for i in range(9, 14)])
+    second = []
+    for _ in range(3):
+        _drain(spark, wal, ck, second, max_lsn_per_batch=3)
+    redelivered = [r for b in second for r in b]
+    assert {r.id for r in redelivered} == {f"ev-{i}" for i in range(9, 14)}, (
+        "restart must deliver exactly the uncommitted LSNs — "
+        f"got {sorted(r.id for r in redelivered)}"
+    )
