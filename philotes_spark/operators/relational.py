@@ -932,6 +932,41 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the non-hierarchical cousin of ROLLUP/CUBE,
+    B-surface extra): per-status totals, per-priority totals, and the
+    grand total in one Expand-based aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query("sketch_distinct_users")  # rows-only: HLL++ sketch is engine-local
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch
+    tier of COUNT(DISTINCT): one pass, fixed memory per group, no expand
+    shuffle; the 100 TB path when exact distinct (q16's two-phase expand)
+    is too expensive. Accuracy vs exact pinned in pytest (rsd 0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "w_topn_per_group",
     oracle="""
     SELECT event_type, event_id, value, rnk, drnk

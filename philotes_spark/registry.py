@@ -44,6 +44,8 @@ def _tier(name: str) -> tuple[int, int]:
         "events_percentiles",
         "sim_quantized_topk",  # rows-only variant of the checked exact tier
         "show_tables",  # B1 already window-checked via describe + show_create
+        "q_grouping_sets",  # Expand shape already window-checked via ROLLUP
+        "sketch_distinct_users",  # rows-only; exact distinct checked via q16
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
