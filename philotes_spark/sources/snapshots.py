@@ -92,7 +92,9 @@ class SnapshotTable:
         # too); changing the spec requires an overwrite. Without this, a
         # mixed file list makes the partitioned read un-unionable.
         parent_spec = parent_manifest.get("partition_by") or []
-        if operation == "append" and parent_spec:
+        if operation == "append" and parent_manifest.get("files"):
+            # symmetric: a partitioned append onto an unpartitioned parent
+            # mixes layouts in one file list just as badly as the reverse
             if partition_by is None:
                 partition_by = list(parent_spec)
             elif list(partition_by) != list(parent_spec):
@@ -186,6 +188,16 @@ class SnapshotTable:
                 self.spark.read.option("basePath", root).parquet(*fs)
                 for root, fs in sorted(by_root.items())
             ]
+            # partition-column types are inferred independently per staged
+            # root; if two appends infer differently (one all-numeric, one
+            # not) the union would fail or silently widen — normalize to
+            # string when the inferred types disagree
+            for col in m["partition_by"]:
+                types = {dict(p.dtypes)[col] for p in parts}
+                if len(types) > 1:
+                    parts = [
+                        p.withColumn(col, p[col].cast("string")) for p in parts
+                    ]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)

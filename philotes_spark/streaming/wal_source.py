@@ -71,10 +71,12 @@ class WalStreamReader(DataSourceStreamReader):
         # checkpointed start — a stalled (availableNow) or regressed
         # stream.
         self._position: int | None = None
-        # per-segment (size, min_lsn, max_lsn) — segments are append-only,
-        # so a segment is only re-parsed when its size changes; this keeps
-        # latestOffset incremental (O(new data), not O(whole log) per tick)
-        self._seg_stats: dict[str, tuple[int, int, int]] = {}
+        # per-segment ((size, mtime_ns), min_lsn, max_lsn) — segments are
+        # append-only, so a segment is only re-parsed when its size or
+        # mtime changes (mtime catches an in-place rewrite of identical
+        # length, e.g. compaction); this keeps latestOffset incremental
+        # (O(new data), not O(whole log) per tick)
+        self._seg_stats: dict[str, tuple[tuple[int, int], int, int]] = {}
 
     # --- offsets -----------------------------------------------------------
 
@@ -90,9 +92,10 @@ class WalStreamReader(DataSourceStreamReader):
             if not f.startswith(WAL_GLOB_PREFIX):
                 continue
             full = os.path.join(self.path, f)
-            size = os.path.getsize(full)
+            st = os.stat(full)
+            stat_key = (st.st_size, st.st_mtime_ns)
             cached = self._seg_stats.get(f)
-            if cached is not None and cached[0] == size:
+            if cached is not None and cached[0] == stat_key:
                 live[f] = cached
                 continue
             mn, mx = None, 0
@@ -102,7 +105,7 @@ class WalStreamReader(DataSourceStreamReader):
                         lsn = int(json.loads(line)["lsn_int"])
                         mn = lsn if mn is None else min(mn, lsn)
                         mx = max(mx, lsn)
-            live[f] = (size, mn if mn is not None else 0, mx)
+            live[f] = (stat_key, mn if mn is not None else 0, mx)
         self._seg_stats = live
         return live
 

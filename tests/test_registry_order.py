@@ -29,8 +29,16 @@ def test_families_inside_driver_window():
 
 
 def test_tpch_extras_last():
+    # q9_product_profit is deliberately promoted INTO the window (r03): the
+    # round-1 wrong-answer fix must be driver-verified; all other TPC-H
+    # shapes stay behind every non-TPC-H query.
     names = list(entry.queries())
-    tpch = [i for i, n in enumerate(names) if re.match(r"^q\d+_", n)]
+    assert names.index("q9_product_profit") < 50
+    tpch = [
+        i
+        for i, n in enumerate(names)
+        if re.match(r"^q\d+_", n) and n != "q9_product_profit"
+    ]
     non_tpch = [i for i, n in enumerate(names) if not re.match(r"^q\d+_", n)]
     assert min(tpch) > max(non_tpch)
 
