@@ -1,0 +1,243 @@
+"""pgoutput wire-protocol decode (A1 last mile): canned CopyData frames →
+engine CDC events, parity with the reference's event conversion
+(internal/cdc/source/postgres/reader.go:172-253). The encoders below
+build real protocol bytes per the public PostgreSQL docs
+(protocol-logicalrep-message-formats), so the decoder is exercised
+against the same byte layout a live walsender emits."""
+
+import json
+import struct
+from datetime import datetime, timezone
+
+from philotes_spark.streaming.pgoutput import (
+    Begin,
+    CannedReplicationFeed,
+    Commit,
+    Keepalive,
+    PgoutputDecoder,
+    PgReplicationConnection,
+    Relation,
+    RowChange,
+    Truncate,
+    decode_message,
+    drain_feed_to_wal,
+    encode_standby_status,
+    lsn_to_text,
+    parse_copy_data,
+)
+
+_PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+
+def pg_micros(dt: datetime) -> int:
+    return int((dt - _PG_EPOCH).total_seconds() * 1_000_000)
+
+
+TS = datetime(2026, 8, 13, 12, 0, 0, tzinfo=timezone.utc)
+
+
+# --- wire-format builders (the walsender side) ------------------------------
+
+
+def xlogdata(payload: bytes, wal_start: int, wal_end: int | None = None) -> bytes:
+    return b"w" + struct.pack(
+        ">QQQ", wal_start, wal_end or wal_start, pg_micros(TS)
+    ) + payload
+
+
+def keepalive(wal_end: int, reply: bool = False) -> bytes:
+    return b"k" + struct.pack(">QQB", wal_end, pg_micros(TS), int(reply))
+
+
+def m_begin(final_lsn: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">QQI", final_lsn, pg_micros(TS), xid)
+
+
+def m_commit(commit_lsn: int, end_lsn: int) -> bytes:
+    return b"C" + struct.pack(">BQQQ", 0, commit_lsn, end_lsn, pg_micros(TS))
+
+
+def m_relation(relid: int, ns: str, name: str, cols) -> bytes:
+    body = b"R" + struct.pack(">I", relid) + ns.encode() + b"\x00"
+    body += name.encode() + b"\x00" + b"d" + struct.pack(">H", len(cols))
+    for cname, oid, is_key in cols:
+        body += struct.pack(">B", int(is_key)) + cname.encode() + b"\x00"
+        body += struct.pack(">II", oid, 0xFFFFFFFF)
+    return body
+
+
+def tupledata(values) -> bytes:
+    out = struct.pack(">H", len(values))
+    for v in values:
+        if v is None:
+            out += b"n"
+        elif v is ...:
+            out += b"u"
+        else:
+            raw = str(v).encode()
+            out += b"t" + struct.pack(">I", len(raw)) + raw
+    return out
+
+
+def m_insert(relid: int, values) -> bytes:
+    return b"I" + struct.pack(">I", relid) + b"N" + tupledata(values)
+
+
+def m_update(relid: int, new, old=None, old_kind=b"K") -> bytes:
+    body = b"U" + struct.pack(">I", relid)
+    if old is not None:
+        body += old_kind + tupledata(old)
+    return body + b"N" + tupledata(new)
+
+
+def m_delete(relid: int, old, old_kind=b"K") -> bytes:
+    return b"D" + struct.pack(">I", relid) + old_kind + tupledata(old)
+
+
+def m_truncate(relids, cascade=False) -> bytes:
+    return (
+        b"T"
+        + struct.pack(">IB", len(relids), int(cascade))
+        + struct.pack(f">{len(relids)}I", *relids)
+    )
+
+
+USERS_COLS = [("user_id", 23, True), ("email", 25, False), ("bio", 25, False)]
+
+
+# --- framing ----------------------------------------------------------------
+
+
+def test_xlogdata_and_keepalive_framing():
+    x = parse_copy_data(xlogdata(b"B123", 0x1_0000_0010, 0x1_0000_0020))
+    assert (x.wal_start, x.wal_end, x.payload) == (
+        0x1_0000_0010,
+        0x1_0000_0020,
+        b"B123",
+    )
+    k = parse_copy_data(keepalive(77, reply=True))
+    assert isinstance(k, Keepalive) and k.wal_end == 77 and k.reply_requested
+
+
+def test_standby_status_layout():
+    st = encode_standby_status(10, 9, 8, reply_requested=True)
+    assert st[0:1] == b"r"
+    recv, flushed, applied, _ts, reply = struct.unpack_from(">QQQQB", st, 1)
+    assert (recv, flushed, applied, reply) == (10, 9, 8, 1)
+
+
+def test_lsn_text_form():
+    assert lsn_to_text(0x1_0000_0010) == "1/10"
+    assert lsn_to_text(0xAB_DEADBEEF) == "AB/DEADBEEF"
+
+
+# --- message decode ---------------------------------------------------------
+
+
+def test_decode_begin_commit_relation():
+    b = decode_message(m_begin(0x100, xid=42))
+    assert isinstance(b, Begin) and b.xid == 42 and b.final_lsn == 0x100
+    c = decode_message(m_commit(0x100, 0x110))
+    assert isinstance(c, Commit) and c.end_lsn == 0x110
+    r = decode_message(m_relation(16384, "public", "users", USERS_COLS))
+    assert isinstance(r, Relation) and r.name == "users"
+    assert [c.name for c in r.columns] == ["user_id", "email", "bio"]
+    assert [c.is_key for c in r.columns] == [True, False, False]
+
+
+def test_decode_row_messages():
+    i = decode_message(m_insert(16384, ["1", "a@x.com", None]))
+    assert isinstance(i, RowChange) and i.kind == "INSERT"
+    assert i.new_tuple == ["1", "a@x.com", None]
+    u = decode_message(m_update(16384, ["1", "b@x.com", ...], old=["1", None, None]))
+    assert u.old_kind == "K" and u.new_tuple[2] is ...
+    d = decode_message(m_delete(16384, ["1", None, None]))
+    assert d.kind == "DELETE" and d.old_tuple == ["1", None, None]
+    t = decode_message(m_truncate([16384, 16385], cascade=True))
+    assert isinstance(t, Truncate) and t.relation_ids == [16384, 16385] and t.cascade
+
+
+# --- stream conversion (reader.go parity) -----------------------------------
+
+
+def _frames():
+    lsn = 0x1_0000_0000
+    return [
+        keepalive(lsn),
+        xlogdata(m_begin(lsn + 0x50, xid=700), lsn + 1),
+        xlogdata(m_relation(16384, "public", "users", USERS_COLS), lsn + 2),
+        xlogdata(m_insert(16384, ["1", "a@x.com", "hello"]), lsn + 0x10),
+        xlogdata(m_update(16384, ["1", "b@x.com", ...], old=["1", None, None]), lsn + 0x20),
+        xlogdata(m_delete(16384, ["1", None, None]), lsn + 0x30),
+        xlogdata(m_truncate([16384]), lsn + 0x40),
+        xlogdata(m_commit(lsn + 0x50, lsn + 0x51), lsn + 0x50),
+    ]
+
+
+def test_stream_to_cdc_events():
+    dec = PgoutputDecoder()
+    events = [e for f in _frames() for e in dec.feed(f)]
+    assert [e["operation"] for e in events] == [
+        "INSERT",
+        "UPDATE",
+        "DELETE",
+        "TRUNCATE",
+    ]
+    ins, upd, dele, trunc = events
+    # INSERT: after only (reader.go:241)
+    assert ins["before"] is None
+    assert ins["after"] == {"user_id": "1", "email": "a@x.com", "bio": "hello"}
+    # UPDATE: before from the key tuple; unchanged-TOAST column omitted
+    assert upd["before"] == {"user_id": "1", "email": None, "bio": None}
+    assert upd["after"] == {"user_id": "1", "email": "b@x.com"}
+    # DELETE: before only; TRUNCATE: no row data (reader.go:245-248)
+    assert dele["after"] is None and dele["before"]["user_id"] == "1"
+    assert trunc["before"] is None and trunc["after"] is None
+    # shared envelope: xid + commit-time from Begin, keys from the relation
+    assert all(e["transaction_id"] == 700 for e in events)
+    assert all(e["key_columns"] == ["user_id"] for e in events)
+    assert all(e["table_name"] == "users" for e in events)
+    assert ins["lsn"] == lsn_to_text(0x1_0000_0010)
+
+
+def test_unknown_relation_skips_not_fails():
+    dec = PgoutputDecoder()
+    evs = list(dec.feed(xlogdata(m_insert(99999, ["1"]), 0x10)))
+    assert evs == []  # conversion failure logs-and-continues (reader.go:186)
+
+
+def test_drain_feed_into_wal_segment(tmp_path):
+    feed = CannedReplicationFeed(_frames())
+    n, last = drain_feed_to_wal(feed, str(tmp_path), flush_every=2)
+    assert n == 4 and last == 0x1_0000_0040
+    # the segment is WalStreamReader-compatible JSONL, LSN-ordered
+    seg = tmp_path / "wal-pgoutput-000001.jsonl"
+    lines = [json.loads(l) for l in seg.read_text().splitlines()]
+    assert [e["operation"] for e in lines] == ["INSERT", "UPDATE", "DELETE", "TRUNCATE"]
+    assert all("lsn_int" in e and "id" in e for e in lines)
+    # flush positions were acked (2 mid-stream + 1 final)
+    assert len(feed.statuses) == 3
+    recv = struct.unpack_from(">Q", feed.statuses[-1], 1)[0]
+    assert recv == last
+
+
+def test_drained_segment_replays_through_wal_source(tmp_path):
+    from philotes_spark.streaming.wal_source import WalStreamReader
+
+    drain_feed_to_wal(CannedReplicationFeed(_frames()), str(tmp_path))
+    reader = WalStreamReader({"path": str(tmp_path)})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end["lsn"] == 0x1_0000_0040
+    parts = reader.partitions(start, end)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 4
+    assert [r[6] for r in rows] == ["INSERT", "UPDATE", "DELETE", "TRUNCATE"]
+
+
+def test_live_connection_is_documented_stub():
+    import pytest
+
+    conn = PgReplicationConnection("host=db", "slot1", "pub1")
+    with pytest.raises(NotImplementedError, match="wire client"):
+        conn.frames()
