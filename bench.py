@@ -80,9 +80,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry, spark = _setup()
 
-    # warm the JVM/codegen paths once so timings measure the queries,
-    # not first-call classloading
-    registry.QUERIES["b3_count_star"](spark, sf_dir).collect()
+    # warm the JVM/JIT/codegen paths with representative shapes (scan+agg,
+    # broadcast join, window) at a DIFFERENT scale factor, so the timed
+    # first run of each query measures its plan+execution cost, not
+    # first-ever classloading/JIT; a different sf keeps the prepared-query
+    # cache cold for the timed sf_dir.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.realpath(warm_dir) == os.path.realpath(sf_dir):
+        warm_dir = "/root/testdata/sf0.01"
+    for warm_q in ("b3_count_star", "b13_join_topn", "b9_running_total"):
+        registry.QUERIES[warm_q](spark, warm_dir).collect()
 
     # Best-of-N per query: this host shows CPU-steal spikes that can
     # inflate a single measurement 5-20x (measured: the same deterministic

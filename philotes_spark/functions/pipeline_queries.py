@@ -1,0 +1,89 @@
+"""Registered training-pipeline queries (§2C family): deterministic
+dataset split and test-set decontamination over `documents`. Both are
+oracle-checked — the hash/split expressions are portable SQL by design
+(functions/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from philotes_spark.functions.pipeline import (
+    ngram_overlap_contamination,
+    split_assign,
+)
+from philotes_spark.registry import query
+from philotes_spark.sources.catalog import load_table
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "train_split_stats",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bkt
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bkt < 204 THEN 'train'
+                WHEN bkt < 229 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM b GROUP BY source, split ORDER BY source, split
+    """,
+)
+def q_train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket of
+    doc_id, summarized per (source, split) — the reproducible corpus
+    split of a training pipeline. Pure projection + one small agg; a
+    document's assignment is stable under corpus growth and engine
+    choice (oracle runs the identical hash expression)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            split_assign(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+            "n_chars",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + 4], ' ') AS shingle
+        FROM toks,
+             (SELECT UNNEST(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i) i
+        WHERE i.i <= len(t) - 4
+    )
+    SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS n_overlap
+    FROM sh c JOIN sh p ON c.shingle = p.shingle
+    WHERE p.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
+    GROUP BY c.doc_id, p.doc_id
+    HAVING COUNT(*) >= 3
+    ORDER BY c.doc_id, p.doc_id
+    """,
+)
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing ≥3 distinct word
+    5-grams with any benchmark doc (probe set ≙ doc_id % 29 = 0 in the
+    fixture — tuned so every SF yields a non-empty, deterministic result:
+    3/5/20 flagged docs at sf0.001/0.01/0.1). Probe shingles broadcast against one corpus scan — the
+    corpus itself is never shuffled (functions/pipeline.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 29 == 0).select("doc_id")
+    return ngram_overlap_contamination(
+        docs, probes, n=5, min_overlap=3
+    ).orderBy("doc_id", "probe_id")

@@ -60,6 +60,10 @@ def _tier(name: str) -> tuple[int, int]:
         # relative to the window as r02, now just explicit
         "multimodal_features",
         "multimodal_resize",
+        # r03 training-pipeline additions: oracle-gated in pytest; kept
+        # below the fixed 50-slot window so no §2 coverage drops out
+        "train_split_stats",
+        "decontam_ngram_overlap",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
@@ -124,6 +128,7 @@ def load_all() -> None:
     import philotes_spark.dedup.queries  # noqa: F401
     import philotes_spark.similarity.queries  # noqa: F401
     import philotes_spark.functions.text_queries  # noqa: F401
+    import philotes_spark.functions.pipeline_queries  # noqa: F401
     import philotes_spark.multimodal.queries  # noqa: F401
     import philotes_spark.sources.snapshot_queries  # noqa: F401
     import philotes_spark.streaming.window_queries  # noqa: F401

@@ -1,0 +1,109 @@
+"""Training-pipeline operators (functions/pipeline.py): deterministic
+split/sample properties and planted-contamination detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.functions.pipeline import (
+    hash_bucket,
+    ngram_overlap_contamination,
+    sample_deterministic,
+    split_assign,
+)
+from philotes_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_split_is_deterministic_under_repartition(spark, docs):
+    a = docs.select("doc_id", split_assign(F.col("doc_id")).alias("s"))
+    b = (
+        docs.repartition(7, "source")
+        .sortWithinPartitions(F.desc("doc_id"))
+        .select("doc_id", split_assign(F.col("doc_id")).alias("s"))
+    )
+    assert {(r.doc_id, r.s) for r in a.collect()} == {
+        (r.doc_id, r.s) for r in b.collect()
+    }
+
+
+def test_split_ratios_near_target(docs):
+    n = docs.count()
+    counts = dict(
+        docs.select(split_assign(F.col("doc_id")).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets over ≥500 ids: loose tolerance, deterministic per fixture
+    assert 0.70 <= counts["train"] / n <= 0.90
+    assert 0.04 <= counts["val"] / n <= 0.17
+    assert 0.04 <= counts["test"] / n <= 0.17
+
+
+def test_split_assignment_stable_under_corpus_growth(spark, docs):
+    # a document keeps its split when the corpus doubles: assignment
+    # depends only on the id hash, not the population
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_map = dict(
+        docs.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+    )
+    half_map = dict(
+        half.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+    )
+    assert all(full_map[k] == v for k, v in half_map.items())
+
+
+def test_sample_nested_and_reproducible(docs):
+    s10 = {r.doc_id for r in sample_deterministic(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s20 = {r.doc_id for r in sample_deterministic(docs, "doc_id", 0.20).select("doc_id").collect()}
+    s10_again = {r.doc_id for r in sample_deterministic(docs, "doc_id", 0.10).select("doc_id").collect()}
+    assert s10 == s10_again
+    assert s10 <= s20, "smaller rate must be a subset of larger (stable hash)"
+    n = docs.count()
+    assert 0.03 <= len(s10) / n <= 0.20
+
+
+def test_hash_bucket_range(docs):
+    mm = docs.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).collect()[0]
+    assert 0 <= mm.lo and mm.hi <= 255
+
+
+def test_planted_contamination_detected(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base + " kilo lima"),  # shares the full 10-token prefix: many 5-grams
+        (2, "one two three four five six seven eight nine ten"),  # disjoint
+        (3, base),  # the probe/benchmark doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = df.filter(F.col("doc_id") == 3).select("doc_id")
+    hits = ngram_overlap_contamination(df, probes, n=5, min_overlap=3).collect()
+    assert [(r.doc_id, r.probe_id) for r in hits] == [(1, 3)]
+    # doc 1 shares 6 distinct 5-grams (10-token common prefix)
+    assert hits[0].n_overlap == 6
+
+
+def test_probe_docs_not_flagged_against_each_other(spark):
+    txt = "alpha bravo charlie delta echo foxtrot golf"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id long, text string"
+    )
+    probes = df.select("doc_id")  # everything is a probe
+    assert ngram_overlap_contamination(df, probes, n=5, min_overlap=1).count() == 0
+
+
+def test_decontam_plan_broadcasts_probe_side(spark, sf_dir):
+    from philotes_spark import registry
+    from philotes_spark.plans import audit
+
+    registry.load_all()
+    a = audit(registry.QUERIES["decontam_ngram_overlap"](spark, sf_dir))
+    assert a.broadcast_joins >= 2, "probe ids + probe shingles must broadcast"
