@@ -1,0 +1,165 @@
+"""Metrics aggregation + alert-rule evaluation (SURVEY §2A A27/A28).
+
+The reference pushes these to Prometheus: dashboard stats are PromQL
+pushdown (``internal/api/services/prometheus.go:55-147``:
+``sum(philotes_cdc_events_total{...})``, ``sum(rate(..[1m]))``,
+``max(lag)``, range queries) and alerting is per-rule instant-query +
+threshold compare (``internal/alerting/evaluator.go:64-116``:
+gt/lt/gte/lte → fire/resolve). On a real deployment Prometheus stays the
+right tool; this module serves the same query shapes natively over a
+metric-sample table/stream so the engine is self-contained:
+
+    samples(ts timestamp, name string, labels map<string,string>, value double)
+
+— the shape a remote-write dump or a ``StreamingQueryListener`` export
+(streaming/reliability.py A26) lands in parquet.
+
+All operators are plain DataFrame aggregations: instant vectors are a
+window-dedup to the latest sample per series, ``rate``/``increase`` are
+per-series min/max over a time bucket, range queries are tumbling-window
+group-bys — every one shuffles on (series, bucket) only and scales like
+any other aggregation here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_OPS = {
+    "gt": lambda c, t: c > t,
+    "gte": lambda c, t: c >= t,
+    "lt": lambda c, t: c < t,
+    "lte": lambda c, t: c <= t,
+}
+
+
+def _series_key(labels: list[str]) -> list[Column]:
+    return [F.col(l) for l in labels]
+
+
+def instant_vector(
+    samples: DataFrame, name: str, labels: list[str], at_ts=None
+) -> DataFrame:
+    """PromQL instant query: the latest sample ≤ ``at_ts`` per label set
+    (``QueryInstant``, prometheus.go:55-98). One window shuffle on the
+    series key."""
+    df = samples.filter(F.col("name") == name)
+    if at_ts is not None:
+        df = df.filter(F.col("ts") <= at_ts)
+    w = Window.partitionBy(*_series_key(labels)).orderBy(F.desc("ts"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sum_by(
+    samples: DataFrame,
+    name: str,
+    labels: list[str],
+    at_ts=None,
+    series_labels: list[str] | None = None,
+) -> DataFrame:
+    """``sum by (labels)(metric)``: latest sample per SERIES, summed per
+    grouping label set. ``series_labels`` is the full series identity
+    (defaults to ``labels``); pass it when summing across series — e.g.
+    ``sum(events_total)`` with series (source, table) must take each
+    series' latest sample first, not one global latest row."""
+    sl = series_labels if series_labels is not None else labels
+    return (
+        instant_vector(samples, name, sl, at_ts)
+        .groupBy(*labels)
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def increase_over(
+    samples: DataFrame, name: str, labels: list[str], bucket: str = "1 minute"
+) -> DataFrame:
+    """``increase(metric[bucket])`` per series per tumbling bucket:
+    max − min of a monotone counter within the window. Counter resets are
+    not reconstructed (the listener's counters never reset mid-file);
+    PromQL's extrapolation is deliberately not imitated — exact increase
+    beats estimated rate when the raw samples are all present."""
+    return (
+        samples.filter(F.col("name") == name)
+        .groupBy(F.window("ts", bucket).alias("w"), *labels)
+        .agg((F.max("value") - F.min("value")).alias("increase"))
+        .select(
+            F.col("w.start").alias("bucket_start"), *labels, "increase"
+        )
+    )
+
+
+def range_query(
+    samples: DataFrame,
+    name: str,
+    labels: list[str],
+    bucket: str = "1 minute",
+    agg: str = "avg",
+) -> DataFrame:
+    """PromQL range query for charts (``QueryRange``, prometheus.go:100-147):
+    one aggregated point per (series, bucket)."""
+    fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
+    return (
+        samples.filter(F.col("name") == name)
+        .groupBy(F.window("ts", bucket).alias("w"), *labels)
+        .agg(fn("value").alias("value"))
+        .select(F.col("w.start").alias("bucket_start"), *labels, "value")
+    )
+
+
+@dataclass
+class AlertRule:
+    """A28 rule (``internal/alerting/evaluator.go:24-62``): compare an
+    instant aggregate against a threshold."""
+
+    name: str
+    metric: str
+    op: str  # gt | gte | lt | lte
+    threshold: float
+    group_by: list[str] = field(default_factory=list)
+    # full series identity when it is finer than the grouping (a global
+    # rule over per-source counters still sums latest-per-source)
+    series_labels: list[str] | None = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _OPS:
+            raise ValueError(f"unknown operator {self.op!r}; use {sorted(_OPS)}")
+
+
+def evaluate_rule(samples: DataFrame, rule: AlertRule, at_ts=None) -> DataFrame:
+    """One rule → evaluation rows (``Evaluate``, evaluator.go:64-116):
+    (rule_name, group labels…, value, firing). Every group is returned —
+    ``firing=false`` rows are the resolve signal, same as the reference
+    emitting resolved state for rules that stop matching."""
+    base = sum_by(
+        samples,
+        rule.metric,
+        rule.group_by,
+        at_ts,
+        series_labels=rule.series_labels,
+    )
+    cmp = _OPS[rule.op](F.col("value"), F.lit(rule.threshold))
+    return base.select(
+        F.lit(rule.name).alias("rule_name"),
+        *rule.group_by,
+        "value",
+        cmp.alias("firing"),
+    )
+
+
+def evaluate_rules(samples: DataFrame, rules: list[AlertRule], at_ts=None) -> DataFrame:
+    """All rules with a shared grouping → one result set (manager.go's
+    evaluation sweep). Rules must share ``group_by`` to union."""
+    out = None
+    for r in rules:
+        df = evaluate_rule(samples, r, at_ts)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("no rules")
+    return out

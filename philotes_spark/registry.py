@@ -64,6 +64,8 @@ def _tier(name: str) -> tuple[int, int]:
         # below the fixed 50-slot window so no §2 coverage drops out
         "train_split_stats",
         "decontam_ngram_overlap",
+        "metric_range_daily",
+        "alert_daily_avg_value",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
@@ -129,6 +131,7 @@ def load_all() -> None:
     import philotes_spark.similarity.queries  # noqa: F401
     import philotes_spark.functions.text_queries  # noqa: F401
     import philotes_spark.functions.pipeline_queries  # noqa: F401
+    import philotes_spark.observability_queries  # noqa: F401
     import philotes_spark.multimodal.queries  # noqa: F401
     import philotes_spark.sources.snapshot_queries  # noqa: F401
     import philotes_spark.streaming.window_queries  # noqa: F401

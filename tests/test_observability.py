@@ -1,0 +1,117 @@
+"""A27/A28 operators over a synthetic metric-sample stream: instant
+vectors, counter increase, range queries, and threshold alert rules
+(reference: internal/api/services/prometheus.go:55-147,
+internal/alerting/evaluator.go:64-116)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.observability import (
+    AlertRule,
+    evaluate_rule,
+    evaluate_rules,
+    increase_over,
+    instant_vector,
+    range_query,
+    sum_by,
+)
+
+T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = []
+    # events_total: monotone counter per (source, table) series
+    for src, base in (("pg1", 0.0), ("pg2", 100.0)):
+        for i in range(10):  # one sample per 15s over 2.5 min
+            rows.append(
+                (T0 + dt.timedelta(seconds=15 * i), "events_total", src, base + 10.0 * i)
+            )
+    # lag_seconds: gauge
+    rows += [
+        (T0 + dt.timedelta(seconds=30), "lag_seconds", "pg1", 2.0),
+        (T0 + dt.timedelta(seconds=60), "lag_seconds", "pg1", 9.0),
+        (T0 + dt.timedelta(seconds=60), "lag_seconds", "pg2", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, name string, source string, value double"
+    )
+
+
+def test_instant_vector_latest_per_series(samples):
+    got = {
+        r.source: r.value
+        for r in instant_vector(samples, "events_total", ["source"]).collect()
+    }
+    assert got == {"pg1": 90.0, "pg2": 190.0}
+
+
+def test_instant_vector_time_travel(samples):
+    at = T0 + dt.timedelta(seconds=31)
+    got = {
+        r.source: r.value
+        for r in instant_vector(samples, "events_total", ["source"], at_ts=at).collect()
+    }
+    assert got == {"pg1": 20.0, "pg2": 120.0}  # 3rd sample (t=30s)
+
+
+def test_sum_by_collapses_series(samples):
+    row = sum_by(samples, "events_total", [], series_labels=["source"]).collect()
+    # no grouping labels: a single global sum over each series' latest
+    assert len(row) == 1 and row[0].value == 280.0
+
+
+def test_increase_per_minute(samples):
+    got = {
+        (r.bucket_start.second + 60 * r.bucket_start.minute, r.source): r.increase
+        for r in increase_over(samples, "events_total", ["source"], "1 minute").collect()
+    }
+    # minute 1: samples at 0/15/30/45s → 30 per series; minute 2 same;
+    # minute 3: 120/135s → 10
+    for src in ("pg1", "pg2"):
+        assert got[(0, src)] == 30.0
+        assert got[(60, src)] == 30.0
+        assert got[(120, src)] == 10.0
+
+
+def test_range_query_max_gauge(samples):
+    got = {
+        (r.bucket_start.minute, r.source): r.value
+        for r in range_query(samples, "lag_seconds", ["source"], "1 minute", "max").collect()
+    }
+    assert got[(0, "pg1")] == 2.0  # only the t=30s sample is in minute 0
+    assert got[(1, "pg1")] == 9.0 and got[(1, "pg2")] == 1.0
+
+
+def test_alert_rule_fire_and_resolve(samples):
+    rule = AlertRule("lag_high", "lag_seconds", "gt", 5.0, group_by=["source"])
+    got = {r.source: r.firing for r in evaluate_rule(samples, rule).collect()}
+    assert got == {"pg1": True, "pg2": False}  # pg2 row IS the resolve signal
+
+
+def test_alert_rule_global_scalar(samples):
+    rule = AlertRule(
+        "total_events", "events_total", "gte", 280.0, series_labels=["source"]
+    )
+    row = evaluate_rule(samples, rule).collect()[0]
+    assert row.value == 280.0 and bool(row.firing)
+
+
+def test_evaluate_rules_unions(samples):
+    rules = [
+        AlertRule("lag_high", "lag_seconds", "gt", 5.0, group_by=["source"]),
+        AlertRule("lag_low", "lag_seconds", "lt", 2.0, group_by=["source"]),
+    ]
+    out = evaluate_rules(samples, rules)
+    assert out.count() == 4
+    firing = {(r.rule_name, r.source): r.firing for r in out.collect()}
+    assert firing[("lag_high", "pg1")] and firing[("lag_low", "pg2")]
+    assert not firing[("lag_high", "pg2")] and not firing[("lag_low", "pg1")]
+
+
+def test_bad_operator_rejected():
+    with pytest.raises(ValueError, match="unknown operator"):
+        AlertRule("x", "m", "eq", 1.0)
