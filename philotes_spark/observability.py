@@ -153,6 +153,57 @@ def evaluate_rule(samples: DataFrame, rule: AlertRule, at_ts=None) -> DataFrame:
     )
 
 
+@dataclass
+class ScalingRule:
+    """A29 scaling rule (``internal/scaling/evaluator.go:56-216``):
+    condition must hold continuously for ``for_buckets`` consecutive
+    buckets before a scale decision fires — the pending-duration
+    tracking, expressed over a bucketed series instead of a poll loop."""
+
+    name: str
+    op: str  # gt | gte | lt | lte
+    threshold: float
+    for_buckets: int = 1
+    bucket_seconds: int = 3600
+
+    def __post_init__(self) -> None:
+        if self.op not in _OPS:
+            raise ValueError(f"unknown operator {self.op!r}; use {sorted(_OPS)}")
+
+
+def sustained_windows(
+    bucketed: DataFrame, rule: ScalingRule, labels: list[str] | None = None
+) -> DataFrame:
+    """Maximal runs of consecutive buckets satisfying the rule, per
+    series: (labels…, window_start, window_end, n_buckets, peak_value),
+    only runs ≥ ``for_buckets`` long. Input is a bucketed series
+    (``bucket_start``, labels…, ``value``) — compose with
+    :func:`range_query` / :func:`increase_over`.
+
+    Gaps-and-islands: bucket ordinal − row_number is constant exactly on
+    consecutive runs (a missing bucket breaks the run, as it must — no
+    data ≠ condition held). The window is partitioned per series and its
+    input is already one row per bucket (time-bounded, e.g. 720/month),
+    so the single-series ordering is never the scale bottleneck."""
+    labels = labels or []
+    cond = _OPS[rule.op](F.col("value"), F.lit(rule.threshold))
+    w = Window.partitionBy(*_series_key(labels)).orderBy("bucket_start")
+    idx = (F.unix_timestamp("bucket_start") / rule.bucket_seconds).cast("long")
+    return (
+        bucketed.filter(cond)
+        .withColumn("_isl", idx - F.row_number().over(w))
+        .groupBy(*labels, "_isl")
+        .agg(
+            F.min("bucket_start").alias("window_start"),
+            F.max("bucket_start").alias("window_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("value").alias("peak_value"),
+        )
+        .filter(F.col("n_buckets") >= rule.for_buckets)
+        .select(*labels, "window_start", "window_end", "n_buckets", "peak_value")
+    )
+
+
 def evaluate_rules(samples: DataFrame, rules: list[AlertRule], at_ts=None) -> DataFrame:
     """All rules with a shared grouping → one result set (manager.go's
     evaluation sweep). Rules must share ``group_by`` to union."""

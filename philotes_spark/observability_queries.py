@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from philotes_spark.observability import AlertRule, evaluate_rule, range_query
+from philotes_spark.observability import (
+    AlertRule,
+    ScalingRule,
+    evaluate_rule,
+    range_query,
+    sustained_windows,
+)
 from philotes_spark.registry import query
 from philotes_spark.sources.catalog import load_table
 
@@ -85,3 +91,40 @@ def q_alert_daily_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rule_name", "event_type", F.round("value", 4).alias("value"), "firing")
         .orderBy("event_type")
     )
+
+
+@query(
+    "scaling_sustained_load",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    hot AS (
+        SELECT h, n,
+               CAST(epoch(h) / 3600 AS BIGINT)
+                   - ROW_NUMBER() OVER (ORDER BY h) AS isl
+        FROM hourly WHERE n > 16
+    )
+    SELECT MIN(h) AS window_start, MAX(h) AS window_end,
+           COUNT(*) AS n_buckets, MAX(n) AS peak_value
+    FROM hot GROUP BY isl HAVING COUNT(*) >= 3 ORDER BY window_start
+    """,
+)
+def q_scaling_sustained_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 scaling-rule evaluation (scaling/evaluator.go:56-216): hourly
+    event-rate runs above threshold for ≥3 consecutive hours — the
+    pending-duration condition that triggers a scale-up decision.
+    Gaps-and-islands over the bucketed series; τ=16 is tuned to the
+    sf0.01 fixture's hourly distribution (median 14, max 30 → 4 sustained
+    windows; sf0.1 saturates to one long window, sf0.001 is all-quiet)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.col("w.start").alias("bucket_start"), "value")
+    )
+    rule = ScalingRule(
+        "scale_up_hot_hours", "gt", 16.0, for_buckets=3, bucket_seconds=3600
+    )
+    return sustained_windows(hourly, rule).orderBy("window_start")

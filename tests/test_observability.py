@@ -115,3 +115,52 @@ def test_evaluate_rules_unions(samples):
 def test_bad_operator_rejected():
     with pytest.raises(ValueError, match="unknown operator"):
         AlertRule("x", "m", "eq", 1.0)
+
+
+# --- A29: sustained-condition windows ----------------------------------------
+
+
+def _bucketed(spark, values, start=T0, step=60):
+    rows = [
+        (start + dt.timedelta(seconds=step * i), float(v))
+        for i, v in enumerate(values)
+        if v is not None  # None = missing bucket (a gap)
+    ]
+    return spark.createDataFrame(rows, "bucket_start timestamp, value double")
+
+
+def test_sustained_window_requires_consecutive_run(spark):
+    from philotes_spark.observability import ScalingRule, sustained_windows
+
+    #        hot  hot  hot  cold hot  hot
+    series = [10, 12, 11, 2, 10, 10]
+    rule = ScalingRule("up", "gt", 5.0, for_buckets=3, bucket_seconds=60)
+    got = sustained_windows(_bucketed(spark, series), rule).collect()
+    # only the first run reaches 3 buckets; the post-dip run is 2 long
+    assert len(got) == 1
+    assert got[0].n_buckets == 3 and got[0].peak_value == 12.0
+    assert got[0].window_start == T0
+
+
+def test_missing_bucket_breaks_the_run(spark):
+    from philotes_spark.observability import ScalingRule, sustained_windows
+
+    series = [10, 10, None, 10, 10]  # gap in the middle
+    rule = ScalingRule("up", "gt", 5.0, for_buckets=3, bucket_seconds=60)
+    assert sustained_windows(_bucketed(spark, series), rule).count() == 0
+    rule2 = ScalingRule("up", "gt", 5.0, for_buckets=2, bucket_seconds=60)
+    got = sustained_windows(_bucketed(spark, series), rule2).collect()
+    assert len(got) == 2  # two separate 2-bucket runs
+
+
+def test_sustained_windows_per_series(spark):
+    from philotes_spark.observability import ScalingRule, sustained_windows
+
+    rows = []
+    for src, vals in (("a", [9, 9, 9]), ("b", [9, 1, 9])):
+        for i, v in enumerate(vals):
+            rows.append((T0 + dt.timedelta(seconds=60 * i), src, float(v)))
+    df = spark.createDataFrame(rows, "bucket_start timestamp, source string, value double")
+    rule = ScalingRule("up", "gte", 9.0, for_buckets=3, bucket_seconds=60)
+    got = sustained_windows(df, rule, labels=["source"]).collect()
+    assert [r.source for r in got] == ["a"]
