@@ -67,6 +67,7 @@ def _tier(name: str) -> tuple[int, int]:
         "metric_range_daily",
         "alert_daily_avg_value",
         "scaling_sustained_load",
+        "snapshot_merge_upsert",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -100,6 +100,45 @@ def snapshot_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id <= 500
+    ),
+    changes AS (
+        SELECT event_id, user_id, ROUND(value * 2, 2) AS value
+        FROM events WHERE event_id <= 500 AND event_id % 7 = 0
+    )
+    SELECT b.event_id, b.user_id, b.value FROM base b
+    WHERE b.event_id % 7 <> 0
+    UNION ALL
+    SELECT event_id, user_id, value FROM changes
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17-extension MERGE (copy-on-write upsert, sources/snapshots.py
+    merge): commit events≤500, merge a change set doubling every 7th
+    event's value, read the merged snapshot — the materialized CDC-apply
+    the reference serves only as a latest-state query
+    (sample-queries.sql:94-102). File pruning via footer stats is
+    covered in tests/test_snapshot_merge.py; here the whole
+    commit → merge → versioned-read path runs under the hash compare."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") <= 500)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base, stats_cols=["event_id"])
+        changes = base.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.round(F.col("value") * 2, 2)
+        )
+        tbl.merge(changes, key_cols=["event_id"])
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "show_create_events",
     oracle="""
     SELECT 'events' AS table_name,

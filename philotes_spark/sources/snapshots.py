@@ -36,9 +36,45 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)  # timestamps etc: ISO text, ordered like the values
+
+
+def _footer_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols``, read from the parquet footers —
+    no data scan; the same statistics an Iceberg manifest carries."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per: dict[str, list] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                if c.path_in_schema not in cols:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                prev = per.get(c.path_in_schema)
+                per[c.path_in_schema] = (
+                    [mn, mx] if prev is None else [min(prev[0], mn), max(prev[1], mx)]
+                )
+        out[f] = per
+    return out
 
 
 class CommitConflict(RuntimeError):
@@ -75,12 +111,17 @@ class SnapshotTable:
         operation: str = "append",
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write a new snapshot. ``append`` adds to the parent's file list;
         ``overwrite`` replaces it. ``partition_by`` writes hive-layout
         ``key=value`` directories (surfaced by :meth:`partitions`);
         ``properties`` merge into the table properties carried across
-        versions (surfaced by :meth:`properties`). Returns the version."""
+        versions (surfaced by :meth:`properties`). ``stats_cols`` records
+        per-file min/max for those columns in the manifest (read from the
+        parquet footers, no data scan) — the file-skipping statistics
+        :meth:`merge` uses for pruned copy-on-write, same role as
+        Iceberg's manifest column stats. Returns the version."""
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
         os.makedirs(self.snap_dir, exist_ok=True)
@@ -118,9 +159,28 @@ class SnapshotTable:
         files = new_files if operation == "overwrite" else (
             parent_manifest.get("files", []) + new_files
         )
-        props = dict(parent_manifest.get("properties", {}))
-        props.update(properties or {})
+        stats = {} if operation == "overwrite" else dict(
+            parent_manifest.get("file_stats", {})
+        )
+        stats = {f: s for f, s in stats.items() if f in set(files)}
+        cols = stats_cols or parent_manifest.get("stats_cols") or []
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation=operation,
+            files=files,
+            added_files=len(new_files),
+            added_rows=df.count(),
+            partition_by=list(partition_by) if partition_by else [],
+            properties={**parent_manifest.get("properties", {}), **(properties or {})},
+            file_stats=stats,
+            stats_cols=list(cols),
+        )
 
+    def _write_manifest(self, *, parent: int, operation: str, files, added_files,
+                        added_rows, partition_by, properties, file_stats,
+                        stats_cols) -> int:
         version = parent + 1
         manifest = {
             "version": version,
@@ -128,12 +188,14 @@ class SnapshotTable:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "files": sorted(files),
-            "added_files": len(new_files),
-            "added_rows": df.count(),
+            "added_files": added_files,
+            "added_rows": added_rows,
             # append: resolved against the parent spec above; overwrite:
             # whatever this commit wrote (None ⇒ back to unpartitioned)
-            "partition_by": list(partition_by) if partition_by else [],
-            "properties": props,
+            "partition_by": partition_by,
+            "properties": properties,
+            "file_stats": file_stats,
+            "stats_cols": stats_cols,
         }
         target = os.path.join(self.snap_dir, f"v{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -150,6 +212,93 @@ class SnapshotTable:
         finally:
             os.remove(tmp)
         return version
+
+    # --- merge (copy-on-write upsert/delete) --------------------------------
+
+    def merge(
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None = None,
+    ) -> int:
+        """MERGE a change set into the table as a new snapshot version
+        (copy-on-write): rows whose key appears in ``changes`` are
+        replaced (or removed when ``delete_col`` is true); all other rows
+        carry forward. The CDC-apply operation the reference serves only
+        as a query (dedup-to-latest, sample-queries.sql:94-102) —
+        materialized here so downstream readers get an already-merged
+        table + time travel across merges.
+
+        Scale shape: when the snapshot carries ``stats_cols`` covering
+        ``key_cols[0]``, only data files whose [min,max] key range
+        intersects the change-set's range are rewritten; every other file
+        moves into the new snapshot by reference (Iceberg-style pruned
+        CoW). Without stats the whole table rewrites (correct, logged in
+        the manifest as full rewrite). The anti-join is key-partitioned;
+        nothing collects to the driver but the 2-value key range."""
+        if not key_cols:
+            raise ValueError("merge requires key_cols")
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if m.get("partition_by"):
+            raise NotImplementedError(
+                "merge into a hive-partitioned snapshot: rewrite per "
+                "partition via overwrite commits"
+            )
+
+        upserts = changes
+        if delete_col is not None:
+            upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+        change_keys = changes.select(*key_cols).distinct()
+
+        # file pruning by the leading key's footer stats
+        k0 = key_cols[0]
+        stats = m.get("file_stats", {})
+        affected, untouched = list(m["files"]), []
+        if all(f in stats and k0 in stats[f] for f in m["files"]):
+            rng = changes.agg(
+                F.min(k0).alias("lo"), F.max(k0).alias("hi")
+            ).collect()[0]
+            if rng.lo is not None:
+                affected, untouched = [], []
+                for f in m["files"]:
+                    lo, hi = stats[f][k0]
+                    (affected if (hi >= rng.lo and lo <= rng.hi) else untouched).append(f)
+
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        kept = None
+        if affected:
+            current = self.spark.read.parquet(*affected)
+            kept = current.join(change_keys, key_cols, "left_anti")
+        new_data = (
+            kept.unionByName(upserts, allowMissingColumns=False)
+            if kept is not None
+            else upserts
+        )
+        new_data.write.parquet(staged)
+        new_files = [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(staged)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        cols = m.get("stats_cols") or []
+        file_stats = {f: s for f, s in stats.items() if f in set(untouched)}
+        if cols:
+            file_stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation="merge",
+            files=untouched + new_files,
+            added_files=len(new_files),
+            added_rows=upserts.count(),
+            partition_by=[],
+            properties=dict(m.get("properties", {})),
+            file_stats=file_stats,
+            stats_cols=list(cols),
+        )
 
     # --- reads (B5) ----------------------------------------------------------
 
