@@ -243,10 +243,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
         if m.get("partition_by"):
-            raise NotImplementedError(
-                "merge into a hive-partitioned snapshot: rewrite per "
-                "partition via overwrite commits"
-            )
+            return self._merge_partitioned(m, changes, key_cols, delete_col)
 
         upserts = changes
         if delete_col is not None:
@@ -421,6 +418,138 @@ class SnapshotTable:
             [row],
             "version int, timestamp_ms long, operation string, total_files int, "
             "total_bytes long, partition_spec string, n_properties int",
+        )
+
+    def _merge_partitioned(
+        self,
+        m: dict,
+        changes: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None,
+    ) -> int:
+        """Partition-pruned CoW merge for hive-partitioned snapshots: only
+        the partitions the change set touches are rewritten; every file of
+        an untouched partition carries forward by reference. The touched
+        partition list collects to the driver — bounded by the partition
+        grain (days/types), never by rows."""
+        part_cols = m["partition_by"]
+        missing = [c for c in part_cols if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"merge changes must carry the partition columns {missing}"
+            )
+        upserts = changes
+        if delete_col is not None:
+            upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+        change_keys = changes.select(*key_cols).distinct()
+
+        touched = {
+            tuple(str(r[c]) for c in part_cols)
+            for r in changes.select(*part_cols).distinct().collect()
+        }
+
+        def file_partition(path: str) -> tuple:
+            vals = dict(
+                seg.split("=", 1)
+                for seg in path.split(os.sep)
+                if "=" in seg and not seg.endswith(".parquet")
+            )
+            return tuple(vals.get(c, "") for c in part_cols)
+
+        affected = [f for f in m["files"] if file_partition(f) in touched]
+        untouched = [f for f in m["files"] if file_partition(f) not in touched]
+
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        kept = None
+        if affected:
+            # group by staged root so basePath recovers the partition cols
+            by_root: dict[str, list[str]] = {}
+            for f in affected:
+                rel = os.path.relpath(f, self.data_dir)
+                root = os.path.join(self.data_dir, rel.split(os.sep)[0])
+                by_root.setdefault(root, []).append(f)
+            parts = [
+                self.spark.read.option("basePath", root).parquet(*fs)
+                for root, fs in sorted(by_root.items())
+            ]
+            cur = parts[0]
+            for p in parts[1:]:
+                cur = cur.unionByName(p)
+            kept = cur.join(change_keys, key_cols, "left_anti")
+        new_data = (
+            kept.unionByName(upserts.select(*kept.columns))
+            if kept is not None
+            else upserts
+        )
+        new_data.write.partitionBy(*part_cols).parquet(staged)
+        new_files = [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(staged)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        cols = m.get("stats_cols") or []
+        file_stats = {
+            f: s for f, s in m.get("file_stats", {}).items() if f in set(untouched)
+        }
+        if cols:
+            file_stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=m["version"],
+            operation="merge",
+            files=untouched + new_files,
+            added_files=len(new_files),
+            added_rows=upserts.count(),
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=file_stats,
+            stats_cols=list(cols),
+        )
+
+    def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
+        """OPTIMIZE-style small-file compaction: rewrite every data file
+        under ``small_file_bytes`` into full-size files, carry larger
+        files forward by reference, commit as a new version (the
+        snapshot-table analogue of the lake writer's compaction, A7;
+        Iceberg's rewrite_data_files). Row-identical by construction —
+        only file boundaries change. Returns the new version, or None if
+        fewer than two small files exist (nothing to gain)."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if m.get("partition_by"):
+            raise NotImplementedError(
+                "compact a hive-partitioned snapshot per partition"
+            )
+        small = [f for f in m["files"] if os.path.getsize(f) < small_file_bytes]
+        if len(small) < 2:
+            return None
+        keep = [f for f in m["files"] if f not in set(small)]
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, total // small_file_bytes + (1 if total % small_file_bytes else 0))
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        self.spark.read.parquet(*small).coalesce(int(n_out)).write.parquet(staged)
+        new_files = [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(staged)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        cols = m.get("stats_cols") or []
+        stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation="compact",
+            files=keep + new_files,
+            added_files=len(new_files),
+            added_rows=0,  # no logical rows added — a rewrite, not an append
+            partition_by=[],
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
         )
 
     # --- maintenance (A7) -------------------------------------------------------

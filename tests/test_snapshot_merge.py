@@ -81,13 +81,70 @@ def test_merge_expire_keeps_live_files(spark, table):
         table.read(version=1)
 
 
-def test_merge_empty_table_and_partitioned_rejected(spark, table, tmp_path):
+def test_compact_rewrites_small_files_only(spark, table):
+    # three tiny appends → three small files; one large-ish file kept as-is
+    for lo in (0, 100, 200):
+        table.commit(
+            _df(spark, [(i, f"v{i}") for i in range(lo, lo + 50)]).coalesce(1),
+            stats_cols=["k"],
+        )
+    m = table._resolve()
+    assert len(m["files"]) == 3
+    v = table.compact(small_file_bytes=32 * 1024 * 1024)
+    assert v == 4
+    m2 = table._resolve()
+    assert m2["operation"] == "compact"
+    assert len(m2["files"]) == 1, "three small files must collapse to one"
+    # row-identical across the rewrite, history intact
+    got = {r.k: r.v for r in table.read().collect()}
+    assert len(got) == 150 and got[123] == "v123"
+    assert table.read(version=3).count() == 150
+    # stats were recomputed for the compacted file
+    (f,) = m2["files"]
+    assert m2["file_stats"][f]["k"] == [0, 249]
+    # nothing further to do: a single file is already compact
+    assert table.compact(small_file_bytes=32 * 1024 * 1024) is None
+
+
+def test_merge_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.merge(_df(spark, [(1, "a")]), key_cols=["k"])
+
+
+def test_partitioned_merge_prunes_partitions(spark, tmp_path):
     p = SnapshotTable(spark, str(tmp_path / "p"))
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 4).alias("b"),
+    )
+    p.commit(df.repartition(1), partition_by=["b"])
+    m1 = p._resolve()
+    untouched_before = [f for f in m1["files"] if "b=3" in f]
+    assert untouched_before
+
+    # changes touch only partitions b=0 and b=1
+    changes = spark.createDataFrame(
+        [(0, "NEW0", 0), (41, "NEW41", 1)], "k long, v string, b long"
+    )
+    p.merge(changes, key_cols=["k"])
+    m2 = p._resolve()
+    assert m2["operation"] == "merge" and m2["partition_by"] == ["b"]
+    # b=3 files carried by reference, not rewritten
+    assert all(f in m2["files"] for f in untouched_before)
+    got = {r.k: (r.v, r.b) for r in p.read().collect()}
+    assert len(got) == 41
+    assert got[0] == ("NEW0", 0) and got[41] == ("NEW41", 1)
+    assert got[3][0] == "v3"  # untouched partition intact
+    # time travel across the partitioned merge
+    assert p.read(version=1).count() == 40
+
+
+def test_partitioned_merge_requires_partition_cols(spark, tmp_path):
+    p = SnapshotTable(spark, str(tmp_path / "p2"))
     df = spark.range(0, 10).select(
         F.col("id").alias("k"), (F.col("id") % 2).alias("b")
     )
     p.commit(df, partition_by=["b"])
-    with pytest.raises(NotImplementedError):
-        p.merge(df, key_cols=["k"])
+    with pytest.raises(ValueError, match="partition columns"):
+        p.merge(df.select("k"), key_cols=["k"])
