@@ -966,6 +966,115 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 5, 2048
+
+
+def count_min_sketch(df: DataFrame, key: str) -> DataFrame:
+    """Distributed count-min sketch over ``key``: the (depth × width)
+    counter table as a DataFrame of (d, b, cnt). Built in one pass —
+    explode each row into its depth bucket hits, hash-aggregate. The
+    sketch is O(depth·width) rows regardless of input size; per-partition
+    partial aggregation makes the shuffle the counter table, not the
+    data. (PySpark 4 dropped df.stat.countMinSketch; this DataFrame
+    formulation is also query-able with a join instead of a driver
+    round-trip, which is what a 100 TB lookup wants anyway.)"""
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col(key), F.lit(d)), _CMS_WIDTH).alias("b"),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(hits).alias("h"))
+        .groupBy(F.col("h.d").alias("d"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """CMS point lookups: min over the depth counters of each probe's
+    buckets. Probes (a small key list) broadcast against the counter
+    table — never against the data."""
+    pb = probes.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col(key), F.lit(d)), _CMS_WIDTH).alias("b"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select(key, F.col("h.d").alias("d"), F.col("h.b").alias("b"))
+    return (
+        sketch.join(F.broadcast(pb), ["d", "b"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+@query("sketch_heavy_hitters")  # rows-only: CMS estimates are engine-local
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for a deterministic ten-user
+    probe set — the fixed-memory frequent-items tier: at 100 TB this
+    answers "how hot is key K?" from a depth×width counter table instead
+    of a groupBy over the corpus. Estimate ≥ truth always (CMS never
+    undercounts); error bound vs exact counts pinned in pytest
+    (tests/test_sketches.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id")
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+    return (
+        cms_estimate(sketch, probes, "user_id")
+        .select("user_id", F.col("est").alias("est_events"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w_lead_lag_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(gap_s) AS total_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over (user, time): inter-event gap statistics per user — the
+    session-gap / dwell-time shape (B9-family). One hash-partitioning
+    exchange on user_id serves the window AND the following aggregate
+    (same key: no re-shuffle); event_id tie-breaks equal timestamps so
+    the gap sequence is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_s").alias("total_gap_s"),  # exact int — no float round
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query(
     "w_topn_per_group",
     oracle="""

@@ -68,6 +68,8 @@ def _tier(name: str) -> tuple[int, int]:
         "alert_daily_avg_value",
         "scaling_sustained_load",
         "snapshot_merge_upsert",
+        "sketch_heavy_hitters",  # rows-only CMS tier; HLL tier is in-window
+        "w_lead_lag_gap",  # B9-family dup coverage; window stays at 50
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -241,3 +241,72 @@ def test_live_connection_is_documented_stub():
     conn = PgReplicationConnection("host=db", "slot1", "pub1")
     with pytest.raises(NotImplementedError, match="wire client"):
         conn.frames()
+
+
+# --- property-based round-trip (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ident = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    )
+    # column values: NULL, unchanged-TOAST, or text (any unicode incl. '\x00'
+    # is fine INSIDE a length-prefixed tuple value; identifiers are cstrings
+    # so they stay in the safe alphabet above)
+    _value = st.one_of(
+        st.none(),
+        st.just(...),
+        st.text(min_size=0, max_size=40).filter(lambda s: "\udc80" not in s),
+    )
+
+    @given(
+        ns=_ident,
+        tbl=_ident,
+        colnames=st.lists(_ident, min_size=1, max_size=6, unique=True),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_insert_update_delete(ns, tbl, colnames, data):
+        ncols = len(colnames)
+        cols = [(c, 25, i == 0) for i, c in enumerate(colnames)]
+        ins_vals = data.draw(
+            st.lists(_value, min_size=ncols, max_size=ncols)
+        )
+        # the key tuple ('K') carries only identity columns; model that as
+        # first col value + NULLs, matching a replica-identity-default PG
+        old_vals = [data.draw(_value)] + [None] * (ncols - 1)
+        new_vals = data.draw(st.lists(_value, min_size=ncols, max_size=ncols))
+
+        dec = PgoutputDecoder()
+        frames = [
+            xlogdata(m_begin(0x200, xid=5), 0x101),
+            xlogdata(m_relation(1000, ns, tbl, cols), 0x102),
+            xlogdata(m_insert(1000, ins_vals), 0x110),
+            xlogdata(m_update(1000, new_vals, old=old_vals), 0x120),
+            xlogdata(m_delete(1000, old_vals), 0x130),
+            xlogdata(m_commit(0x200, 0x201), 0x200),
+        ]
+        events = [e for f in frames for e in dec.feed(f)]
+        assert [e["operation"] for e in events] == ["INSERT", "UPDATE", "DELETE"]
+
+        def expect(vals):
+            # Ellipsis (unchanged TOAST) columns are omitted; others kept,
+            # text values round-tripped exactly
+            return {
+                c: (None if v is None else str(v))
+                for c, v in zip(colnames, vals)
+                if v is not ...
+            }
+
+        ins, upd, dele = events
+        assert ins["after"] == expect(ins_vals) and ins["before"] is None
+        assert upd["after"] == expect(new_vals)
+        assert upd["before"] == expect(old_vals)
+        assert dele["before"] == expect(old_vals) and dele["after"] is None
+        assert all(e["table_name"] == tbl and e["schema_name"] == ns for e in events)
+        assert all(e["key_columns"] == [colnames[0]] for e in events)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

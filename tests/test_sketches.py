@@ -7,6 +7,48 @@ from pyspark.sql import functions as F
 from philotes_spark.sources.catalog import load_table
 
 
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS never undercounts; overcount is bounded by ~e·N/width (w.h.p.)."""
+    from philotes_spark.operators.relational import (
+        _CMS_WIDTH,
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    sketch = count_min_sketch(ev, "user_id")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = spark.createDataFrame(
+        [(u,) for u in sorted(exact)[:25]], "user_id long"
+    )
+    ests = {
+        r.user_id: r.est for r in cms_estimate(sketch, probes, "user_id").collect()
+    }
+    slack = 3 * 2.72 * n_total / _CMS_WIDTH  # 3× the e·N/w expected bound
+    for u, est in ests.items():
+        assert est >= exact[u], f"CMS undercounted user {u}"
+        assert est <= exact[u] + max(3, slack), (u, est, exact[u])
+
+
+def test_heavy_hitters_query_matches_sketch_contract(spark, sf_dir):
+    from philotes_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sketch_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r.est_events >= exact[r.user_id]
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact = {
