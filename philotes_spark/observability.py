@@ -153,6 +153,26 @@ def evaluate_rule(samples: DataFrame, rule: AlertRule, at_ts=None) -> DataFrame:
     )
 
 
+def metrics_to_samples(spark, metrics, source: str, at_ts=None) -> DataFrame:
+    """Bridge A26 → A27/A28: one pipeline's ``PipelineMetrics`` (or any
+    numeric-field dataclass/dict) becomes sample rows labeled by pipeline
+    ``source`` — the same rows a Prometheus remote-write dump lands in
+    parquet, so the aggregation/alerting operators run identically over
+    live pipelines and archived metric history."""
+    import datetime as _dt
+
+    d = metrics if isinstance(metrics, dict) else metrics.__dict__
+    ts = at_ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    rows = [
+        (ts, k, source, float(v))
+        for k, v in d.items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, name string, source string, value double"
+    )
+
+
 @dataclass
 class ScalingRule:
     """A29 scaling rule (``internal/scaling/evaluator.go:56-216``):

@@ -117,6 +117,51 @@ def test_bad_operator_rejected():
         AlertRule("x", "m", "eq", 1.0)
 
 
+def test_pipeline_metrics_feed_alert_rules(spark, tmp_path):
+    """A26 → A27 → A28 E2E: a real streaming pipeline's listener metrics
+    become samples and drive alert evaluation."""
+    import datetime as dt2
+    import os
+
+    from philotes_spark.observability import metrics_to_samples
+    from philotes_spark.streaming.ingest import CdcIngestPipeline, IngestConfig
+    from philotes_spark.types import CDC_EVENT_SCHEMA
+
+    cfg = IngestConfig(
+        source_dir=str(tmp_path / "feed"),
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    events = [
+        (
+            f"ev-{i}", f"0/{i:X}", 7, dt2.datetime(2024, 3, 1, 12, 0, i),
+            "public", "users", "INSERT", None, '{"id": 1}', ["id"], {},
+        )
+        for i in range(1, 6)
+    ]
+    spark.createDataFrame(events, CDC_EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(cfg.source_dir)
+    pipe = CdcIngestPipeline(spark, cfg)
+    pipe.start(available_now=True).awaitTermination(120)
+    import time
+
+    for _ in range(40):
+        if pipe.listener.metrics.events_total >= 5:
+            break
+        time.sleep(0.25)
+    pipe.stop()
+
+    samples = metrics_to_samples(spark, pipe.listener.metrics, source="cdc1")
+    rules = [
+        AlertRule("ingest_alive", "events_total", "gte", 1.0, group_by=["source"]),
+        AlertRule("error_budget", "errors_total", "gt", 0.0, group_by=["source"]),
+    ]
+    got = {r.rule_name: r.firing for r in evaluate_rules(samples, rules).collect()}
+    assert got == {"ingest_alive": True, "error_budget": False}
+
+
 # --- A29: sustained-condition windows ----------------------------------------
 
 

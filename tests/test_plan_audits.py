@@ -187,6 +187,46 @@ def test_quantized_topk_no_corpus_shuffle(plan_of):
     assert a.shuffles <= 2, f"corpus shuffle crept in: {a.shuffles}"
 
 
+def test_lead_lag_reuses_window_partitioning(plan_of):
+    # window on user_id + groupBy user_id share one hash exchange; the
+    # only extra shuffle is the final ORDER BY's range partitioning
+    a = plan_of("w_lead_lag_gap")
+    assert a.shuffles <= 2, f"gap query re-shuffled per stage: {a.shuffles}"
+    assert a.scans["events.parquet"] == {"user_id", "ts", "event_id"}
+
+
+def test_split_stats_is_projection_plus_agg(plan_of):
+    a = plan_of("train_split_stats")
+    assert a.shuffles <= 2  # one agg exchange + final order
+    assert a.scans["documents.parquet"] == {"doc_id", "source", "n_chars"}
+
+
+def test_metric_queries_shuffle_budget(plan_of):
+    # A27 range query: bucket agg + order; A28 adds the instant-vector
+    # window; A29 adds the islands window — all on bounded bucket rows
+    assert plan_of("metric_range_daily").shuffles <= 2
+    assert plan_of("alert_daily_avg_value").shuffles <= 3
+    assert plan_of("scaling_sustained_load").shuffles <= 3
+
+
+def test_cms_probes_broadcast_never_corpus(plan_of):
+    # sketch build: corpus → counter table (1 agg shuffle); estimates join
+    # the broadcast probe buckets against the counter table, with the
+    # remaining shuffles on the 10-row probe side only
+    a = plan_of("sketch_heavy_hitters")
+    assert a.broadcast_joins >= 1, "probe buckets must broadcast"
+    assert a.shuffles <= 4
+    assert a.scans["events.parquet"] == {"user_id"}, "sketch build reads one column"
+
+
+def test_decontam_scans_minimum_columns(plan_of):
+    a = plan_of("decontam_ngram_overlap")
+    assert a.broadcast_joins >= 2
+    # documents is scanned twice (corpus shingles, probe-id filter); the
+    # audit keeps one scan per file — either way only doc_id/text may be read
+    assert a.scans["documents.parquet"] <= {"doc_id", "text"}
+
+
 def test_multimodal_audio_is_narrow(plan_of):
     # synth + decode are chained mapInPandas stages: zero shuffles at any
     # corpus size
