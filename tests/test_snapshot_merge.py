@@ -106,6 +106,39 @@ def test_compact_rewrites_small_files_only(spark, table):
     assert table.compact(small_file_bytes=32 * 1024 * 1024) is None
 
 
+def test_merge_sequence_matches_dict_model(spark, table):
+    """Model-based check: a random-ish sequence of merges (upserts +
+    deletes) must leave the table equal to a plain dict applying the
+    same operations — and every historical version must stay readable."""
+    import random
+
+    rng = random.Random(1234)
+    model: dict[int, str] = {}
+    table.commit(_df(spark, [(k, f"init{k}") for k in range(20)]), stats_cols=["k"])
+    for k in range(20):
+        model[k] = f"init{k}"
+
+    for step in range(4):
+        ups = {rng.randrange(0, 30): f"s{step}u{j}" for j in range(rng.randrange(1, 6))}
+        dels = {k for k in rng.sample(sorted(model), k=min(2, len(model)))} - set(ups)
+        rows = [(k, v, False) for k, v in ups.items()] + [
+            (k, None, True) for k in dels
+        ]
+        changes = spark.createDataFrame(rows, "k long, v string, _del boolean")
+        table.merge(changes, key_cols=["k"], delete_col="_del")
+        model.update(ups)
+        for k in dels:
+            model.pop(k, None)
+        got = {r.k: r.v for r in table.read().collect()}
+        assert got == model, f"diverged at step {step}"
+
+    # all five versions readable; v1 is still the initial state
+    assert table.current_version() == 5
+    assert {r.k: r.v for r in table.read(version=1).collect()} == {
+        k: f"init{k}" for k in range(20)
+    }
+
+
 def test_merge_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.merge(_df(spark, [(1, "a")]), key_cols=["k"])
