@@ -1075,6 +1075,80 @@ def w_lead_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_daily_event_matrix",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event-type count matrix — the wide dashboard shape.
+    Explicit pivot values keep the plan a single pass (no extra job to
+    discover values) and the schema deterministic; missing cells
+    coalesce to 0 to match SQL's FILTER-count semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    ).orderBy("day")
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'event_type' AS column_name, COUNT(*) - COUNT(event_type) AS n_nulls,
+           COUNT(DISTINCT event_type) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events
+    ORDER BY column_name
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: null and exact distinct counts per
+    column in one pass (a single multi-aggregate — Spark plans the
+    distincts via one Expand, not one job per column), unpivoted to the
+    (column, stat) long form catalogs store."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_type", "user_id", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+        ]
+    row = ev.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column_name", "s.n_nulls", "s.n_distinct")
+    return stacked.orderBy("column_name")
+
+
 @query(
     "w_topn_per_group",
     oracle="""

@@ -70,6 +70,8 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_merge_upsert",
         "sketch_heavy_hitters",  # rows-only CMS tier; HLL tier is in-window
         "w_lead_lag_gap",  # B9-family dup coverage; window stays at 50
+        "pivot_daily_event_matrix",
+        "table_profile",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
