@@ -1150,6 +1150,67 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+            AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 12 HOURS
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+            AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 12 HOURS
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase with a 12-hour conversion
+    window per step (tuned so the fixture discriminates: 150/37/7 users
+    at sf0.01, not everyone converts) — the event-analytics flagship
+    shape. Three stage aggregates, each a key-partitioned join+min; at
+    scale all three shuffle on user_id so AQE plans them as one
+    co-partitioned chain (no broadcast of user-level tables, which grow
+    with the data)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(stage: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == stage).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 12 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    # single-row stage counts cross-joined — one lazy plan, no driver actions
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
     "w_topn_per_group",
     oracle="""
     SELECT event_type, event_id, value, rnk, drnk

@@ -72,6 +72,7 @@ def _tier(name: str) -> tuple[int, int]:
         "w_lead_lag_gap",  # B9-family dup coverage; window stays at 50
         "pivot_daily_event_matrix",
         "table_profile",
+        "funnel_conversion",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
