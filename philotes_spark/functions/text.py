@@ -95,3 +95,31 @@ def token_ord_hash(tok: Column, pos: Column) -> Column:
     return (pos + 1) * (
         F.length(tok) * 31 + F.ascii(F.substring(tok, 1, 1))
     ).cast("long")
+
+
+# --- PII redaction (§2C training-data scrub stage) ---------------------------
+
+# Cross-engine-safe patterns: every construct (classes, bounded reps, \b)
+# means the same thing in Java regex (Spark) and DuckDB's RE2.
+PII_PATTERNS = {
+    "EMAIL": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "PHONE": r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone-shaped numbers, and IPv4 literals with
+    ``<KIND>`` placeholders — the standard scrub pass before training on
+    scraped text. Order matters: emails first, so their user/domain
+    digits can't be re-matched as phones/IPs. Pure JVM regexp_replace
+    chain (codegen), no Python."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match count per PII family (regexp_count, JVM-side)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}

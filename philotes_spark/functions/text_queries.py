@@ -166,3 +166,72 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("t", " ")).alias("fingerprint"),
         rolling.cast("long").alias("rolling_fp"),
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN '@example.com or 555-01' ||
+                         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4242'
+                    WHEN doc_id % 3 = 1 THEN '@mail.test from 10.0.' ||
+                         CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    ELSE '@x.io' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_hash
+    FROM planted ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (§2C): plant deterministic emails/phones/IPs into the
+    fixture text (the synthetic corpus carries none), then count and
+    redact them — email first so its digits can't re-match as phone/IP.
+    The redacted text is md5-pinned against the oracle running the same
+    regex chain, proving byte-identical replacement across engines.
+    Whole chain is JVM regexp codegen; no Python."""
+    from philotes_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("@example.com or 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit("-4242"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("@mail.test from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            )
+            .otherwise(F.lit("@x.io")),
+        ).alias("t"),
+    )
+    cnt = pii_counts(F.col("t"))
+    return planted.select(
+        "doc_id",
+        cnt["EMAIL"].alias("n_email"),
+        cnt["PHONE"].alias("n_phone"),
+        cnt["IP"].alias("n_ip"),
+        F.md5(redact_pii(F.col("t"))).alias("clean_hash"),
+    ).orderBy("doc_id")

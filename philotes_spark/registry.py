@@ -73,6 +73,7 @@ def _tier(name: str) -> tuple[int, int]:
         "pivot_daily_event_matrix",
         "table_profile",
         "funnel_conversion",
+        "text_pii_redact",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
