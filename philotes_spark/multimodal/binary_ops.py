@@ -2,12 +2,18 @@
 ``binary`` columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
-``mapInPandas`` signatures — is real and tested. The actual media decode
-is STUBBED: the container has no image/audio libraries, so ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the payload hash) produces the same
-shaped output a real decoder would. Swap the inner function for
-PIL/torchaudio/ffmpeg on a real cluster — the dataflow does not change.
+``mapInPandas`` signatures — is real and tested. Decode status per
+modality:
+
+- **audio: REAL** — PCM WAV parses with the stdlib (``decode_audio_wav``).
+- **image: REAL for PPM** — binary P6 parses and resizes with pure
+  numpy (``decode_ppm``/``resize_ppm``/``image_stats``); compressed
+  formats (JPEG/PNG) still need PIL, so ``decode_image`` stays an honest
+  ``NotImplementedError`` stub unless ``fake=True``.
+- **video: frame sampling is JVM-side chunk arithmetic** (no codec).
+
+Swap the stubbed inner functions for PIL/ffmpeg on a real cluster — the
+dataflow does not change.
 """
 
 from __future__ import annotations
@@ -129,6 +135,108 @@ def resize_image(
                     "media_type": f"image/fake;w={width};h={height}",
                 }
             )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+# --- images: REAL decode for PPM (pure parsing — no codec lib needed) -------
+
+IMAGE_STATS_FIELDS = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6) encoder: header + raw RGB. ``pixels`` is a
+    ``uint8`` array of shape (h, w, 3)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM: parse the P6 header (whitespace
+    + ``#`` comments per the spec) and return the (h, w, 3) uint8 pixel
+    array. Like the WAV path, this is a genuine decoder running in this
+    container; compressed formats (JPEG/PNG) still need PIL — see
+    ``decode_image``."""
+    import numpy as np
+
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {tokens[0]!r})")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval, then raw data
+    data = payload[pos : pos + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize on a PPM payload: index-map rows and
+    columns (y' → floor(y'·h/out_h)), re-encode. Pure numpy striding —
+    the genuine pixel operation, not a digest fake."""
+    import numpy as np
+
+    px = decode_ppm(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return encode_ppm(px[ys][:, xs])
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL image decode over PPM payloads via
+    ``mapInPandas``: input columns + ``image`` stats struct (dimensions +
+    per-channel means). Narrow map, no shuffle, nothing collected — the
+    image twin of ``audio_features``."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("image", IMAGE_STATS_FIELDS)]
+    )
+
+    def stats(payload: bytes) -> dict:
+        px = decode_ppm(payload).astype(np.float64)
+        h, w, _ = px.shape
+        means = px.reshape(-1, 3).mean(axis=0)
+        return {
+            "width": w,
+            "height": h,
+            "n_pixels": int(w * h),
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["image"] = pdf[payload_col].map(lambda p: stats(bytes(p)))
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

@@ -105,6 +105,118 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _synth_ppm_df(spark: SparkSession, sf_dir: str, n_docs: int = 200) -> DataFrame:
+    """Deterministic 8×8 RGB PPM per document: pixel (y,x,channel c) value
+    is (doc_id·31 + y·13 + x·7 + c·91) mod 256 — arithmetic the SQL
+    oracle reproduces exactly, so the REAL decode is hash-checkable."""
+    import numpy as np
+
+    from philotes_spark.multimodal.binary_ops import encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < n_docs
+    ).select("doc_id")
+
+    def synth(it):
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["doc_id"].map(
+                lambda d: encode_ppm(
+                    (int(d) * 31 + y * 13 + x * 7 + c * 91) % 256
+                )
+            )
+            yield pdf
+
+    return docs.mapInPandas(synth, "doc_id bigint, payload binary")
+
+
+_PX = "(doc_id * 31 + y.y * 13 + x.x * 7 + {c} * 91) % 256"
+
+
+@query(
+    "multimodal_image_stats",
+    oracle=f"""
+    SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_pixels,
+           ROUND(AVG({_PX.format(c=0)}), 4) AS mean_r,
+           ROUND(AVG({_PX.format(c=1)}), 4) AS mean_g,
+           ROUND(AVG({_PX.format(c=2)}), 4) AS mean_b
+    FROM documents,
+         (SELECT UNNEST(generate_series(0, 7)) AS y) y,
+         (SELECT UNNEST(generate_series(0, 7)) AS x) x
+    WHERE doc_id < 200
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode roundtrip (the image twin of multimodal_audio):
+    synthesize a binary PPM per document, parse it with the genuine P6
+    decoder inside Arrow-batched mapInPandas, emit dimensions +
+    per-channel means. The oracle recomputes the pixel arithmetic in pure
+    SQL — a wrong header parse, stride, or channel order hash-mismatches.
+    (JPEG/PNG still need PIL; see binary_ops.decode_image.)"""
+    from philotes_spark.multimodal.binary_ops import image_stats
+
+    out = image_stats(_synth_ppm_df(spark, sf_dir), "payload")
+    return out.select(
+        "doc_id",
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.n_pixels").alias("n_pixels"),
+        F.round(F.col("image.mean_r"), 4).alias("mean_r"),
+        F.round(F.col("image.mean_g"), 4).alias("mean_g"),
+        F.round(F.col("image.mean_b"), 4).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+_PX2 = "(doc_id * 31 + (y.y * 2) * 13 + (x.x * 2) * 7 + {c} * 91) % 256"
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    SELECT doc_id, 4 AS width, 4 AS height,
+           ROUND(AVG({_PX2.format(c=0)}), 4) AS mean_r,
+           ROUND(AVG({_PX2.format(c=2)}), 4) AS mean_b
+    FROM documents,
+         (SELECT UNNEST(generate_series(0, 3)) AS y) y,
+         (SELECT UNNEST(generate_series(0, 3)) AS x) x
+    WHERE doc_id < 200
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize (8×8 → 4×4) on PPM payloads, then the
+    real decoder reads the result back. Nearest-neighbor at 2× picks
+    pixels (2y, 2x) — the oracle averages exactly those source pixels, so
+    the resize index math itself is hash-verified across engines."""
+    import pandas as pd
+
+    from philotes_spark.multimodal.binary_ops import image_stats, resize_ppm
+
+    ppms = _synth_ppm_df(spark, sf_dir)
+
+    def do_resize(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(
+                lambda p: resize_ppm(bytes(p), 4, 4)
+            )
+            yield pdf
+
+    small = ppms.mapInPandas(do_resize, "doc_id bigint, payload binary")
+    out = image_stats(small, "payload")
+    return out.select(
+        "doc_id",
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.round(F.col("image.mean_r"), 4).alias("mean_r"),
+        F.round(F.col("image.mean_b"), 4).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
 @query(
     "multimodal_audio",
     oracle="""

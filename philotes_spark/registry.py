@@ -74,6 +74,10 @@ def _tier(name: str) -> tuple[int, int]:
         "table_profile",
         "funnel_conversion",
         "text_pii_redact",
+        # REAL PPM decode/resize, oracle-gated in pytest; window composition
+        # stays exactly as VERDICT r02 prescribed
+        "multimodal_image_stats",
+        "multimodal_image_resize",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
