@@ -350,6 +350,62 @@ class SnapshotTable:
             return out
         return self.spark.read.parquet(*m["files"])
 
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read: drop data files whose manifest [min,max]
+        range for ``col`` cannot intersect [lo, hi] BEFORE Spark plans the
+        scan — Iceberg-style scan planning from manifest statistics, one
+        level above parquet's own row-group skipping (which still applies
+        inside the surviving files). Falls back to the full file list for
+        files without stats (unknown ⇒ must read). The residual filter is
+        applied too, so results equal ``read().filter(...)`` exactly."""
+        m = self._resolve(version)
+        stats = m.get("file_stats", {})
+
+        def may_match(f: str) -> bool:
+            rng = stats.get(f, {}).get(col)
+            if rng is None:
+                return True  # no stats ⇒ cannot prune
+            fmin, fmax = rng
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+            return True
+
+        files = [f for f in m["files"] if may_match(f)]
+        if not files:
+            base = self.spark.read.parquet(*m["files"]).limit(0)
+        else:
+            base = self.spark.read.parquet(*files)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) <= hi)
+        return base.filter(cond)
+
+    def pruned_file_count(self, col: str, lo=None, hi=None) -> tuple[int, int]:
+        """(files_scanned, files_total) for a range — the scan-planning
+        observability hook the pruning tests assert on."""
+        m = self._resolve()
+        stats = m.get("file_stats", {})
+        total = len(m["files"])
+        scanned = 0
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(col)
+            if rng is None:
+                scanned += 1
+                continue
+            if (lo is None or rng[1] >= lo) and (hi is None or rng[0] <= hi):
+                scanned += 1
+        return scanned, total
+
     # --- metadata tables (B6) -------------------------------------------------
 
     def snapshots(self) -> DataFrame:

@@ -139,6 +139,34 @@ def test_merge_sequence_matches_dict_model(spark, table):
     }
 
 
+def test_read_where_prunes_files_by_stats(spark, table):
+    # three disjoint key-range files with footer stats
+    for lo in (0, 1000, 2000):
+        table.commit(
+            _df(spark, [(i, f"v{i}") for i in range(lo, lo + 100)]).coalesce(1),
+            stats_cols=["k"],
+        )
+    scanned, total = table.pruned_file_count("k", lo=1010, hi=1050)
+    assert (scanned, total) == (1, 3), "only the middle file can match"
+    got = table.read_where("k", lo=1010, hi=1050)
+    assert got.count() == 41
+    # equals the unpruned filter exactly
+    full = table.read().filter((F.col("k") >= 1010) & (F.col("k") <= 1050))
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in full.collect())
+    # out-of-range: zero files scanned, empty result, schema preserved
+    scanned, _ = table.pruned_file_count("k", lo=99999)
+    assert scanned == 0
+    empty = table.read_where("k", lo=99999)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_read_where_without_stats_scans_all(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]))  # no stats_cols
+    scanned, total = table.pruned_file_count("k", lo=0, hi=0)
+    assert scanned == total  # unknown ⇒ must read
+    assert table.read_where("k", lo=2, hi=2).count() == 1  # residual filter
+
+
 def test_merge_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.merge(_df(spark, [(1, "a")]), key_cols=["k"])
