@@ -575,9 +575,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
         if m.get("partition_by"):
-            raise NotImplementedError(
-                "compact a hive-partitioned snapshot per partition"
-            )
+            return self._compact_partitioned(m, small_file_bytes)
         small = [f for f in m["files"] if os.path.getsize(f) < small_file_bytes]
         if len(small) < 2:
             return None
@@ -603,6 +601,71 @@ class SnapshotTable:
             added_files=len(new_files),
             added_rows=0,  # no logical rows added — a rewrite, not an append
             partition_by=[],
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+        )
+
+    def _compact_partitioned(self, m: dict, small_file_bytes: int) -> int | None:
+        """Per-partition small-file compaction for hive-layout snapshots:
+        only partitions holding ≥2 small files are rewritten (partition-
+        aware read via basePath, re-written with the same partitionBy);
+        every other file carries forward by reference."""
+        part_cols = m["partition_by"]
+
+        def file_partition(path: str) -> tuple:
+            vals = dict(
+                seg.split("=", 1)
+                for seg in path.split(os.sep)
+                if "=" in seg and not seg.endswith(".parquet")
+            )
+            return tuple(vals.get(c, "") for c in part_cols)
+
+        by_part: dict[tuple, list[str]] = {}
+        for f in m["files"]:
+            if os.path.getsize(f) < small_file_bytes:
+                by_part.setdefault(file_partition(f), []).append(f)
+        rewrite = [f for fs in by_part.values() if len(fs) >= 2 for f in fs]
+        if not rewrite:
+            return None
+        keep = [f for f in m["files"] if f not in set(rewrite)]
+
+        by_root: dict[str, list[str]] = {}
+        for f in rewrite:
+            rel = os.path.relpath(f, self.data_dir)
+            root = os.path.join(self.data_dir, rel.split(os.sep)[0])
+            by_root.setdefault(root, []).append(f)
+        parts = [
+            self.spark.read.option("basePath", root).parquet(*fs)
+            for root, fs in sorted(by_root.items())
+        ]
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.unionByName(p)
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        # repartition BY the partition columns: each partition value lands
+        # in one task, so the write emits one compacted file per partition
+        # (coalesce would leave every task writing a sliver of every value)
+        cur.repartition(max(1, len(by_part)), *[F.col(c) for c in part_cols]).write.partitionBy(
+            *part_cols
+        ).parquet(staged)
+        new_files = [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(staged)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        cols = m.get("stats_cols") or []
+        stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=m["version"],
+            operation="compact",
+            files=keep + new_files,
+            added_files=len(new_files),
+            added_rows=0,
+            partition_by=list(part_cols),
             properties=dict(m.get("properties", {})),
             file_stats=stats,
             stats_cols=list(cols),

@@ -139,6 +139,32 @@ def test_merge_sequence_matches_dict_model(spark, table):
     }
 
 
+def test_partitioned_compact_rewrites_per_partition(spark, tmp_path):
+    p = SnapshotTable(spark, str(tmp_path / "pc"))
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("b")
+        )
+
+    # three appends → 3 small files per partition value
+    for lo in (0, 40, 80):
+        p.commit(df(lo, lo + 40).repartition(1), partition_by=["b"])
+    m1 = p._resolve()
+    assert len(m1["files"]) == 6
+    v = p.compact(small_file_bytes=32 * 1024 * 1024)
+    assert v == 4
+    m2 = p._resolve()
+    assert m2["operation"] == "compact" and m2["partition_by"] == ["b"]
+    assert len(m2["files"]) < 6
+    got = p.read()
+    assert got.count() == 120
+    assert got.filter(F.col("b") == 1).count() == 60  # partition cols intact
+    assert p.read(version=3).count() == 120  # history readable
+    # idempotent: no partition holds ≥2 small files any more
+    assert p.compact(small_file_bytes=32 * 1024 * 1024) is None
+
+
 def test_read_where_prunes_files_by_stats(spark, table):
     # three disjoint key-range files with footer stats
     for lo in (0, 1000, 2000):
