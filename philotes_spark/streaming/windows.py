@@ -98,3 +98,36 @@ def dedup_stream(
             key_cols
         )
     return events.dropDuplicates(key_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution shape:
+    each right-side event matches left-side events with the same key
+    whose timestamp lies in (right_ts - within, right_ts]. E.g. purchases
+    attributed to the clicks that preceded them within the window.
+
+    In streaming mode both sides carry watermarks and the join condition
+    is time-bounded, so Spark can expire buffered state once the
+    watermark passes a row's match horizon — state is bounded by
+    (watermark + within) × arrival rate, never the full history. The
+    identical expression runs in batch (tests pin stream ≡ batch).
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (l[left_ts] <= r[right_ts])
+        & (l[left_ts] > r[right_ts] - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop(r[key])

@@ -101,3 +101,52 @@ def test_dedup_stream_drops_redelivery(spark, feed_dir, tmp_path):
     )
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3, 4, 5], "exact redelivery of id=2 must collapse"
+
+
+# --- stream-stream interval join (attribution shape) -------------------------
+
+CLICKS = [
+    (7, T0 + dt.timedelta(minutes=0), "c1"),
+    (7, T0 + dt.timedelta(minutes=30), "c2"),
+    (8, T0 + dt.timedelta(minutes=5), "c3"),
+    (9, T0 + dt.timedelta(minutes=0), "c4"),  # user with no purchase
+]
+PURCHASES = [
+    (7, T0 + dt.timedelta(minutes=45), "p1"),  # attributes to c1(45m) + c2(15m)
+    (8, T0 + dt.timedelta(minutes=90), "p2"),  # c3 is 85m back → outside 1h
+]
+C_SCHEMA = "user_id long, l_ts timestamp, click_id string"
+P_SCHEMA = "user_id long, r_ts timestamp, purchase_id string"
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    from philotes_spark.streaming.windows import interval_join
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(CLICKS, C_SCHEMA).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(PURCHASES, P_SCHEMA).coalesce(1).write.parquet(pdir)
+
+    batch = interval_join(
+        spark.read.parquet(cdir), spark.read.parquet(pdir), "user_id"
+    ).select("click_id", "purchase_id")
+    got_batch = sorted(map(tuple, batch.collect()))
+    # c1 and c2 both precede p1 within 1h; c3 is 85 minutes before p2
+    assert got_batch == [("c1", "p1"), ("c2", "p1")]
+
+    joined = interval_join(
+        spark.readStream.schema(C_SCHEMA).parquet(cdir),
+        spark.readStream.schema(P_SCHEMA).parquet(pdir),
+        "user_id",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got_stream = sorted(map(tuple, spark.table("attr_join").collect()))
+    assert got_stream == got_batch, "stream-stream join must equal batch"
