@@ -1670,3 +1670,239 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count_ctag",
         F.round("sum_value", 2).alias("sum_value"),
     ).orderBy("event_type")
+
+
+# --- TPC-H shapes beyond the fixture's tables (synthesized partsupp) --------
+#
+# The fixtures carry no partsupp table, so canonical Q2/Q11/Q20 cannot run
+# and lineitem lacks receipt/commit dates for canonical Q21. The SHAPES —
+# correlated min subquery, group-vs-global-fraction HAVING, nested
+# IN-chains with a correlated half-sum, and the double-correlated
+# EXISTS/NOT-EXISTS — are what matter for engine coverage, so these
+# variants run them over a partsupp derived by pure integer arithmetic
+# (identical in both engines) and a fixture-adapted lateness predicate.
+
+_PS_SQL = """ps AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + i.i * 25) % 100 AS ps_suppkey,
+               (p_partkey * 7 + i.i * 13) % 1000 + 1 AS ps_availqty,
+               ((p_partkey * 31 + i.i * 17) % 9000 + 100) / 100.0 AS ps_supplycost
+        FROM part, (SELECT UNNEST(generate_series(0, 3)) AS i) i
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: 4 supplier rows per part, avail/cost from
+    integer arithmetic the SQL oracle reproduces verbatim."""
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    i = F.col("i")
+    return part.select(
+        "p_partkey", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).select(
+        pk.alias("ps_partkey"),
+        ((pk + i * 25) % 100).alias("ps_suppkey"),
+        ((pk * 7 + i * 13) % 1000 + 1).alias("ps_availqty"),
+        (((pk * 31 + i * 17) % 9000 + 100) / 100.0).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q2_shape_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT s.s_acctbal, s.s_name, n.n_name, ps.ps_partkey, ps.ps_supplycost
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, ps.ps_partkey LIMIT 100
+    """,
+)
+def q2_shape_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part within a region — the
+    correlated MIN subquery, decorrelated Spark-side into an aggregate
+    joined back on the part key (the plan Catalyst produces for the SQL
+    form too). Dims broadcast; partsupp is the only shuffled side."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    eu = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("_mn"))
+    return (
+        eu.join(F.broadcast(part), eu["ps_partkey"] == part["p_partkey"])
+        .join(mn, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_mn"))
+        .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "ps_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_shape_value_concentration",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS value
+    FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 3
+    GROUP BY ps_partkey
+    HAVING SUM(ps_supplycost * ps_availqty) > (
+        SELECT SUM(ps2.ps_supplycost * ps2.ps_availqty) * 0.002 FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        WHERE n2.n_regionkey = 3)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_shape_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose stock value exceeds a fraction of the
+    global total — group aggregate vs broadcast global scalar (the
+    HAVING-subquery decorrelation). One shuffle on the group key; the
+    one-row total broadcasts."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    joined = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    vals = joined.groupBy("ps_partkey").agg(F.sum("v").alias("_v"))
+    total = joined.agg((F.sum("v") * 0.002).alias("_cut"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_cut"))
+        .select("ps_partkey", F.round("_v", 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "q20_shape_excess_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_name, s.s_acctbal
+    FROM ps
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 10 AND n.n_regionkey = 2 AND ps.ps_availqty > 0.5 * sh.qty
+    ORDER BY s.s_name
+    """,
+)
+def q20_shape_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers holding more than half the shipped quantity
+    of a small part — the nested-IN chain flattened to joins, with the
+    correlated half-sum decorrelated into a (part, supplier) aggregate of
+    lineitem. The lineitem agg shrinks the fact before any join."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    shipped = (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        ps.join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_shape_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_shape_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the sole late supplier on multi-supplier finished
+    orders — the double-correlated EXISTS/NOT-EXISTS, planned as a
+    left-semi (another supplier exists) + left-anti (no OTHER late
+    supplier) pair. Lateness is fixture-adapted (shipped >60 days after
+    order date; the fixture has no receipt/commit dates). Both
+    correlated scans reuse the same late-lines projection."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    late = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    multi = late.join(
+        l2,
+        (late["l_orderkey"] == l2["o2"]) & (late["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    ).distinct()
+    sole = multi.join(
+        l3,
+        (multi["l_orderkey"] == l3["o3"]) & (multi["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
