@@ -227,6 +227,27 @@ def test_decontam_scans_minimum_columns(plan_of):
     assert a.scans["documents.parquet"] <= {"doc_id", "text"}
 
 
+def test_shape_queries_broadcast_dims_and_bound_shuffles(plan_of):
+    # synthesized-partsupp shapes: dims all broadcast, partsupp/lineitem
+    # are the only shuffled sides
+    for q, max_sh, min_bc in [
+        ("q2_shape_min_cost_supplier", 3, 5),
+        ("q11_shape_value_concentration", 3, 4),
+        ("q20_shape_excess_stock", 3, 3),
+    ]:
+        a = plan_of(q)
+        assert a.shuffles <= max_sh, (q, a.shuffles)
+        assert a.broadcast_joins >= min_bc, (q, a.broadcast_joins)
+
+
+def test_q21_shape_plans_semi_and_anti(plan_of):
+    # the double-correlated EXISTS/NOT-EXISTS must compile to a
+    # left-semi + left-anti pair, never a nested-loop re-scan
+    a = plan_of("q21_shape_waiting_suppliers")
+    assert "LeftSemi" in a.plan and "LeftAnti" in a.plan
+    assert a.shuffles <= 5
+
+
 def test_multimodal_audio_is_narrow(plan_of):
     # synth + decode are chained mapInPandas stages: zero shuffles at any
     # corpus size
