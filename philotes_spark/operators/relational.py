@@ -1648,6 +1648,29 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_percentiles")  # rows-only: approx sketch is engine-local
+def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group — the bounded-memory quantile sketch
+    tier (completes the sketch trio: HLL distinct, CMS frequency,
+    quantile sketch). Mergeable map-side partials, fixed accuracy budget
+    (10000 ≙ ~0.01%% rank error) — the 100 TB path when exact
+    `events_percentiles` (full sort per group) is too expensive.
+    Accuracy vs exact pinned in pytest (tests/test_sketches.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50"),
+            F.round(
+                F.approx_percentile("value", F.lit(0.95), F.lit(10000)), 4
+            ).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "skew_salted_rollup",
     oracle="""

@@ -78,6 +78,7 @@ def _tier(name: str) -> tuple[int, int]:
         # stays exactly as VERDICT r02 prescribed
         "multimodal_image_stats",
         "multimodal_image_resize",
+        "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -68,3 +68,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(3, 0.05 * exact[k]), (
             k, approx[k], exact[k],
         )
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    from philotes_spark import registry
+
+    registry.load_all()
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in registry.QUERIES["sketch_percentiles"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            # accuracy 10000 ⇒ sub-percent rank error; values are ~U(0,100)
+            assert abs(a - e) <= max(1.0, 0.05 * e), (k, a, e)
