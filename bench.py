@@ -85,9 +85,15 @@ def main() -> None:
     # first run of each query measures its plan+execution cost, not
     # first-ever classloading/JIT; a different sf keeps the prepared-query
     # cache cold for the timed sf_dir.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.realpath(warm_dir) == os.path.realpath(sf_dir):
-        warm_dir = "/root/testdata/sf0.01"
+    warm_dir = next(
+        (
+            d
+            for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+            if os.path.isdir(d)
+            and os.path.realpath(d) != os.path.realpath(sf_dir)
+        ),
+        sf_dir,  # fixtures absent (foreign host): warm with sf_dir itself
+    )
     for warm_q in ("b3_count_star", "b13_join_topn", "b9_running_total"):
         registry.QUERIES[warm_q](spark, warm_dir).collect()
 

@@ -178,17 +178,25 @@ class ScalingRule:
     """A29 scaling rule (``internal/scaling/evaluator.go:56-216``):
     condition must hold continuously for ``for_buckets`` consecutive
     buckets before a scale decision fires — the pending-duration
-    tracking, expressed over a bucketed series instead of a poll loop."""
+    tracking, expressed over a bucketed series instead of a poll loop.
+
+    ``bucket_seconds`` is REQUIRED and must equal the width of the
+    buckets in the series you evaluate (e.g. 60 for a '1 minute'
+    range_query): the consecutive-run detection divides timestamps by
+    it, so a mismatch would silently fragment every run into 1-bucket
+    islands and detect nothing."""
 
     name: str
     op: str  # gt | gte | lt | lte
     threshold: float
+    bucket_seconds: int
     for_buckets: int = 1
-    bucket_seconds: int = 3600
 
     def __post_init__(self) -> None:
         if self.op not in _OPS:
             raise ValueError(f"unknown operator {self.op!r}; use {sorted(_OPS)}")
+        if self.bucket_seconds <= 0:
+            raise ValueError("bucket_seconds must match the series bucket width")
 
 
 def sustained_windows(

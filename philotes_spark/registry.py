@@ -110,7 +110,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     repeat invocation, and Spark's DAG scheduler additionally reuses the
     completed shuffle map stages of the same RDD lineage, so a repeated
     query pays only its result stage — steady-state latency. ``bench.py``
-    reports cold (first-build+full-exec) and steady-state separately."""
+    reports cold (first-build+full-exec) and steady-state separately.
+
+    The cache assumes the fixture data at ``sf_dir`` is immutable for the
+    session (true for the driver/test fixtures). After mutating data in
+    place, call :func:`invalidate_query_cache`."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
@@ -134,6 +138,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
         return wrapped
 
     return deco
+
+
+def invalidate_query_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop prepared-query cache entries (all, or only one sf_dir's) —
+    needed only if the underlying files changed within a session."""
+    cache = spark.__dict__.get("_philotes_query_cache")
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[1] == sf_dir]:
+            del cache[key]
 
 
 def load_all() -> None:

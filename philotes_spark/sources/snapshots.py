@@ -50,6 +50,69 @@ def _json_safe(v):
     return str(v)  # timestamps etc: ISO text, ordered like the values
 
 
+def _range_overlaps(rng, lo, hi) -> bool:
+    """True iff a file's stored [min,max] MAY intersect [lo,hi]. Stored
+    stats went through ``_json_safe`` (timestamps/decimals become text);
+    when the probe value's type is incomparable with the stored one, the
+    answer is True — never prune on uncertainty, correctness over speed."""
+    fmin, fmax = rng
+    try:
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _file_partition(path: str, data_dir: str, part_cols: list[str]) -> tuple:
+    """Partition tuple of a hive-layout file path, normalized to the same
+    form ``_partition_key`` produces for row values: URL-unescaped (Spark
+    percent-escapes ':', '#', etc. in path segments), hive NULL marker
+    mapped to the null sentinel."""
+    from urllib.parse import unquote
+
+    vals = {}
+    for seg in path.split(os.sep):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, v = seg.split("=", 1)
+            vals[unquote(k)] = None if v == _HIVE_NULL else unquote(v)
+    return tuple(vals.get(c) for c in part_cols)
+
+
+def _partition_key(row, part_cols: list[str]) -> tuple:
+    """Partition tuple of a row's partition-column values, in the
+    normalized form of ``_file_partition`` (str rendering matches Spark's
+    hive path rendering for ints/strings/timestamps; None stays None)."""
+    return tuple(
+        None if row[c] is None else str(row[c]) for c in part_cols
+    )
+
+
+def _group_files_by_root(data_dir: str, files: list[str]) -> dict[str, list[str]]:
+    """Group hive-layout files by their staged root (the basePath Spark
+    needs to recover partition columns from the path segments)."""
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        rel = os.path.relpath(f, data_dir)
+        root = os.path.join(data_dir, rel.split(os.sep)[0])
+        by_root.setdefault(root, []).append(f)
+    return by_root
+
+
+def _staged_parquet_files(staged: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(staged)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
 def _footer_stats(files: list[str], cols: list[str]) -> dict:
     """Per-file [min, max] for ``cols``, read from the parquet footers —
     no data scan; the same statistics an Iceberg manifest carries."""
@@ -150,12 +213,7 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staged)
-        new_files = [
-            os.path.join(root, f)
-            for root, _dirs, fs in os.walk(staged)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+        new_files = _staged_parquet_files(staged)
         files = new_files if operation == "overwrite" else (
             parent_manifest.get("files", []) + new_files
         )
@@ -245,6 +303,11 @@ class SnapshotTable:
         if m.get("partition_by"):
             return self._merge_partitioned(m, changes, key_cols, delete_col)
 
+        if not changes.take(1):
+            # empty change set (e.g. a filtered/replayed CDC micro-batch):
+            # a no-op, not a full-table rewrite plus a phantom version
+            return parent
+
         upserts = changes
         if delete_col is not None:
             upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
@@ -261,8 +324,10 @@ class SnapshotTable:
             if rng.lo is not None:
                 affected, untouched = [], []
                 for f in m["files"]:
-                    lo, hi = stats[f][k0]
-                    (affected if (hi >= rng.lo and lo <= rng.hi) else untouched).append(f)
+                    if _range_overlaps(stats[f][k0], rng.lo, rng.hi):
+                        affected.append(f)
+                    else:
+                        untouched.append(f)
 
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         kept = None
@@ -275,12 +340,7 @@ class SnapshotTable:
             else upserts
         )
         new_data.write.parquet(staged)
-        new_files = [
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(staged)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+        new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         file_stats = {f: s for f, s in stats.items() if f in set(untouched)}
         if cols:
@@ -325,14 +385,11 @@ class SnapshotTable:
         if m.get("partition_by"):
             # hive-layout files: give Spark the staged root as basePath so the
             # key=value path segments come back as partition columns
-            by_root: dict[str, list[str]] = {}
-            for f in m["files"]:
-                rel = os.path.relpath(f, self.data_dir)
-                root = os.path.join(self.data_dir, rel.split(os.sep)[0])
-                by_root.setdefault(root, []).append(f)
             parts = [
                 self.spark.read.option("basePath", root).parquet(*fs)
-                for root, fs in sorted(by_root.items())
+                for root, fs in sorted(
+                    _group_files_by_root(self.data_dir, m["files"]).items()
+                )
             ]
             # partition-column types are inferred independently per staged
             # root; if two appends infer differently (one all-numeric, one
@@ -371,12 +428,7 @@ class SnapshotTable:
             rng = stats.get(f, {}).get(col)
             if rng is None:
                 return True  # no stats ⇒ cannot prune
-            fmin, fmax = rng
-            if lo is not None and fmax < lo:
-                return False
-            if hi is not None and fmin > hi:
-                return False
-            return True
+            return _range_overlaps(rng, lo, hi)
 
         files = [f for f in m["files"] if may_match(f)]
         if not files:
@@ -399,10 +451,7 @@ class SnapshotTable:
         scanned = 0
         for f in m["files"]:
             rng = stats.get(f, {}).get(col)
-            if rng is None:
-                scanned += 1
-                continue
-            if (lo is None or rng[1] >= lo) and (hi is None or rng[0] <= hi):
+            if rng is None or _range_overlaps(rng, lo, hi):
                 scanned += 1
         return scanned, total
 
@@ -494,39 +543,34 @@ class SnapshotTable:
             raise ValueError(
                 f"merge changes must carry the partition columns {missing}"
             )
+        if not changes.take(1):
+            return m["version"]  # empty change set: no-op
         upserts = changes
         if delete_col is not None:
             upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
         change_keys = changes.select(*key_cols).distinct()
 
         touched = {
-            tuple(str(r[c]) for c in part_cols)
+            _partition_key(r, part_cols)
             for r in changes.select(*part_cols).distinct().collect()
         }
 
-        def file_partition(path: str) -> tuple:
-            vals = dict(
-                seg.split("=", 1)
-                for seg in path.split(os.sep)
-                if "=" in seg and not seg.endswith(".parquet")
-            )
-            return tuple(vals.get(c, "") for c in part_cols)
-
-        affected = [f for f in m["files"] if file_partition(f) in touched]
-        untouched = [f for f in m["files"] if file_partition(f) not in touched]
+        affected = [
+            f
+            for f in m["files"]
+            if _file_partition(f, self.data_dir, part_cols) in touched
+        ]
+        untouched = [f for f in m["files"] if f not in set(affected)]
 
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         kept = None
         if affected:
             # group by staged root so basePath recovers the partition cols
-            by_root: dict[str, list[str]] = {}
-            for f in affected:
-                rel = os.path.relpath(f, self.data_dir)
-                root = os.path.join(self.data_dir, rel.split(os.sep)[0])
-                by_root.setdefault(root, []).append(f)
             parts = [
                 self.spark.read.option("basePath", root).parquet(*fs)
-                for root, fs in sorted(by_root.items())
+                for root, fs in sorted(
+                    _group_files_by_root(self.data_dir, affected).items()
+                )
             ]
             cur = parts[0]
             for p in parts[1:]:
@@ -538,12 +582,7 @@ class SnapshotTable:
             else upserts
         )
         new_data.write.partitionBy(*part_cols).parquet(staged)
-        new_files = [
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(staged)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+        new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         file_stats = {
             f: s for f, s in m.get("file_stats", {}).items() if f in set(untouched)
@@ -584,12 +623,7 @@ class SnapshotTable:
         n_out = max(1, total // small_file_bytes + (1 if total % small_file_bytes else 0))
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         self.spark.read.parquet(*small).coalesce(int(n_out)).write.parquet(staged)
-        new_files = [
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(staged)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+        new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
         if cols:
@@ -613,31 +647,22 @@ class SnapshotTable:
         every other file carries forward by reference."""
         part_cols = m["partition_by"]
 
-        def file_partition(path: str) -> tuple:
-            vals = dict(
-                seg.split("=", 1)
-                for seg in path.split(os.sep)
-                if "=" in seg and not seg.endswith(".parquet")
-            )
-            return tuple(vals.get(c, "") for c in part_cols)
-
         by_part: dict[tuple, list[str]] = {}
         for f in m["files"]:
             if os.path.getsize(f) < small_file_bytes:
-                by_part.setdefault(file_partition(f), []).append(f)
+                by_part.setdefault(
+                    _file_partition(f, self.data_dir, part_cols), []
+                ).append(f)
         rewrite = [f for fs in by_part.values() if len(fs) >= 2 for f in fs]
         if not rewrite:
             return None
         keep = [f for f in m["files"] if f not in set(rewrite)]
 
-        by_root: dict[str, list[str]] = {}
-        for f in rewrite:
-            rel = os.path.relpath(f, self.data_dir)
-            root = os.path.join(self.data_dir, rel.split(os.sep)[0])
-            by_root.setdefault(root, []).append(f)
         parts = [
             self.spark.read.option("basePath", root).parquet(*fs)
-            for root, fs in sorted(by_root.items())
+            for root, fs in sorted(
+                _group_files_by_root(self.data_dir, rewrite).items()
+            )
         ]
         cur = parts[0]
         for p in parts[1:]:
@@ -649,12 +674,7 @@ class SnapshotTable:
         cur.repartition(max(1, len(by_part)), *[F.col(c) for c in part_cols]).write.partitionBy(
             *part_cols
         ).parquet(staged)
-        new_files = [
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(staged)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+        new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
         if cols:

@@ -78,7 +78,11 @@ class HealthServer:
                     # alive iff the server answers (health.go:274-279)
                     self._send(200, {"status": "alive", "timestamp": _rfc3339()})
                 elif self.path == "/health/ready":
-                    if outer.ready_fn():
+                    try:
+                        ready = outer.ready_fn()
+                    except Exception:  # a throwing probe is "not ready"
+                        ready = False
+                    if ready:
                         self._send(200, {"status": "ready", "timestamp": _rfc3339()})
                     else:
                         self._send(

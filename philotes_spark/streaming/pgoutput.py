@@ -196,7 +196,8 @@ def decode_message(payload: bytes):
         return Relation(relid, namespace, name, replident, cols)
     if tag == b"I":
         (relid,) = struct.unpack_from(">I", body, 1)
-        assert body[5:6] == b"N"
+        if body[5:6] != b"N":
+            raise ValueError(f"insert without new tuple: {body[5:6]!r}")
         new, _ = _tuple_data(body, 6)
         return RowChange("INSERT", relid, None, None, new)
     if tag == b"U":
@@ -208,13 +209,15 @@ def decode_message(payload: bytes):
             old_kind = marker.decode()
             old, off = _tuple_data(body, off + 1)
             marker = body[off : off + 1]
-        assert marker == b"N", f"update without new tuple: {marker!r}"
+        if marker != b"N":
+            raise ValueError(f"update without new tuple: {marker!r}")
         new, _ = _tuple_data(body, off + 1)
         return RowChange("UPDATE", relid, old, old_kind, new)
     if tag == b"D":
         (relid,) = struct.unpack_from(">I", body, 1)
         marker = body[5:6]
-        assert marker in (b"K", b"O"), f"delete without old tuple: {marker!r}"
+        if marker not in (b"K", b"O"):
+            raise ValueError(f"delete without old tuple: {marker!r}")
         old, _ = _tuple_data(body, 6)
         return RowChange("DELETE", relid, old, marker.decode(), None)
     if tag == b"T":
@@ -304,9 +307,11 @@ class PgoutputDecoder:
             if values is None:
                 return None
             # unchanged-TOAST (Ellipsis) columns are omitted: the value
-            # was not transmitted, same as pgstream's column extraction
+            # was not transmitted, same as pgstream's column extraction.
+            # Binary-mode columns ('b') surface hex-encoded so events stay
+            # JSON-serializable end-to-end (drain_feed_to_wal).
             return {
-                c.name: v
+                c.name: (v.hex() if isinstance(v, bytes) else v)
                 for c, v in zip(rel.columns, values)
                 if v is not ...
             }

@@ -90,3 +90,16 @@ def test_pipeline_health_dict_shape_is_servable(tmp_path):
         assert code == 503  # stopped ⇒ not ready to process
     finally:
         srv.stop()
+
+
+def test_readiness_guards_throwing_probe():
+    # a throwing ready_fn is "not ready" (503), never a dropped connection
+    srv = HealthServer(
+        lambda: {"healthy": True},
+        ready_fn=lambda: (_ for _ in ()).throw(RuntimeError("mid-restart")),
+    ).start()
+    try:
+        code, body = _get(srv.port, "/health/ready")
+        assert code == 503 and body["status"] == "not_ready"
+    finally:
+        srv.stop()

@@ -310,3 +310,29 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_binary_mode_columns_surface_as_hex():
+    # pgoutput `binary 'true'` tuples ('b' kind) must stay
+    # JSON-serializable end-to-end (review finding r03)
+    import json as J
+
+    dec = PgoutputDecoder()
+    body = b"I" + struct.pack(">I", 16384) + b"N"
+    body += struct.pack(">H", 1) + b"b" + struct.pack(">I", 3) + b"\x00\xff\x7f"
+    frames = [
+        xlogdata(m_relation(16384, "public", "blobs", [("data", 17, True)]), 0x10),
+        xlogdata(body, 0x20),
+    ]
+    events = [e for f in frames for e in dec.feed(f)]
+    assert events[0]["after"] == {"data": "00ff7f"}
+    J.dumps(events[0])  # must not raise
+
+
+def test_malformed_messages_raise_value_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="insert without new tuple"):
+        decode_message(b"I" + struct.pack(">I", 1) + b"X")
+    with pytest.raises(ValueError, match="delete without old tuple"):
+        decode_message(b"D" + struct.pack(">I", 1) + b"N")

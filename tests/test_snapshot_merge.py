@@ -235,3 +235,45 @@ def test_partitioned_merge_requires_partition_cols(spark, tmp_path):
     p.commit(df, partition_by=["b"])
     with pytest.raises(ValueError, match="partition columns"):
         p.merge(df.select("k"), key_cols=["k"])
+
+
+def test_merge_with_timestamp_key_does_not_crash(spark, table):
+    # footer stats for timestamps serialize as text; range compare must
+    # degrade to no-pruning, never TypeError (review finding r03)
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), f"v{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    table.commit(df.coalesce(1), stats_cols=["ts"])
+    changes = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 3), "NEW")], "ts timestamp, v string"
+    )
+    table.merge(changes, key_cols=["ts"])
+    got = {r.ts: r.v for r in table.read().collect()}
+    assert got[dt.datetime(2024, 1, 3)] == "NEW" and len(got) == 10
+    # read_where with a datetime range: unprunable (str stats) but correct
+    out = table.read_where("ts", lo=dt.datetime(2024, 1, 5))
+    assert out.count() == 6  # Jan 5..Jan 10 inclusive
+
+
+def test_merge_empty_change_set_is_noop(spark, table):
+    table.commit(_df(spark, [(1, "a")]), stats_cols=["k"])
+    v_before = table.current_version()
+    v = table.merge(_df(spark, []).limit(0), key_cols=["k"])
+    assert v == v_before, "empty merge must not create a version"
+    assert {r.k: r.v for r in table.read().collect()} == {1: "a"}
+
+
+def test_partitioned_merge_with_escaped_partition_values(spark, tmp_path):
+    # ':' is percent-escaped in hive paths; partition matching must
+    # unescape or stale rows survive the merge (review finding r03)
+    p = SnapshotTable(spark, str(tmp_path / "esc"))
+    rows = [(1, "a", "x:1"), (2, "b", "x:1"), (3, "c", "y:2")]
+    df = spark.createDataFrame(rows, "k long, v string, part string")
+    p.commit(df.repartition(1), partition_by=["part"])
+    changes = spark.createDataFrame([(1, "A2", "x:1")], "k long, v string, part string")
+    p.merge(changes, key_cols=["k"])
+    got = {r.k: r.v for r in p.read().collect()}
+    assert got == {1: "A2", 2: "b", 3: "c"}, "stale row for key 1 must be gone"
