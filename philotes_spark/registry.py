@@ -64,16 +64,25 @@ def _tier(name: str) -> tuple[int, int]:
         # below the fixed 50-slot window so no §2 coverage drops out
         "train_split_stats",
         "decontam_ngram_overlap",
-        "metric_range_daily",
-        "alert_daily_avg_value",
-        "scaling_sustained_load",
         "snapshot_merge_upsert",
         "sketch_heavy_hitters",  # rows-only CMS tier; HLL tier is in-window
         "w_lead_lag_gap",  # B9-family dup coverage; window stays at 50
-        "pivot_daily_event_matrix",
         "table_profile",
-        "funnel_conversion",
-        "text_pii_redact",
+        # r04 (VERDICT r03 next-round #1): the rows-only sketch/LSH/IVF
+        # tiers move below the window so every one of the driver's 50 slots
+        # carries a full rows+schema+hash oracle check; each of these stays
+        # quality-gated in pytest (test_sketches, test_minhash_quality,
+        # test_similarity_recall). Their freed slots are taken by the
+        # round-3 oracle-backed operators (metric_range_daily,
+        # alert_daily_avg_value, scaling_sustained_load, funnel_conversion,
+        # pivot_daily_event_matrix, text_pii_redact) — hard-verifying
+        # A27-A29 for the first time.
+        "sketch_distinct_users",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_lsh_topk",
+        "sim_ivf_topk",
+        "sim_quantized_topk",
         # REAL PPM decode/resize, oracle-gated in pytest; window composition
         # stays exactly as VERDICT r02 prescribed
         "multimodal_image_stats",

@@ -18,14 +18,32 @@ def test_families_inside_driver_window():
         "b9_",
         "cdc_",
         "w_",
-        "dedup_minhash",
-        "sim_ivf",
+        "dedup_",
+        "sim_",
         "text_",
         "snapshot_",
         "stream_",
         "multimodal_meta",
+        # A27-A29 ops operators, promoted r04 so the driver hard-verifies
+        # metrics aggregation / alerting / scaling for the first time
+        "metric_",
+        "alert_",
+        "scaling_",
+        "funnel_",
+        "pivot_",
+        "text_pii",
     ):
         assert any(n.startswith(family) for n in head), family
+
+
+def test_driver_window_fully_oracle_backed():
+    # VERDICT r03 #1: every one of the driver's 50 slots must carry a full
+    # rows+schema+hash oracle check; rows-only tiers (HLL/CMS sketches,
+    # LSH/IVF ANN — quality-gated in pytest instead) sit below the window.
+    head = list(entry.queries())[:50]
+    osql = entry.oracle_sql()
+    missing = [n for n in head if n not in osql]
+    assert missing == [], missing
 
 
 def test_tpch_extras_last():
