@@ -49,21 +49,20 @@ HEADLINE = [
 ]
 
 
-def _best_of(reps: int, fn) -> tuple[float, float, int]:
-    """Returns (best, first, rows). With the registry's prepared-query
-    cache, the first rep is the cold cost (plan build + Catalyst + full
-    execution) and later reps are steady-state serving latency (result
-    stage only — Spark reuses the plan and the completed shuffle map
-    stages of the same lineage). Both are reported."""
-    best, first, rows = float("inf"), 0.0, 0
-    for i in range(reps):
+def _best_of(reps: int, fn, pre=None) -> tuple[float, int]:
+    """min-of-N timing (the minimum measures the engine, not this host's
+    documented 5-20x CPU-steal spikes). ``pre`` runs untimed before each
+    rep — pass a cache invalidator to make every rep a genuine cold run
+    (fresh plan build + full execution, no shuffle-stage reuse: a rebuilt
+    DataFrame is a new RDD lineage)."""
+    best, rows = float("inf"), 0
+    for _ in range(reps):
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         rows = fn()
-        dt = time.perf_counter() - t0
-        if i == 0:
-            first = dt
-        best = min(best, dt)
-    return best, first, rows
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
 
 
 def _setup():
@@ -82,9 +81,10 @@ def main() -> None:
 
     # warm the JVM/JIT/codegen paths with representative shapes (scan+agg,
     # broadcast join, window) at a DIFFERENT scale factor, so the timed
-    # first run of each query measures its plan+execution cost, not
-    # first-ever classloading/JIT; a different sf keeps the prepared-query
-    # cache cold for the timed sf_dir.
+    # runs measure plan+execution cost, not first-ever classloading/JIT.
+    # If the small fixtures are absent (foreign host) warming with sf_dir
+    # itself is safe: every cold rep below invalidates the prepared-query
+    # cache first, so nothing stays pre-built for the timed runs.
     warm_dir = next(
         (
             d
@@ -92,45 +92,54 @@ def main() -> None:
             if os.path.isdir(d)
             and os.path.realpath(d) != os.path.realpath(sf_dir)
         ),
-        sf_dir,  # fixtures absent (foreign host): warm with sf_dir itself
+        sf_dir,
     )
     for warm_q in ("b3_count_star", "b13_join_topn", "b9_running_total"):
         registry.QUERIES[warm_q](spark, warm_dir).collect()
 
-    # Best-of-N per query: this host shows CPU-steal spikes that can
-    # inflate a single measurement 5-20x (measured: the same deterministic
-    # query at 0.8s and 47s minutes apart, idle machine both times); the
-    # minimum measures the engine, not the neighbor VMs. Self-contained:
-    # at least 2 reps even when invoked cold with REPS=1.
+    # Best-of-N per query, cold AND steady (ADVICE r03 / VERDICT r03 #3):
+    # - cold: invalidate the prepared-query cache before every rep, so
+    #   each rep pays plan build + Catalyst + full execution — the number
+    #   comparable to the DuckDB oracle's full re-execution, and the
+    #   headline `value`.
+    #   The min-of-N makes it robust to this host's documented 5-20x
+    #   CPU-steal spikes (same deterministic query measured at 0.8s and
+    #   47s minutes apart on an idle machine).
+    # - steady: repeat invocations through the cache — prepared-statement
+    #   serving latency (plan + completed shuffle map stages reused),
+    #   reported under `value_steady`, never as the headline.
     reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         # materialize fully (driver does .collect(); mirror that cost)
-        best, first, rows = _best_of(reps, lambda: len(fn(spark, sf_dir).collect()))
-        timings[name] = round(best, 3)
-        cold[name] = round(first, 3)
+        run = lambda: len(fn(spark, sf_dir).collect())  # noqa: E731
+        best_cold, rows = _best_of(
+            reps, run, pre=lambda: registry.invalidate_query_cache(spark, sf_dir)
+        )
+        best_steady, _ = _best_of(reps, run)  # cache warm from the last cold rep
+        cold[name] = round(best_cold, 3)
+        steady[name] = round(best_steady, 3)
         print(
-            f"# {name}: {timings[name]:.3f}s steady / {cold[name]:.3f}s cold"
+            f"# {name}: {cold[name]:.3f}s cold / {steady[name]:.3f}s steady"
             f" ({rows} rows)",
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
-                "value": total,
+                # headline = full executions, best-of-N (directly comparable
+                # to the DuckDB oracle numbers and to pre-r03 rounds)
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                # first-invocation latency per query (plan build + Catalyst
-                # + full execution, no prepared-query/map-stage reuse) —
-                # reported alongside so the steady-state headline number is
-                # transparent about what it measures
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "queries": cold,
+                # prepared-statement steady state (plan + shuffle-stage
+                # reuse): the serving-latency reading, clearly separated
+                "value_steady": round(sum(steady.values()), 3),
+                "queries_steady": steady,
                 "sf": sf_dir,
                 "reps": reps,
             }
@@ -158,7 +167,12 @@ def sweep() -> None:
         s_total = 0.0
         for name in names:
             fn = registry.QUERIES[name]
-            best, _cold, _ = _best_of(reps, lambda: len(fn(spark, sf_dir).collect()))
+            # cold reps: both engines fully re-execute, apples to apples
+            best, _ = _best_of(
+                reps,
+                lambda: len(fn(spark, sf_dir).collect()),
+                pre=lambda: registry.invalidate_query_cache(spark, sf_dir),
+            )
             s_total += best
         con = duckdb.connect()
         for t in TABLES:
@@ -166,7 +180,7 @@ def sweep() -> None:
         d_total = 0.0
         for name in names:
             sql = registry.ORACLES[name]
-            best, _cold, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
+            best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
             d_total += best
         con.close()
         rows_out.append((sf, s_total, d_total))  # raw; round only at print

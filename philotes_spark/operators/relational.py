@@ -996,8 +996,11 @@ def count_min_sketch(df: DataFrame, key: str) -> DataFrame:
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     """CMS point lookups: min over the depth counters of each probe's
-    buckets. Probes (a small key list) broadcast against the counter
-    table — never against the data."""
+    buckets. LEFT join from the probe buckets so a (d, b) counter that is
+    absent (true count 0) contributes 0 instead of being dropped from the
+    min — a probe whose buckets are all empty returns est=0, not no row.
+    The sketch side is broadcast: it is O(depth·width) rows bounded
+    regardless of input size, so the probe scan never shuffles."""
     pb = probes.select(
         F.col(key),
         F.explode(
@@ -1013,9 +1016,9 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
         ).alias("h"),
     ).select(key, F.col("h.d").alias("d"), F.col("h.b").alias("b"))
     return (
-        sketch.join(F.broadcast(pb), ["d", "b"])
+        pb.join(F.broadcast(sketch), ["d", "b"], "left")
         .groupBy(key)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

@@ -86,11 +86,32 @@ def _file_partition(path: str, data_dir: str, part_cols: list[str]) -> tuple:
 
 def _partition_key(row, part_cols: list[str]) -> tuple:
     """Partition tuple of a row's partition-column values, in the
-    normalized form of ``_file_partition`` (str rendering matches Spark's
-    hive path rendering for ints/strings/timestamps; None stays None)."""
-    return tuple(
-        None if row[c] is None else str(row[c]) for c in part_cols
-    )
+    normalized form of ``_file_partition``. Rendering is per-type, matched
+    to Spark's hive path rendering: Python ``str()`` agrees with it for
+    int/string/date/timestamp, but NOT for booleans (``str(True)`` is
+    ``'True'`` while the path segment is ``b=true``) — a silent mismatch
+    here would classify a touched partition as untouched and let stale
+    rows survive a merge, so unsupported types raise instead of guessing."""
+    import datetime as _dt
+
+    out = []
+    for c in part_cols:
+        v = row[c]
+        if v is None:
+            out.append(None)
+        elif isinstance(v, bool):  # before int: bool is an int subclass
+            out.append("true" if v else "false")
+        elif isinstance(v, (int, str, _dt.date, _dt.datetime)):
+            out.append(str(v))
+        else:
+            raise TypeError(
+                f"partition column {c!r} has unsupported type "
+                f"{type(v).__name__}; supported partition types: "
+                "int/string/date/timestamp/boolean (float/decimal path "
+                "rendering is engine-specific and would silently "
+                "mis-route the merge)"
+            )
+    return tuple(out)
 
 
 def _group_files_by_root(data_dir: str, files: list[str]) -> dict[str, list[str]]:

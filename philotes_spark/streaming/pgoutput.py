@@ -397,17 +397,33 @@ def drain_feed_to_wal(
     ``WalStreamReader`` replays into Spark — the glue between the wire
     decoder and the Spark-facing source. Acks the flushed LSN with a
     standby status update every ``flush_every`` events (the reference's
-    confirmed-flush cadence). Returns (events_written, last_lsn)."""
+    confirmed-flush cadence). Returns (events_written, last_lsn).
+
+    Idempotent under replay: on open, the segment's current max LSN is
+    recovered and events at or below it are skipped, so re-draining a
+    feed that replays from an older start position (the normal
+    at-least-once case after a crash before the final ack) does not
+    append duplicates for ``WalStreamReader`` to re-emit."""
     os.makedirs(wal_dir, exist_ok=True)
     dec = PgoutputDecoder()
-    n, last_lsn = 0, 0
     path = os.path.join(wal_dir, segment)
+    resume_lsn = 0
+    if os.path.exists(path):
+        with open(path) as prior:
+            for line in prior:
+                try:
+                    resume_lsn = max(resume_lsn, json.loads(line)["lsn_int"])
+                except (ValueError, KeyError):
+                    continue  # torn tail line from a crashed writer
+    n, last_lsn = 0, resume_lsn
     with open(path, "a") as out:
         for frame in feed.frames():
             for ev in dec.feed(frame):
+                last_lsn = max(last_lsn, ev["lsn_int"])
+                if ev["lsn_int"] <= resume_lsn:
+                    continue  # already durable from a previous drain
                 out.write(json.dumps(ev) + "\n")
                 n += 1
-                last_lsn = max(last_lsn, ev["lsn_int"])
                 if n % flush_every == 0:
                     out.flush()
                     feed.send_status(

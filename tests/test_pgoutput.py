@@ -221,6 +221,33 @@ def test_drain_feed_into_wal_segment(tmp_path):
     assert recv == last
 
 
+def test_drain_replay_is_idempotent(tmp_path):
+    # at-least-once delivery: after a crash before the final ack, the feed
+    # replays from an older start position; re-draining must not append
+    # duplicate events for WalStreamReader to re-emit.
+    drain_feed_to_wal(CannedReplicationFeed(_frames()), str(tmp_path))
+    seg = tmp_path / "wal-pgoutput-000001.jsonl"
+    first = seg.read_text().splitlines()
+
+    n2, last2 = drain_feed_to_wal(CannedReplicationFeed(_frames()), str(tmp_path))
+    assert n2 == 0  # everything at or below the durable LSN is skipped
+    assert last2 == 0x1_0000_0040  # the final ack still advances
+    assert seg.read_text().splitlines() == first
+
+    # a partial replay (older events) + genuinely new events: only the new
+    # LSNs land
+    frames = _frames() + [
+        xlogdata(m_begin(0x1_0000_0070, 701), 0x1_0000_0050),
+        xlogdata(m_insert(16384, ["2", "c@x.com", "bye"]), 0x1_0000_0060),
+        xlogdata(m_commit(0x1_0000_0070, 0x1_0000_0071), 0x1_0000_0070),
+    ]
+    n3, last3 = drain_feed_to_wal(CannedReplicationFeed(frames), str(tmp_path))
+    assert n3 == 1 and last3 == 0x1_0000_0060
+    lines = [json.loads(l) for l in seg.read_text().splitlines()]
+    assert len(lines) == len(first) + 1
+    assert lines[-1]["after"]["user_id"] == "2"
+
+
 def test_drained_segment_replays_through_wal_source(tmp_path):
     from philotes_spark.streaming.wal_source import WalStreamReader
 

@@ -34,6 +34,24 @@ def test_count_min_sketch_bounds(spark, sf_dir):
         assert est <= exact[u] + max(3, slack), (u, est, exact[u])
 
 
+def test_cms_absent_probe_returns_zero(spark, sf_dir):
+    """A probe key whose (d,b) counters are all empty must return est=0,
+    not disappear from the output (left-join + coalesce semantics). With
+    a populated sketch all buckets may collide with real keys, so build
+    the sketch from a single row — the probe's five buckets are then
+    almost surely empty, and even under collision est is the min over
+    depth counters of a 1-row sketch, i.e. 0 or 1, still a row."""
+    from philotes_spark.operators.relational import cms_estimate, count_min_sketch
+
+    one = spark.createDataFrame([(1,)], "user_id long")
+    sketch = count_min_sketch(one, "user_id")
+    probes = spark.createDataFrame([(999_999_999,), (1,)], "user_id long")
+    ests = {r.user_id: r.est for r in cms_estimate(sketch, probes, "user_id").collect()}
+    assert ests[1] == 1
+    assert 999_999_999 in ests, "absent probe dropped from CMS output"
+    assert ests[999_999_999] in (0, 1)
+
+
 def test_heavy_hitters_query_matches_sketch_contract(spark, sf_dir):
     from philotes_spark import registry
 

@@ -266,6 +266,36 @@ def test_merge_empty_change_set_is_noop(spark, table):
     assert {r.k: r.v for r in table.read().collect()} == {1: "a"}
 
 
+def test_partitioned_merge_with_boolean_partition(spark, tmp_path):
+    # hive renders a boolean partition as 'b=true' while Python str(True)
+    # is 'True'; the old str() rendering classified every touched boolean
+    # partition as untouched, so the stale pre-merge row silently
+    # survived (ADVICE r03)
+    p = SnapshotTable(spark, str(tmp_path / "boolp"))
+    rows = [(1, "a", True), (2, "b", True), (3, "c", False)]
+    df = spark.createDataFrame(rows, "k long, v string, flag boolean")
+    p.commit(df.repartition(1), partition_by=["flag"])
+    changes = spark.createDataFrame([(1, "A2", True)], "k long, v string, flag boolean")
+    p.merge(changes, key_cols=["k"])
+    got = {r.k: r.v for r in p.read().collect()}
+    assert got == {1: "A2", 2: "b", 3: "c"}, "stale row in flag=true must be gone"
+    # untouched flag=false partition carried by reference
+    m2 = p._resolve()
+    false_files = [f for f in p._resolve(version=1)["files"] if "flag=false" in f]
+    assert false_files and all(f in m2["files"] for f in false_files)
+
+
+def test_partitioned_merge_unsupported_partition_type_raises(spark, tmp_path):
+    # float/decimal path rendering is engine-specific; guessing would
+    # silently mis-route the merge, so it must raise instead
+    p = SnapshotTable(spark, str(tmp_path / "floatp"))
+    df = spark.createDataFrame([(1, "a", 0.5)], "k long, v string, fp double")
+    p.commit(df.repartition(1), partition_by=["fp"])
+    changes = spark.createDataFrame([(1, "A2", 0.5)], "k long, v string, fp double")
+    with pytest.raises(TypeError, match="partition column"):
+        p.merge(changes, key_cols=["k"])
+
+
 def test_partitioned_merge_with_escaped_partition_values(spark, tmp_path):
     # ':' is percent-escaped in hive paths; partition matching must
     # unescape or stale rows survive the merge (review finding r03)
