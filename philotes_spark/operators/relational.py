@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from philotes_spark.registry import query
+from philotes_spark.plans.joins import dim
 from philotes_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -86,9 +87,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + top-N (B8/B13). customer is the small side →
-    explicit broadcast; top-N compiles to TakeOrderedAndProject (no global
-    sort at scale)."""
+    """3-way join + agg + top-N (B8/B13). customer is the small side —
+    left unhinted (it scales with SF): the size check broadcasts it at
+    fixture scale, AQE re-plans at 100 TB; top-N compiles to
+    TakeOrderedAndProject (no global sort at scale)."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -98,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim(cust, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -129,9 +131,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join (B13 at its hardest). region/nation/supplier broadcast;
-    the orders⋈lineitem shuffle joins on the same key so AQE reuses the
-    exchange. Catalyst handles join reordering."""
+    """6-way join (B13 at its hardest). region/nation hinted broadcast
+    (bounded dims); supplier size-selected via dim() so 100 TB falls back
+    to a shuffle join; the orders⋈lineitem shuffle joins on the same key
+    so AQE reuses the exchange. Catalyst handles join reordering."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -144,11 +147,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            dim(supp, "supplier"),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(dim(nation, "nation"), supp.s_nationkey == nation.n_nationkey)
+        .join(dim(region, "region"), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -446,12 +449,13 @@ def b12_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b13_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B13 equi inner join (sample-queries.sql:126-132). customer is the dim
-    side → broadcast hash join, zero shuffle of the fact table."""
+    """B13 equi inner join (sample-queries.sql:126-132). customer is the
+    dim side: size-selected broadcast (dim() policy — no forced hint on an
+    SF-scaling table), zero shuffle of the fact table at fixture scale."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(dim(cust, "customer"), orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(10)
@@ -472,7 +476,7 @@ def b13_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(dim(cust, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -711,7 +715,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(dim(nation, "nation"), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
@@ -920,8 +924,8 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(dim(nation, "nation"), cust.c_nationkey == nation.n_nationkey)
+        .join(dim(region, "region"), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
             F.round(
@@ -1325,9 +1329,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(dim(supp, "supplier"), li.l_suppkey == supp.s_suppkey)
+        .join(dim(n1, "nation"), supp.s_nationkey == F.col("n1_key"))
+        .join(dim(n2, "nation"), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -1387,11 +1391,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(dim(n1, "nation"), cust.c_nationkey == F.col("n1_key"))
+        .join(dim(region, "region"), F.col("n1_region") == region.r_regionkey)
+        .join(dim(supp, "supplier"), li.l_suppkey == supp.s_suppkey)
+        .join(dim(n2, "nation"), supp.s_nationkey == F.col("n2_key"))
+        .join(dim(part, "part"), li.l_partkey == part.p_partkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             "supp_nation",
@@ -1446,10 +1450,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     ).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(dim(part, "part"), li.l_partkey == part.p_partkey)
+        .join(dim(supp, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(dim(nation, "nation"), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -1531,7 +1535,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        revenue.join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        revenue.join(dim(supp, "supplier"), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy(F.desc("total_revenue"), "s_suppkey")
         .limit(5)
@@ -1558,7 +1562,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim(part, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1590,7 +1594,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim(part, "part"), li.l_partkey == part.p_partkey)
         .join(thresh, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -1764,13 +1768,13 @@ def q2_shape_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     eu = (
-        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
-        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        ps.join(dim(supp, "supplier"), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(dim(nat, "nation"), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(dim(reg, "region"), nat["n_regionkey"] == reg["r_regionkey"])
     )
     mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("_mn"))
     return (
-        eu.join(F.broadcast(part), eu["ps_partkey"] == part["p_partkey"])
+        eu.join(dim(part, "part"), eu["ps_partkey"] == part["p_partkey"])
         .join(mn, "ps_partkey")
         .filter(F.col("ps_supplycost") == F.col("_mn"))
         .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
@@ -1805,8 +1809,8 @@ def q11_shape_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
     joined = (
-        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        ps.join(dim(supp, "supplier"), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(dim(nat, "nation"), supp["s_nationkey"] == nat["n_nationkey"])
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
     )
     vals = joined.groupBy("ps_partkey").agg(F.sum("v").alias("_v"))
@@ -1859,9 +1863,9 @@ def q20_shape_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps["ps_partkey"] == shipped["l_partkey"])
             & (ps["ps_suppkey"] == shipped["l_suppkey"]),
         )
-        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(dim(part, "part"), ps["ps_partkey"] == part["p_partkey"])
+        .join(dim(supp, "supplier"), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(dim(nat, "nation"), supp["s_nationkey"] == nat["n_nationkey"])
         .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
         .select("s_name", "s_acctbal")
         .distinct()
@@ -1926,7 +1930,7 @@ def q21_shape_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"])
+        sole.join(dim(supp, "supplier"), sole["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -79,6 +79,28 @@ def scan_columns(df: DataFrame) -> dict[str, set[str]]:
     return scans
 
 
+def forced_broadcast_hints(df: DataFrame) -> list[str]:
+    """Subtree strings of every explicit broadcast hint (``F.broadcast``)
+    in the analyzed logical plan.
+
+    A *forced* hint bypasses ``autoBroadcastJoinThreshold``; the policy
+    audit asserts each one is scale-safe: either it touches no
+    SF-proportional table at all (bounded dims, driver-built frames), or
+    the hinted subtree contains a bounding operator (Aggregate /
+    Limit / nested broadcast join) that caps its size independently of
+    the scale factor."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            out.append(node.toString())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return out
+
+
 @dataclass
 class PlanAudit:
     shuffles: int
