@@ -85,24 +85,59 @@ def similarity_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All corpus pairs with cosine ≥ threshold (embedding near-dup tier):
-    (vec_a, vec_b, cosine_sim). O(n²) scoring — exact baseline; use
-    ``lsh_topk``'s bucketing at scale."""
+    (vec_a, vec_b, cosine_sim). EXACT — every qualifying pair, no
+    approximation (the DuckDB oracle twin is the same all-pairs compute).
+
+    Plan shape (VERDICT r03 #4 — formerly a crossJoin): the O(n²)
+    comparisons are inherent to the exact tier, but they are expressed as
+    a *block-matrix equi-join*, not a cartesian product. Each vector is
+    hashed to one of B blocks; the a-side replicates each row to block
+    pairs (blk, j≥blk), the b-side to (i≤blk, blk), and the join is a
+    plain shuffled equi-join on (ba, bb) — B(B+1)/2 evenly-sized key
+    groups, so: no BroadcastNestedLoopJoin/CartesianProduct node, no
+    driver-size dependence, per-task memory bounded by (n/B)² scoring a
+    (n/B)-row buffered key group, parallelism = block pairs, and AQE can
+    split any residual skew. At 100 TB you raise ``n_blocks`` ∝ n so a
+    block fits an executor core; the sub-quadratic paths for when exact
+    isn't required are ``lsh_topk``/``ivf_topk``.
+
+    A pair lands in exactly one block pair: cross-block (i<j) once by
+    construction, diagonal (i=i) deduped by requiring raw id order; ids
+    are then normalized to vec_a < vec_b via least/greatest."""
     v = as_double(F.col(vec_col))
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm"))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        l2_norm(v).alias("nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int").alias("blk"),
+    )
     a = base.select(
-        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col("id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bb"),
     )
     b = base.select(
-        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["ba", "bb"])
+        .filter((F.col("ba") != F.col("bb")) | (F.col("ida") < F.col("idb")))
         .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine_sim"))
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            F.round("sim", 4).alias("cosine_sim"),
+        )
     )
 
 

@@ -88,8 +88,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35) — exact O(n²)
-    baseline for the embedding dedup tier.
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35) — the exact
+    tier of embedding dedup, planned as a block-matrix equi-join (no
+    cartesian node; see similarity_pairs). The O(n²) comparisons are
+    inherent to exactness; lsh_topk/ivf_topk are the sub-quadratic
+    approximate paths.
 
     τ=0.35 is tuned to the synthetic fixtures' weak structure (max
     pairwise cosine ≈ 0.48-0.60 across sf0.001-0.1): it yields a

@@ -285,3 +285,13 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
             if touches and not any(b in body for b in bounding):
                 offenders.append((name, touches))
     assert offenders == [], offenders
+
+
+def test_threshold_pairs_no_cartesian(plan_of):
+    """The exact pair tier (VERDICT r03 #4) must plan as a block-matrix
+    equi-join: no cartesian/nested-loop node anywhere, bounded key groups.
+    Applies to both registered consumers of similarity_pairs."""
+    for q in ("sim_threshold_pairs", "dedup_embedding_cosine"):
+        a = plan_of(q)
+        assert "CartesianProduct" not in a.plan, q
+        assert "BroadcastNestedLoopJoin" not in a.plan, q
