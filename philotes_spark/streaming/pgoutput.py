@@ -7,8 +7,8 @@ events to engine CDC events (``reader.go:172-253``: operation mapping
 I/U/D/T, before/after extraction, key columns from the replica
 identity). This module implements the same conversion directly from the
 **public wire protocol** (PostgreSQL docs: protocol-logicalrep-message-
-formats + streaming-replication COPY-BOTH framing), so the only thing
-left stubbed in the sandbox is the TCP connection itself:
+formats + streaming-replication COPY-BOTH framing), all the way down to
+the TCP session (``pgwire.PgWireClient``; mock-walsender-tested):
 
     frame ('w' XLogData | 'k' keepalive)          parse_copy_data
       → pgoutput message (B/C/R/I/U/D/T)          PgoutputDecoder.decode
@@ -17,9 +17,9 @@ left stubbed in the sandbox is the TCP connection itself:
       → WalStreamReader (streaming/wal_source.py) — the tested Spark path
 
 The feed is injectable (``ReplicationFeed``): tests drive canned protocol
-bytes; against a live Postgres, ``PgReplicationConnection`` documents the
-exact session setup (START_REPLICATION SLOT ... LOGICAL ... pgoutput)
-and raises until a network client is available in the environment.
+bytes directly or through a localhost mock walsender; against a live
+Postgres, ``PgReplicationConnection`` opens the same session over the
+stdlib socket client (START_REPLICATION SLOT ... LOGICAL ... pgoutput).
 """
 
 from __future__ import annotations
@@ -355,18 +355,21 @@ class CannedReplicationFeed(ReplicationFeed):
 
 
 class PgReplicationConnection(ReplicationFeed):
-    """Live walsender session — documented, not connectable in this
-    sandbox (no Postgres, no network client lib). Against a real server
-    the session is exactly:
+    """Live walsender session over a raw TCP socket — the same COPY-BOTH
+    session the reference holds (``reader.go:56-140``), via the stdlib
+    wire client in :mod:`philotes_spark.streaming.pgwire`:
 
         replication=database dbname=<db> user=<user>
-        CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput  (first run)
         START_REPLICATION SLOT <slot> LOGICAL <lsn>
             (proto_version '1', publication_names '<pub>')
 
-    then COPY-BOTH frames flow as in ``parse_copy_data`` and flush
-    positions are acked with ``encode_standby_status`` — both implemented
-    and tested above; only this transport is missing."""
+    CopyData payloads stream out of ``frames()`` (ready for
+    ``parse_copy_data`` → ``PgoutputDecoder``) and flush positions are
+    acked through ``send_status`` wrapped in CopyData — end-to-end from
+    bytes-on-a-socket, exercised in tests against a local mock walsender
+    (``tests/test_pgwire.py``). SCRAM auth is out of scope (cleartext/MD5
+    only); slot creation (CREATE_REPLICATION_SLOT, first run) is a plain
+    simple-query on the same session kind."""
 
     def __init__(
         self, dsn: str, slot: str, publication: str, start_lsn: int = 0
@@ -377,14 +380,45 @@ class PgReplicationConnection(ReplicationFeed):
             publication,
             start_lsn,
         )
+        self._client = None
+
+    def _connect(self):
+        from philotes_spark.streaming.pgwire import PgWireClient, parse_dsn
+
+        info = parse_dsn(self.dsn)
+        client = PgWireClient(
+            host=info.get("host", "localhost"),
+            port=int(info.get("port", "5432")),
+            user=info.get("user", "postgres"),
+            database=info.get("dbname", info.get("database", "postgres")),
+            password=info.get("password"),
+        )
+        client.connect()
+        client.start_replication(
+            self.slot, self.publication, lsn_to_text(self.start_lsn)
+        )
+        return client
 
     def frames(self) -> Iterable[bytes]:
-        raise NotImplementedError(
-            "live logical replication needs a PG wire client (psycopg/pg8000),"
-            " not available in this environment; replay frames through"
-            " CannedReplicationFeed or land events via the Debezium/Kafka"
-            " adapter (wal_source.debezium_to_cdc)"
-        )
+        if self._client is None:
+            self._client = self._connect()
+        try:
+            yield from self._client.copy_frames()
+        except BaseException:
+            self.close()
+            raise
+        # normal end (CopyDone): keep the session so the caller's final
+        # close() can run; further status sends are dropped — the COPY
+        # sub-protocol has ended and CopyData is no longer valid.
+
+    def send_status(self, status: bytes) -> None:
+        if self._client is not None and not self._client.copy_ended:
+            self._client.send_copy(status)
+
+    def close(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = None
 
 
 def drain_feed_to_wal(

@@ -262,12 +262,14 @@ def test_drained_segment_replays_through_wal_source(tmp_path):
     assert [r[6] for r in rows] == ["INSERT", "UPDATE", "DELETE", "TRUNCATE"]
 
 
-def test_live_connection_is_documented_stub():
+def test_live_connection_surfaces_socket_errors():
+    # the live path is a real TCP client now (tests/test_pgwire.py); an
+    # unreachable server fails with the socket error, not a stub marker
     import pytest
 
-    conn = PgReplicationConnection("host=db", "slot1", "pub1")
-    with pytest.raises(NotImplementedError, match="wire client"):
-        conn.frames()
+    conn = PgReplicationConnection("host=127.0.0.1 port=1", "slot1", "pub1")
+    with pytest.raises(OSError):
+        next(iter(conn.frames()))
 
 
 # --- property-based round-trip (hypothesis) ---------------------------------
