@@ -6,10 +6,12 @@ The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
 modality:
 
 - **audio: REAL** — PCM WAV parses with the stdlib (``decode_audio_wav``).
-- **image: REAL for PPM** — binary P6 parses and resizes with pure
-  numpy (``decode_ppm``/``resize_ppm``/``image_stats``); compressed
-  formats (JPEG/PNG) still need PIL, so ``decode_image`` stays an honest
-  ``NotImplementedError`` stub unless ``fake=True``.
+- **image: REAL for PPM and PNG** — binary P6 parses and resizes with
+  pure numpy (``decode_ppm``/``resize_ppm``); PNG decodes with stdlib
+  zlib + numpy unfiltering, all five scanline filters
+  (``decode_png``/``encode_png``); ``image_stats`` dispatches on magic
+  bytes. JPEG is DCT-coded and still needs PIL, so ``decode_image``
+  keeps an honest ``NotImplementedError`` for it unless ``fake=True``.
 - **video: frame sampling is JVM-side chunk arithmetic** (no codec).
 
 Swap the stubbed inner functions for PIL/ffmpeg on a real cluster — the
@@ -54,17 +56,29 @@ def media_meta(payload: Column, media_type: str = "text/plain") -> Column:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
+    """Feature vector from an image payload. PPM/PNG decode for REAL
+    (``decode_any_image`` below); JPEG would need PIL and raises.
 
     ``fake=True`` returns a deterministic FEATURE_DIM-float vector derived
-    from the payload digest, so the distributed plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not present in this "
-            "container; pass fake=True for the deterministic test decoder"
-        )
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    from the payload digest, so the distributed plumbing is testable over
+    arbitrary (non-image) payloads too."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    import numpy as np
+
+    px = decode_any_image(payload).astype(np.float64)  # JPEG raises here
+    h, w, _ = px.shape
+    # 2×2 grid × RGB means + (w, h, n_pixels, global mean): FEATURE_DIM=16
+    half_h, half_w = max(1, h // 2), max(1, w // 2)
+    feats: list[float] = []
+    for gy in range(2):
+        for gx in range(2):
+            block = px[gy * half_h : (gy + 1) * half_h or None,
+                       gx * half_w : (gx + 1) * half_w or None]
+            feats.extend(float(m) for m in block.reshape(-1, 3).mean(axis=0))
+    feats.extend([float(w), float(h), float(w * h), float(px.mean())])
+    return feats
 
 
 def extract_features(
@@ -209,8 +223,174 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     return encode_ppm(px[ys][:, xs])
 
 
+# --- images: REAL decode for PNG (stdlib zlib + numpy — no PIL) -------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec §9.4), vectorized over int arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, no interlace) — stdlib ``zlib`` +
+    ``struct`` only. ``filters`` optionally sets the per-row filter type
+    (0..4) so tests can exercise every unfilter path in the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("encoder writes 8-bit RGB (h, w, 3) only")
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    zero = np.zeros((1, ch), dtype=np.int16)
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        left = np.vstack([zero, row[:-1]])
+        ft = filters[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        elif ft == 4:  # Paeth
+            upleft = np.vstack([zero, prev[:-1]])
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode with the stdlib only: chunk walk with CRC checks,
+    ``zlib`` inflate, scanline unfilter (all five filter types), numpy
+    reshape. Supports 8-bit depth, no interlace, color types 0
+    (greyscale, expanded to RGB), 2 (RGB), 6 (RGBA, alpha dropped) —
+    the common real-media format the PPM tier couldn't cover; JPEG (DCT)
+    remains the honest PIL-needing stub in ``decode_image``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, header = 8, b"", None
+    while pos + 8 <= len(payload):
+        length, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if header is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt_method, interlace = header
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            "unsupported PNG variant (only 8-bit, non-interlaced supported)"
+        )
+    try:
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+    except KeyError:
+        raise ValueError(f"unsupported color type {ctype}") from None
+
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = (
+            np.frombuffer(raw, np.uint8, stride, offset=y * (1 + stride) + 1)
+            .reshape(w, ch)
+            .astype(np.int64)
+        )
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-1] ⇒ cumsum mod 256
+            rec = np.cumsum(line, axis=0) % 256
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                if ft == 3:
+                    pred = (left + prev[x]) // 2
+                else:
+                    upleft = prev[x - 1] if x else np.zeros(ch, dtype=np.int64)
+                    pred = _paeth(left, prev[x], upleft)
+                left = (line[x] + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if ch == 1:
+        out = np.repeat(out, 3, axis=2)
+    elif ch == 4:
+        out = out[:, :, :3]
+    return out
+
+
+def decode_any_image(payload: bytes):
+    """Magic-sniffing dispatch over the real decoders: binary PPM (P6),
+    PNG (stdlib inflate+unfilter). JPEG is DCT-coded — an honest
+    ``NotImplementedError`` until PIL exists in the environment."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode requires PIL/libjpeg — not present in this container"
+        )
+    raise ValueError("unrecognized image format (supported: PPM P6, PNG)")
+
+
 def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched REAL image decode over PPM payloads via
+    """Arrow-batched REAL image decode over PPM/PNG payloads via
     ``mapInPandas``: input columns + ``image`` stats struct (dimensions +
     per-channel means). Narrow map, no shuffle, nothing collected — the
     image twin of ``audio_features``."""
@@ -221,7 +401,7 @@ def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
     def stats(payload: bytes) -> dict:
-        px = decode_ppm(payload).astype(np.float64)
+        px = decode_any_image(payload).astype(np.float64)
         h, w, _ = px.shape
         means = px.reshape(-1, 3).mean(axis=0)
         return {

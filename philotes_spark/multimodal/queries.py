@@ -171,6 +171,63 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_png_stats",
+    oracle=f"""
+    SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_pixels,
+           ROUND(AVG({_PX.format(c=0)}), 4) AS mean_r,
+           ROUND(AVG({_PX.format(c=1)}), 4) AS mean_g,
+           ROUND(AVG({_PX.format(c=2)}), 4) AS mean_b
+    FROM documents,
+         (SELECT UNNEST(generate_series(0, 7)) AS y) y,
+         (SELECT UNNEST(generate_series(0, 7)) AS x) x
+    WHERE doc_id < 200
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode roundtrip (stdlib zlib inflate + scanline
+    unfilter — no PIL): the same deterministic pixels as the PPM tier are
+    encoded as PNG with the scanline filter CYCLING through all five
+    types per row ((doc_id + y) % 5), decoded with the genuine decoder
+    inside Arrow-batched mapInPandas, and hash-checked against the pure
+    SQL pixel arithmetic. A wrong inflate, CRC, unfilter (Sub/Up/Average/
+    Paeth), stride, or channel order mismatches the oracle."""
+    import numpy as np
+
+    from philotes_spark.multimodal.binary_ops import encode_png, image_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def synth(it):
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["doc_id"].map(
+                lambda d: encode_png(
+                    (int(d) * 31 + y * 13 + x * 7 + c * 91) % 256,
+                    filters=[(int(d) + row) % 5 for row in range(8)],
+                )
+            )
+            yield pdf
+
+    pngs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    out = image_stats(pngs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.n_pixels").alias("n_pixels"),
+        F.round(F.col("image.mean_r"), 4).alias("mean_r"),
+        F.round(F.col("image.mean_g"), 4).alias("mean_g"),
+        F.round(F.col("image.mean_b"), 4).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
 _PX2 = "(doc_id * 31 + (y.y * 2) * 13 + (x.x * 2) * 7 + {c} * 91) % 256"
 
 

@@ -87,6 +87,7 @@ def _tier(name: str) -> tuple[int, int]:
         # stays exactly as VERDICT r02 prescribed
         "multimodal_image_stats",
         "multimodal_image_resize",
+        "multimodal_png_stats",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface

@@ -59,3 +59,109 @@ def test_image_stats_pipeline(spark):
     row = image_stats(df).select("image.*").collect()[0]
     assert (row.width, row.height, row.n_pixels) == (4, 4, 16)
     assert (row.mean_r, row.mean_g, row.mean_b) == (10.0, 20.0, 250.0)
+
+
+# --- PNG (stdlib zlib + numpy unfiltering) ----------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    from philotes_spark.multimodal.binary_ops import decode_png, encode_png
+
+    px = _img(7, 5, seed=11)
+    for ft in range(5):
+        got = decode_png(encode_png(px, filters=[ft] * 7))
+        assert np.array_equal(got, px), f"filter {ft} roundtrip broke"
+    # mixed per-row filters (the real-world case)
+    got = decode_png(encode_png(px, filters=[0, 1, 2, 3, 4, 2, 1]))
+    assert np.array_equal(got, px)
+
+
+def test_png_crc_and_format_guards():
+    from philotes_spark.multimodal.binary_ops import decode_png, encode_png
+
+    raw = bytearray(encode_png(_img(3, 3)))
+    raw[40] ^= 0xFF  # corrupt a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(raw))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + b"\x00" * 16)
+
+
+def test_png_grey_and_rgba_color_types():
+    import struct
+    import zlib
+
+    from philotes_spark.multimodal.binary_ops import _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 2×2 greyscale: values expand to all three channels
+    grey = bytes([0, 10, 20, 0, 30, 40])  # two rows, filter 0
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(grey))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got[..., 0], [[10, 20], [30, 40]])
+    assert np.array_equal(got[..., 0], got[..., 1])
+
+    # 1×2 RGBA: alpha dropped
+    rgba = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rgba))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (1, 2, 3)
+    assert got.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_decode_any_image_dispatch():
+    from philotes_spark.multimodal.binary_ops import decode_any_image, encode_png
+
+    px = _img(4, 4, seed=3)
+    assert np.array_equal(decode_any_image(encode_ppm(px)), px)
+    assert np.array_equal(decode_any_image(encode_png(px)), px)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_any_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_any_image(b"GIF89a...")
+
+
+def test_decode_image_real_features_from_png():
+    from philotes_spark.multimodal.binary_ops import FEATURE_DIM, decode_image, encode_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 0] = 100
+    feats = decode_image(encode_png(px))
+    assert len(feats) == FEATURE_DIM
+    # each 2×2 grid cell has (R,G,B) means (100, 0, 0)
+    assert feats[0:3] == [100.0, 0.0, 0.0]
+    assert feats[12:16] == [4.0, 4.0, 16.0, pytest.approx(100 / 3)]
+
+
+def test_png_stats_pipeline(spark):
+    from philotes_spark.multimodal.binary_ops import encode_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 0] = 10
+    px[..., 1] = 20
+    px[..., 2] = 250
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px, filters=[4, 3, 2, 1])))],
+        "doc_id long, payload binary",
+    )
+    row = image_stats(df).select("image.*").collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (4, 4, 16)
+    assert (row.mean_r, row.mean_g, row.mean_b) == (10.0, 20.0, 250.0)
