@@ -1,0 +1,260 @@
+"""Iceberg REST catalog adapter (Lakekeeper-compatible) for the snapshot
+layer — the interop surface the reference exposes through
+``internal/iceberg/catalog/rest.go:40-217``.
+
+The local :class:`~philotes_spark.sources.snapshots.SnapshotTable` owns
+commits/time-travel on its own manifest log; this adapter *publishes*
+those snapshots to (and loads table metadata from) a standard Iceberg
+REST catalog so external engines (Trino/Spark-iceberg-runtime/DuckDB
+iceberg) can read the same tables:
+
+    POST {base}/catalog/v1/{warehouse}/namespaces               create ns
+    GET  .../namespaces/{ns}                                    exists
+    POST .../namespaces/{ns}/tables                             create table
+    GET  .../namespaces/{ns}/tables/{t}                         load/exists
+    POST .../namespaces/{ns}/tables/{t}                         commit append
+
+Transport is injectable (``transport(method, url, headers, body) ->
+(status, body_bytes)``) so tests run against a local mock server exactly
+the way the reference tests with ``httptest`` (rest_test.go); the default
+transport is stdlib ``urllib`` — no client library needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import types as T
+
+Transport = Callable[[str, str, dict, bytes | None], tuple[int, bytes]]
+
+
+def _urllib_transport(method: str, url: str, headers: dict, body: bytes | None):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # non-2xx still carries a body
+        return e.code, e.read()
+
+
+class CatalogError(RuntimeError):
+    def __init__(self, status: int, body: bytes) -> None:
+        self.status = status
+        super().__init__(
+            f"catalog error (status {status}): "
+            f"{body.decode('utf-8', 'replace').strip()}"
+        )
+
+
+_SPARK_TO_ICEBERG = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.StringType: "string",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.TimestampType: "timestamp",
+    T.DateType: "date",
+    T.BinaryType: "binary",
+}
+
+
+def schema_to_rest(schema: T.StructType) -> dict:
+    """Spark StructType → Iceberg REST schema JSON (field ids assigned
+    positionally, 1-based — the same convention the reference's
+    ``convertSchemaToREST`` uses for fresh tables)."""
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        if isinstance(f.dataType, T.DecimalType):
+            ftype = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        else:
+            try:
+                ftype = _SPARK_TO_ICEBERG[type(f.dataType)]
+            except KeyError:
+                raise ValueError(
+                    f"no Iceberg REST mapping for column {f.name!r} of type "
+                    f"{f.dataType.simpleString()} (nested types not published)"
+                ) from None
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": ftype,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+class RestCatalog:
+    """Thin, dependency-free Iceberg REST catalog client. Idempotent
+    creates (409 Conflict is success, mirroring rest.go:64-68/131-134);
+    everything else non-2xx raises :class:`CatalogError`."""
+
+    def __init__(
+        self,
+        base_url: str,
+        warehouse: str,
+        token: str | None = None,
+        transport: Transport | None = None,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.warehouse = warehouse
+        self.token = token
+        self._transport = transport or _urllib_transport
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _request(
+        self, method: str, path: str, body: dict | None = None
+    ) -> tuple[int, dict]:
+        url = f"{self.base_url}/catalog/v1/{self.warehouse}{path}"
+        headers = {"Content-Type": "application/json", "Accept": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        payload = json.dumps(body).encode() if body is not None else None
+        status, raw = self._transport(method, url, headers, payload)
+        out = {}
+        if raw:
+            try:
+                out = json.loads(raw)
+            except ValueError:
+                out = {"raw": raw.decode("utf-8", "replace")}
+        return status, out
+
+    # -- namespaces ----------------------------------------------------------
+
+    def namespace_exists(self, namespace: str) -> bool:
+        status, _ = self._request("GET", f"/namespaces/{namespace}")
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise CatalogError(status, b"")
+
+    def create_namespace(
+        self, namespace: str, properties: dict[str, str] | None = None
+    ) -> None:
+        if self.namespace_exists(namespace):
+            return
+        status, body = self._request(
+            "POST",
+            "/namespaces",
+            {"namespace": [namespace], "properties": properties or {}},
+        )
+        if status not in (200, 201, 409):  # 409: concurrent create, fine
+            raise CatalogError(status, json.dumps(body).encode())
+
+    # -- tables --------------------------------------------------------------
+
+    def table_exists(self, namespace: str, table: str) -> bool:
+        status, _ = self._request("GET", f"/namespaces/{namespace}/tables/{table}")
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise CatalogError(status, b"")
+
+    def create_table(
+        self,
+        namespace: str,
+        table: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        self.create_namespace(namespace)
+        if self.table_exists(namespace, table):
+            return
+        rest_schema = schema_to_rest(schema)
+        field_id = {f["name"]: f["id"] for f in rest_schema["fields"]}
+        spec_fields = [
+            {
+                "source-id": field_id[c],
+                "field-id": 1000 + i,
+                "name": c,
+                "transform": "identity",
+            }
+            for i, c in enumerate(partition_by or [])
+        ]
+        status, body = self._request(
+            "POST",
+            f"/namespaces/{namespace}/tables",
+            {
+                "name": table,
+                "schema": rest_schema,
+                "partition-spec": {"spec-id": 0, "fields": spec_fields},
+                "stage-create": False,
+                "properties": {},
+            },
+        )
+        if status not in (200, 201, 409):
+            raise CatalogError(status, json.dumps(body).encode())
+
+    def load_table(self, namespace: str, table: str) -> dict:
+        status, body = self._request(
+            "GET", f"/namespaces/{namespace}/tables/{table}"
+        )
+        if status != 200:
+            raise CatalogError(status, json.dumps(body).encode())
+        return body
+
+    def commit_append(
+        self, namespace: str, table: str, data_files: list[dict]
+    ) -> None:
+        """Commit an append snapshot (rest.go:188-217: a single
+        append-files update with empty requirements)."""
+        status, body = self._request(
+            "POST",
+            f"/namespaces/{namespace}/tables/{table}",
+            {
+                "requirements": [],
+                "updates": [
+                    {"action": "append", "append-files": {"data-files": data_files}}
+                ],
+            },
+        )
+        if status not in (200, 201):
+            raise CatalogError(status, json.dumps(body).encode())
+
+    # -- SnapshotTable bridge ------------------------------------------------
+
+    def publish_snapshot(
+        self, namespace: str, table: str, snap, version: int | None = None
+    ) -> int:
+        """Publish one SnapshotTable version to the catalog: ensure the
+        namespace+table exist (schema read from the snapshot's data), then
+        commit the version's NEW files (added since its parent) as an
+        append. Returns the number of data files committed."""
+        import pyarrow.parquet as pq
+
+        manifest = snap._resolve(version=version)
+        parent_files: set[str] = set()
+        if manifest["version"] > 1:
+            parent_files = set(snap._resolve(version=manifest["version"] - 1)["files"])
+        new_files = [f for f in manifest["files"] if f not in parent_files]
+
+        self.create_table(
+            namespace,
+            table,
+            snap.read(version=version).schema,
+            partition_by=manifest.get("partition_by"),
+        )
+        data_files = [
+            {
+                "content": "data",
+                "file-path": f,
+                "file-format": "parquet",
+                "record-count": pq.ParquetFile(f).metadata.num_rows,
+                "file-size-in-bytes": os.path.getsize(f),
+            }
+            for f in new_files
+        ]
+        if data_files:
+            self.commit_append(namespace, table, data_files)
+        return len(data_files)
