@@ -1,0 +1,188 @@
+"""Control-plane REST surface (A32-A35 over HTTP): pipeline CRUD +
+lifecycle + table mappings and catalog browsing, with identifier-
+validation parity to the reference's handlers (server.go:308-352,
+handlers/query.go:32-40, services/query.go:18-53)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from philotes_spark.control_http import ControlServer
+
+
+def _call(port: int, method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@pytest.fixture()
+def server(spark):
+    srv = ControlServer(spark).start()
+    yield srv
+    srv.stop()
+
+
+def _pipe_body(tmp_path, name="pg_main"):
+    return {
+        "name": name,
+        "table_mappings": ["public.users"],
+        "config": {
+            "source_dir": str(tmp_path / "feed"),
+            "lake_dir": str(tmp_path / "lake"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "dlq_dir": str(tmp_path / "dlq"),
+        },
+    }
+
+
+def test_pipeline_crud_over_http(server, tmp_path):
+    p = server.port
+    # empty list
+    assert _call(p, "GET", "/api/v1/pipelines") == (200, {"pipelines": []})
+
+    # create
+    status, out = _call(p, "POST", "/api/v1/pipelines", _pipe_body(tmp_path))
+    assert status == 201
+    assert out["name"] == "pg_main" and out["paused"] is False
+    assert out["config"]["source_dir"].endswith("feed")
+
+    # duplicate create → 409 conflict
+    status, out = _call(p, "POST", "/api/v1/pipelines", _pipe_body(tmp_path))
+    assert status == 409 and "already exists" in out["error"]
+
+    # get / list / status
+    assert _call(p, "GET", "/api/v1/pipelines")[1] == {"pipelines": ["pg_main"]}
+    status, out = _call(p, "GET", "/api/v1/pipelines/pg_main")
+    assert status == 200 and out["table_mappings"] == ["public.users"]
+    status, out = _call(p, "GET", "/api/v1/pipelines/pg_main/status")
+    assert status == 200 and out["state"] == "stopped"
+
+    # update
+    status, out = _call(p, "PUT", "/api/v1/pipelines/pg_main", {"paused": True})
+    assert status == 200 and out["paused"] is True
+
+    # table mappings (dotted two-part names, pipeline.go:196-236)
+    status, out = _call(
+        p, "POST", "/api/v1/pipelines/pg_main/tables", {"table": "public.orders"}
+    )
+    assert status == 200 and out["table_mappings"] == ["public.users", "public.orders"]
+    status, out = _call(
+        p, "DELETE", "/api/v1/pipelines/pg_main/tables/public.orders"
+    )
+    assert status == 200 and out["table_mappings"] == ["public.users"]
+
+    # stop on a non-running pipeline is a safe no-op
+    assert _call(p, "POST", "/api/v1/pipelines/pg_main/stop")[0] == 200
+
+    # delete, then 404
+    assert _call(p, "DELETE", "/api/v1/pipelines/pg_main")[0] == 200
+    assert _call(p, "GET", "/api/v1/pipelines/pg_main")[0] == 404
+    assert _call(p, "DELETE", "/api/v1/pipelines/pg_main")[0] == 404
+
+
+def test_identifier_validation_parity(server, tmp_path):
+    p = server.port
+    # create with a bad identifier → 400, same rule as services/query.go
+    bad = _pipe_body(tmp_path, name="bad-name")
+    status, out = _call(p, "POST", "/api/v1/pipelines", bad)
+    assert status == 400 and "invalid identifier" in out["error"]
+    status, out = _call(p, "GET", "/api/v1/pipelines/1abc")
+    assert status == 400 and "invalid identifier" in out["error"]
+    # injection-shaped table mapping rejected before touching the registry
+    _call(p, "POST", "/api/v1/pipelines", _pipe_body(tmp_path))
+    status, out = _call(
+        p, "POST", "/api/v1/pipelines/pg_main/tables", {"table": "users; DROP"}
+    )
+    assert status == 400
+    status, out = _call(
+        p, "POST", "/api/v1/pipelines/pg_main/tables", {"table": "a.b.c"}
+    )
+    assert status == 400
+    # catalog browse validates path identifiers too
+    status, out = _call(p, "GET", "/api/v1/query/catalogs/spark_catalog/schemas/1bad/tables")
+    assert status == 400 and "invalid identifier" in out["error"]
+
+
+def test_catalog_browse_over_http(server, spark, sf_dir):
+    from philotes_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    p = server.port
+    status, out = _call(p, "GET", "/api/v1/query/catalogs")
+    assert status == 200 and "spark_catalog" in out["catalogs"]
+    status, out = _call(p, "GET", "/api/v1/query/catalogs/spark_catalog/schemas")
+    assert status == 200 and "default" in out["schemas"]
+    status, out = _call(
+        p, "GET", "/api/v1/query/catalogs/spark_catalog/schemas/default/tables"
+    )
+    assert status == 200
+    for t in ("lineitem", "orders", "events"):
+        assert t in out["tables"]
+    status, out = _call(
+        p,
+        "GET",
+        "/api/v1/query/catalogs/spark_catalog/schemas/default/tables/lineitem",
+    )
+    assert status == 200
+    cols = {c["name"]: c["type"] for c in out["columns"]}
+    assert cols["l_orderkey"] == "bigint"
+
+
+def test_http_lifecycle_runs_a_real_pipeline(server, spark, tmp_path):
+    """POST start actually runs the streaming ingest (availableNow) and
+    status reflects it — the HTTP twin of the registry lifecycle test."""
+    import datetime as dt
+
+    from philotes_spark.types import CDC_EVENT_SCHEMA
+
+    p = server.port
+    body = _pipe_body(tmp_path, name="live1")
+    _call(p, "POST", "/api/v1/pipelines", body)
+
+    # drop one CDC event parquet into the feed dir
+    ev = spark.createDataFrame(
+        [
+            (
+                "e1",
+                "0/1",
+                1,
+                dt.datetime(2024, 1, 1),
+                "public",
+                "users",
+                "INSERT",
+                None,
+                '{"id":1}',
+                ["id"],
+                {},
+            )
+        ],
+        CDC_EVENT_SCHEMA,
+    )
+    ev.coalesce(1).write.parquet(body["config"]["source_dir"])
+
+    status, out = _call(
+        p, "POST", "/api/v1/pipelines/live1/start", {"available_now": True}
+    )
+    assert status == 200
+    server.registry._running["live1"].query.awaitTermination(120)
+    status, out = _call(p, "GET", "/api/v1/pipelines/live1/status")
+    assert status == 200 and out["state"] == "running"
+    # double start → 409
+    assert _call(p, "POST", "/api/v1/pipelines/live1/start")[0] == 409
+    assert _call(p, "POST", "/api/v1/pipelines/live1/stop")[0] == 200
+    status, out = _call(p, "GET", "/api/v1/pipelines/live1/status")
+    assert out["state"] == "stopped"
