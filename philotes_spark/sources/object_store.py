@@ -1,20 +1,24 @@
-"""Object-store write path (SURVEY §2A A15) — configuration recipe.
+"""Object-store write path (SURVEY §2A A15).
 
-The reference uploads parquet to S3 itself (``internal/iceberg/writer/
-s3.go:74-140``: multipart upload, retry, path layout). On Spark none of
-that is custom code — the Hadoop S3A connector ships with every
-distribution — but writing to S3 *correctly at scale* requires a specific
-committer configuration: the default FileOutputCommitter does a
-sequential driver-side rename pass that is both slow (S3 rename = copy)
-and unsafe (non-atomic). This module is the working recipe, applied to a
-SparkSession builder or validated against a live session.
+Two tiers:
 
-No object store exists in this sandbox, so the test surface asserts the
-recipe itself (keys/values), exactly like the reference's own s3 tests
-mock the uploader.
+1. **The Spark bulk path** — on a cluster, executors write parquet
+   through the Hadoop S3A connector; the custom code is the *committer
+   recipe* below (magic committer: zero-rename atomic commits), because
+   the default FileOutputCommitter's driver-side rename pass is slow and
+   non-atomic on S3.
+2. **The control-plane path** — manifest/metadata files and
+   snapshot-publish uploads go through the stdlib SigV4 client
+   (:mod:`philotes_spark.sources.s3_client`, the working equivalent of
+   the reference's MinIO wrapper ``internal/iceberg/writer/s3.go:74-140``)
+   — exercised for real in tests against a local mock S3 server.
+   :func:`upload_snapshot_to_s3` mirrors the reference's
+   upload-then-commit-with-rollback flow (``writer.go:126-180``).
 """
 
 from __future__ import annotations
+
+import os
 
 # The magic committer writes task output directly to the destination via
 # S3 multipart uploads held open until job commit — zero renames, atomic
@@ -62,3 +66,64 @@ def validate_s3a_committer(spark) -> list[str]:
         if got != v:
             problems.append(k)
     return problems
+
+
+def upload_snapshot_to_s3(
+    s3,
+    bucket: str,
+    snap,
+    prefix: str = "data",
+    version: int | None = None,
+    catalog=None,
+    namespace: str | None = None,
+    table: str | None = None,
+) -> list[str]:
+    """Upload one SnapshotTable version's newly-added parquet files to
+    the object store, then (optionally) commit them to an Iceberg REST
+    catalog — deleting every uploaded object if the commit fails, the
+    reference's rollback (``writer.go:166-173``). Returns the uploaded
+    keys."""
+    import pyarrow.parquet as pq
+
+    manifest = snap._resolve(version=version)
+    parent: set[str] = set()
+    if manifest["version"] > 1:
+        parent = set(snap._resolve(version=manifest["version"] - 1)["files"])
+    new_files = [f for f in manifest["files"] if f not in parent]
+
+    s3.ensure_bucket(bucket)
+    uploaded: list[str] = []
+    try:
+        for f in new_files:
+            rel = os.path.relpath(f, snap.data_dir)
+            key = f"{prefix}/v{manifest['version']:08d}/{rel}"
+            with open(f, "rb") as fh:
+                s3.put_object(bucket, key, fh.read(), "application/octet-stream")
+            uploaded.append(key)
+        if catalog is not None:
+            data_files = [
+                {
+                    "content": "data",
+                    "file-path": s3.object_url(bucket, key),
+                    "file-format": "parquet",
+                    "record-count": pq.ParquetFile(f).metadata.num_rows,
+                    "file-size-in-bytes": os.path.getsize(f),
+                }
+                for key, f in zip(uploaded, new_files)
+            ]
+            catalog.create_table(
+                namespace,
+                table,
+                snap.read(version=version).schema,
+                partition_by=manifest.get("partition_by"),
+            )
+            if data_files:
+                catalog.commit_append(namespace, table, data_files)
+    except Exception:
+        for key in uploaded:  # roll back orphaned uploads
+            try:
+                s3.delete_object(bucket, key)
+            except Exception:
+                pass
+        raise
+    return uploaded
