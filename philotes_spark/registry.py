@@ -88,6 +88,7 @@ def _tier(name: str) -> tuple[int, int]:
         "multimodal_image_stats",
         "multimodal_image_resize",
         "multimodal_png_stats",
+        "dedup_connected_components",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface

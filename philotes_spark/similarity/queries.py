@@ -216,6 +216,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    prs AS (
+        SELECT va, vb FROM dots
+        JOIN norms na ON na.vec_id = va
+        JOIN norms nb ON nb.vec_id = vb
+        WHERE dp / (na.nrm * nb.nrm) >= 0.35
+    ),
+    edges AS (
+        SELECT va AS u, vb AS v FROM prs UNION SELECT vb, va FROM prs
+    ),
+    reach AS (
+        SELECT u AS node, v AS r FROM edges
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    )
+    SELECT emb.vec_id,
+           CAST(COALESCE(LEAST(mn.m, emb.vec_id), emb.vec_id) AS BIGINT)
+               AS canonical_id,
+           COALESCE(mn.m < emb.vec_id, FALSE) AS is_duplicate
+    FROM embeddings emb
+    LEFT JOIN (SELECT node, MIN(r) AS m FROM reach GROUP BY node) mn
+        ON mn.node = emb.vec_id
+    """,
+)
+def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup over the cosine near-dup graph (τ=0.35):
+    every vector maps to the MINIMUM id in its connected component — the
+    cluster-then-keep-one semantics that the single-pass canonicalizer
+    (dedup_embedding_cosine) approximates. Spark side: iterated min-label
+    propagation, one equi-join+agg shuffle pair per round, converges in
+    O(cluster diameter) rounds with a 1-row convergence probe. The oracle
+    is a WITH RECURSIVE reachability closure over the same exact pair
+    set — an engine-independent proof the propagation closed every
+    chain."""
+    from philotes_spark.dedup.components import dedup_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, 0.35).select("vec_a", "vec_b")
+    return dedup_components(pairs, emb, "vec_id", src="vec_a", dst="vec_b")
+
+
 @query("sim_quantized_topk")  # rows-only: int8 rounding is engine-local
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized brute-force cosine top-10 — the memory-bound scale
