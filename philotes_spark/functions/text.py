@@ -123,3 +123,60 @@ def redact_pii(text: Column) -> Column:
 def pii_counts(text: Column) -> dict[str, Column]:
     """Match count per PII family (regexp_count, JVM-side)."""
     return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+# --- BM25 relevance scoring (Okapi / Lucene formulation) --------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Per-document BM25 score against a fixed term set — the relevance
+    ranking a corpus-curation pipeline uses to mine topical documents.
+    Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    100 TB shape: one explode pass produces (doc, term) postings; term
+    frequencies are restricted to the |q| query terms BEFORE any shuffle
+    (the filter prunes the postings to matched rows only), doc lengths
+    are a second narrow aggregation, and the corpus scalars (N, avgdl)
+    stay IN the plan as broadcast one-row aggregates (the q11 pattern) —
+    no driver actions, fully lazy. The per-term idf table is |q| rows,
+    broadcast. No cartesian anything.
+
+    Returns (id_col, bm25) for documents matching ≥1 query term."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # corpus scalars as a broadcast 1-row frame: N docs + mean doc length
+    scalars = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+
+    matched = toks.filter(F.col("term").isin(query_terms))
+    tf = matched.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        F.log(
+            F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "_avgdl",
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, id_col)
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("bm25"))
+    )

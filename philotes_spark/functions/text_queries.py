@@ -235,3 +235,54 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt["IP"].alias("n_ip"),
         F.md5(redact_pii(F.col("t"))).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    scalars AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'vector', 'merge', 'scan')
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), scalars
+    ),
+    scores AS (
+        SELECT tf.doc_id,
+               SUM(idf.idf * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / idf.avgdl))) AS s
+        FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 4) AS bm25
+    FROM scores
+    ORDER BY ROUND(s, 4) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-20 for a fixed 4-term query over the corpus —
+    the topical-mining primitive of corpus curation (Okapi BM25, Lucene
+    idf, k1=1.2 b=0.75). Postings are pruned to the query terms before
+    any shuffle; corpus scalars (N, avgdl) ride the plan as a broadcast
+    one-row aggregate; the idf table is 4 rows. Ordering is on the
+    ROUNDED score (then doc_id) so 1-ulp summation-order differences
+    between engines cannot reorder the boundary."""
+    from philotes_spark.functions.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["spark", "vector", "merge", "scan"])
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -89,6 +89,7 @@ def _tier(name: str) -> tuple[int, int]:
         "multimodal_image_resize",
         "multimodal_png_stats",
         "dedup_connected_components",
+        "text_bm25_topk",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
