@@ -16,23 +16,48 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _void_to_string(dt: T.DataType) -> T.DataType:
+    """All-null fields infer as VOID; type them string like the JSON
+    reader (and the reference) so downstream casts are total."""
+    if isinstance(dt, T.NullType):
+        return T.StringType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _void_to_string(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_void_to_string(dt.elementType), dt.containsNull)
+    return dt
+
+
 def infer_payload_schema(spark: SparkSession, json_df: DataFrame, col: str) -> T.StructType:
     """A11: infer a typed StructType from a column of JSON payload strings.
 
-    Spark's JSON inference implements the reference's rules natively:
-    per-field type from values, conflicting types degrade toward string,
-    fields sorted by name. Runs distributed (it is a Spark job over the
-    payload column), so inference on a 100 TB backlog parallelizes."""
+    Implemented on Spark 4's VARIANT machinery: ``parse_json`` +
+    ``schema_of_variant_agg`` merge per-row schemas in a single JVM-side
+    aggregation — fully distributed, no RDD round-trip through Python
+    (the pre-r04 path shipped every payload string to Python once). The
+    merged schema arrives as an ``OBJECT<...>`` DDL string; OBJECT is the
+    variant spelling of STRUCT, and all-null VOID fields degrade to
+    string, matching the JSON reader's and the reference's behavior.
+    Fields come back sorted by name (schema.go:66-70)."""
     non_null = json_df.select(F.col(col).alias("j")).filter(F.col("j").isNotNull())
-    schema = (
-        spark.read.json(non_null.rdd.map(lambda r: r.j))
-        if non_null.take(1)
-        else T.StructType([])
-    )
-    if isinstance(schema, DataFrame):
-        schema = schema.schema
+    row = non_null.select(
+        F.schema_of_variant_agg(F.parse_json(F.col("j"))).alias("s")
+    ).collect()
+    ddl = row[0].s if row else None
+    if not ddl or not ddl.startswith("OBJECT<"):
+        return T.StructType([])  # empty input ('VOID') or non-object payloads
+    schema = T._parse_datatype_string(ddl.replace("OBJECT<", "STRUCT<"))
     fields = sorted(
-        (f for f in schema.fields if not f.name.startswith("_corrupt")),
+        (
+            T.StructField(f.name, _void_to_string(f.dataType), f.nullable)
+            for f in schema.fields
+            if not f.name.startswith("_corrupt")
+        ),
         key=lambda f: f.name,
     )
     return T.StructType(list(fields))
