@@ -90,6 +90,7 @@ def _tier(name: str) -> tuple[int, int]:
         "multimodal_png_stats",
         "dedup_connected_components",
         "text_bm25_topk",
+        "asof_purchase_attribution",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
@@ -169,6 +170,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import philotes_spark.operators.relational  # noqa: F401
     import philotes_spark.operators.cdc_queries  # noqa: F401
+    import philotes_spark.operators.asof  # noqa: F401
     import philotes_spark.dedup.queries  # noqa: F401
     import philotes_spark.similarity.queries  # noqa: F401
     import philotes_spark.functions.text_queries  # noqa: F401
