@@ -91,6 +91,7 @@ def _tier(name: str) -> tuple[int, int]:
         "dedup_connected_components",
         "text_bm25_topk",
         "asof_purchase_attribution",
+        "range_error_window_activity",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
@@ -171,6 +172,7 @@ def load_all() -> None:
     import philotes_spark.operators.relational  # noqa: F401
     import philotes_spark.operators.cdc_queries  # noqa: F401
     import philotes_spark.operators.asof  # noqa: F401
+    import philotes_spark.operators.range_join  # noqa: F401
     import philotes_spark.dedup.queries  # noqa: F401
     import philotes_spark.similarity.queries  # noqa: F401
     import philotes_spark.functions.text_queries  # noqa: F401
