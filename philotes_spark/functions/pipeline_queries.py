@@ -18,6 +18,12 @@ from philotes_spark.sources.catalog import load_table
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _sw(lang: str) -> str:
+    from philotes_spark.functions.text import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
 @query(
     "train_split_stats",
     oracle="""
@@ -87,3 +93,83 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_contamination(
         docs, probes, n=5, min_overlap=3
     ).orderBy("doc_id", "probe_id")
+
+
+@query(
+    "corpus_curation_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               len(t) AS n_words,
+               len(list_filter(t, x -> list_contains({_sw('en')}, x))) AS s_en,
+               len(list_filter(t, x -> list_contains({_sw('es')}, x))) AS s_es,
+               len(list_filter(t, x -> list_contains({_sw('de')}, x))) AS s_de,
+               len(list_filter(t, x -> list_contains({_sw('fr')}, x))) AS s_fr,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS survivor
+        FROM toks
+    ),
+    gated AS (
+        SELECT source, n_words,
+               n_words >= 30 AS len_ok,
+               s_en = greatest(s_en, s_es, s_de, s_fr)
+                   AND greatest(s_en, s_es, s_de, s_fr) > 0 AS lang_en,
+               survivor = doc_id AS not_dup
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN lang_en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+           CAST(SUM(CASE WHEN len_ok AND lang_en AND not_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN len_ok AND lang_en AND not_dup THEN n_words
+                    ELSE 0 END) AS BIGINT) AS selected_tokens
+    FROM gated GROUP BY source ORDER BY source
+    """,
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel as ONE composed plan: tokenize →
+    quality gate (length) → language gate (stopword lang-ID = 'en') →
+    exact-dedup survivor gate (min doc_id per content hash) → per-source
+    selection report with token budget. This is the query a
+    training-data pipeline runs nightly; every gate reuses the library
+    primitives (functions.text), and the whole thing is a projection +
+    one content-hash window + one per-source aggregation — two shuffles
+    at any corpus size."""
+    from philotes_spark.functions import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    w = Window.partitionBy(F.md5(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.word_count(t).alias("n_words"),
+        X.lang_predict(t).alias("lang_pred"),
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("not_dup"),
+    )
+    gated = scored.select(
+        "source",
+        "n_words",
+        (F.col("n_words") >= 30).alias("len_ok"),
+        (F.col("lang_pred") == "en").alias("lang_en"),
+        "not_dup",
+    )
+    sel = F.col("len_ok") & F.col("lang_en") & F.col("not_dup")
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("len_ok"), 1).otherwise(0)).alias("n_len_ok"),
+            F.sum(F.when(F.col("lang_en"), 1).otherwise(0)).alias("n_lang_en"),
+            F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_words")).otherwise(0)).alias(
+                "selected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -92,6 +92,7 @@ def _tier(name: str) -> tuple[int, int]:
         "text_bm25_topk",
         "asof_purchase_attribution",
         "range_error_window_activity",
+        "corpus_curation_report",
         "sketch_percentiles",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
