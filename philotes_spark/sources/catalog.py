@@ -48,23 +48,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = cache.get(key)
     if cached is not None:
         return cached
-    if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
-        # by default. The conf is runtime-settable, so set it here rather
-        # than at session build time — load_table must work under ANY
-        # externally built SparkSession, not just our own session factory.
+    # Fixture timestamps are naive parquet TIMESTAMP (isAdjustedToUTC=false;
+    # some generations use NANOS, some MICROS). Pin both runtime-settable
+    # reader confs here rather than at session build time — load_table must
+    # work under ANY externally built SparkSession, not just our own session
+    # factory:
+    # - nanosAsLong: NANOS fixtures otherwise fail to read at all;
+    # - inferTimestampNTZ=false: MICROS fixtures otherwise surface as
+    #   TIMESTAMP_NTZ, a different type than every operator (and the DuckDB
+    #   compare, which runs under the same pinned-UTC convention) was built
+    #   against. With the UTC session timezone the LTZ reading is
+    #   value-identical to the naive one.
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(conf, val)
         except Exception:
-            pass  # conf locked down: fall through, read may still work
+            pass  # conf locked down: fall through, casts below recover
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the fixture parquet — Spark reads it
-    # as long (nanosAsLong, see session.py); truncate ns→µs exactly like
+    # events.ts is TIMESTAMP(NANOS) in older fixture generations — Spark
+    # reads it as long (nanosAsLong above); truncate ns→µs exactly like
     # DuckDB does so both engines see identical values.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Fallback when the NTZ-inference conf was locked down externally:
+    # normalize any remaining TIMESTAMP_NTZ column to TIMESTAMP (UTC
+    # session TZ makes the cast value-identical).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     cache[key] = df
     return df
 
@@ -87,8 +105,12 @@ def show_create_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     persisted catalog table; the fixture tables are path-based parquet, so
     the statement is generated — same text a catalog-backed table yields."""
     df = load_table(spark, sf_dir, name)
+    # DDL is rendered in the PG/DuckDB dialect the reference speaks, where
+    # TIMESTAMP already means "without time zone" — Spark's TIMESTAMP_NTZ
+    # is the same type under a dialect-specific name, so normalize it.
     cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields
+        f"{f.name} {f.dataType.simpleString().upper().replace('TIMESTAMP_NTZ', 'TIMESTAMP')}"
+        for f in df.schema.fields
     )
     return f"CREATE TABLE {name} ({cols}) USING parquet"
 
