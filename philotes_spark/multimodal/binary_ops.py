@@ -298,8 +298,8 @@ def decode_png(payload: bytes):
     ``zlib`` inflate, scanline unfilter (all five filter types), numpy
     reshape. Supports 8-bit depth, no interlace, color types 0
     (greyscale, expanded to RGB), 2 (RGB), 6 (RGBA, alpha dropped) —
-    the common real-media format the PPM tier couldn't cover; JPEG (DCT)
-    remains the honest PIL-needing stub in ``decode_image``."""
+    the common real-media format the PPM tier couldn't cover; baseline
+    JPEG is handled by the pure-numpy codec in ``jpeg.py``."""
     import struct
     import zlib
 
@@ -376,17 +376,18 @@ def decode_png(payload: bytes):
 
 def decode_any_image(payload: bytes):
     """Magic-sniffing dispatch over the real decoders: binary PPM (P6),
-    PNG (stdlib inflate+unfilter). JPEG is DCT-coded — an honest
-    ``NotImplementedError`` until PIL exists in the environment."""
+    PNG (stdlib inflate+unfilter), baseline JPEG (pure-numpy T.81 codec —
+    Huffman + IDCT + chroma upsampling; progressive/arithmetic rejected
+    with a clear error by the codec itself)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires PIL/libjpeg — not present in this container"
-        )
-    raise ValueError("unrecognized image format (supported: PPM P6, PNG)")
+        from philotes_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image format (supported: PPM P6, PNG, JPEG)")
 
 
 def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -197,7 +197,8 @@ class _BitWriter:
 
     def flush(self) -> None:
         if self._n:
-            self.write(0x7F, 7 - ((self._n - 1) % 8) + 1)  # pad with 1s
+            pad = 8 - (self._n % 8)  # T.81 F.1.2.3: pad final byte with 1-bits
+            self.write((1 << pad) - 1, pad)
         self._acc, self._n = 0, 0
 
 
@@ -483,6 +484,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated marker segment")
         if m == 0xDB:  # DQT (possibly several tables per marker)
             i = 0
             while i < len(body):
@@ -513,7 +516,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG supported")
             comps = []
             for c in range(nc):
-                cid, hv, tq = body[5 + 3 * c : 8 + 3 * c]
+                # component specs start right after the 6-byte >BHHB header
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

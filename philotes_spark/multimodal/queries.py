@@ -228,6 +228,74 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_stats",
+    oracle="""
+    WITH tiles AS (
+        SELECT doc_id, UNNEST(generate_series(0, 3)) AS t
+        FROM documents WHERE doc_id < 200
+    ), rt AS (
+        -- exact flat-tile JPEG roundtrip at quality 90 (DC quantum q0 = 3):
+        -- v' = floor(floor(8*(v-128)/q0 + 1/2)*q0/8 + 1/2) + 128
+        SELECT doc_id,
+               LEAST(GREATEST(FLOOR(FLOOR(
+                   8 * ((doc_id * 37 + t * 59) % 256 - 128) / 3.0 + 0.5
+               ) * 3 / 8.0 + 0.5) + 128, 0), 255) AS vp
+        FROM tiles
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           ROUND(AVG(vp), 4) AS mean_r,
+           ROUND(AVG(vp), 4) AS mean_b
+    FROM rt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode roundtrip (pure-numpy T.81 codec, no
+    PIL): each document becomes a 16×16 gray image of four flat 8×8
+    tiles, encoded at quality 90 with the subsampling mode CYCLING
+    through 4:4:4 / 4:2:2 / 4:2:0 by doc_id and restart markers every
+    MCU, then decoded with the genuine Huffman+IDCT decoder inside
+    Arrow-batched mapInPandas. Flat tiles reconstruct EXACTLY up to DC
+    quantization (jpeg.py module contract), so the oracle recomputes the
+    roundtrip value in pure SQL — a wrong SOF parse, Huffman table,
+    dequant, restart resync, chroma transform, or upsample stride
+    hash-mismatches. mean_r vs mean_b also pins chroma neutrality
+    through the subsampled path."""
+    import numpy as np
+
+    from philotes_spark.multimodal.binary_ops import image_stats
+    from philotes_spark.multimodal.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def synth(it):
+        def make(doc: int) -> bytes:
+            img = np.zeros((16, 16, 3), np.uint8)
+            for t in range(4):
+                v = (doc * 37 + t * 59) % 256
+                r, c = divmod(t, 2)
+                img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, :] = v
+            sub = ("444", "422", "420")[doc % 3]
+            return encode_jpeg(img, quality=90, subsampling=sub, restart_interval=1)
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["doc_id"].map(lambda d: make(int(d)))
+            yield pdf
+
+    jpegs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    out = image_stats(jpegs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.round(F.col("image.mean_r"), 4).alias("mean_r"),
+        F.round(F.col("image.mean_b"), 4).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
 _PX2 = "(doc_id * 31 + (y.y * 2) * 13 + (x.x * 2) * 7 + {c} * 91) % 256"
 
 

@@ -88,12 +88,18 @@ def _tier(name: str) -> tuple[int, int]:
         "multimodal_image_stats",
         "multimodal_image_resize",
         "multimodal_png_stats",
-        "dedup_connected_components",
-        "text_bm25_topk",
+        "multimodal_jpeg_stats",
         "asof_purchase_attribution",
         "range_error_window_activity",
         "corpus_curation_report",
         "sketch_percentiles",
+        # r05 rotation (VERDICT r04 next-round #6): swap these two below the
+        # window — each is duplicate coverage of a cosine/array shape that
+        # stays window-green via sim_cosine_topk / sim_threshold_pairs —
+        # freeing two slots so text_bm25_topk and dedup_connected_components
+        # (removed from this list) are driver-hard-verified for the first time
+        "sim_norm_stats",
+        "dedup_embedding_cosine",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

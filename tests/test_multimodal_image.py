@@ -133,8 +133,12 @@ def test_decode_any_image_dispatch():
     px = _img(4, 4, seed=3)
     assert np.array_equal(decode_any_image(encode_ppm(px)), px)
     assert np.array_equal(decode_any_image(encode_png(px)), px)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_any_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # JPEG now dispatches to the real baseline codec (exact on a flat
+    # tile at gray 128, shape-exact always)
+    from philotes_spark.multimodal.jpeg import encode_jpeg
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_any_image(encode_jpeg(flat)), flat)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_any_image(b"GIF89a...")
 
