@@ -2,7 +2,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "reps": N}.
+"queries": {name: sec}, "sf": ..., "reps": N, plus the same-run DuckDB
+oracle reference: "oracle_total" and "ratio_cold"/"ratio_steady" over
+the oracle-backed subset — the 2x gate is decidable from this line
+alone, immune to cross-run host-load skew}.
 
 Headline set = one representative per operator family (scan/agg, joins,
 top-N, window, CDC, dedup, similarity, text) — the queries a user of the
@@ -75,6 +78,29 @@ def _setup():
     return registry, spark
 
 
+def _oracle_times(registry, sf_dir: str, names: list[str], reps: int) -> dict[str, float]:
+    """Best-of-N DuckDB timing for the oracle-backed subset of ``names``,
+    in-process on the same host — the reference point that makes the JSON
+    line self-referencing (VERDICT r04 #1: the 2x gate must be decidable
+    from the artifact alone, not from a separately-run PERF.md number)."""
+    import duckdb
+
+    from philotes_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in registry.ORACLES:
+            continue
+        sql = registry.ORACLES[name]
+        best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
+        out[name] = round(best, 3)
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry, spark = _setup()
@@ -127,6 +153,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # the oracle, timed in the SAME run on the SAME host: ratios below are
+    # computed over the oracle-backed subset only (apples to apples)
+    oracle = _oracle_times(registry, sf_dir, HEADLINE, reps)
+    oracle_total = round(sum(oracle.values()), 3)
+    sub_cold = round(sum(cold[n] for n in oracle), 3)
+    sub_steady = round(sum(steady[n] for n in oracle), 3)
+
     print(
         json.dumps(
             {
@@ -140,6 +173,15 @@ def main() -> None:
                 # reuse): the serving-latency reading, clearly separated
                 "value_steady": round(sum(steady.values()), 3),
                 "queries_steady": steady,
+                # same-run DuckDB oracle reference (oracle-backed subset of
+                # the headline set) + the 2x-gate ratios, so this line is
+                # judgeable standalone even under driver-host load
+                "oracle_queries": oracle,
+                "oracle_total": oracle_total,
+                "spark_total_oracle_subset": sub_cold,
+                "spark_total_oracle_subset_steady": sub_steady,
+                "ratio_cold": round(sub_cold / oracle_total, 2) if oracle_total else None,
+                "ratio_steady": round(sub_steady / oracle_total, 2) if oracle_total else None,
                 "sf": sf_dir,
                 "reps": reps,
             }
