@@ -16,14 +16,19 @@ the same session the reference holds through pgstream
       → CopyData frames (XLogData / keepalive)     ('d')
       ← CopyData standby status updates            ('d' wrapping 'r')
 
-Authentication beyond MD5 (SCRAM) is out of scope here — a production
-deployment fronts the connection with a auth proxy or uses the Debezium/
-Kafka adapter; the protocol framing below is identical either way.
+Auth methods: cleartext, MD5, and SCRAM-SHA-256 (RFC 5802/7677 over the
+SASL message flow of the PG docs "SASL Authentication" section) — the
+default of every modern PostgreSQL. SCRAM-SHA-256-PLUS (TLS channel
+binding) is not offered since this client doesn't speak TLS; the gs2
+header is therefore always ``n,,``.
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac
+import secrets
 import socket
 import struct
 from typing import Iterator
@@ -56,6 +61,70 @@ class PgServerError(RuntimeError):
             f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: "
             f"{fields.get('M', 'unknown server error')}"
         )
+
+
+class ScramClient:
+    """SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677
+    hash parameters), gs2 header fixed to ``n,,`` (no channel binding).
+
+    PostgreSQL ignores the ``n=`` username attribute (the startup-message
+    user wins), so like libpq we send it empty. Passwords are used as
+    UTF-8; full SASLprep normalization (RFC 4013) is a no-op for the
+    ASCII passwords this client targets."""
+
+    def __init__(self, password: str, nonce: str | None = None) -> None:
+        self._password = password
+        self._client_nonce = nonce or base64.b64encode(
+            secrets.token_bytes(18)
+        ).decode()
+        self.client_first_bare = f"n=,r={self._client_nonce}"
+        self._server_signature: str | None = None
+
+    def client_first(self) -> str:
+        return "n,," + self.client_first_bare
+
+    def client_final(self, server_first: str) -> str:
+        attrs = _scram_attrs(server_first)
+        nonce = attrs["r"]
+        if not nonce.startswith(self._client_nonce) or nonce == self._client_nonce:
+            raise PgProtocolError("SCRAM server nonce must extend the client nonce")
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password.encode(), salt, iterations
+        )
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={nonce}"  # biws = base64("n,,")
+        auth_message = ",".join(
+            [self.client_first_bare, server_first, without_proof]
+        ).encode()
+        client_sig = hmac.digest(stored_key, auth_message, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        self._server_signature = base64.b64encode(
+            hmac.digest(server_key, auth_message, "sha256")
+        ).decode()
+        return f"{without_proof},p={base64.b64encode(proof).decode()}"
+
+    def verify_server_final(self, server_final: str) -> None:
+        """Mutual auth: the server must prove it holds ServerKey."""
+        attrs = _scram_attrs(server_final)
+        if "e" in attrs:
+            raise PgProtocolError(f"SCRAM server error: {attrs['e']}")
+        if self._server_signature is None:
+            raise PgProtocolError("SCRAM final before client-final was sent")
+        if not hmac.compare_digest(attrs.get("v", ""), self._server_signature):
+            raise PgProtocolError("SCRAM server signature mismatch")
+
+
+def _scram_attrs(message: str) -> dict[str, str]:
+    """``k=v,...`` SCRAM attribute list (values may contain '=')."""
+    out: dict[str, str] = {}
+    for part in message.split(","):
+        if len(part) >= 2 and part[1] == "=":
+            out[part[0]] = part[2:]
+    return out
 
 
 class PgWireClient:
@@ -122,6 +191,7 @@ class PgWireClient:
         self._auth_loop()
 
     def _auth_loop(self) -> None:
+        scram: ScramClient | None = None
         while True:
             kind, body = self._recv_message()
             if kind == b"R":
@@ -142,6 +212,37 @@ class PgWireClient:
                     ).hexdigest()
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send_message(b"p", b"md5" + digest.encode() + b"\x00")
+                    continue
+                if code == 10:  # AuthenticationSASL: pick SCRAM-SHA-256
+                    if self.password is None:
+                        raise PgProtocolError("server wants a password")
+                    mechanisms = [
+                        m.decode() for m in body[4:].split(b"\x00") if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechanisms:
+                        raise PgProtocolError(
+                            f"no supported SASL mechanism in {mechanisms} "
+                            "(only SCRAM-SHA-256 without channel binding)"
+                        )
+                    scram = ScramClient(self.password)
+                    first = scram.client_first().encode()
+                    self._send_message(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">I", len(first))
+                        + first,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    if scram is None:
+                        raise PgProtocolError("SASLContinue before SASL start")
+                    final = scram.client_final(body[4:].decode())
+                    self._send_message(b"p", final.encode())
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: mutual auth check
+                    if scram is None:
+                        raise PgProtocolError("SASLFinal before SASL start")
+                    scram.verify_server_final(body[4:].decode())
                     continue
                 raise PgProtocolError(f"unsupported auth method {code}")
             elif kind in (b"S", b"K", b"N"):  # ParameterStatus/KeyData/Notice

@@ -58,15 +58,83 @@ def _send_msg(conn: socket.socket, kind: bytes, body: bytes) -> None:
     conn.sendall(kind + struct.pack(">I", len(body) + 4) + body)
 
 
-class MockWalsender(threading.Thread):
-    """Single-connection walsender: handshake, optional MD5 auth, one
-    START_REPLICATION, canned CopyData frames, CopyDone, then drains the
-    client's standby-status CopyData messages until disconnect."""
+def _scram_server_exchange(
+    conn: socket.socket, rd: "_Reader", password: str, tamper_signature: bool = False
+) -> None:
+    """Server side of the RFC 7677 SCRAM-SHA-256 exchange over the PG
+    SASL message flow — a real verifier (derives StoredKey/ServerKey via
+    PBKDF2 and checks the client proof), not a rubber stamp."""
+    import base64
+    import hmac as hmac_mod
+    import hashlib as hl
 
-    def __init__(self, frames: list[bytes], md5_auth: tuple[str, str] | None = None):
+    # AuthenticationSASL with the mechanism list
+    _send_msg(conn, b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00")
+    kind, body = rd.msg()
+    assert kind == b"p", kind
+    mech, rest = body.split(b"\x00", 1)
+    assert mech == b"SCRAM-SHA-256", mech
+    (ilen,) = struct.unpack_from(">I", rest)
+    client_first = rest[4 : 4 + ilen].decode()
+    assert client_first.startswith("n,,"), client_first
+    client_bare = client_first[3:]
+    client_nonce = dict(
+        p.split("=", 1) for p in client_bare.split(",")
+    )["r"]
+
+    salt, iterations = b"pepper-salt-0123", 4096
+    server_nonce = client_nonce + "SRVNONCE"
+    server_first = (
+        f"r={server_nonce},s={base64.b64encode(salt).decode()},i={iterations}"
+    )
+    _send_msg(conn, b"R", struct.pack(">I", 11) + server_first.encode())
+
+    kind, body = rd.msg()
+    assert kind == b"p", kind
+    client_final = body.decode()
+    attrs = dict(p.split("=", 1) for p in client_final.split(",") if "=" in p)
+    assert attrs["c"] == "biws", attrs  # base64("n,,") — no channel binding
+    assert attrs["r"] == server_nonce, attrs
+    without_proof = client_final[: client_final.rindex(",p=")]
+    auth_message = ",".join([client_bare, server_first, without_proof]).encode()
+
+    salted = hl.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+    client_key = hmac_mod.digest(salted, b"Client Key", "sha256")
+    stored_key = hl.sha256(client_key).digest()
+    client_sig = hmac_mod.digest(stored_key, auth_message, "sha256")
+    proof = base64.b64decode(attrs["p"])
+    recovered_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+    assert hl.sha256(recovered_key).digest() == stored_key, "SCRAM proof mismatch"
+
+    server_key = hmac_mod.digest(salted, b"Server Key", "sha256")
+    server_sig = hmac_mod.digest(server_key, auth_message, "sha256")
+    if tamper_signature:
+        server_sig = bytes(b ^ 0xFF for b in server_sig)
+    _send_msg(
+        conn,
+        b"R",
+        struct.pack(">I", 12) + b"v=" + base64.b64encode(server_sig),
+    )
+
+
+class MockWalsender(threading.Thread):
+    """Single-connection walsender: handshake, optional MD5 or SCRAM
+    auth, one START_REPLICATION, canned CopyData frames, CopyDone, then
+    drains the client's standby-status CopyData messages until
+    disconnect."""
+
+    def __init__(
+        self,
+        frames: list[bytes],
+        md5_auth: tuple[str, str] | None = None,
+        scram_password: str | None = None,
+        scram_tamper: bool = False,
+    ):
         super().__init__(daemon=True)
         self.frames = frames
         self.md5_auth = md5_auth  # (user, password) to verify
+        self.scram_password = scram_password
+        self.scram_tamper = scram_tamper
         self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listener.bind(("127.0.0.1", 0))
         self.listener.listen(1)
@@ -107,6 +175,10 @@ class MockWalsender(threading.Thread):
             inner = hashlib.md5(password.encode() + user.encode()).hexdigest()
             want = b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
             assert pbody.rstrip(b"\x00") == want, "md5 digest mismatch"
+        elif self.scram_password is not None:
+            _scram_server_exchange(
+                conn, rd, self.scram_password, tamper_signature=self.scram_tamper
+            )
         _send_msg(conn, b"R", struct.pack(">I", 0))  # AuthenticationOk
         _send_msg(conn, b"S", b"server_version\x0016.0\x00")
         _send_msg(conn, b"K", struct.pack(">II", 1234, 5678))
@@ -220,6 +292,92 @@ def test_md5_auth_round_trip(tmp_path):
     server.join(timeout=10)
     assert server.error is None, server.error
     assert n == 4
+
+
+def test_scram_auth_round_trip(tmp_path):
+    """Full SCRAM-SHA-256 session against a real verifier (the server
+    derives StoredKey via PBKDF2 and checks the proof, the client checks
+    the server signature — mutual auth), then replication proceeds."""
+    server = MockWalsender(_frames(), scram_password="s3cret-pw")
+    server.start()
+    conn = PgReplicationConnection(
+        f"host=127.0.0.1 port={server.port} user=repl dbname=app password=s3cret-pw",
+        "s",
+        "p",
+    )
+    n, _ = drain_feed_to_wal(conn, str(tmp_path))
+    conn.close()
+    server.join(timeout=10)
+    assert server.error is None, server.error
+    assert n == 4
+
+
+def test_scram_wrong_password_rejected():
+    server = MockWalsender(_frames(), scram_password="right-pw")
+    server.start()
+    client = PgWireClient(
+        "127.0.0.1", server.port, "repl", "app", password="wrong-pw"
+    )
+    with pytest.raises(Exception):  # server-side proof assertion trips
+        client.connect()
+    client.close()
+    server.join(timeout=10)
+    assert server.error is not None  # the mock's proof check fired
+
+
+def test_scram_tampered_server_signature_rejected():
+    """Mutual auth: a server that cannot produce ServerSignature (e.g. a
+    MITM without the verifier) must be rejected by the client."""
+    from philotes_spark.streaming.pgwire import PgProtocolError
+
+    server = MockWalsender(_frames(), scram_password="pw", scram_tamper=True)
+    server.start()
+    client = PgWireClient("127.0.0.1", server.port, "repl", "app", password="pw")
+    with pytest.raises(PgProtocolError, match="server signature"):
+        client.connect()
+    client.close()
+    server.join(timeout=10)
+
+
+def test_scram_client_vectors():
+    """RFC 7677 §3 test vectors for the client side (user 'user',
+    password 'pencil', the published nonces/salt)."""
+    from philotes_spark.streaming.pgwire import ScramClient
+
+    c = ScramClient("pencil", nonce="rOprNGfwEbeRWgbNEkqO")
+    assert c.client_first() == "n,,n=,r=rOprNGfwEbeRWgbNEkqO"
+    # server-first from the RFC vector
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    # RFC 7677 uses n=user; PG (and this client) send n= empty, so the
+    # proof differs from the RFC's — but it must verify against an
+    # independent PBKDF2 derivation of the same AuthMessage:
+    final = c.client_final(server_first)
+    import base64
+    import hmac as hmac_mod
+    import hashlib as hl
+
+    attrs = dict(p.split("=", 1) for p in final.split(",") if "=" in p)
+    without_proof = final[: final.rindex(",p=")]
+    auth_message = ",".join(
+        ["n=,r=rOprNGfwEbeRWgbNEkqO", server_first, without_proof]
+    ).encode()
+    salted = hl.pbkdf2_hmac(
+        "sha256", b"pencil", base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ=="), 4096
+    )
+    client_key = hmac_mod.digest(salted, b"Client Key", "sha256")
+    stored_key = hl.sha256(client_key).digest()
+    client_sig = hmac_mod.digest(stored_key, auth_message, "sha256")
+    proof = base64.b64decode(attrs["p"])
+    assert bytes(a ^ b for a, b in zip(proof, client_sig)) == client_key
+    # and the client must reject a non-extending server nonce
+    c2 = ScramClient("pencil", nonce="abc")
+    from philotes_spark.streaming.pgwire import PgProtocolError
+
+    with pytest.raises(PgProtocolError, match="nonce"):
+        c2.client_final("r=zzz,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
 
 
 def test_server_error_surfaces():
