@@ -258,3 +258,58 @@ class RestCatalog:
         if data_files:
             self.commit_append(namespace, table, data_files)
         return len(data_files)
+
+    def verify_publish(
+        self, namespace: str, table: str, snap, version: int | None = None
+    ) -> dict:
+        """External-engine readback check: load the table BACK through the
+        catalog and assert what any other engine would see — schema and
+        committed file list — matches the local SnapshotTable manifest at
+        ``version``. This is the round-trip the reference's architecture
+        exists for (Trino reading its published tables,
+        ``internal/api/services/query.go:22-27``); publish without a
+        readback is a write into the void.
+
+        Returns ``{"files": n, "records": n}`` on success; raises
+        :class:`CatalogError` on any divergence."""
+        manifest = snap._resolve(version=version)
+        local_files = set(manifest["files"])
+
+        loaded = self.load_table(namespace, table)
+        meta = loaded.get("metadata", {})
+        served = loaded.get("data-files", [])
+        served_paths = {f["file-path"] for f in served}
+        if served_paths != local_files:
+            raise CatalogError(
+                200,
+                (
+                    f"file-list divergence: catalog serves {sorted(served_paths)}"
+                    f" but local manifest v{manifest['version']} has"
+                    f" {sorted(local_files)}"
+                ).encode(),
+            )
+
+        want = schema_to_rest(snap.read(version=version).schema)
+        got_fields = meta.get("schema", {}).get("fields", [])
+        want_fields = [(f["name"], f["type"], f["required"]) for f in want["fields"]]
+        if [(f["name"], f["type"], f["required"]) for f in got_fields] != want_fields:
+            raise CatalogError(
+                200,
+                f"schema divergence: catalog serves {got_fields},"
+                f" local is {want['fields']}".encode(),
+            )
+
+        import pyarrow.parquet as pq
+
+        for f in served:
+            actual = pq.ParquetFile(f["file-path"]).metadata.num_rows
+            if actual != f["record-count"]:
+                raise CatalogError(
+                    200,
+                    f"record-count divergence for {f['file-path']}:"
+                    f" catalog says {f['record-count']}, file has {actual}".encode(),
+                )
+        return {
+            "files": len(served),
+            "records": sum(f["record-count"] for f in served),
+        }

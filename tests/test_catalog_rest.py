@@ -64,6 +64,7 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     {
                         "metadata": srv.tables[key],
+                        "data-files": srv.commits.get(key, []),
                         "data-files-committed": len(srv.commits.get(key, [])),
                     },
                 )
@@ -209,3 +210,48 @@ def test_publish_snapshot_bridge(mock_catalog, spark, tmp_path):
     meta = cat.load_table("lake", "tbl")
     names = [f["name"] for f in meta["metadata"]["schema"]["fields"]]
     assert names == ["k", "v"]
+
+
+def test_publish_load_round_trip_external_readback(mock_catalog, spark, tmp_path):
+    """VERDICT r04 #5: after publishing, load the table BACK through the
+    adapter and assert schema + file-list + record-count fidelity against
+    the local manifest; then an actual external engine (DuckDB, standing
+    in for Trino) reads exactly the files the catalog serves and must
+    reproduce the snapshot's rows."""
+    import duckdb
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    )
+    snap.commit(spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1))
+
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("lake", "rt", snap, version=1)
+    cat.publish_snapshot("lake", "rt", snap, version=2)
+
+    summary = cat.verify_publish("lake", "rt", snap, version=2)
+    assert summary == {"files": 2, "records": 3}
+
+    # external-engine readback: DuckDB reads the catalog-served file list
+    served = cat.load_table("lake", "rt")["data-files"]
+    paths = [f["file-path"] for f in served]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT k, v FROM read_parquet(?) ORDER BY k", [paths]
+    ).fetchall()
+    con.close()
+    local = sorted(
+        (r.k, r.v) for r in snap.read(version=2).select("k", "v").collect()
+    )
+    assert got == local
+
+    # divergence detection: a file the catalog never saw must fail the check
+    snap.commit(spark.createDataFrame([(4, "d")], "k long, v string").coalesce(1))
+    with pytest.raises(CatalogError, match="file-list divergence"):
+        cat.verify_publish("lake", "rt", snap, version=3)
+    # ...and publishing v3 heals it
+    cat.publish_snapshot("lake", "rt", snap, version=3)
+    assert cat.verify_publish("lake", "rt", snap, version=3)["records"] == 4
