@@ -36,6 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure ``spark.read.parquet`` — scans stay
     pushdown- and pruning-capable.
 
+    TIMEZONE REQUIREMENT: the fixtures hold naive timestamps, and the
+    NTZ→LTZ normalization below is value-identical only under a UTC
+    session timezone (``spark.sql.session.timeZone=UTC``, which
+    :func:`philotes_spark.session.get_spark` pins). Under any other
+    session timezone every timestamp would silently shift, so a non-UTC
+    session warns loudly here rather than corrupting quietly.
+
     The analyzed DataFrame is cached ON the session (re-reading parquet
     footers + schema analysis costs 50–115 ms per call, and a query roster
     touches tables dozens of times). The cached object is a lazy plan, not
@@ -43,6 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session gets a fresh cache and re-runs the conf setup below."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"load_table requires spark.sql.session.timeZone=UTC for "
+            f"value-identical naive-timestamp reads; session has {tz!r} — "
+            f"timestamp columns will be shifted",
+            stacklevel=2,
+        )
     cache = spark.__dict__.setdefault("_philotes_plan_cache", {})
     key = (sf_dir, name)
     cached = cache.get(key)

@@ -82,6 +82,9 @@ class MockS3(ThreadingHTTPServer):
         self.uploads: dict[str, list[bytes]] = {}  # uploadId -> parts
         self.sig_errors: list[str] = []
         self.fail_next_put = False  # fault injection for multipart abort
+        # countdown fault injection: let N object PUTs succeed, fail the
+        # next one (mid-commit failure with orphans already uploaded)
+        self.fail_put_after: int | None = None
         self.port = self.server_address[1]
 
 
@@ -158,6 +161,11 @@ class _Handler(BaseHTTPRequestHandler):
             if srv.fail_next_put:
                 srv.fail_next_put = False
                 return self._reply(500, b"<Error>InternalError</Error>")
+            if srv.fail_put_after is not None:
+                if srv.fail_put_after == 0:
+                    srv.fail_put_after = None
+                    return self._reply(500, b"<Error>InternalError</Error>")
+                srv.fail_put_after -= 1
             srv.objects[(bucket, key)] = body
             return self._reply(200, headers={"ETag": f'"{hashlib.md5(body).hexdigest()}"'})
         if self.command == "GET":
@@ -267,4 +275,38 @@ def test_snapshot_upload_with_catalog_rollback(mock_s3, client, spark, tmp_path)
             table="t",
         )
     assert set(mock_s3.objects) == before, "failed commit left orphan uploads"
+    assert mock_s3.sig_errors == []
+
+
+def test_snapshot_upload_mid_commit_failure_rolls_back_orphans(
+    mock_s3, client, spark, tmp_path
+):
+    """VERDICT r04 #8: force the failure MID-upload — some data objects
+    have already landed when a later PUT 500s — and assert the rollback
+    deletes those orphans (writer.go:165-173), then a clean retry of the
+    same version succeeds."""
+    from philotes_spark.sources.object_store import upload_snapshot_to_s3
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(100)], "k long, v string"
+    )
+    snap.commit(df.repartition(3))  # three data files in v1
+
+    client.ensure_bucket("lake")
+    before = set(mock_s3.objects)
+    mock_s3.fail_put_after = 1  # first object lands, second PUT 500s
+    with pytest.raises(S3Error):
+        upload_snapshot_to_s3(client, "lake", snap, prefix="tbl")
+    assert mock_s3.fail_put_after is None, "fault must have fired"
+    assert set(mock_s3.objects) == before, (
+        "mid-commit failure left orphan objects in the bucket"
+    )
+
+    # retry after rollback: idempotent, full version lands
+    keys = upload_snapshot_to_s3(client, "lake", snap, prefix="tbl")
+    assert len(keys) == 3
+    for k in keys:
+        assert client.exists("lake", k)
     assert mock_s3.sig_errors == []
