@@ -9,20 +9,27 @@ connected component maps to the component's minimum id — the standard
 "cluster then keep one per cluster" semantics of large-scale dedup
 (e.g. the MinHash-cluster step in web-scale corpus pipelines).
 
-Algorithm: iterated min-label propagation (the simplified large-star
-operation). Each round, every node's label becomes the minimum label in
-its closed neighborhood; converges in O(diameter) rounds, and near-dup
-graphs are overwhelmingly small-diameter clusters (pairs/triples), so
-2-4 rounds close real corpora. Each round is ONE shuffle pair
-(join on src + min-aggregate on node); the edge list is persisted once
-and reused across rounds; convergence is detected by comparing label
-sums — a 1-row action per round, not a collect of labels.
+Algorithm (default): the large-star/small-star alternation of Kiveris
+et al., "Connected Components in MapReduce and Beyond" (SoCC'14) —
+provably O(log n) rounds on ANY graph shape, including the adversarial
+long-chain case where plain min-label propagation needs O(diameter)
+rounds. Each phase is a min-aggregate on the node key plus an equi-join
+back to the edge list (the join reuses the aggregate's hash
+partitioning on ``u``), then a distinct — no driver-side graph, no
+cartesian anything, edge-set size never grows beyond the input's.
+
+``algorithm="propagate"`` keeps the previous iterated min-label
+propagation (one shuffle pair per round, O(diameter) rounds) — the
+cheaper choice when the pair graph is known to be tiny-diameter
+near-dup clusters (pairs/triples), which real corpora overwhelmingly
+are.
 
 At 100 TB: rounds are bounded (``max_iter``), every step is an
-equi-join/agg on (node, label) longs — no driver-side graph, no
-cartesian anything. For adversarially-deep chains swap in the
-large-star/small-star alternation (same join shapes, provably
-O(log n) rounds).
+equi-join/agg on long keys, and each round ends in an eager
+``localCheckpoint`` so Catalyst analysis cost stays flat instead of
+growing superlinearly with the iteration count (measured: a 12-round
+chain took minutes un-truncated, seconds truncated). On a cluster use
+``checkpoint()`` against the checkpoint dir for fault tolerance.
 """
 
 from __future__ import annotations
@@ -30,32 +37,106 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Deterministic one-action fingerprint of an edge set. Equality
+    across rounds is the convergence probe: at the algorithm's fixpoint
+    the edge set is exactly stable, so the signature is too (count +
+    three independent sums make a collision effectively impossible)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+    ).collect()[0]
+    return tuple(row)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+    ``edges`` must be symmetric (both directions present)."""
+    mins = edges.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        edges.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then connect every smaller neighbor
+    of u (and u itself) to the minimum of u's smaller neighborhood."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = oriented.join(mins, "u")
+    return (
+        with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(with_min.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component) for every node in the pair list, where
     ``component`` is the minimum node id reachable through the pairs.
-    Pairs are undirected; self-loops and duplicates are tolerated."""
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    Pairs are undirected; self-loops and duplicates are tolerated.
+    ``algorithm``: "star" (large-star/small-star, O(log n) rounds) or
+    "propagate" (min-label propagation, O(diameter) rounds)."""
+    if algorithm not in ("star", "propagate"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
-    # start: each node labels itself. Every round ends in an EAGER
-    # localCheckpoint: iterative DataFrame algorithms otherwise stack
-    # each round's join onto the previous round's plan, and Catalyst
-    # analysis cost grows superlinearly with rounds (measured: a 12-round
-    # chain took minutes un-truncated, seconds truncated). On a cluster
-    # use checkpoint() against the checkpoint dir for fault tolerance.
-    labels = (
-        edges.select(F.col("u").alias("node"))
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
+    )
+    if algorithm == "star":
+        prev_sig = None
+        for _ in range(max_iter):
+            # one alternation round; each phase ends in an eager
+            # localCheckpoint to keep the plan flat
+            after_large = _large_star(
+                edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            ).localCheckpoint(eager=True)
+            edges = _small_star(after_large).localCheckpoint(eager=True)
+            sig = _edge_signature(edges)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # fixpoint edges form stars: every non-min node has a direct edge
+        # to its component min
+        labels = (
+            edges.select(
+                F.greatest("u", "v").alias("node"), F.least("u", "v").alias("m")
+            )
+            .groupBy("node")
+            .agg(F.min("m").alias("component"))
+        )
+        out = nodes.join(labels, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+        nodes.unpersist()
+        return out
+
+    edges = edges.persist()
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
+        eager=True
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -82,6 +163,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    nodes.unpersist()
     return labels
 
 
