@@ -202,9 +202,19 @@ def sweep() -> None:
     print(f"# sweep over {len(names)} oracle-backed headline queries", file=sys.stderr)
     print(f"# skipped (no SQL oracle): {skipped}", file=sys.stderr)
 
+    # driver SFs plus any locally generated larger fixtures
+    # (tools/make_scaled_fixtures.py) — the floor-amortization evidence
+    sf_dirs = [f"/root/testdata/{sf}" for sf in ("sf0.001", "sf0.01", "sf0.1")]
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+    if os.path.isdir(fixtures):
+        sf_dirs += sorted(
+            (os.path.join(fixtures, d) for d in os.listdir(fixtures)),
+            key=lambda p: float(os.path.basename(p)[2:]),
+        )
+
     rows_out = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        sf_dir = f"/root/testdata/{sf}"
+    for sf_dir in sf_dirs:
+        sf = os.path.basename(sf_dir)
         registry.QUERIES["b3_count_star"](spark, sf_dir).collect()  # warm
         s_total = 0.0
         for name in names:

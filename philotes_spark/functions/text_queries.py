@@ -286,3 +286,142 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bigr AS (
+        SELECT doc_id, t,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]) AS bg
+        FROM toks
+    ),
+    w AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+    wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+    wstat AS (
+        SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_ratio
+        FROM wc GROUP BY doc_id
+    ),
+    b AS (SELECT doc_id, UNNEST(bg) AS g FROM bigr),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+    bstat AS (
+        SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_ratio
+        FROM bc GROUP BY doc_id
+    ),
+    ustat AS (
+        SELECT doc_id,
+               ROUND(CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+                   AS uniq_bigram_ratio
+        FROM bigr
+    )
+    SELECT wstat.doc_id, top_word_ratio, top_bigram_ratio, uniq_bigram_ratio
+    FROM wstat JOIN bstat USING (doc_id) JOIN ustat USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1: docs dominated by a few tokens/2-grams are low-quality):
+    top_word_ratio (most frequent token's share), top_bigram_ratio, and
+    uniq_bigram_ratio (distinct 2-grams / total). The mode counts are
+    explode + count on (doc_id, gram) then a max/sum per doc — partial
+    aggregation does the heavy lifting map-side, both shuffles are keyed
+    by doc_id+gram / doc_id, no skew (per-doc cardinality is bounded by
+    doc length). The distinct-bigram ratio never leaves the array —
+    pure JVM expression."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    # IF guard: Spark's sequence(1, 0) is DESCENDING, not empty — a
+    # sub-2-token doc would otherwise build garbage indices
+    bigr = docs.select(
+        "doc_id",
+        F.expr(
+            "IF(size(t) < 2, array(),"
+            " transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"
+        ).alias("bg"),
+    )
+    wstat = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 4).alias("top_word_ratio")
+        )
+    )
+    bstat = (
+        bigr.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_ratio")
+        )
+    )
+    ustat = bigr.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("bg")).cast("double") / F.size("bg"), 4
+        ).alias("uniq_bigram_ratio"),
+    )
+    return wstat.join(bstat, "doc_id").join(ustat, "doc_id")
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id, UNNEST(
+            list_transform(generate_series(1, len(t) - 7),
+                           i -> list_aggregate(t[i:i+7], 'string_agg', ' '))
+        ) AS g
+        FROM toks
+    ),
+    counts AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           ROUND(AVG(CASE WHEN counts.nd > 1 THEN 1.0 ELSE 0.0 END), 4)
+               AS dup_ngram_fraction,
+           CAST(count(*) AS BIGINT) AS n_ngrams
+    FROM sh JOIN counts USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-8-gram fraction per document (the
+    Gopher/Dolma `fraction_of_duplicate_ngrams` curation signal): an
+    8-gram is corpus-duplicated when it appears in >= 2 distinct docs;
+    each doc reports the fraction of its 8-grams that are. Shape: narrow
+    shingle explode -> count-distinct-docs per shingle (one shuffle,
+    partial agg map-side) -> equi-join back (same key, same
+    partitioning) -> per-doc avg (one shuffle on doc_id). At 100 TB
+    you'd hash the shingle to a long first to shrink shuffle width; the
+    string key is kept here so the DuckDB oracle can reproduce it
+    byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(t) < 8, array(),"  # sequence(1,<1) is descending
+                " transform(sequence(1, size(t) - 7),"
+                " i -> array_join(slice(t, i, 8), ' ')))"
+            )
+        ).alias("g"),
+    )
+    counts = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg((F.col("nd") > 1).cast("double")), 4).alias(
+                "dup_ngram_fraction"
+            ),
+            F.count("*").alias("n_ngrams"),
+        )
+    )

@@ -100,6 +100,10 @@ def _tier(name: str) -> tuple[int, int]:
         # (removed from this list) are driver-hard-verified for the first time
         "sim_norm_stats",
         "dedup_embedding_cosine",
+        # r05 additions: oracle-gated in pytest, kept below the fixed
+        # 50-slot window so the rotation above stays exactly as planned
+        "text_repetition_stats",
+        "text_dup_ngram_fraction",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
