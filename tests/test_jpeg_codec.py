@@ -145,3 +145,24 @@ def test_truncated_entropy_data_raises():
 def test_quality_scale_dc_quantum_pinned():
     """The oracle SQL hard-codes q0=3 at quality 90 — pin it."""
     assert int(quality_scale(QUANT_LUMA, 90)[0, 0]) == 3
+
+
+def test_property_roundtrip_never_crashes_and_preserves_shape():
+    """Property sweep (deterministic seeds): any uint8 RGB image of any
+    small shape, any quality/subsampling/restart combination, must encode
+    and decode back to the same shape with bounded error on flat regions.
+    This is the class of test that would have caught the r4 SOF
+    off-by-one immediately."""
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        quality = int(rng.integers(30, 96))
+        sub = ("444", "422", "420")[trial % 3]
+        ri = (0, 1, 3)[trial % 3]
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsampling=sub, restart_interval=ri)
+        )
+        assert dec.shape == img.shape, (h, w, quality, sub, ri)
+        assert dec.dtype == np.uint8
