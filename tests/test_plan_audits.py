@@ -295,3 +295,24 @@ def test_threshold_pairs_no_cartesian(plan_of):
         a = plan_of(q)
         assert "CartesianProduct" not in a.plan, q
         assert "BroadcastNestedLoopJoin" not in a.plan, q
+
+
+def test_repetition_stats_shuffle_budget(plan_of):
+    """Gopher repetition stats (r05): mode counts are two agg shuffles
+    (doc_id+gram then doc_id) per gram family + the final doc_id joins —
+    no cartesian, no forced broadcast of the corpus."""
+    a = plan_of("text_repetition_stats")
+    assert "CartesianProduct" not in a.plan
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert a.shuffles <= 6, f"repetition stats grew shuffles: {a.shuffles}"
+
+
+def test_dup_ngram_fraction_shape(plan_of):
+    """Corpus duplicate-8-gram fraction (r05): shingle explode stays
+    narrow; the count-distinct per shingle and the join back share the
+    shingle key; one final doc_id agg. No cartesian node."""
+    a = plan_of("text_dup_ngram_fraction")
+    assert "CartesianProduct" not in a.plan
+    assert a.shuffles <= 5, f"dup-ngram plan grew shuffles: {a.shuffles}"
+    # the 8-gram explode must come from a generator, not a join
+    assert "Generate" in a.plan
