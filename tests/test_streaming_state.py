@@ -84,3 +84,57 @@ def test_state_survives_restart_and_ignores_late_events(spark, dirs):
     full = _batch_latest(spark, BATCH1 + BATCH2)
     assert set(got) == {8}, "only the genuinely-updated key may emit"
     assert got[8] == full[8]
+
+
+@pytest.fixture(scope="module")
+def dirs_tws(spark, tmp_path_factory):
+    feed = str(tmp_path_factory.mktemp("twsfeed"))
+    ckpt = str(tmp_path_factory.mktemp("twsckpt"))
+    return feed, ckpt
+
+
+def _run_tws(spark, feed_dir, ckpt):
+    # the TWS runtime's driver worker needs google.protobuf (standard in
+    # real Spark deployments, absent in this container) — skip, and only
+    # for exactly that reason
+    pytest.importorskip("google.protobuf.descriptor")
+    from philotes_spark.streaming.state import running_latest_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows: list = []
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+    q = (
+        running_latest_tws(stream)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return {r.user_id: (r.ts_micros, r.event_id, r.event_type, r.value)
+            for r in rows}
+
+
+def test_transform_with_state_equals_batch_latest_view(spark, dirs_tws):
+    """The Spark-4 StatefulProcessor twin must agree with the batch B10
+    latest-view on the same input."""
+    feed, ckpt = dirs_tws
+    spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.parquet(feed, mode="append")
+    got = _run_tws(spark, feed, ckpt)
+    assert got == _batch_latest(spark, BATCH1)
+
+
+def test_transform_with_state_restart_and_late_events(spark, dirs_tws):
+    """RocksDB-backed state survives a restart from the checkpoint; late
+    events lose the (ts, event_id) comparison and emit nothing."""
+    feed, ckpt = dirs_tws
+    spark.createDataFrame(BATCH2, SCHEMA).coalesce(1).write.parquet(feed, mode="append")
+    got = _run_tws(spark, feed, ckpt)  # incremental run: only batch-2 files
+    assert set(got) == {8}, "late event for key 7 must not emit"
+    full = _batch_latest(spark, BATCH1 + BATCH2)
+    assert got[8] == full[8]
