@@ -6,12 +6,15 @@ The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
 modality:
 
 - **audio: REAL** — PCM WAV parses with the stdlib (``decode_audio_wav``).
-- **image: REAL for PPM and PNG** — binary P6 parses and resizes with
-  pure numpy (``decode_ppm``/``resize_ppm``); PNG decodes with stdlib
-  zlib + numpy unfiltering, all five scanline filters
-  (``decode_png``/``encode_png``); ``image_stats`` dispatches on magic
-  bytes. JPEG is DCT-coded and still needs PIL, so ``decode_image``
-  keeps an honest ``NotImplementedError`` for it unless ``fake=True``.
+- **image: REAL for PPM, PNG, and baseline JPEG** — binary P6 parses and
+  resizes with pure numpy (``decode_ppm``/``resize_ppm``); PNG decodes
+  with stdlib zlib + numpy unfiltering, all five scanline filters
+  (``decode_png``/``encode_png``); baseline JPEG decodes with the
+  pure-numpy T.81 codec (``jpeg.decode_jpeg`` — Huffman, IDCT, chroma
+  upsampling, restart markers); ``image_stats`` dispatches on magic
+  bytes. Only generic image RESIZE still wants PIL (``resize_image``
+  keeps an honest ``NotImplementedError`` unless ``fake=True``;
+  ``resize_ppm`` is the real nearest-neighbor path for PPM).
 - **video: frame sampling is JVM-side chunk arithmetic** (no codec).
 
 Swap the stubbed inner functions for PIL/ffmpeg on a real cluster — the
@@ -56,8 +59,8 @@ def media_meta(payload: Column, media_type: str = "text/plain") -> Column:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Feature vector from an image payload. PPM/PNG decode for REAL
-    (``decode_any_image`` below); JPEG would need PIL and raises.
+    """Feature vector from an image payload. PPM/PNG/baseline-JPEG all
+    decode for REAL (``decode_any_image`` below).
 
     ``fake=True`` returns a deterministic FEATURE_DIM-float vector derived
     from the payload digest, so the distributed plumbing is testable over
@@ -67,7 +70,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return [b / 255.0 for b in digest[:FEATURE_DIM]]
     import numpy as np
 
-    px = decode_any_image(payload).astype(np.float64)  # JPEG raises here
+    px = decode_any_image(payload).astype(np.float64)
     h, w, _ = px.shape
     # 2×2 grid × RGB means + (w, h, n_pixels, global mean): FEATURE_DIM=16
     half_h, half_w = max(1, h // 2), max(1, w // 2)
@@ -182,8 +185,8 @@ def decode_ppm(payload: bytes):
     """REAL image decode for binary PPM: parse the P6 header (whitespace
     + ``#`` comments per the spec) and return the (h, w, 3) uint8 pixel
     array. Like the WAV path, this is a genuine decoder running in this
-    container; compressed formats (JPEG/PNG) still need PIL — see
-    ``decode_image``."""
+    container; the compressed formats decode for real too — PNG via
+    ``decode_png``, baseline JPEG via ``jpeg.decode_jpeg``."""
     import numpy as np
 
     pos, tokens = 0, []

@@ -156,7 +156,7 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder inside Arrow-batched mapInPandas, emit dimensions +
     per-channel means. The oracle recomputes the pixel arithmetic in pure
     SQL — a wrong header parse, stride, or channel order hash-mismatches.
-    (JPEG/PNG still need PIL; see binary_ops.decode_image.)"""
+    (PNG and baseline JPEG have their own oracle-gated twins below.)"""
     from philotes_spark.multimodal.binary_ops import image_stats
 
     out = image_stats(_synth_ppm_df(spark, sf_dir), "payload")
