@@ -111,34 +111,45 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(doc_id) OVER (PARTITION BY md5(text)) AS survivor
         FROM toks
     ),
+    rep AS (
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_word_ratio
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) u
+            GROUP BY doc_id, tok
+        ) wc GROUP BY doc_id
+    ),
     gated AS (
         SELECT source, n_words,
                n_words >= 30 AS len_ok,
                s_en = greatest(s_en, s_es, s_de, s_fr)
                    AND greatest(s_en, s_es, s_de, s_fr) > 0 AS lang_en,
-               survivor = doc_id AS not_dup
-        FROM scored
+               survivor = doc_id AS not_dup,
+               rep.top_word_ratio <= 0.12 AS rep_ok
+        FROM scored JOIN rep USING (doc_id)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
            CAST(SUM(CASE WHEN lang_en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
-           CAST(SUM(CASE WHEN len_ok AND lang_en AND not_dup THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_selected,
-           CAST(SUM(CASE WHEN len_ok AND lang_en AND not_dup THEN n_words
-                    ELSE 0 END) AS BIGINT) AS selected_tokens
+           CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+           CAST(SUM(CASE WHEN len_ok AND lang_en AND rep_ok AND not_dup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN len_ok AND lang_en AND rep_ok AND not_dup
+                    THEN n_words ELSE 0 END) AS BIGINT) AS selected_tokens
     FROM gated GROUP BY source ORDER BY source
     """,
 )
 def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel as ONE composed plan: tokenize →
     quality gate (length) → language gate (stopword lang-ID = 'en') →
-    exact-dedup survivor gate (min doc_id per content hash) → per-source
-    selection report with token budget. This is the query a
+    repetition gate (top-word share <= 0.12, the Gopher-style signal,
+    r05) → exact-dedup survivor gate (min doc_id per content hash) →
+    per-source selection report with token budget. This is the query a
     training-data pipeline runs nightly; every gate reuses the library
-    primitives (functions.text), and the whole thing is a projection +
-    one content-hash window + one per-source aggregation — two shuffles
-    at any corpus size."""
+    primitives (functions.text); the repetition gate adds the mode-count
+    branch (explode + two doc-keyed aggregations) joined back on doc_id
+    next to the content-hash window and the per-source aggregation."""
     from philotes_spark.functions import text as X
     from pyspark.sql import Window
 
@@ -152,20 +163,31 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.lang_predict(t).alias("lang_pred"),
         (F.min("doc_id").over(w) == F.col("doc_id")).alias("not_dup"),
     )
-    gated = scored.select(
+    rep = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("top_word_ratio"))
+    )
+    gated = scored.join(rep, "doc_id").select(
         "source",
         "n_words",
         (F.col("n_words") >= 30).alias("len_ok"),
         (F.col("lang_pred") == "en").alias("lang_en"),
+        (F.col("top_word_ratio") <= 0.12).alias("rep_ok"),
         "not_dup",
     )
-    sel = F.col("len_ok") & F.col("lang_en") & F.col("not_dup")
+    sel = (
+        F.col("len_ok") & F.col("lang_en") & F.col("rep_ok") & F.col("not_dup")
+    )
     return (
         gated.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("len_ok"), 1).otherwise(0)).alias("n_len_ok"),
             F.sum(F.when(F.col("lang_en"), 1).otherwise(0)).alias("n_lang_en"),
+            F.sum(F.when(F.col("rep_ok"), 1).otherwise(0)).alias("n_rep_ok"),
             F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
             F.sum(F.when(sel, F.col("n_words")).otherwise(0)).alias(
                 "selected_tokens"
