@@ -128,3 +128,78 @@ def q_scaling_sustained_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale_up_hot_hours", "gt", 16.0, for_buckets=3, bucket_seconds=3600
     )
     return sustained_windows(hourly, rule).orderBy("window_start")
+
+
+@query(
+    "metric_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS dday FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dday,
+               ROUND(AVG(value), 4) AS day_avg
+        FROM events WHERE value > 250 GROUP BY event_type, dday
+    )
+    SELECT t.event_type, d.dday AS bucket_day,
+           daily.day_avg IS NULL AS is_gap,
+           ROUND(last_value(daily.day_avg IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY d.dday
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS value_locf
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.dday = d.dday
+    """,
+)
+def metric_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carried-forward — the
+    hypertable primitive (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``) for dashboarding sparse metrics: daily averages of
+    high-value events (value > 250 — genuinely sparse: 54 of 150
+    type-day slots at sf0.01) on a COMPLETE day spine per event type,
+    gaps flagged and filled by carrying the last seen value forward;
+    days before a type's first observation stay null.
+
+    Scale shape: the spine is metadata-sized (|types| x |days| — a
+    broadcast cross join of two tiny derived dims, never the fact
+    table), the daily aggregate is one shuffle with map-side partials,
+    and the LOCF is one window keyed by event_type — the same
+    partitioning the join just produced."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value") > 250)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("bucket_day"))
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("bucket_day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["event_type", "bucket_day"], "left").select(
+        "event_type",
+        "bucket_day",
+        F.col("day_avg").isNull().alias("is_gap"),
+        F.round(F.last("day_avg", ignorenulls=True).over(w), 4).alias(
+            "value_locf"
+        ),
+    )

@@ -104,6 +104,7 @@ def _tier(name: str) -> tuple[int, int]:
         # 50-slot window so the rotation above stays exactly as planned
         "text_repetition_stats",
         "text_dup_ngram_fraction",
+        "metric_gapfill_locf",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
