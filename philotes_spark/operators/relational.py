@@ -1655,6 +1655,45 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR(value / 50), 0), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4)
+               AS share
+    FROM events GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (the Prometheus-histogram shape of
+    the reference's monitoring surface, A26/A27 family): 10 bins of
+    width 50 over [0, 500), top bin clamped open-ended, with per-bin
+    share of the group. One hash aggregation with map-side partials plus
+    a group-keyed window for the shares — two shuffles on the same key
+    at any scale. The bin arithmetic (floor + clamp) is engine-portable,
+    unlike width_bucket, which DuckDB 1.0 lacks."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
 @query("sketch_percentiles")  # rows-only: approx sketch is engine-local
 def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per group — the bounded-memory quantile sketch

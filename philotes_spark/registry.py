@@ -105,6 +105,7 @@ def _tier(name: str) -> tuple[int, int]:
         "text_repetition_stats",
         "text_dup_ngram_fraction",
         "metric_gapfill_locf",
+        "events_value_histogram",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
