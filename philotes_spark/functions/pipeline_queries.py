@@ -195,3 +195,71 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "train_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_tokens) / 2048.0, 4) AS fill_ratio
+    FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for training batches: documents are
+    assigned to fixed-token-budget packs (2048 tokens) in doc_id order
+    WITHIN each source — pack_id = floor(exclusive-prefix-token-sum /
+    budget), the streaming-greedy packing every data loader implements,
+    made engine-portable by using the deterministic doc order instead of
+    a bin-packing heuristic. Output is the per-pack manifest (doc count,
+    token count, fill ratio; the last pack of a source under-fills,
+    everything else lands within one doc of the budget).
+
+    Scale shape: the prefix sum is a window PARTITIONED by source — no
+    global ordering, no single-task window (the B9-global
+    distributed-prefix-sum pattern applies if packs must cross sources);
+    then one aggregation on (source, pack_id). Two shuffles total."""
+    from pyspark.sql import Window
+
+    from philotes_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "source", X.word_count(t).alias("n_tokens")
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / 2048.0, 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "pack_id")
+    )

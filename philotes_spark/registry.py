@@ -106,6 +106,7 @@ def _tier(name: str) -> tuple[int, int]:
         "text_dup_ngram_fraction",
         "metric_gapfill_locf",
         "events_value_histogram",
+        "train_pack_sequences",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
