@@ -175,33 +175,44 @@ def main() -> None:
     sub_cold = round(sum(cold[n] for n in oracle), 3)
     sub_steady = round(sum(steady[n] for n in oracle), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                # headline = full executions, best-of-N (directly comparable
-                # to the DuckDB oracle numbers and to pre-r03 rounds)
-                "value": round(sum(cold.values()), 3),
-                "unit": "sec",
-                "queries": cold,
-                # prepared-statement steady state (plan + shuffle-stage
-                # reuse): the serving-latency reading, clearly separated
-                "value_steady": round(sum(steady.values()), 3),
-                "queries_steady": steady,
-                # same-run DuckDB oracle reference (oracle-backed subset of
-                # the headline set) + the 2x-gate ratios, so this line is
-                # judgeable standalone even under driver-host load
-                "oracle_queries": oracle,
-                "oracle_total": oracle_total,
-                "spark_total_oracle_subset": sub_cold,
-                "spark_total_oracle_subset_steady": sub_steady,
-                "ratio_cold": round(sub_cold / oracle_total, 2) if oracle_total else None,
-                "ratio_steady": round(sub_steady / oracle_total, 2) if oracle_total else None,
-                "sf": sf_dir,
-                "reps": reps,
-            }
-        )
+    # Compact summary as the LAST stdout line (VERDICT r05 #1: the per-query
+    # maps grew the single JSON line past the driver's tail-capture window,
+    # so BENCH_r05.json arrived front-truncated and unparseable). The gate
+    # keys stay here; per-query detail goes to stderr + a sidecar file.
+    summary = {
+        "metric": "headline_queries_total_time",
+        # headline = full executions, best-of-N (directly comparable
+        # to the DuckDB oracle numbers and to pre-r03 rounds)
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        # prepared-statement steady state (plan + shuffle-stage
+        # reuse): the serving-latency reading, clearly separated
+        "value_steady": round(sum(steady.values()), 3),
+        # same-run DuckDB oracle reference (oracle-backed subset of
+        # the headline set) + the 2x-gate ratios, so this line is
+        # judgeable standalone even under driver-host load
+        "oracle_total": oracle_total,
+        "spark_total_oracle_subset": sub_cold,
+        "spark_total_oracle_subset_steady": sub_steady,
+        "ratio_cold": round(sub_cold / oracle_total, 2) if oracle_total else None,
+        "ratio_steady": round(sub_steady / oracle_total, 2) if oracle_total else None,
+        "n_queries": len(HEADLINE),
+        "sf": sf_dir,
+        "reps": reps,
+    }
+    detail = {
+        **summary,
+        "queries": cold,
+        "queries_steady": steady,
+        "oracle_queries": oracle,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(summary))
 
 
 def sweep() -> None:
@@ -222,8 +233,17 @@ def sweep() -> None:
     sf_dirs = [f"/root/testdata/{sf}" for sf in ("sf0.001", "sf0.01", "sf0.1")]
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
     if os.path.isdir(fixtures):
+        # only sfN directories — a stray file/dir in .fixtures/ must not
+        # abort the sweep (ADVICE r05)
+        import re
+
         sf_dirs += sorted(
-            (os.path.join(fixtures, d) for d in os.listdir(fixtures)),
+            (
+                os.path.join(fixtures, d)
+                for d in os.listdir(fixtures)
+                if re.fullmatch(r"sf\d+(\.\d+)?", d)
+                and os.path.isdir(os.path.join(fixtures, d))
+            ),
             key=lambda p: float(os.path.basename(p)[2:]),
         )
 

@@ -128,8 +128,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("m").alias("component"))
         )
-        out = nodes.join(labels, "node", "left").select(
-            "node", F.coalesce("component", "node").alias("component")
+        # materialize before dropping the nodes cache: `out` is lazy, so an
+        # unpersist-then-return would recompute the distinct node set at the
+        # caller's first action with the cache already gone (ADVICE r05)
+        out = (
+            nodes.join(labels, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+            .localCheckpoint(eager=True)
         )
         nodes.unpersist()
         return out

@@ -125,8 +125,8 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                s_en = greatest(s_en, s_es, s_de, s_fr)
                    AND greatest(s_en, s_es, s_de, s_fr) > 0 AS lang_en,
                survivor = doc_id AS not_dup,
-               rep.top_word_ratio <= 0.12 AS rep_ok
-        FROM scored JOIN rep USING (doc_id)
+               COALESCE(rep.top_word_ratio, 0) <= 0.12 AS rep_ok
+        FROM scored LEFT JOIN rep USING (doc_id)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -170,12 +170,16 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.max("count") / F.sum("count")).alias("top_word_ratio"))
     )
-    gated = scored.join(rep, "doc_id").select(
+    # LEFT join: a zero-token document produces no explode rows, so an
+    # inner join would silently drop it from the whole funnel including
+    # n_docs (ADVICE r05). No repetition ⇒ ratio 0 ⇒ rep gate passes;
+    # the length gate still rejects it from n_selected.
+    gated = scored.join(rep, "doc_id", "left").select(
         "source",
         "n_words",
         (F.col("n_words") >= 30).alias("len_ok"),
         (F.col("lang_pred") == "en").alias("lang_en"),
-        (F.col("top_word_ratio") <= 0.12).alias("rep_ok"),
+        (F.coalesce(F.col("top_word_ratio"), F.lit(0.0)) <= 0.12).alias("rep_ok"),
         "not_dup",
     )
     sel = (

@@ -1699,7 +1699,7 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per group — the bounded-memory quantile sketch
     tier (completes the sketch trio: HLL distinct, CMS frequency,
     quantile sketch). Mergeable map-side partials, fixed accuracy budget
-    (10000 ≙ ~0.01%% rank error) — the 100 TB path when exact
+    (10000 ≙ ~0.01% rank error) — the 100 TB path when exact
     `events_percentiles` (full sort per group) is too expensive.
     Accuracy vs exact pinned in pytest (tests/test_sketches.py)."""
     ev = load_table(spark, sf_dir, "events")

@@ -88,7 +88,6 @@ def _tier(name: str) -> tuple[int, int]:
         "multimodal_image_stats",
         "multimodal_image_resize",
         "multimodal_png_stats",
-        "multimodal_jpeg_stats",
         "asof_purchase_attribution",
         "range_error_window_activity",
         "corpus_curation_report",
@@ -100,13 +99,25 @@ def _tier(name: str) -> tuple[int, int]:
         # (removed from this list) are driver-hard-verified for the first time
         "sim_norm_stats",
         "dedup_embedding_cosine",
-        # r05 additions: oracle-gated in pytest, kept below the fixed
-        # 50-slot window so the rotation above stays exactly as planned
-        "text_repetition_stats",
-        "text_dup_ngram_fraction",
+        # r05 additions still below the window (each oracle-gated in
+        # pytest); text_repetition_stats / text_dup_ngram_fraction /
+        # multimodal_jpeg_stats graduated into the window in the r06
+        # rotation below
         "metric_gapfill_locf",
         "events_value_histogram",
         "train_pack_sequences",
+        # r06 rotation (VERDICT r05 next-round #2): swap these three below
+        # the window — b11 (filter+order) and b15 (COUNT(col) null-skip)
+        # are shape-duplicates of window-green b4/b8 and b3/b17/a8, and the
+        # multimodal mapInPandas family stays window-verified via
+        # multimodal_meta/multimodal_frames plus the incoming
+        # multimodal_jpeg_stats — freeing three slots so the r05 operators
+        # text_repetition_stats, text_dup_ngram_fraction and
+        # multimodal_jpeg_stats are driver-hard-verified for the first time.
+        # All three evictees stay oracle-gated in tests/test_queries_oracle.py.
+        "b11_change_history",
+        "b15_count_nonnull",
+        "multimodal_audio",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -26,6 +26,7 @@ header is therefore always ``n,,``.
 from __future__ import annotations
 
 import base64
+import binascii
 import hashlib
 import hmac
 import secrets
@@ -85,11 +86,21 @@ class ScramClient:
 
     def client_final(self, server_first: str) -> str:
         attrs = _scram_attrs(server_first)
+        missing = [k for k in ("r", "s", "i") if k not in attrs]
+        if missing:
+            raise PgProtocolError(
+                f"SCRAM server-first missing attribute(s) {missing}: {server_first!r}"
+            )
         nonce = attrs["r"]
         if not nonce.startswith(self._client_nonce) or nonce == self._client_nonce:
             raise PgProtocolError("SCRAM server nonce must extend the client nonce")
-        salt = base64.b64decode(attrs["s"])
-        iterations = int(attrs["i"])
+        try:
+            salt = base64.b64decode(attrs["s"], validate=True)
+            iterations = int(attrs["i"])
+        except (binascii.Error, ValueError) as exc:
+            raise PgProtocolError(
+                f"SCRAM server-first malformed s/i attribute: {exc}"
+            ) from exc
         salted = hashlib.pbkdf2_hmac(
             "sha256", self._password.encode(), salt, iterations
         )
