@@ -13,6 +13,17 @@ Timestamps are left untouched: replicas overlay the same time window
 ("more traffic in the same period"), keeping date-filter selectivities
 identical across SFs.
 
+Document text is SALTED per replica (VERDICT r05 #3): replica 0 keeps
+the original text verbatim; replica i > 0 suffixes every alphanumeric
+token with "ri" (regexp, whitespace/punctuation untouched), so tokens
+from different replicas never collide. Without this, every doc at sfN
+has N-1 exact copies and the dedup/n-gram tier measures an artificially
+duplicate-heavy corpus. With it, exact/near-dup structure WITHIN each
+replica is isomorphic to sf0.1's (same salt applied to all docs of a
+replica), cross-replica Jaccard/MinHash similarity is ~0, and token
+count per document is unchanged (lengths shift by the suffix — the one
+documented deviation from the base length distribution).
+
 Output dirs mirror the driver layout (<out>/sfX/{table}.parquet) and are
 gitignored — they are derived artifacts, ~17 MB per 0.1 SF.
 
@@ -55,6 +66,14 @@ def generate(factor: int, name: str) -> str:
         )
     for t, keys in KEYED.items():
         replace = ", ".join(f"{k} + c.i * {STRIDE} AS {k}" for k in keys)
+        if t == "documents":
+            # salt replica text so the dedup/text tier sees a realistic
+            # (non-cloned) corpus at higher SFs; replica 0 stays verbatim
+            replace += (
+                ", regexp_replace(text, '([A-Za-z0-9]+)', "
+                "'\\1' || CASE WHEN c.i = 0 THEN '' "
+                "ELSE 'r' || CAST(c.i AS VARCHAR) END, 'g') AS text"
+            )
         con.sql(
             f"COPY (SELECT t.* REPLACE ({replace}) FROM '{SRC}/{t}.parquet' t, "
             f"(SELECT UNNEST(generate_series(0, {factor - 1})) AS i) c) "
