@@ -92,6 +92,145 @@ def schema_to_rest(schema: T.StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def snapshot_entry(snap, version: int | None = None) -> dict:
+    """One spec-shaped Iceberg v2 ``snapshots[]`` entry for a local
+    SnapshotTable version (types.go:95-113 ``Snapshot``): snapshot-id and
+    sequence-number are the monotonic local version, manifest-list points
+    at the version's JSON manifest (our manifest log plays the role of
+    Iceberg's avro manifest list — documented stand-in, same content:
+    file paths + per-file stats), and the summary carries the standard
+    operation/added/total counters."""
+    m = snap._resolve(version=version)
+    entry = {
+        "snapshot-id": m["version"],
+        "sequence-number": m["version"],
+        "timestamp-ms": m["timestamp_ms"],
+        "manifest-list": os.path.join(snap.snap_dir, f"v{m['version']:08d}.json"),
+        "summary": {
+            "operation": "append" if m["operation"] == "append" else "overwrite",
+            "added-data-files": str(m.get("added_files", 0)),
+            "added-records": str(m.get("added_rows", 0)),
+            "total-data-files": str(len(m["files"])),
+        },
+    }
+    if m.get("parent"):
+        entry["parent-snapshot-id"] = m["parent"]
+    return entry
+
+
+def assemble_table_metadata_v2(
+    location: str,
+    schema_rest: dict,
+    partition_spec: dict,
+    snapshots: list[dict],
+    properties: dict | None = None,
+) -> dict:
+    """Assemble a spec-compliant Iceberg **format-version 2** table
+    metadata document (types.go:44-93 ``TableMetadata``) from its parts.
+    Pure function: the catalog server side (the mock in tests; Lakekeeper
+    in production builds its own) and any consumer share one definition
+    of the payload an external engine reads."""
+    import uuid as _uuid
+
+    schema = {**schema_rest, "schema-id": schema_rest.get("schema-id", 0)}
+    spec = {"spec-id": partition_spec.get("spec-id", 0),
+            "fields": partition_spec.get("fields", [])}
+    current = snapshots[-1]["snapshot-id"] if snapshots else -1
+    return {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, location)),
+        "location": location,
+        "last-sequence-number": max(
+            (s["sequence-number"] for s in snapshots), default=0
+        ),
+        "last-updated-ms": max((s["timestamp-ms"] for s in snapshots), default=0),
+        "last-column-id": max((f["id"] for f in schema["fields"]), default=0),
+        "current-schema-id": schema["schema-id"],
+        "schemas": [schema],
+        "default-spec-id": spec["spec-id"],
+        "partition-specs": [spec],
+        "last-partition-id": max(
+            (f["field-id"] for f in spec["fields"]), default=999
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties or {},
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+            for s in snapshots
+        ],
+        "metadata-log": [],
+    }
+
+
+_V2_REQUIRED = (
+    "format-version", "table-uuid", "location", "last-sequence-number",
+    "last-updated-ms", "last-column-id", "current-schema-id", "schemas",
+    "default-spec-id", "partition-specs", "last-partition-id",
+    "default-sort-order-id", "sort-orders", "properties",
+    "current-snapshot-id", "snapshots", "snapshot-log",
+)
+
+
+def validate_table_metadata_v2(meta: dict) -> None:
+    """Assert ``meta`` is a structurally valid Iceberg v2 table-metadata
+    document — the shape any external engine requires before it can plan
+    a read. Raises :class:`CatalogError` with the first violation."""
+
+    def fail(msg: str) -> None:
+        raise CatalogError(200, f"invalid v2 table metadata: {msg}".encode())
+
+    missing = [k for k in _V2_REQUIRED if k not in meta]
+    if missing:
+        fail(f"missing required keys {missing}")
+    if meta["format-version"] != 2:
+        fail(f"format-version is {meta['format-version']!r}, want 2")
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    if meta["current-schema-id"] not in schemas:
+        fail(f"current-schema-id {meta['current-schema-id']} not in schemas")
+    cur_schema = schemas[meta["current-schema-id"]]
+    field_ids = [f["id"] for f in cur_schema["fields"]]
+    if len(set(field_ids)) != len(field_ids) or any(i <= 0 for i in field_ids):
+        fail(f"schema field ids must be unique and positive, got {field_ids}")
+    if meta["last-column-id"] < max(field_ids, default=0):
+        fail("last-column-id below max assigned field id")
+    for f in cur_schema["fields"]:
+        for k in ("id", "name", "required", "type"):
+            if k not in f:
+                fail(f"schema field missing {k!r}: {f}")
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if meta["default-spec-id"] not in specs:
+        fail(f"default-spec-id {meta['default-spec-id']} not in partition-specs")
+    for pf in specs[meta["default-spec-id"]]["fields"]:
+        for k in ("source-id", "field-id", "name", "transform"):
+            if k not in pf:
+                fail(f"partition field missing {k!r}: {pf}")
+        if pf["source-id"] not in field_ids:
+            fail(f"partition source-id {pf['source-id']} not a schema field id")
+    snap_ids = set()
+    last_seq = 0
+    for s in meta["snapshots"]:
+        for k in ("snapshot-id", "sequence-number", "timestamp-ms",
+                  "manifest-list", "summary"):
+            if k not in s:
+                fail(f"snapshot missing {k!r}: {s}")
+        if "operation" not in s["summary"]:
+            fail(f"snapshot summary missing operation: {s}")
+        if s["sequence-number"] < last_seq:
+            fail("snapshot sequence-numbers not monotonic")
+        last_seq = s["sequence-number"]
+        snap_ids.add(s["snapshot-id"])
+    if meta["snapshots"] and meta["current-snapshot-id"] not in snap_ids:
+        fail(f"current-snapshot-id {meta['current-snapshot-id']} not in snapshots")
+    if meta["last-sequence-number"] < last_seq:
+        fail("last-sequence-number below max snapshot sequence-number")
+    for entry in meta["snapshot-log"]:
+        if entry["snapshot-id"] not in snap_ids:
+            fail(f"snapshot-log references unknown snapshot {entry}")
+
+
 class RestCatalog:
     """Thin, dependency-free Iceberg REST catalog client. Idempotent
     creates (409 Conflict is success, mirroring rest.go:64-68/131-134);
@@ -167,6 +306,7 @@ class RestCatalog:
         table: str,
         schema: T.StructType,
         partition_by: list[str] | None = None,
+        location: str | None = None,
     ) -> None:
         self.create_namespace(namespace)
         if self.table_exists(namespace, table):
@@ -182,16 +322,17 @@ class RestCatalog:
             }
             for i, c in enumerate(partition_by or [])
         ]
+        req = {
+            "name": table,
+            "schema": rest_schema,
+            "partition-spec": {"spec-id": 0, "fields": spec_fields},
+            "stage-create": False,
+            "properties": {},
+        }
+        if location:
+            req["location"] = location
         status, body = self._request(
-            "POST",
-            f"/namespaces/{namespace}/tables",
-            {
-                "name": table,
-                "schema": rest_schema,
-                "partition-spec": {"spec-id": 0, "fields": spec_fields},
-                "stage-create": False,
-                "properties": {},
-            },
+            "POST", f"/namespaces/{namespace}/tables", req
         )
         if status not in (200, 201, 409):
             raise CatalogError(status, json.dumps(body).encode())
@@ -205,19 +346,27 @@ class RestCatalog:
         return body
 
     def commit_append(
-        self, namespace: str, table: str, data_files: list[dict]
+        self,
+        namespace: str,
+        table: str,
+        data_files: list[dict],
+        snapshot: dict | None = None,
     ) -> None:
         """Commit an append snapshot (rest.go:188-217: a single
-        append-files update with empty requirements)."""
+        append-files update with empty requirements). When ``snapshot``
+        (a spec-shaped v2 snapshot entry, see :func:`snapshot_entry`) is
+        given, an ``add-snapshot`` update — the standard Iceberg REST
+        commit shape — rides along so the catalog can serve a complete
+        v2 snapshot list with manifest-list paths."""
+        updates: list[dict] = [
+            {"action": "append", "append-files": {"data-files": data_files}}
+        ]
+        if snapshot is not None:
+            updates.append({"action": "add-snapshot", "snapshot": snapshot})
         status, body = self._request(
             "POST",
             f"/namespaces/{namespace}/tables/{table}",
-            {
-                "requirements": [],
-                "updates": [
-                    {"action": "append", "append-files": {"data-files": data_files}}
-                ],
-            },
+            {"requirements": [], "updates": updates},
         )
         if status not in (200, 201):
             raise CatalogError(status, json.dumps(body).encode())
@@ -244,6 +393,7 @@ class RestCatalog:
             table,
             snap.read(version=version).schema,
             partition_by=manifest.get("partition_by"),
+            location=snap.path,
         )
         data_files = [
             {
@@ -256,7 +406,12 @@ class RestCatalog:
             for f in new_files
         ]
         if data_files:
-            self.commit_append(namespace, table, data_files)
+            self.commit_append(
+                namespace,
+                table,
+                data_files,
+                snapshot=snapshot_entry(snap, version=manifest["version"]),
+            )
         return len(data_files)
 
     def verify_publish(
@@ -277,6 +432,9 @@ class RestCatalog:
 
         loaded = self.load_table(namespace, table)
         meta = loaded.get("metadata", {})
+        # the served metadata must be a structurally valid Iceberg v2
+        # document — the precondition for ANY external engine to read it
+        validate_table_metadata_v2(meta)
         served = loaded.get("data-files", [])
         served_paths = {f["file-path"] for f in served}
         if served_paths != local_files:
@@ -290,13 +448,34 @@ class RestCatalog:
             )
 
         want = schema_to_rest(snap.read(version=version).schema)
-        got_fields = meta.get("schema", {}).get("fields", [])
+        schemas = {s["schema-id"]: s for s in meta["schemas"]}
+        got_fields = schemas[meta["current-schema-id"]]["fields"]
         want_fields = [(f["name"], f["type"], f["required"]) for f in want["fields"]]
         if [(f["name"], f["type"], f["required"]) for f in got_fields] != want_fields:
             raise CatalogError(
                 200,
                 f"schema divergence: catalog serves {got_fields},"
                 f" local is {want['fields']}".encode(),
+            )
+        # the catalog's snapshot list must reach the published version and
+        # point its manifest-list at the version's local manifest
+        pub = [s for s in meta["snapshots"]
+               if s["snapshot-id"] == manifest["version"]]
+        if not pub:
+            raise CatalogError(
+                200,
+                f"snapshot divergence: catalog has no snapshot-id"
+                f" {manifest['version']} (serves"
+                f" {[s['snapshot-id'] for s in meta['snapshots']]})".encode(),
+            )
+        want_ml = os.path.join(
+            snap.snap_dir, f"v{manifest['version']:08d}.json"
+        )
+        if pub[0]["manifest-list"] != want_ml:
+            raise CatalogError(
+                200,
+                f"manifest-list divergence: catalog serves"
+                f" {pub[0]['manifest-list']}, local is {want_ml}".encode(),
             )
 
         import pyarrow.parquet as pq
