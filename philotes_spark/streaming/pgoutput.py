@@ -367,9 +367,11 @@ class PgReplicationConnection(ReplicationFeed):
     ``parse_copy_data`` → ``PgoutputDecoder``) and flush positions are
     acked through ``send_status`` wrapped in CopyData — end-to-end from
     bytes-on-a-socket, exercised in tests against a local mock walsender
-    (``tests/test_pgwire.py``). SCRAM auth is out of scope (cleartext/MD5
-    only); slot creation (CREATE_REPLICATION_SLOT, first run) is a plain
-    simple-query on the same session kind."""
+    (``tests/test_pgwire.py``); cleartext, MD5 and SCRAM-SHA-256 auth are
+    all supported by the wire client. Slot creation
+    (CREATE_REPLICATION_SLOT, first run) is a plain simple-query on the
+    same session kind (``PgWireClient.simple_query``); the opt-in
+    live-server E2E is ``tests/test_pg_live.py``."""
 
     def __init__(
         self, dsn: str, slot: str, publication: str, start_lsn: int = 0

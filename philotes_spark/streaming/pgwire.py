@@ -265,6 +265,49 @@ class PgWireClient:
             else:
                 raise PgProtocolError(f"unexpected message {kind!r} during auth")
 
+    # -- simple query --------------------------------------------------------
+
+    def simple_query(self, sql: str) -> list[tuple]:
+        """Simple-query protocol ('Q'): run one statement, return DataRow
+        values as text tuples (None for SQL NULL). Used for control-session
+        DDL/DML and for walsender commands (CREATE_REPLICATION_SLOT,
+        IDENTIFY_SYSTEM) on a replication session — the same dual use the
+        reference gets from pgstream (reader.go:56-140). On a server
+        error the stream is drained to ReadyForQuery before raising, so
+        the session stays usable."""
+        self._send_message(b"Q", sql.encode() + b"\x00")
+        rows: list[tuple] = []
+        err: PgServerError | None = None
+        while True:
+            kind, body = self._recv_message()
+            if kind == b"D":
+                (n,) = struct.unpack_from(">H", body)
+                off = 2
+                vals: list[str | None] = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", body, off)
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[off : off + ln].decode("utf-8", "replace"))
+                        off += ln
+                rows.append(tuple(vals))
+            elif kind in (b"T", b"C", b"S", b"N", b"I"):
+                # RowDescription / CommandComplete / ParameterStatus /
+                # Notice / EmptyQueryResponse — positional chatter
+                continue
+            elif kind == b"E":
+                err = PgServerError(_error_fields(body))
+            elif kind == b"Z":
+                if err is not None:
+                    raise err
+                return rows
+            else:
+                raise PgProtocolError(
+                    f"unexpected message {kind!r} in simple query"
+                )
+
     # -- replication ---------------------------------------------------------
 
     def start_replication(

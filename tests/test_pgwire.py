@@ -380,6 +380,88 @@ def test_scram_client_vectors():
         c2.client_final("r=zzz,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
 
 
+def test_scram_malformed_server_first_raises_protocol_error():
+    """A server-first missing r/s/i (or with undecodable s / non-integer
+    i) must surface as PgProtocolError with context, not a bare
+    KeyError/binascii.Error (ADVICE r05)."""
+    from philotes_spark.streaming.pgwire import PgProtocolError, ScramClient
+
+    for bad, pat in [
+        ("s=V2Fs,i=4096", "missing attribute"),  # no r
+        ("r=abcXYZ,i=4096", "missing attribute"),  # no s
+        ("r=abcXYZ,s=V2Fs", "missing attribute"),  # no i
+        ("r=abcXYZ,s=!!notb64!!,i=4096", "malformed s/i"),
+        ("r=abcXYZ,s=V2Fs,i=many", "malformed s/i"),
+    ]:
+        c = ScramClient("pw", nonce="abc")
+        with pytest.raises(PgProtocolError, match=pat):
+            c.client_final(bad)
+
+
+def test_simple_query_rows_nulls_and_error_recovery():
+    """The simple-query surface used by the live E2E (DDL, slot
+    creation): DataRow decode incl. SQL NULL, and a server error drains
+    to ReadyForQuery so the session stays usable for the next query."""
+
+    class QueryServer(MockWalsender):
+        def _session(self, conn):
+            rd = _Reader(conn)
+            (length,) = struct.unpack(">I", rd.exact(4))
+            rd.exact(length - 4)
+            _send_msg(conn, b"R", struct.pack(">I", 0))
+            _send_msg(conn, b"Z", b"I")
+            # query 1: two rows, second has a NULL
+            kind, q = rd.msg()
+            assert kind == b"Q" and b"SELECT" in q
+            _send_msg(conn, b"T", struct.pack(">H", 2) + b"junkdesc")
+            _send_msg(
+                conn,
+                b"D",
+                struct.pack(">H", 2)
+                + struct.pack(">i", 4) + b"slot"
+                + struct.pack(">i", 9) + b"0/15D6A80",
+            )
+            _send_msg(
+                conn,
+                b"D",
+                struct.pack(">H", 2)
+                + struct.pack(">i", 2) + b"s2"
+                + struct.pack(">i", -1),
+            )
+            _send_msg(conn, b"C", b"SELECT 2\x00")
+            _send_msg(conn, b"Z", b"I")
+            # query 2: error, then ReadyForQuery
+            rd.msg()
+            _send_msg(
+                conn, b"E", b"SERROR\x00C42P01\x00Mrelation missing\x00\x00"
+            )
+            _send_msg(conn, b"Z", b"I")
+            # query 3: session still usable
+            rd.msg()
+            _send_msg(conn, b"C", b"CREATE TABLE\x00")
+            _send_msg(conn, b"Z", b"I")
+            # drain Terminate
+            try:
+                rd.msg()
+            except (ConnectionError, socket.timeout):
+                pass
+
+    server = QueryServer([])
+    server.start()
+    client = PgWireClient("127.0.0.1", server.port, "u", "db", replication=None)
+    client.connect()
+    assert client.simple_query("SELECT slot, lsn FROM x") == [
+        ("slot", "0/15D6A80"),
+        ("s2", None),
+    ]
+    with pytest.raises(PgServerError, match="relation missing"):
+        client.simple_query("SELECT * FROM missing")
+    assert client.simple_query("CREATE TABLE t (id int)") == []
+    client.close()
+    server.join(timeout=10)
+    assert server.error is None, server.error
+
+
 def test_server_error_surfaces():
     class ErrWalsender(MockWalsender):
         def _session(self, conn):
