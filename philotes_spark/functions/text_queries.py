@@ -324,21 +324,30 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021
     §A1.1: docs dominated by a few tokens/2-grams are low-quality):
     top_word_ratio (most frequent token's share), top_bigram_ratio, and
-    uniq_bigram_ratio (distinct 2-grams / total). The mode counts are
-    explode + count on (doc_id, gram) then a max/sum per doc — partial
-    aggregation does the heavy lifting map-side, both shuffles are keyed
-    by doc_id+gram / doc_id, no skew (per-doc cardinality is bounded by
-    doc length). The distinct-bigram ratio never leaves the array —
-    pure JVM expression."""
+    uniq_bigram_ratio (distinct 2-grams / total).
+
+    The mode counts are explode + count on (doc_id, gram) then a max/sum
+    per doc. Every gram of a document lives in the SAME input row, so the
+    partial aggregation collapses each (doc_id, gram) group entirely
+    map-side before the exchange — the two shuffles carry per-doc distinct
+    gram counts (bounded by doc length), not the len(t)-fold exploded
+    corpus. The distinct-bigram ratio never leaves the array — pure JVM
+    expression.
+
+    A fully narrow twin was measured in r06 (mode = longest equal-run of
+    the array_sort'ed copy via an ``aggregate`` fold, zero shuffles):
+    cold-equal at sf0.1 but 17× worse steady — higher-order-function
+    lambdas are interpreted per element, and a shuffle-free lineage gives
+    the DAG scheduler nothing to reuse across invocations. The exploded
+    plan with map-side combine is the keeper at both ends of the scale.
+
+    zip_with-against-slice (not element_at per index) builds the bigram
+    windows: Catalyst's projection collapse would inline the tokenizer
+    into every per-index probe, re-running the regex O(len) times per row
+    (measured 19 s vs 0.4 s at sf0.1, PERF.md)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    # zip_with against the 1-shifted slice, NOT element_at per index:
-    # Catalyst's projection collapse inlines the tokenizer expression into
-    # every element_at call, re-running the regex O(len) times per row
-    # (measured 19 s vs 0.4 s at sf0.1). zip_with references the token
-    # array O(1) times; the trailing null (zip_with pads the shorter
-    # side) is filtered off.
     bigr = docs.select(
         "doc_id",
         F.expr(

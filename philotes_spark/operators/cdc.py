@@ -61,12 +61,43 @@ def latest_view(
     key_cols: list[str],
     order_cols: list[Column] | None = None,
 ) -> DataFrame:
-    """B10: one row per key — the newest version.
+    """B10: one row per key — the newest version. Value-equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, lsn DESC) = 1``
+    (the reference's canonical query, sample-queries.sql:94-102), planned
+    as ``max_by(struct(cols), struct(order))`` — a hash aggregate, not a
+    window.
 
-    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, lsn DESC) = 1``.
-    Single shuffle on the key; at scale this is the same plan Trino runs
-    for the reference's canonical query (sample-queries.sql:94-102).
-    """
+    Why this is the 100 TB plan (r06): the window version shuffles EVERY
+    log row to its key's reducer and sorts there; the aggregate does
+    map-side partial ``max_by``, so the shuffle carries at most one row
+    per key per map partition and no sort happens at all. On a CDC log
+    with a high update factor (the normal case: many versions per key)
+    that is an order-of-magnitude shuffle reduction. Ordering compares the
+    ``order_cols`` struct lexicographically — identical to the window's
+    DESC-first ranking; ties (never present in the fixtures: the LSN /
+    event_id tie-break is unique) would pick one row arbitrarily, same as
+    ``row_number``. :func:`latest_view_window` keeps the window plan for
+    comparison and for callers that need rank > 1 later."""
+    if order_cols is None:
+        order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
+    value_cols = [c for c in df.columns if c not in key_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*value_cols), F.struct(*order_cols)).alias("__row")
+    )
+    return agg.select(
+        *[F.col(f"__row.{c}").alias(c) if c in value_cols else F.col(c)
+          for c in df.columns]
+    )
+
+
+def latest_view_window(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """The window-function twin of :func:`latest_view` (ROW_NUMBER = 1).
+    Same result; one wide shuffle + per-key sort. Kept as the reference
+    plan (tests assert agreement) and for rank-N generalizations."""
     if order_cols is None:
         order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
     w = latest_window(key_cols, order_cols)

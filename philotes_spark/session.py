@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # --- python boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- scheduling latency ---
+        # No data locality exists for this engine's storage (local files in
+        # one JVM here; S3/object storage on a cluster, where every task is
+        # equally "remote") — waiting up to 3 s per locality level for a
+        # better-placed executor only adds scheduler latency. 0 dispatches
+        # tasks to the first free slot.
+        .config("spark.locality.wait", "0s")
         # --- local-mode niceties (harmless on a cluster) ---
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))

@@ -86,6 +86,33 @@ def test_latest_view_out_of_order_resolves_by_lsn(spark):
     assert out[0].v == "newer"
 
 
+def test_latest_view_agrees_with_window_twin(spark):
+    """The r06 max_by-aggregate plan and the window (ROW_NUMBER=1) plan
+    must produce identical rows AND identical column order on a log with
+    multiple versions, out-of-order arrivals and several keys."""
+    from philotes_spark.operators.cdc import latest_view_window
+
+    rows = [
+        (k, ts, lsn, f"v{k}-{ts}-{lsn}", op)
+        for k in range(7)
+        for (ts, lsn, op) in [
+            (5, 2, "INSERT"), (9, 1, "UPDATE"), (9, 3, "UPDATE"),
+            (2, 9, "UPDATE"), (7, 7, "DELETE"),
+        ]
+    ]
+    df = spark.createDataFrame(
+        rows, "key int, _cdc_timestamp int, _cdc_lsn int, v string, op string"
+    )
+    a = latest_view(df, ["key"])
+    b = latest_view_window(df, ["key"])
+    assert a.columns == b.columns == df.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # the winner is the (ts, lsn)-max version for every key
+    assert all(r[1] == 9 and r[2] == 3 for r in ra)
+
+
 def test_apply_cdc_drops_deleted_keys(spark):
     df = _log(
         spark,

@@ -89,10 +89,32 @@ def test_windows_single_shuffle(plan_of):
 
 
 def test_cdc_latest_state_shuffle_budget(plan_of):
-    # one window shuffle on the key + one scalar-aggregate exchange for
+    # one latest-per-key shuffle + one scalar-aggregate exchange for
     # the TRUNCATE cut point (rows: exactly #truncate-events → ~0)
     a = plan_of("cdc_latest_state")
     assert a.shuffles <= 2, f"dedup-to-latest grew extra shuffles: {a.shuffles}"
+
+
+def test_latest_view_is_partial_aggregate_not_window(plan_of):
+    # r06: dedup-to-latest plans as max_by hash aggregation with a
+    # map-side partial (shuffle carries ≤1 row per key per map
+    # partition), NOT a window sort over the whole log
+    for q in ("b10_latest_by_key", "cdc_latest_state"):
+        a = plan_of(q)
+        assert "max_by" in a.plan, f"{q}: expected max_by aggregation"
+        assert "partial_max_by" in a.plan or "partial max_by" in a.plan, (
+            f"{q}: max_by must have a map-side partial phase"
+        )
+        assert "Window" not in a.plan, f"{q}: window sort crept back in"
+
+
+def test_text_repetition_stats_partial_aggregates_mapside(plan_of):
+    # the exploded gram counts must collapse map-side (partial_count per
+    # (doc_id, gram)) before any exchange — the shuffle carries bounded
+    # per-doc distinct-gram counts, not the len(t)-fold exploded corpus
+    a = plan_of("text_repetition_stats")
+    assert "partial_count" in a.plan, "map-side combine missing"
+    assert "Generate" in a.plan, "expected the explode plan (see docstring)"
 
 
 def test_dedup_exact_single_shuffle(plan_of):
