@@ -275,3 +275,112 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_cosine_topk(emb, QUERY_IDS, k=10).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, label, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    )
+    SELECT label, i AS dim,
+           ROUND(AVG(x), 4) + 0 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM elems GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids in long form (label, dim, centroid,
+    n_vecs) — the embedding-space profile a training pipeline computes
+    before clustering/balancing (and the M-step of one k-means round).
+
+    100 TB shape: posexplode to (label, dim, x) then ONE hash aggregate
+    keyed by (label, dim) — partial avg collapses map-side, the shuffle
+    carries n_labels x n_dims rows per map partition regardless of corpus
+    size. No joins, no window, no driver collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        elems.groupBy("label", "dim")
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0),
+            # which the two engines' ROUND otherwise signs differently
+            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "sim_label_inertia",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, label, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    cent AS (
+        SELECT label, i, AVG(x) AS c FROM elems GROUP BY label, i
+    ),
+    per_vec AS (
+        SELECT e.vec_id, e.label, SUM((e.x - c.c) * (e.x - c.c)) AS sq
+        FROM elems e JOIN cent c ON e.label = c.label AND e.i = c.i
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(sq), 4) AS mean_sq_dist
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class inertia (mean squared distance to the label
+    centroid) — the k-means E-step shape and the compactness diagnostic
+    for label quality / outlier hunting.
+
+    100 TB shape: the centroid table is tiny (n_labels x n_dims) and is
+    BROADCAST back against the exploded corpus — the big side is never
+    shuffled for the join; per-vector partials then collapse map-side
+    (every element of a vector lives in one input row), so the only
+    corpus-sized shuffle carries one row per vector. Plan-audited:
+    broadcast join present, no sort-merge join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = elems.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    per_vec = (
+        elems.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("sq"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("sq"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("label")
+    )

@@ -108,6 +108,15 @@ def test_latest_view_is_partial_aggregate_not_window(plan_of):
         assert "Window" not in a.plan, f"{q}: window sort crept back in"
 
 
+def test_label_inertia_broadcasts_centroids(plan_of):
+    # r06: the centroid table (n_labels x n_dims) must come back as a
+    # broadcast join against the exploded corpus — the big side is never
+    # shuffled for the join
+    a = plan_of("sim_label_inertia")
+    assert a.broadcast_joins >= 1, "centroid join must broadcast"
+    assert "SortMergeJoin" not in a.plan, "corpus-side shuffle join crept in"
+
+
 def test_text_repetition_stats_partial_aggregates_mapside(plan_of):
     # the exploded gram counts must collapse map-side (partial_count per
     # (doc_id, gram)) before any exchange — the shuffle carries bounded
