@@ -203,3 +203,47 @@ def metric_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_locf"
         ),
     )
+
+
+@query(
+    "metric_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           ROUND((n - AVG(n) OVER w) / STDDEV(n) OVER w, 4) + 0 AS zscore,
+           ABS((n - AVG(n) OVER w) / STDDEV(n) OVER w) > 2 AS is_anomaly
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY day, event_type
+    """,
+)
+def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per series: z-score of each day's
+    event count against that series' own 30-day distribution, flagging
+    |z| > 2 — the alerting shape behind 'traffic dropped/spiked today'
+    monitors (A28 kin, a learned threshold instead of a fixed one).
+
+    Plan: one (day, event_type)-keyed hash aggregate reduces the corpus
+    to n_days x n_series rows (partial count map-side — the only
+    corpus-sized pass), then the mean/stddev window runs over that tiny
+    aggregate partitioned by series. At 100 TB the window input is still
+    just days x series."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    ).orderBy("day", "event_type")

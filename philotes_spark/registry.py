@@ -107,10 +107,13 @@ def _tier(name: str) -> tuple[int, int]:
         "events_value_histogram",
         "train_pack_sequences",
         # r06 additions (oracle-gated in pytest): embedding class
-        # centroids + within-class inertia — kept below the window so the
-        # r06 rotation stays exactly as planned
+        # centroids + within-class inertia, hopping windows, z-score
+        # anomaly — kept below the window so the r06 rotation stays
+        # exactly as planned
         "sim_label_centroids",
         "sim_label_inertia",
+        "stream_hopping_counts",
+        "metric_anomaly_zscore",
         # r06 rotation (VERDICT r05 next-round #2): swap these three below
         # the window — b11 (filter+order) and b15 (COUNT(col) null-skip)
         # are shape-duplicates of window-green b4/b8 and b3/b17/a8, and the

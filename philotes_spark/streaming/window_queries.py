@@ -65,3 +65,39 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window vs a DuckDB gaps-and-islands rewrite."""
     ev = load_table(spark, sf_dir, "events")
     return sessionized_counts(ev, gap="30 minutes", watermark="1 hour")
+
+
+@query(
+    "stream_hopping_counts",
+    oracle="""
+    WITH starts AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '30 minutes', ts)
+                   - UNNEST(generate_series(0, 1)) * INTERVAL '30 minutes'
+                   AS window_start,
+               ts
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM starts
+    WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-hour windows every
+    30 minutes, the third built-in window family next to tumbling and
+    session. Every event lands in window/slide = 2 windows; Spark's
+    ``window(ts, '1 hour', '30 minutes')`` expands rows before ONE
+    grouped aggregation (partial map-side). The oracle mirrors the
+    expansion with a generate_series of epoch-aligned starts — both
+    engines align window origins to the epoch, so starts agree
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(
+        ev, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
