@@ -105,3 +105,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH hs AS (
+        SELECT DISTINCT md5(text) AS h, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_contents
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct content hashes appear in BOTH — the report that tells a
+    curation pipeline which feeds are mirroring each other (and which
+    pair to dedup against first).
+
+    100 TB shape: documents reduce to DISTINCT (content-hash, source)
+    pairs first (one hash aggregate, partial map-side — output is
+    bounded by distinct contents, not corpus rows); the self-join then
+    runs on that reduced set keyed by hash, and only hashes present in
+    2+ sources produce rows. No full-text ever shuffles — 16-byte
+    hashes do."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a = hs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
