@@ -113,6 +113,46 @@ def test_latest_view_agrees_with_window_twin(spark):
     assert all(r[1] == 9 and r[2] == 3 for r in ra)
 
 
+def test_latest_view_randomized_against_python_reference(spark):
+    """Randomized (seeded) three-way agreement: max_by plan == window
+    plan == a pure-Python fold, over logs with random key collisions,
+    orderings and null values — the matrix a fixed example can't cover."""
+    import random
+
+    from philotes_spark.operators.cdc import latest_view_window
+
+    rng = random.Random(1306)
+    for trial in range(3):
+        rows = [
+            (
+                rng.randrange(12),                      # key
+                rng.randrange(40),                      # ts
+                rng.randrange(10_000),                  # lsn (tie-break)
+                rng.choice(["x", "y", None]),           # nullable payload
+            )
+            for _ in range(rng.randrange(30, 120))
+        ]
+        # unique (ts, lsn) per key: drop accidental full-order ties the
+        # way a real LSN stream guarantees
+        seen, log = set(), []
+        for k, ts, lsn, v in rows:
+            if (k, ts, lsn) not in seen:
+                seen.add((k, ts, lsn))
+                log.append((k, ts, lsn, v))
+        df = spark.createDataFrame(
+            log, "key int, _cdc_timestamp int, _cdc_lsn int, v string"
+        )
+        got_agg = sorted(map(tuple, latest_view(df, ["key"]).collect()))
+        got_win = sorted(map(tuple, latest_view_window(df, ["key"]).collect()))
+        best: dict = {}
+        for k, ts, lsn, v in log:
+            if k not in best or (ts, lsn) > (best[k][1], best[k][2]):
+                best[k] = (k, ts, lsn, v)
+        want = sorted(best.values())
+        assert got_agg == want, f"trial {trial}: max_by plan diverged"
+        assert got_win == want, f"trial {trial}: window plan diverged"
+
+
 def test_apply_cdc_drops_deleted_keys(spark):
     df = _log(
         spark,
