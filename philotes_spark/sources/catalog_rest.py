@@ -120,19 +120,29 @@ def snapshot_entry(snap, version: int | None = None) -> dict:
 
 def assemble_table_metadata_v2(
     location: str,
-    schema_rest: dict,
+    schema_rest: dict | list[dict],
     partition_spec: dict,
     snapshots: list[dict],
     properties: dict | None = None,
+    current_schema_id: int | None = None,
 ) -> dict:
     """Assemble a spec-compliant Iceberg **format-version 2** table
     metadata document (types.go:44-93 ``TableMetadata``) from its parts.
     Pure function: the catalog server side (the mock in tests; Lakekeeper
     in production builds its own) and any consumer share one definition
-    of the payload an external engine reads."""
+    of the payload an external engine reads.
+
+    ``schema_rest`` may be a single schema or the table's full schema
+    history (additive evolution, A12/schema.go:147-174) — ids assigned
+    by list position; ``current_schema_id`` defaults to the newest."""
     import uuid as _uuid
 
-    schema = {**schema_rest, "schema-id": schema_rest.get("schema-id", 0)}
+    raw = schema_rest if isinstance(schema_rest, list) else [schema_rest]
+    schemas = [{**s, "schema-id": i} for i, s in enumerate(raw)]
+    cur_id = (
+        current_schema_id if current_schema_id is not None else len(schemas) - 1
+    )
+    cur_schema = schemas[cur_id]
     spec = {"spec-id": partition_spec.get("spec-id", 0),
             "fields": partition_spec.get("fields", [])}
     current = snapshots[-1]["snapshot-id"] if snapshots else -1
@@ -144,9 +154,11 @@ def assemble_table_metadata_v2(
             (s["sequence-number"] for s in snapshots), default=0
         ),
         "last-updated-ms": max((s["timestamp-ms"] for s in snapshots), default=0),
-        "last-column-id": max((f["id"] for f in schema["fields"]), default=0),
-        "current-schema-id": schema["schema-id"],
-        "schemas": [schema],
+        "last-column-id": max(
+            (f["id"] for s in schemas for f in s["fields"]), default=0
+        ),
+        "current-schema-id": cur_id,
+        "schemas": schemas,
         "default-spec-id": spec["spec-id"],
         "partition-specs": [spec],
         "last-partition-id": max(
@@ -351,16 +363,24 @@ class RestCatalog:
         table: str,
         data_files: list[dict],
         snapshot: dict | None = None,
+        new_schema: dict | None = None,
     ) -> None:
         """Commit an append snapshot (rest.go:188-217: a single
         append-files update with empty requirements). When ``snapshot``
         (a spec-shaped v2 snapshot entry, see :func:`snapshot_entry`) is
         given, an ``add-snapshot`` update — the standard Iceberg REST
         commit shape — rides along so the catalog can serve a complete
-        v2 snapshot list with manifest-list paths."""
-        updates: list[dict] = [
+        v2 snapshot list with manifest-list paths. When ``new_schema``
+        is given, ``add-schema`` + ``set-current-schema`` (schema-id -1
+        = "the one just added", per the Iceberg REST spec) ride along —
+        the additive-evolution commit (A12)."""
+        updates: list[dict] = []
+        if new_schema is not None:
+            updates.append({"action": "add-schema", "schema": new_schema})
+            updates.append({"action": "set-current-schema", "schema-id": -1})
+        updates.append(
             {"action": "append", "append-files": {"data-files": data_files}}
-        ]
+        )
         if snapshot is not None:
             updates.append({"action": "add-snapshot", "snapshot": snapshot})
         status, body = self._request(
@@ -388,6 +408,7 @@ class RestCatalog:
             parent_files = set(snap._resolve(version=manifest["version"] - 1)["files"])
         new_files = [f for f in manifest["files"] if f not in parent_files]
 
+        created = not self.table_exists(namespace, table)
         self.create_table(
             namespace,
             table,
@@ -395,6 +416,32 @@ class RestCatalog:
             partition_by=manifest.get("partition_by"),
             location=snap.path,
         )
+        # additive schema evolution (A12): when the published version's
+        # schema differs from what the catalog currently serves, the
+        # commit carries add-schema + set-current-schema so external
+        # readers see the evolved shape
+        new_schema = None
+        if not created:
+            want = schema_to_rest(snap.read(version=version).schema)
+            meta = self.load_table(namespace, table).get("metadata", {})
+            schemas = meta.get("schemas") or (
+                [meta["schema"]] if "schema" in meta else []
+            )
+            if schemas:
+                cur_id = meta.get("current-schema-id", len(schemas) - 1)
+                cur = next(
+                    (s for s in schemas if s.get("schema-id") == cur_id),
+                    schemas[-1],
+                )
+
+                def shape(s: dict):
+                    return [
+                        (f["name"], f["type"], f["required"])
+                        for f in s["fields"]
+                    ]
+
+                if shape(cur) != shape(want):
+                    new_schema = want
         data_files = [
             {
                 "content": "data",
@@ -411,6 +458,7 @@ class RestCatalog:
                 table,
                 data_files,
                 snapshot=snapshot_entry(snap, version=manifest["version"]),
+                new_schema=new_schema,
             )
         return len(data_files)
 

@@ -403,11 +403,19 @@ class SnapshotTable:
         m = self._resolve(version, as_of_ms)
         if not m["files"]:
             raise ValueError(f"snapshot {m['version']} is empty")
+        # mergeSchema: an appended file may carry columns the earlier files
+        # lack (additive evolution, A12). Without it Spark infers the
+        # snapshot schema from ONE sampled footer, so an evolved column
+        # NONDETERMINISTICALLY vanishes depending on which file is sampled
+        # (observed r06). Merging unions all file schemas — the same
+        # read-side semantics Iceberg gets from its schema list.
         if m.get("partition_by"):
             # hive-layout files: give Spark the staged root as basePath so the
             # key=value path segments come back as partition columns
             parts = [
-                self.spark.read.option("basePath", root).parquet(*fs)
+                self.spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
+                .parquet(*fs)
                 for root, fs in sorted(
                     _group_files_by_root(self.data_dir, m["files"]).items()
                 )
@@ -424,9 +432,10 @@ class SnapshotTable:
                     ]
             out = parts[0]
             for p in parts[1:]:
-                out = out.unionByName(p)
+                # roots written before an evolution lack the new columns
+                out = out.unionByName(p, allowMissingColumns=True)
             return out
-        return self.spark.read.parquet(*m["files"])
+        return self.spark.read.option("mergeSchema", "true").parquet(*m["files"])
 
     def read_where(
         self,

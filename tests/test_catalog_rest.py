@@ -69,9 +69,10 @@ class _Handler(BaseHTTPRequestHandler):
                 # share one assembler) — LoadTableResult shape
                 meta = assemble_table_metadata_v2(
                     t["location"],
-                    t["schema"],
+                    t["schemas"],
                     t["partition-spec"],
                     srv.snapshots.get(key, []),
+                    current_schema_id=t["current-schema-id"],
                 )
                 return self._reply(
                     200,
@@ -103,6 +104,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(409, {"error": "table exists"})
             srv.tables[key] = {
                 "schema": body["schema"],
+                "schemas": [body["schema"]],
+                "current-schema-id": 0,
                 "partition-spec": body["partition-spec"],
                 "location": body.get("location") or f"mock://{key[0]}/{key[1]}",
             }
@@ -119,6 +122,13 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 elif upd["action"] == "add-snapshot":
                     srv.snapshots.setdefault(key, []).append(upd["snapshot"])
+                elif upd["action"] == "add-schema":
+                    srv.tables[key]["schemas"].append(upd["schema"])
+                elif upd["action"] == "set-current-schema":
+                    sid = upd["schema-id"]
+                    if sid == -1:  # spec: "the schema just added"
+                        sid = len(srv.tables[key]["schemas"]) - 1
+                    srv.tables[key]["current-schema-id"] = sid
                 else:
                     raise AssertionError(f"unexpected update {upd['action']}")
             return self._reply(200, {"metadata": srv.tables[key]})
@@ -275,6 +285,57 @@ def test_publish_load_round_trip_external_readback(mock_catalog, spark, tmp_path
     # ...and publishing v3 heals it
     cat.publish_snapshot("lake", "rt", snap, version=3)
     assert cat.verify_publish("lake", "rt", snap, version=3)["records"] == 4
+
+
+def test_schema_evolution_publish_round_trip(mock_catalog, spark, tmp_path):
+    """A12 through the catalog: v2 appends a column; the publish commit
+    carries add-schema + set-current-schema, the served v2 metadata
+    grows a schema list with the evolved shape current, verify_publish
+    passes against the evolved local schema, and an external engine
+    reading the served files sees the new column (null for old rows)."""
+    import duckdb
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1)
+    )
+    snap.commit(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, w double"
+        ).coalesce(1)
+    )
+    # the local read itself must be deterministic about the evolved
+    # column (mergeSchema — without it one sampled footer decides)
+    assert snap.read(version=2).schema.simpleString() == (
+        "struct<k:bigint,v:string,w:double>"
+    )
+
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("evo", "t", snap, version=1)
+    cat.publish_snapshot("evo", "t", snap, version=2)
+
+    loaded = cat.load_table("evo", "t")
+    meta = loaded["metadata"]
+    validate_table_metadata_v2(meta)
+    assert len(meta["schemas"]) == 2
+    names = lambda s: [f["name"] for f in s["fields"]]  # noqa: E731
+    assert names(meta["schemas"][0]) == ["k", "v"]
+    assert names(meta["schemas"][1]) == ["k", "v", "w"]
+    assert meta["current-schema-id"] == 1
+    assert meta["last-column-id"] == 3
+
+    assert cat.verify_publish("evo", "t", snap, version=2)["records"] == 2
+
+    paths = [f["file-path"] for f in loaded["data-files"]]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT k, v, w FROM read_parquet(?, union_by_name=true) ORDER BY k",
+        [paths],
+    ).fetchall()
+    con.close()
+    assert got == [(1, "a", None), (2, "b", 9.5)]
 
 
 def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
