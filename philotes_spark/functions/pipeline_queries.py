@@ -267,3 +267,90 @@ def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+@query(
+    "train_source_mixture",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ),
+    src AS (
+        SELECT source, SUM(n_tok) AS src_tokens FROM toks GROUP BY source
+    ),
+    rates AS (
+        SELECT source, src_tokens,
+               least(1.0, (0.5 * SUM(src_tokens) OVER () / COUNT(*) OVER ())
+                          / src_tokens) AS rate
+        FROM src
+    ),
+    kept AS (
+        SELECT t.source, t.n_tok
+        FROM toks t JOIN rates r USING (source)
+        WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))::INT
+              / 65536.0 < r.rate
+    ),
+    kagg AS (
+        SELECT source, COUNT(*) AS n, SUM(n_tok) AS tok
+        FROM kept GROUP BY source
+    )
+    SELECT r.source,
+           ROUND(r.rate, 4) AS target_rate,
+           CAST(COALESCE(kagg.n, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(kagg.tok, 0) AS BIGINT) AS kept_tokens
+    FROM rates r LEFT JOIN kagg USING (source)
+    ORDER BY r.source
+    """,
+)
+def train_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: give every source an equal
+    share of a global token budget (here 50% of the corpus), convert the
+    share into a per-source acceptance rate (capped at 1 for
+    under-budget sources), and keep documents whose stable md5 bucket
+    falls under the rate — the reproducible mixture-rebalancing step a
+    training pipeline runs to stop giant sources from dominating.
+
+    100 TB shape: per-source token totals are one hash aggregate
+    (map-side partial, n_sources rows out); the rate table is
+    n_sources rows and BROADCASTS back over the corpus for the sampling
+    filter, so the only corpus-sized work is two scans — no corpus
+    shuffle at all. The md5-bucket predicate is the same portable-hash
+    convention as train_split_stats (functions/pipeline.py), so any
+    engine reproduces the exact same sample."""
+    from philotes_spark.functions import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.word_count(X.tokens(F.col("text"))).alias("n_tok")
+    )
+    src = docs.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    w = Window.partitionBy()  # n_sources rows — tiny
+    rates = src.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.sum("src_tokens").over(w) / F.count(F.lit(1)).over(w))
+            / F.col("src_tokens"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.round("rate", 4).alias("target_rate"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("tok", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
