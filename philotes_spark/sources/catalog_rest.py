@@ -125,6 +125,7 @@ def assemble_table_metadata_v2(
     snapshots: list[dict],
     properties: dict | None = None,
     current_schema_id: int | None = None,
+    sort_order: dict | None = None,
 ) -> dict:
     """Assemble a spec-compliant Iceberg **format-version 2** table
     metadata document (types.go:44-93 ``TableMetadata``) from its parts.
@@ -134,7 +135,10 @@ def assemble_table_metadata_v2(
 
     ``schema_rest`` may be a single schema or the table's full schema
     history (additive evolution, A12/schema.go:147-174) — ids assigned
-    by list position; ``current_schema_id`` defaults to the newest."""
+    by list position; ``current_schema_id`` defaults to the newest.
+    ``sort_order`` (a spec-shaped order with ``order-id`` >= 1), when
+    given, becomes the default write sort order next to the mandatory
+    unsorted order 0."""
     import uuid as _uuid
 
     raw = schema_rest if isinstance(schema_rest, list) else [schema_rest]
@@ -164,8 +168,14 @@ def assemble_table_metadata_v2(
         "last-partition-id": max(
             (f["field-id"] for f in spec["fields"]), default=999
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": (
+            sort_order["order-id"] if sort_order else 0
+        ),
+        "sort-orders": (
+            [{"order-id": 0, "fields": []}, sort_order]
+            if sort_order
+            else [{"order-id": 0, "fields": []}]
+        ),
         "properties": properties or {},
         "current-snapshot-id": current,
         "snapshots": snapshots,
@@ -319,6 +329,7 @@ class RestCatalog:
         schema: T.StructType,
         partition_by: list[str] | None = None,
         location: str | None = None,
+        sort_by: list[str] | None = None,
     ) -> None:
         self.create_namespace(namespace)
         if self.table_exists(namespace, table):
@@ -341,6 +352,22 @@ class RestCatalog:
             "stage-create": False,
             "properties": {},
         }
+        if sort_by:
+            # Iceberg REST create-table write-order: the clustered-commit
+            # sort (SnapshotTable.commit(sort_by=...)) published so
+            # external writers keep the same clustering
+            req["write-order"] = {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": field_id[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in sort_by
+                ],
+            }
         if location:
             req["location"] = location
         status, body = self._request(
@@ -415,6 +442,7 @@ class RestCatalog:
             snap.read(version=version).schema,
             partition_by=manifest.get("partition_by"),
             location=snap.path,
+            sort_by=manifest.get("sort_by") or None,
         )
         # additive schema evolution (A12): when the published version's
         # schema differs from what the catalog currently serves, the

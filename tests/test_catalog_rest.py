@@ -73,6 +73,7 @@ class _Handler(BaseHTTPRequestHandler):
                     t["partition-spec"],
                     srv.snapshots.get(key, []),
                     current_schema_id=t["current-schema-id"],
+                    sort_order=t.get("write-order"),
                 )
                 return self._reply(
                     200,
@@ -107,6 +108,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "schemas": [body["schema"]],
                 "current-schema-id": 0,
                 "partition-spec": body["partition-spec"],
+                "write-order": body.get("write-order"),
                 "location": body.get("location") or f"mock://{key[0]}/{key[1]}",
             }
             return self._reply(200, {"metadata": srv.tables[key]})
@@ -336,6 +338,40 @@ def test_schema_evolution_publish_round_trip(mock_catalog, spark, tmp_path):
     ).fetchall()
     con.close()
     assert got == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_clustered_table_publishes_sort_order(mock_catalog, spark, tmp_path):
+    """A sort_by-clustered SnapshotTable publishes its write sort order:
+    the served v2 metadata carries sort-orders [unsorted 0, the order]
+    with default-sort-order-id pointing at it and source-ids resolving
+    into the schema."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], "k long, v string")
+        .repartition(4),
+        sort_by=["k"],
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("so", "t", snap, version=1)
+
+    meta = cat.load_table("so", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["default-sort-order-id"] == 1
+    orders = {o["order-id"]: o for o in meta["sort-orders"]}
+    assert orders[0]["fields"] == []
+    k_id = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "k"
+    )
+    assert orders[1]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": k_id,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]
 
 
 def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):

@@ -153,3 +153,55 @@ def test_append_inherits_partition_spec(spark, table):
     table.commit(df(0, 6), operation="overwrite")  # back to unpartitioned
     assert table.read().count() == 6
     assert table.partitions().collect()[0].partition == "<unpartitioned>"
+
+
+def test_clustered_commit_prunes_files(spark, table):
+    """r06 sort_by: a clustered commit range-partitions + sorts the
+    write, so per-file [min, max] ranges are disjoint and a range
+    predicate skips most files; the same data committed unclustered
+    (hash repartition) spreads every value range across every file and
+    prunes nothing. Also: appends inherit the parent's sort order, and
+    the manifest records it."""
+    import random
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000),) for _ in range(4_000)]
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+
+    table.commit(df, sort_by=["v"])
+    m = table._resolve()
+    assert m["sort_by"] == ["v"] and m["stats_cols"] == ["v"]
+    total = len(m["files"])
+    assert total >= 4
+    kept, tot = table.pruned_file_count("v", lo=100, hi=600)
+    assert tot == total
+    assert kept <= max(1, total // 4), (
+        f"clustered table must prune a narrow range: kept {kept}/{tot}"
+    )
+    # correctness under pruning: read_where returns exactly the rows
+    want = sorted(v for (v,) in rows if 100 <= v <= 600)
+    got = sorted(
+        r.v for r in table.read_where("v", lo=100, hi=600)
+        .filter("v >= 100 AND v <= 600").collect()
+    )
+    assert got == want
+
+    # the unclustered twin: same data, no sort → nothing prunes
+    flat = SnapshotTable(spark, table.path + "_flat")
+    flat.commit(df, stats_cols=["v"])
+    kept_flat, tot_flat = flat.pruned_file_count("v", lo=100, hi=600)
+    assert kept_flat == tot_flat, "hash-partitioned files all overlap the range"
+
+    # appends inherit the clustering + stats cols
+    table.commit(
+        spark.createDataFrame([(50_000 + i,) for i in range(100)], "v long")
+        .repartition(2)
+    )
+    m2 = table._resolve()
+    assert m2["sort_by"] == ["v"]
+    kept2, tot2 = table.pruned_file_count("v", lo=50_000, hi=60_000)
+    assert tot2 > total and kept2 <= tot2 - total, (
+        "the old files must prune away for the new key range"
+    )
