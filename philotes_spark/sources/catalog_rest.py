@@ -231,6 +231,19 @@ def validate_table_metadata_v2(meta: dict) -> None:
                 fail(f"partition field missing {k!r}: {pf}")
         if pf["source-id"] not in field_ids:
             fail(f"partition source-id {pf['source-id']} not a schema field id")
+    orders = {o["order-id"]: o for o in meta.get("sort-orders", [])}
+    if meta.get("default-sort-order-id", 0) not in orders:
+        fail(
+            f"default-sort-order-id {meta.get('default-sort-order-id')}"
+            " not in sort-orders"
+        )
+    for o in orders.values():
+        for sf in o.get("fields", []):
+            for k in ("transform", "source-id", "direction", "null-order"):
+                if k not in sf:
+                    fail(f"sort field missing {k!r}: {sf}")
+            if sf["source-id"] not in field_ids:
+                fail(f"sort source-id {sf['source-id']} not a schema field id")
     snap_ids = set()
     last_seq = 0
     for s in meta["snapshots"]:

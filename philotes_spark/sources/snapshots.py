@@ -767,15 +767,30 @@ class SnapshotTable:
         for name in self._manifests():
             live.update(self._load(name)["files"])
         deleted = 0
-        for sub in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
-            subdir = os.path.join(self.data_dir, sub)
-            for f in os.listdir(subdir):
-                p = os.path.join(subdir, f)
+        if not os.path.isdir(self.data_dir):
+            return deleted
+        # bottom-up recursive walk: hive-partitioned staged dirs nest the
+        # parquet files under key=value directories, so a one-level
+        # listing both missed dead files and crashed trying to os.remove
+        # a partition directory (fixed r06). Orphans from failed/
+        # conflicted commits (data staged, manifest link lost the race)
+        # are swept by the same pass — Iceberg's remove_orphan_files.
+        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+            for f in files:
+                p = os.path.join(root, f)
                 if f.endswith(".parquet") and p not in live:
                     os.remove(p)
                     deleted += 1
-            if not any(x.endswith(".parquet") for x in os.listdir(subdir)):
-                for leftover in os.listdir(subdir):
-                    os.remove(os.path.join(subdir, leftover))
-                os.rmdir(subdir)
+            if root == self.data_dir:
+                continue
+            remaining = os.listdir(root)
+            has_parquet = any(x.endswith(".parquet") for x in remaining)
+            has_subdir = any(
+                os.path.isdir(os.path.join(root, x)) for x in remaining
+            )
+            if not has_parquet and not has_subdir:
+                # only _SUCCESS/.crc leftovers: the staged dir is dead
+                for x in remaining:
+                    os.remove(os.path.join(root, x))
+                os.rmdir(root)
         return deleted

@@ -205,3 +205,34 @@ def test_clustered_commit_prunes_files(spark, table):
     assert tot2 > total and kept2 <= tot2 - total, (
         "the old files must prune away for the new key range"
     )
+
+
+def test_expire_partitioned_and_orphaned_staged_dirs(spark, table):
+    """r06 regression: expiry on a hive-partitioned table must walk the
+    nested key=value layout (the one-level listing crashed with
+    IsADirectoryError and missed nested dead files), and a staged dir
+    orphaned by a lost commit race must be swept too
+    (remove_orphan_files semantics)."""
+    import os
+    import uuid
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, p string"
+    ).coalesce(1)
+    table.commit(df, partition_by=["p"])
+    table.commit(
+        spark.createDataFrame([(9, "z")], "k long, p string").coalesce(1),
+        operation="overwrite",
+        partition_by=["p"],
+    )
+    # fake a conflicted commit: data staged, no manifest references it
+    orphan_dir = os.path.join(table.data_dir, uuid.uuid4().hex)
+    spark.createDataFrame([(7, "q")], "k long, p string").coalesce(1).write.partitionBy(
+        "p"
+    ).parquet(orphan_dir)
+    assert os.path.isdir(orphan_dir)
+
+    deleted = table.expire_snapshots(keep_last=1)
+    assert deleted >= 3  # v1's two partitions + the orphaned staged file
+    assert not os.path.isdir(orphan_dir), "orphaned staged dir must be swept"
+    assert sorted(map(tuple, table.read().collect())) == [(9, "z")]
