@@ -387,6 +387,15 @@ class SnapshotTable:
             if kept is not None
             else upserts
         )
+        sort_by = m.get("sort_by") or []
+        if sort_by:
+            # preserve the table's clustering through the rewrite (the
+            # untouched files keep theirs by reference) — Iceberg's
+            # sort-order-aware CoW; without this the merged files' value
+            # ranges widen and file-skipping degrades merge by merge
+            new_data = new_data.repartitionByRange(
+                max(new_data.rdd.getNumPartitions(), 1), *sort_by
+            ).sortWithinPartitions(*sort_by)
         new_data.write.parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
@@ -403,6 +412,7 @@ class SnapshotTable:
             properties=dict(m.get("properties", {})),
             file_stats=file_stats,
             stats_cols=list(cols),
+            sort_by=sort_by,
         )
 
     # --- reads (B5) ----------------------------------------------------------
@@ -638,6 +648,10 @@ class SnapshotTable:
             if kept is not None
             else upserts
         )
+        sort_by = m.get("sort_by") or []
+        if sort_by:
+            # preserve in-file clustering through the partitioned rewrite
+            new_data = new_data.sortWithinPartitions(*sort_by)
         new_data.write.partitionBy(*part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
@@ -656,6 +670,7 @@ class SnapshotTable:
             properties=dict(m.get("properties", {})),
             file_stats=file_stats,
             stats_cols=list(cols),
+            sort_by=sort_by,
         )
 
     def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
@@ -679,7 +694,16 @@ class SnapshotTable:
         total = sum(os.path.getsize(f) for f in small)
         n_out = max(1, total // small_file_bytes + (1 if total % small_file_bytes else 0))
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        self.spark.read.parquet(*small).coalesce(int(n_out)).write.parquet(staged)
+        src = self.spark.read.option("mergeSchema", "true").parquet(*small)
+        sort_by = m.get("sort_by") or []
+        if sort_by:
+            # sort-compaction (Iceberg rewrite_data_files with sort
+            # strategy): the rewritten files regain disjoint value ranges
+            out = src.repartitionByRange(int(n_out), *sort_by)
+            out = out.sortWithinPartitions(*sort_by)
+        else:
+            out = src.coalesce(int(n_out))
+        out.write.parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
@@ -695,6 +719,7 @@ class SnapshotTable:
             properties=dict(m.get("properties", {})),
             file_stats=stats,
             stats_cols=list(cols),
+            sort_by=sort_by,
         )
 
     def _compact_partitioned(self, m: dict, small_file_bytes: int) -> int | None:
@@ -728,9 +753,14 @@ class SnapshotTable:
         # repartition BY the partition columns: each partition value lands
         # in one task, so the write emits one compacted file per partition
         # (coalesce would leave every task writing a sliver of every value)
-        cur.repartition(max(1, len(by_part)), *[F.col(c) for c in part_cols]).write.partitionBy(
-            *part_cols
-        ).parquet(staged)
+        out = cur.repartition(
+            max(1, len(by_part)), *[F.col(c) for c in part_cols]
+        )
+        sort_by = m.get("sort_by") or []
+        if sort_by:
+            # each compacted per-partition file regains its in-file order
+            out = out.sortWithinPartitions(*sort_by)
+        out.write.partitionBy(*part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}
@@ -746,6 +776,7 @@ class SnapshotTable:
             properties=dict(m.get("properties", {})),
             file_stats=stats,
             stats_cols=list(cols),
+            sort_by=sort_by,
         )
 
     # --- maintenance (A7) -------------------------------------------------------

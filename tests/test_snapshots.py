@@ -236,3 +236,41 @@ def test_expire_partitioned_and_orphaned_staged_dirs(spark, table):
     assert deleted >= 3  # v1's two partitions + the orphaned staged file
     assert not os.path.isdir(orphan_dir), "orphaned staged dir must be swept"
     assert sorted(map(tuple, table.read().collect())) == [(9, "z")]
+
+
+def test_clustering_survives_merge_and_compact(spark, table):
+    """r06: sort-order-aware rewrites — a merge's rewritten files and a
+    sort-compaction's output regain disjoint value ranges, so the table
+    keeps pruning after maintenance instead of degrading rewrite by
+    rewrite. The manifest keeps carrying sort_by through both."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    table.commit(df, sort_by=["k"])
+
+    # upsert a narrow key band: only files overlapping it rewrite
+    table.merge(
+        spark.createDataFrame(
+            [(k, 9999) for k in range(100, 140)], "k long, v long"
+        ),
+        key_cols=["k"],
+    )
+    m = table._resolve()
+    assert m["operation"] == "merge" and m["sort_by"] == ["k"]
+    kept, tot = table.pruned_file_count("k", lo=3000, hi=3500)
+    assert kept <= max(1, tot // 3), f"post-merge pruning degraded: {kept}/{tot}"
+    got = {r.k: r.v for r in table.read().filter("k >= 100 AND k < 140").collect()}
+    assert got == {k: 9999 for k in range(100, 140)}
+
+    # compaction re-sorts the rewritten small files
+    v = table.compact(small_file_bytes=1 << 30)  # everything is "small"
+    assert v is not None
+    m2 = table._resolve()
+    assert m2["operation"] == "compact" and m2["sort_by"] == ["k"]
+    kept2, tot2 = table.pruned_file_count("k", lo=3000, hi=3500)
+    assert kept2 <= max(1, tot2 // 2), (
+        f"post-compact pruning degraded: {kept2}/{tot2}"
+    )
+    assert table.read().count() == 4000
