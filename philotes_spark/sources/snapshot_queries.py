@@ -173,3 +173,41 @@ def show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     names = list_tables(spark)
     return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+@query(
+    "snapshot_clustered_prune",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE user_id >= 200 AND user_id <= 400
+    """,
+)
+def snapshot_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-commit file skipping, value-verified (r06): commit the
+    events fixture with sort_by=['user_id'] (range-partitioned + sorted
+    write, footer min/max recorded per file), then answer a range
+    predicate through read_where — which plans the scan over ONLY the
+    files whose [min, max] overlaps the range — and assert the plan
+    actually pruned before returning. The oracle is the plain filter
+    over all rows, so the hash compare proves pruning loses nothing.
+    This is B19's file-level twin (partition pruning ≙ day-partitions;
+    this ≙ Iceberg data-skipping on sorted tables) and the dominant
+    scan-cost lever at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.repartition(8), sort_by=["user_id"])
+        kept, total = tbl.pruned_file_count("user_id", lo=200, hi=400)
+        assert kept < total, f"clustered scan must prune: kept {kept}/{total}"
+        out = (
+            tbl.read_where("user_id", lo=200, hi=400)
+            .filter((F.col("user_id") >= 200) & (F.col("user_id") <= 400))
+            .select("event_id", "user_id", "value")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
