@@ -116,9 +116,11 @@ def _tier(name: str) -> tuple[int, int]:
         "metric_anomaly_zscore",
         "dedup_cross_source_overlap",
         "train_source_mixture",
-        # strong rotation candidate for r07: proves clustered-commit file
-        # skipping by value inside the driver harness
+        # strong rotation candidates for r07: clustered-commit file
+        # skipping and the incremental append scan, each value-verified
+        # inside the driver harness
         "snapshot_clustered_prune",
+        "snapshot_incremental_read",
         # r06 rotation (VERDICT r05 next-round #2): swap these three below
         # the window — b11 (filter+order) and b15 (COUNT(col) null-skip)
         # are shape-duplicates of window-green b4/b8 and b3/b17/a8, and the

@@ -139,6 +139,35 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_incremental_read",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id <= 800 THEN 2 ELSE 3 END AS commit_version
+    FROM events WHERE event_id > 500
+    """,
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg IncrementalAppendScan twin): commit
+    the events fixture as three appends, then read everything added after
+    v1 — exactly the v2+v3 rows, each tagged with its committing version.
+    The scan is a manifest file-list diff, so its cost is proportional to
+    the new bytes only, independent of table size — the tailing-consumer
+    pattern for the reference's append-only CDC tables
+    (docs/query/sample-queries.sql:64-70 polls by `_cdc_timestamp`; the
+    commit log cannot miss late arrivals)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500))
+        tbl.commit(ev.filter((F.col("event_id") > 500) & (F.col("event_id") <= 800)))
+        tbl.commit(ev.filter(F.col("event_id") > 800))
+        return tbl.read_incremental(from_version=1).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "show_create_events",
     oracle="""
     SELECT 'events' AS table_name,
