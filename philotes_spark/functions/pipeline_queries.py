@@ -354,3 +354,83 @@ def train_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "train_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(
+                   0, CAST(floor((len(t) - 1) / 24) AS INT))) AS chunk_id
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+               AS n_tokens,
+           md5(list_aggregate(t[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                              'string_agg', ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: overlapping token windows of size 32 with
+    stride 24 per document; one output row per chunk with its token count
+    and an md5 fingerprint of the space-joined window (the downstream
+    embed/index key).
+
+    Shape: posexplode evaluates the tokenizer ONCE per document (a
+    generator's child is evaluated once per input row — immune to the
+    projection-collapse hazard that makes per-index slice probes re-run
+    the regex O(n_chunks) times, PERF.md), then each token fans out to
+    the <= ceil(32/24) = 2 chunks containing it and one doc-keyed shuffle
+    groups (doc_id, chunk_id). Shuffle volume is corpus-size x overlap
+    factor regardless of document length — at 100 TB the alternative
+    (slice-per-chunk over a re-evaluated token array) is quadratic in
+    document length. Order inside a chunk is restored with
+    sort_array(collect_list(struct(pos, tok))) so the fingerprint is
+    deterministic under any task/partition order."""
+    from philotes_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    ex = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    # token at pos p belongs to chunk i iff i*24 <= p < i*24 + 32
+    mem = ex.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("pos") - F.lit(32) + F.lit(24)) / F.lit(24)),
+                ).cast("int"),
+                F.floor(F.col("pos") / F.lit(24)).cast("int"),
+            )
+        ).alias("chunk_id"),
+    )
+    return (
+        mem.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(pos, tok))),"
+                        " x -> x.tok)"
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "n_tokens",
+            "chunk_hash",
+        )
+    )

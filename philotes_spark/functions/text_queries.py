@@ -453,3 +453,80 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_ngrams"),
         )
     )
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, text, {_TOKS} AS t FROM documents),
+    sig AS (
+        SELECT source,
+               len(t) AS n_words,
+               list_sum(list_transform(t, x -> length(x))) / len(t) AS awl,
+               len(list_distinct(list_filter(
+                   t, x -> list_contains({_sw_list('en')}, x)))) AS n_sw,
+               len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS uniq
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CASE WHEN n_words >= 50 THEN 1.0 ELSE 0.0 END), 4)
+               AS pass_min_words,
+           ROUND(AVG(CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END), 4)
+               AS pass_word_len,
+           ROUND(AVG(CASE WHEN n_sw >= 2 THEN 1.0 ELSE 0.0 END), 4)
+               AS pass_stopwords,
+           ROUND(AVG(CASE WHEN uniq >= 0.3 THEN 1.0 ELSE 0.0 END), 4)
+               AS pass_unique,
+           ROUND(AVG(CASE WHEN n_words >= 50 AND awl >= 3 AND awl <= 10
+                          AND n_sw >= 2 AND uniq >= 0.3
+                     THEN 1.0 ELSE 0.0 END), 4) AS pass_all
+    FROM sig GROUP BY source ORDER BY source
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate report (Rae et al. 2021 §A1.1, the
+    same family C4 applies): per source, the fraction of documents passing
+    each curation rule — minimum word count (>= 50), mean word length in
+    [3, 10], >= 2 distinct English stopwords, and token-uniqueness >= 0.3
+    — plus the conjunction (the corpus yield if the gate ran). Per-doc
+    signals are pure JVM array expressions inside one projection; the
+    rollup is a single hash aggregate on `source` with map-side partials,
+    so the plan is one narrow scan + one small shuffle at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", X.tokens(F.col("text")).alias("t")
+    )
+    sw = X.LANG_STOPWORDS["en"]
+    sig = docs.filter(F.size("t") > 0).select(
+        "source",
+        F.size("t").alias("n_words"),
+        (
+            F.aggregate("t", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size("t")
+        ).alias("awl"),
+        F.size(
+            F.array_distinct(F.filter("t", lambda x: x.isin(*sw)))
+        ).alias("n_sw"),
+        (F.size(F.array_distinct("t")) / F.size("t").cast("double")).alias("uniq"),
+    )
+
+    def _rate(cond, name):
+        return F.round(F.avg(F.when(cond, 1.0).otherwise(0.0)), 4).alias(name)
+
+    words_ok = F.col("n_words") >= 50
+    awl_ok = (F.col("awl") >= 3) & (F.col("awl") <= 10)
+    sw_ok = F.col("n_sw") >= 2
+    uniq_ok = F.col("uniq") >= 0.3
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _rate(words_ok, "pass_min_words"),
+            _rate(awl_ok, "pass_word_len"),
+            _rate(sw_ok, "pass_stopwords"),
+            _rate(uniq_ok, "pass_unique"),
+            _rate(words_ok & awl_ok & sw_ok & uniq_ok, "pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -116,6 +116,8 @@ def _tier(name: str) -> tuple[int, int]:
         "metric_anomaly_zscore",
         "dedup_cross_source_overlap",
         "train_source_mixture",
+        "train_chunk_documents",
+        "text_gopher_filters",
         # strong rotation candidates for r07: clustered-commit file
         # skipping and the incremental append scan, each value-verified
         # inside the driver harness
