@@ -113,6 +113,7 @@ def _tier(name: str) -> tuple[int, int]:
         "sim_label_centroids",
         "sim_label_inertia",
         "stream_hopping_counts",
+        "stream_dedup_distinct",
         "metric_anomaly_zscore",
         "dedup_cross_source_overlap",
         "train_source_mixture",

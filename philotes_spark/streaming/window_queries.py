@@ -101,3 +101,25 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(
         ev, window="1 hour", slide="30 minutes", watermark="2 hours"
     )
+
+
+@query(
+    "stream_dedup_distinct",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermark-bounded streaming dedup
+    (streaming/dedup.py): first-copy-wins over (user_id, event_type)
+    projected to the surviving keys — the batch-equivalence definition of
+    ``dropDuplicatesWithinWatermark``, whose streaming path (drop within
+    horizon, checkpointed state, re-emit after expiry) is pinned E2E in
+    tests/test_streaming_dedup.py. Plan: one hash aggregate on the key
+    pair, partial map-side."""
+    from philotes_spark.streaming.dedup import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_within_watermark(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
