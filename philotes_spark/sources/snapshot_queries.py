@@ -168,6 +168,57 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_changelog_diff",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id <= 500
+    )
+    SELECT event_id, user_id, value, 'insert' AS change_type
+    FROM events WHERE event_id BETWEEN 501 AND 510
+    UNION ALL
+    SELECT event_id, user_id, ROUND(value * 2 + 1, 2), 'update'
+    FROM base WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+    UNION ALL
+    SELECT event_id, user_id, value, 'delete'
+    FROM base WHERE event_id % 13 = 0
+    """,
+)
+def snapshot_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog across a replace commit (read_changes, the Iceberg
+    create_changelog_view twin): commit events<=500, merge a change set
+    carrying inserts (501-510), updates (value*2+1 on multiples of 7)
+    and deletes (multiples of 13), then diff v1 -> v2 into
+    insert/update/delete rows. The keyed full-outer diff is the replace
+    path; the append-only path (pure file-diff) is the same machinery
+    as snapshot_incremental_read."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") <= 500)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base, stats_cols=["event_id"])
+        inserts = ev.filter(F.col("event_id").between(501, 510)).withColumn(
+            "_del", F.lit(False)
+        )
+        updates = (
+            base.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 13 != 0))
+            .withColumn("value", F.round(F.col("value") * 2 + 1, 2))
+            .withColumn("_del", F.lit(False))
+        )
+        deletes = base.filter(F.col("event_id") % 13 == 0).withColumn(
+            "_del", F.lit(True)
+        )
+        tbl.merge(
+            inserts.unionByName(updates).unionByName(deletes),
+            key_cols=["event_id"],
+            delete_col="_del",
+        )
+        return tbl.read_changes(1, 2, key_cols=["event_id"]).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "show_create_events",
     oracle="""
     SELECT 'events' AS table_name,

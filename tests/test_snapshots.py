@@ -329,3 +329,30 @@ def test_incremental_read_partitioned_and_validation(spark, table):
     assert got == {(v, str(v % 2), 2) for v in range(6, 10)}
     with pytest.raises(ValueError, match="bad incremental range"):
         table.read_incremental(0, to_version=9)
+
+
+def test_read_changes_append_only_is_all_inserts(spark, table):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 10, 13))
+    ch = table.read_changes(1)
+    got = {(r.v, r.change_type) for r in ch.collect()}
+    assert got == {(v, "insert") for v in range(10, 13)}
+
+
+def test_read_changes_keyed_diff_classifies(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _df(spark, 0, 10).withColumn("val", F.col("v") * 10), stats_cols=["v"]
+    )
+    changes = spark.createDataFrame(
+        [(3, 999, False), (20, 200, False), (5, 50, False), (7, 70, True)],
+        "v long, val long, _del boolean",
+    )
+    table.merge(changes, key_cols=["v"], delete_col="_del")
+    with pytest.raises(ValueError, match="key_cols is required"):
+        table.read_changes(1)
+    ch = table.read_changes(1, key_cols=["v"])
+    got = {(r.v, r.val, r.change_type) for r in ch.collect()}
+    # v=5 upserted with an UNCHANGED payload -> not a change at all
+    assert got == {(3, 999, "update"), (20, 200, "insert"), (7, 70, "delete")}
