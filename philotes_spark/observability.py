@@ -95,6 +95,45 @@ def increase_over(
     )
 
 
+def counter_increase_resets(
+    samples: DataFrame,
+    labels: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 day",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reset-aware counter increase per series per bucket — the full
+    PromQL ``increase()`` semantics :func:`increase_over` deliberately
+    omits (its max−min is exact only for never-resetting counters): a
+    sample rising above its predecessor contributes the delta; a sample
+    BELOW its predecessor is a counter restart (process crash, pod
+    reschedule — the reference's counters reset exactly this way on a
+    worker restart) and contributes its own value, Prometheus's
+    assumption that the new counter rose from 0. A series' first-ever
+    sample also counts as rising from 0 (the Prometheus client model:
+    counters are born at 0 and incremented before first scrape).
+
+    Shape: one ``lag`` window per series + one (series, bucket) hash
+    aggregate — the window's shuffle on the label key is reused by the
+    aggregate (same partitioning), so one wide exchange total."""
+    order = order_cols or [ts_col]
+    w = Window.partitionBy(*_series_key(labels)).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    delta = F.col(value_col) - prev
+    contrib = (
+        F.when(prev.isNull(), F.col(value_col))
+        .when(delta < 0, F.col(value_col))
+        .otherwise(delta)
+    )
+    return (
+        samples.withColumn("_contrib", contrib)
+        .groupBy(F.window(ts_col, bucket).alias("w"), *labels)
+        .agg(F.sum("_contrib").alias("increase"))
+        .select(F.col("w.start").alias("bucket_start"), *labels, "increase")
+    )
+
+
 def range_query(
     samples: DataFrame,
     name: str,

@@ -247,3 +247,43 @@ def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         (F.abs(z) > 2).alias("is_anomaly"),
     ).orderBy("day", "event_type")
+
+
+@query(
+    "metric_counter_resets",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           user_id,
+           CAST(COUNT(*) AS DOUBLE) AS increase
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def metric_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware PromQL ``increase()`` (counter_increase_resets),
+    value-verified by construction: each user's events are numbered into
+    a sawtooth counter ((n-1) % 100) + 1 — a counter that RESETS every
+    100 samples, like the reference's Prometheus counters across worker
+    restarts — and the reset-aware daily increase of that sawtooth must
+    equal the plain per-day event count, computed independently by the
+    oracle. Any mishandled reset or first-sample rule breaks the hash on
+    every day a user crosses a 100-sample boundary. One window + one
+    aggregate, both keyed on user_id."""
+    from pyspark.sql import Window
+
+    from philotes_spark.observability import counter_increase_resets
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    samples = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (((F.row_number().over(w) - 1) % 100) + 1).cast("double").alias("value"),
+    )
+    return counter_increase_resets(
+        samples,
+        labels=["user_id"],
+        bucket="1 day",
+        order_cols=["ts", "event_id"],
+    )

@@ -115,6 +115,7 @@ def _tier(name: str) -> tuple[int, int]:
         "stream_hopping_counts",
         "stream_dedup_distinct",
         "metric_anomaly_zscore",
+        "metric_counter_resets",
         "dedup_cross_source_overlap",
         "train_source_mixture",
         "train_chunk_documents",

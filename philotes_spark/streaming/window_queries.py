@@ -111,15 +111,15 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the watermark-bounded streaming dedup
-    (streaming/dedup.py): first-copy-wins over (user_id, event_type)
+    (streaming/windows.dedup_stream): first-copy-wins over (user_id, event_type)
     projected to the surviving keys — the batch-equivalence definition of
     ``dropDuplicatesWithinWatermark``, whose streaming path (drop within
     horizon, checkpointed state, re-emit after expiry) is pinned E2E in
     tests/test_streaming_dedup.py. Plan: one hash aggregate on the key
     pair, partial map-side."""
-    from philotes_spark.streaming.dedup import dedup_within_watermark
+    from philotes_spark.streaming.windows import dedup_stream
 
     ev = load_table(spark, sf_dir, "events")
-    return dedup_within_watermark(ev, ["user_id", "event_type"]).select(
+    return dedup_stream(ev, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )

@@ -1,4 +1,5 @@
-"""dropDuplicatesWithinWatermark E2E: redeliveries inside the watermark
+"""dedup_stream (dropDuplicatesWithinWatermark) E2E, beyond the
+stream-equals-batch check in test_streaming_windows.py: redeliveries inside the watermark
 horizon are dropped (across micro-batches, through the checkpoint), and
 a redelivery after the key's state expired re-emits — the documented
 at-least-once tail that makes the state bound honest.
@@ -8,7 +9,7 @@ import datetime as dt
 
 import pytest
 
-from philotes_spark.streaming.dedup import dedup_within_watermark
+from philotes_spark.streaming.windows import dedup_stream
 
 T0 = dt.datetime(2024, 5, 1, 10, 0, 0)
 
@@ -19,7 +20,7 @@ def _run(spark, feed_dir, ckpt):
     rows: list = []
     stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
     q = (
-        dedup_within_watermark(stream, ["event_id"], ts_col="ts", delay="60 seconds")
+        dedup_stream(stream, ["event_id"], ts_col="ts", watermark="60 seconds")
         .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -83,6 +84,6 @@ def test_batch_twin_is_plain_distinct(spark):
         [(1, T0, 1.0), (1, T0 + dt.timedelta(seconds=5), 1.5), (2, T0, 2.0)],
         SCHEMA,
     )
-    out = dedup_within_watermark(df, ["event_id"])
+    out = dedup_stream(df, ["event_id"])
     assert out.count() == 2
     assert not out.isStreaming
