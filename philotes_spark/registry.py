@@ -83,6 +83,7 @@ def _tier(name: str) -> tuple[int, int]:
         "sim_lsh_topk",
         "sim_ivf_topk",
         "sim_quantized_topk",
+        "sim_pq_topk",
         # REAL PPM decode/resize, oracle-gated in pytest; window composition
         # stays exactly as VERDICT r02 prescribed
         "multimodal_image_stats",

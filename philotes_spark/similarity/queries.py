@@ -384,3 +384,28 @@ def sim_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PQ_INDEX: dict[str, tuple[list, DataFrame]] = {}
+
+
+@query("sim_pq_topk")  # rows-only: per-subspace codebooks are engine-local
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 with exact re-rank — the
+    compressed-domain ANN tier (similarity/pq.py): the corpus is served
+    from 16-byte codes (16 subspaces × 16 codewords, 16× smaller than
+    float32), queries score by codebook table lookups and only the
+    candidate list touches float vectors. Codebooks + code column are
+    built once per corpus and cached — each call pays the steady-state
+    serving cost, like the IVF tier. Recall pinned vs exact in
+    tests/test_similarity_recall.py (ADC 0.48, rerank-100 0.96)."""
+    from philotes_spark.similarity.pq import encode_pq, pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_INDEX:
+        books = train_pq_codebooks(emb, m=16, ks=16)
+        _PQ_INDEX[sf_dir] = (books, encode_pq(emb, books).persist())
+    books, codes = _PQ_INDEX[sf_dir]
+    return pq_topk(emb, QUERY_IDS, books, k=10, rerank=100, codes=codes).orderBy(
+        "query_id", "rank"
+    )

@@ -107,3 +107,37 @@ def test_decontam_plan_broadcasts_probe_side(spark, sf_dir):
     registry.load_all()
     a = audit(registry.QUERIES["decontam_ngram_overlap"](spark, sf_dir))
     assert a.broadcast_joins >= 2, "probe ids + probe shingles must broadcast"
+
+
+# --- chunker structural properties ------------------------------------------
+
+
+def test_chunker_tiles_and_overlaps_exactly(spark):
+    """Every doc's chunks must tile the token sequence with stride 24 and
+    size 32: chunk i holds tokens [24i, min(24i+32, n)); reconstructing
+    the doc from chunk prefixes (first 24 tokens of each chunk, all of
+    the last) gives back the original token stream."""
+    from philotes_spark.functions.pipeline_queries import train_chunk_documents
+    from philotes_spark.functions.text import tokens as tok_expr
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = train_chunk_documents.__wrapped__(spark, sf)
+    lens = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.size(tok_expr(F.col("text"))).alias("n"))
+        .collect()
+    }
+    rows = out.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.n_tokens
+    for doc_id, chunks in by_doc.items():
+        n = lens[doc_id]
+        n_chunks = (n - 1) // 24 + 1
+        assert sorted(chunks) == list(range(n_chunks)), (doc_id, n)
+        for i, ct in chunks.items():
+            assert ct == min(32, n - 24 * i), (doc_id, i, ct, n)
+    # every non-empty doc is chunked
+    assert set(by_doc) == {d for d, n in lens.items() if n > 0}

@@ -100,3 +100,51 @@ def test_quantized_estimate_close_to_exact(emb):
     assert common, "no overlapping top-k pairs?"
     for p in common:
         assert abs(exact[p] - est[p]) < 0.02  # ~2 LSBs of int8 resolution
+
+
+# --- product quantization (PQ/ADC) tier --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from philotes_spark.similarity.pq import train_pq_codebooks
+
+    return train_pq_codebooks(emb, m=16, ks=16)
+
+
+def test_pq_adc_recall_beats_chance(emb, exact_neighbors, pq_books):
+    """16×16 codes ≈ 16 bytes/vector (16× vs float32): raw ADC ranking (no float reads at
+    query time) must still land well above random top-10 (10/499 ≈ 2%)."""
+    from philotes_spark.similarity.pq import pq_topk
+
+    rows = pq_topk(emb, QUERY_IDS, pq_books, k=10, rerank=None).collect()
+    assert _recall(rows, exact_neighbors) >= 0.35  # measured 0.48
+
+
+def test_pq_rerank_recovers_exact_ranking(emb, exact_neighbors, pq_books):
+    """Exact re-rank of the ADC candidate list is the serving stack:
+    candidates=50 → most of exact top-10; candidates=100 → nearly all.
+    The returned similarities must BE the exact cosines."""
+    from philotes_spark.similarity.knn import cosine_topk
+    from philotes_spark.similarity.pq import pq_topk
+
+    r50 = pq_topk(emb, QUERY_IDS, pq_books, k=10, rerank=50).collect()
+    assert _recall(r50, exact_neighbors) >= 0.75  # measured 0.90
+    r100 = pq_topk(emb, QUERY_IDS, pq_books, k=10, rerank=100).collect()
+    assert _recall(r100, exact_neighbors) >= 0.85  # measured 0.96
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(emb, QUERY_IDS, k=10).collect()
+    }
+    for r in r100:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_pq_codes_deterministic_and_bounded(emb, pq_books):
+    from philotes_spark.similarity.pq import encode_pq
+
+    a = {r.id: tuple(r.codes) for r in encode_pq(emb, pq_books).collect()}
+    b = {r.id: tuple(r.codes) for r in encode_pq(emb, pq_books).collect()}
+    assert a == b
+    assert all(len(c) == 16 and all(0 <= x < 16 for x in c) for c in a.values())
