@@ -291,3 +291,41 @@ def snapshot_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_sql_time_travel",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_v1,
+           CAST(SUM(CASE WHEN event_id <= 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_half
+    FROM events WHERE event_id <= 500
+    """,
+)
+def snapshot_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 as SQL *text* (sample-queries.sql:47-52): the statement
+    `SELECT ... FROM t FOR VERSION AS OF 1` — string in, DataFrame out —
+    through the time-travel rewriting front-end (sql_frontend.py), under
+    the driver's hash compare. Proves the full statement surface, not
+    just the programmatic read(version=)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500))
+        tbl.commit(ev.filter(F.col("event_id") > 500))
+        out = sql_stmt(
+            spark,
+            """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_v1,
+                   CAST(SUM(CASE WHEN event_id <= 250 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_first_half
+            FROM ev FOR VERSION AS OF 1
+            """,
+            {"ev": tbl},
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

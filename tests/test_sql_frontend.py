@@ -1,0 +1,70 @@
+"""Time-travel SQL *statements* (sample-queries.sql:47-52 as text) must
+execute against snapshot tables: FOR VERSION AS OF, FOR TIMESTAMP AS OF,
+both spellings, in joins, mixed with plain tables — and plain SQL passes
+through untouched.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.sql_frontend import sql
+from philotes_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "tt"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")))
+    tbl.commit(spark.range(10, 25).select(F.col("id").alias("v")))
+    return tbl
+
+
+def test_version_as_of_statement(spark, t):
+    got = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM events_v FOR VERSION AS OF 1",
+        {"events_v": t},
+    ).collect()
+    assert got[0].n == 10
+    # spark/delta spelling without FOR
+    got = sql(
+        spark, "SELECT COUNT(*) AS n FROM events_v VERSION AS OF 2", {"events_v": t}
+    ).collect()
+    assert got[0].n == 25
+
+
+def test_timestamp_as_of_statement(spark, t):
+    import datetime as dt
+
+    t1 = t.snapshots().orderBy("version").collect()[0].timestamp_ms
+    lit = dt.datetime.fromtimestamp(t1 / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    got = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM ev FOR TIMESTAMP AS OF TIMESTAMP '{lit}'",
+        {"ev": t},
+    ).collect()
+    assert got[0].n == 10
+
+
+def test_as_of_inside_join_and_aggregate(spark, t):
+    out = sql(
+        spark,
+        """
+        SELECT a.v FROM ev VERSION AS OF 1 a
+        JOIN ev VERSION AS OF 2 b ON a.v = b.v
+        WHERE a.v >= 8 ORDER BY a.v
+        """,
+        {"ev": t},
+    ).collect()
+    assert [r.v for r in out] == [8, 9]
+
+
+def test_plain_sql_passes_through(spark):
+    assert sql(spark, "SELECT 1 + 1 AS two").collect()[0].two == 2
+
+
+def test_unregistered_table_rejected(spark, t):
+    with pytest.raises(ValueError, match="not a registered snapshot table"):
+        sql(spark, "SELECT * FROM nope VERSION AS OF 1", {"ev": t})
