@@ -530,3 +530,22 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("text_bpe_merges")  # rows-only: iterative training is not one SQL
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the corpus (functions/
+    bpe.py): the first 16 learned merges as (rank, pair) rows —
+    deterministic via the pinned lexicographic tie-break. Training
+    iterates over the word-frequency table (one corpus shuffle total),
+    never the corpus; merge-for-merge equivalence with a pure-Python
+    reference is pinned in tests/test_bpe.py."""
+    from philotes_spark.functions.bpe import train_bpe
+    from philotes_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    merges, _vocab = train_bpe(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(i + 1, a + " " + b) for i, (a, b) in enumerate(merges)],
+        "rank int, pair string",
+    )

@@ -70,6 +70,15 @@ def sql(
             df = tbl.read(as_of_ms=ms)
             view = f"{name}__asof_t{ms}"
         df.createOrReplaceTempView(view)
+        created.append(view)
         return view
 
-    return spark.sql(_TT_RE.sub(_rewrite, statement))
+    created: list[str] = []
+    try:
+        return spark.sql(_TT_RE.sub(_rewrite, statement))
+    finally:
+        # analysis resolved the views into the returned plan; drop them so
+        # the statement leaves no residue in the session catalog (B1's
+        # SHOW TABLES must keep listing only real tables)
+        for view in created:
+            spark.catalog.dropTempView(view)
