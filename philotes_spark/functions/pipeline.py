@@ -99,3 +99,45 @@ def ngram_overlap_contamination(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def compression_signals(df, text_col: str = "text"):
+    """Per-document zlib compression ratio — the Dolma/Gopher quality
+    signal SQL cannot express (a DEFLATE pass over the text): highly
+    repetitive/templated documents compress far below normal prose, and
+    `compressed_len / raw_len` separates them with no tokenizer at all.
+
+    Runs as Arrow-batched ``mapInPandas`` over a narrow projection — the
+    honest use of the Python path (same rationale as the multimodal
+    codecs): per-row zlib, no shuffle, no driver collection, scales as a
+    map at any corpus size. Level 6 (zlib default) pinned for
+    determinism across runs and partitionings.
+
+    Output: input columns + raw_len, compressed_len, compression_ratio
+    (rounded to 4, ratio 0 for empty text)."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("compressed_len", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            pdf["raw_len"] = raw.str.len().astype("int64")
+            pdf["compressed_len"] = (
+                raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            )
+            pdf["compression_ratio"] = (
+                pdf["compressed_len"] / pdf["raw_len"].where(pdf["raw_len"] > 0)
+            ).fillna(0.0).round(4)
+            yield pdf
+
+    return df.mapInPandas(_batches, out_schema)

@@ -549,3 +549,26 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a + " " + b) for i, (a, b) in enumerate(merges)],
         "rank int, pair string",
     )
+
+
+@query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source zlib compression-ratio profile (functions/pipeline.
+    compression_signals — the Dolma quality signal): mean ratio + the
+    fraction of documents compressing suspiciously hard (< 0.35, the
+    templated/repetitive band). Narrow Arrow map + one small aggregate."""
+    from philotes_spark.functions.pipeline import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sig = compression_signals(docs)
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("compression_ratio"), 4).alias("avg_ratio"),
+            F.round(
+                F.avg((F.col("compression_ratio") < 0.35).cast("double")), 4
+            ).alias("frac_templated"),
+        )
+        .orderBy("source")
+    )

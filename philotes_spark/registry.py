@@ -122,6 +122,7 @@ def _tier(name: str) -> tuple[int, int]:
         "train_chunk_documents",
         "text_gopher_filters",
         "text_bpe_merges",
+        "text_compression_ratio",
         # strong rotation candidates for r07: clustered-commit file
         # skipping and the incremental append scan, each value-verified
         # inside the driver harness

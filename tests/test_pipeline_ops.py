@@ -141,3 +141,27 @@ def test_chunker_tiles_and_overlaps_exactly(spark):
             assert ct == min(32, n - 24 * i), (doc_id, i, ct, n)
     # every non-empty doc is chunked
     assert set(by_doc) == {d for d, n in lens.items() if n > 0}
+
+
+def test_compression_signal_separates_repetition(spark):
+    from philotes_spark.functions.pipeline import compression_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),              # templated: compresses hard
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "discusses seventeen unrelated topics in moderate detail"),
+            (3, ""),                          # empty: ratio 0, no crash
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_signals(docs).collect()}
+    assert got[1].compression_ratio < 0.05 < got[2].compression_ratio
+    assert got[3].raw_len == 0 and got[3].compression_ratio == 0.0
+    assert got[2].raw_len == len(got[2].text.encode())
+    # deterministic under repartition
+    again = {
+        r.doc_id: r.compression_ratio
+        for r in compression_signals(docs.repartition(3)).collect()
+    }
+    assert again == {d: r.compression_ratio for d, r in got.items()}
