@@ -28,6 +28,7 @@ def asof_join(
     right_ts: str = "ts",
     tiebreak: str | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all left columns + the right side's non-key
     columns from the latest right row with ``right_ts <= left_ts`` for
@@ -35,7 +36,17 @@ def asof_join(
 
     ``tiebreak`` names a right column ordering equal-timestamp right
     rows (greatest wins); ``tolerance_s`` drops matches older than the
-    given lookback window (pandas merge_asof's ``tolerance``)."""
+    given lookback window (pandas merge_asof's ``tolerance``).
+
+    ``direction='forward'`` flips the match to the EARLIEST right row
+    with ``right_ts >= left_ts`` (merge_asof's forward direction —
+    next-event lookup), same single-window plan over the reversed time
+    order; at equal timestamps the smallest ``tiebreak`` wins, matching
+    pandas' first-in-sort-order pick, and ``tolerance_s`` bounds the
+    look-AHEAD window instead."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    fwd = direction == "forward"
     carry = [c for c in right.columns if c != on and c != right_ts]
     if tiebreak is None:
         tiebreak = carry[0] if carry else right_ts
@@ -59,11 +70,15 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
     )
     # right rows order before left at equal _t (inclusive as-of); among
-    # equal-_t right rows the greatest tiebreak sorts last, so last()
-    # picks it
+    # equal-_t right rows the winning tiebreak sorts last, so last()
+    # picks it. Forward = the same one-window plan over reversed time:
+    # preceding rows are then those with _t >= left's, and the last of
+    # them is the nearest.
+    t_order = F.col("_t").desc() if fwd else F.col("_t").asc()
+    tie_order = F.col("_tie").desc_nulls_last() if fwd else F.col("_tie").asc_nulls_last()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last())
+        .orderBy(t_order, F.col("_side"), tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
@@ -78,10 +93,10 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        fresh = (
-            F.col("_m_ts").isNotNull()
-            & (F.unix_timestamp("_t") - F.unix_timestamp("_m_ts") <= tolerance_s)
-        )
+        gap = F.unix_timestamp("_t") - F.unix_timestamp("_m_ts")
+        if fwd:
+            gap = -gap
+        fresh = F.col("_m_ts").isNotNull() & (gap <= tolerance_s)
         out = out.select(
             *left.columns,
             *[

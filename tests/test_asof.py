@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from philotes_spark.operators.asof import asof_join
 
 
@@ -80,3 +82,60 @@ def test_single_shuffle_plan(spark):
     assert a.shuffles == 1, a.plan
     assert "CartesianProduct" not in a.plan
     assert "BroadcastNestedLoopJoin" not in a.plan
+
+
+def test_forward_direction_and_pandas_parity(spark):
+    """Randomized cross-check against pandas merge_asof in BOTH
+    directions: same keys, duplicate timestamps, tolerance — the library
+    oracle pins the semantics (backward: last right <= t, greatest id on
+    ties; forward: first right >= t, smallest id on ties)."""
+    import random
+
+    import pandas as pd
+
+    from philotes_spark.operators.asof import asof_join
+
+    rng = random.Random(5)
+    base = 1_700_000_000
+    left_rows = [
+        (k, base + rng.randrange(0, 50), i)
+        for i, k in enumerate(rng.choices(["a", "b", "c"], k=40))
+    ]
+    right_rows = [
+        (k, base + rng.randrange(0, 50), 100 + i, rng.random())
+        for i, k in enumerate(rng.choices(["a", "b", "c"], k=40))
+    ]
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "rid", "val"])
+
+    ldf = spark.createDataFrame(lpdf).select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "lid"
+    )
+    rdf = spark.createDataFrame(rpdf).select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "rid", "val"
+    )
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("backward", 5), ("forward", 5)]:
+        # pandas: sort right so its tie pick matches the documented rule
+        # (backward takes the last matching row, forward the first)
+        rsort = rpdf.sort_values(["t", "rid"]).reset_index(drop=True)
+        want = pd.merge_asof(
+            lpdf.sort_values(["t", "lid"]).reset_index(drop=True),
+            rsort,
+            on="t",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+            suffixes=("", "_r"),
+        )
+        wmap = {
+            r.lid: (None if pd.isna(r.rid) else int(r.rid))
+            for r in want.itertuples()
+        }
+        got = asof_join(
+            ldf, rdf, on="k", tiebreak="rid", tolerance_s=tol,
+            direction=direction,
+        ).collect()
+        gmap = {r.lid: r.rid for r in got}
+        assert gmap == wmap, f"direction={direction} tol={tol}"
