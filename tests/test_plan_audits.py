@@ -347,3 +347,33 @@ def test_dup_ngram_fraction_shape(plan_of):
     assert a.shuffles <= 5, f"dup-ngram plan grew shuffles: {a.shuffles}"
     # the 8-gram explode must come from a generator, not a join
     assert "Generate" in a.plan
+
+
+def test_chunker_one_shuffle_and_pruned_scan(plan_of):
+    """train_chunk_documents: posexplode fan-out then ONE doc-keyed
+    shuffle; the scan reads only (doc_id, text). Any per-chunk slice
+    re-derivation would show as extra scans/shuffles."""
+    a = plan_of("train_chunk_documents")
+    assert a.shuffles == 1
+    assert a.scans["documents.parquet"] == {"doc_id", "text"}
+
+
+def test_gopher_filters_narrow_scan_two_shuffles(plan_of):
+    """text_gopher_filters: per-doc signals are pure projection; only the
+    per-source rollup (+ its orderBy) shuffle. Scan: (source, text)."""
+    a = plan_of("text_gopher_filters")
+    assert a.shuffles <= 2
+    assert a.scans["documents.parquet"] == {"source", "text"}
+
+
+def test_counter_resets_single_exchange(plan_of):
+    """metric_counter_resets: the lag window's user_id exchange is reused
+    by the (bucket, user_id) aggregate — one wide shuffle total."""
+    a = plan_of("metric_counter_resets")
+    assert a.shuffles == 1
+
+
+def test_stream_dedup_distinct_single_agg(plan_of):
+    a = plan_of("stream_dedup_distinct")
+    assert a.shuffles == 1
+    assert a.scans["events.parquet"] == {"user_id", "event_type"}
