@@ -443,6 +443,15 @@ class RestCatalog:
         import pyarrow.parquet as pq
 
         manifest = snap._resolve(version=version)
+        if manifest.get("deltas"):
+            # the publish maps base data files 1:1 into the catalog; MoR
+            # deltas (equality deletes + upserts) have no representation
+            # there, so an external reader would see pre-merge rows —
+            # refuse rather than publish silently-stale data
+            raise ValueError(
+                f"version {manifest['version']} has pending MoR deltas; "
+                "run compact_deltas() before publishing"
+            )
         parent_files: set[str] = set()
         if manifest["version"] > 1:
             parent_files = set(snap._resolve(version=manifest["version"] - 1)["files"])

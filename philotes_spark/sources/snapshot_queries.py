@@ -329,3 +329,50 @@ def snapshot_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_mor_merge",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id <= 500
+    )
+    SELECT event_id, user_id, value FROM base
+    WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+    UNION ALL
+    SELECT event_id, user_id, ROUND(value * 2, 2)
+    FROM base WHERE event_id % 7 = 0 AND event_id % 11 <> 0
+    """,
+)
+def snapshot_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-READ (mode='mor', Iceberg v2 equality deletes): commit
+    events<=500, MoR-merge updates (value*2 on multiples of 7) and
+    deletes (multiples of 11) — base files untouched, asserted — then
+    read through the delta-applying path under the hash compare. The
+    CoW twin is snapshot_merge_upsert; together they pin both ends of
+    the write-amplification dial."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") <= 500)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base)
+        base_files = tbl._resolve()["files"]
+        updates = (
+            base.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 11 != 0))
+            .withColumn("value", F.round(F.col("value") * 2, 2))
+            .withColumn("_del", F.lit(False))
+        )
+        deletes = base.filter(F.col("event_id") % 11 == 0).withColumn(
+            "_del", F.lit(True)
+        )
+        tbl.merge(
+            updates.unionByName(deletes),
+            key_cols=["event_id"],
+            delete_col="_del",
+            mode="mor",
+        )
+        assert tbl._resolve()["files"] == base_files, "MoR must not rewrite base"
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -281,11 +281,18 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=list(sort_by) if sort_by else [],
+            # appends inherit pending MoR deltas: new rows are untouched by
+            # the delete keys only if truly new; dropping the deltas would
+            # resurrect deleted base rows. Overwrite resets them.
+            deltas=list(parent_manifest.get("deltas", []))
+            if operation == "append"
+            else [],
         )
 
     def _write_manifest(self, *, parent: int, operation: str, files, added_files,
                         added_rows, partition_by, properties, file_stats,
-                        stats_cols, sort_by: list[str] | None = None) -> int:
+                        stats_cols, sort_by: list[str] | None = None,
+                        deltas: list[dict] | None = None) -> int:
         version = parent + 1
         manifest = {
             "version": version,
@@ -302,6 +309,7 @@ class SnapshotTable:
             "file_stats": file_stats,
             "stats_cols": stats_cols,
             "sort_by": sort_by or [],
+            "deltas": deltas or [],
         }
         target = os.path.join(self.snap_dir, f"v{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -326,6 +334,7 @@ class SnapshotTable:
         changes: DataFrame,
         key_cols: list[str],
         delete_col: str | None = None,
+        mode: str = "cow",
     ) -> int:
         """MERGE a change set into the table as a new snapshot version
         (copy-on-write): rows whose key appears in ``changes`` are
@@ -341,13 +350,35 @@ class SnapshotTable:
         moves into the new snapshot by reference (Iceberg-style pruned
         CoW). Without stats the whole table rewrites (correct, logged in
         the manifest as full rewrite). The anti-join is key-partitioned;
-        nothing collects to the driver but the 2-value key range."""
+        nothing collects to the driver but the 2-value key range.
+
+        ``mode='mor'`` is the merge-on-READ twin (Iceberg v2 equality
+        deletes): the change set is written as a DELTA — an equality-
+        delete key file + an upsert data file — and NO base file is
+        rewritten; readers apply the stacked deltas (anti-join by key,
+        then union the upserts). CoW pays the rewrite at write time and
+        keeps reads pure scans; MoR makes the write O(changes) — the
+        right end of the trade for high-frequency CDC micro-batches at
+        100 TB — at the cost of per-read anti-joins until
+        :meth:`compact_deltas` folds the deltas back into base files.
+        Write amplification moves from the ingest path to a background
+        compaction, exactly Iceberg's CoW/MoR dial."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         if not key_cols:
             raise ValueError("merge requires key_cols")
         parent = self.current_version()
         if not parent:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
+        if mode == "mor":
+            return self._merge_mor(m, changes, key_cols, delete_col)
+        if m.get("deltas"):
+            raise ValueError(
+                "copy-on-write merge on a table with pending MoR deltas "
+                "would rewrite files without applying them; run "
+                "compact_deltas() first"
+            )
         if m.get("partition_by"):
             return self._merge_partitioned(m, changes, key_cols, delete_col)
 
@@ -415,6 +446,102 @@ class SnapshotTable:
             sort_by=sort_by,
         )
 
+    def _merge_mor(
+        self,
+        m: dict,
+        changes: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None,
+    ) -> int:
+        """Write the change set as an equality-delete + upsert delta (see
+        :meth:`merge` mode='mor'). O(changes) I/O — no base file is read
+        or rewritten."""
+        if not changes.take(1):
+            return m["version"]
+        upserts = changes
+        if delete_col is not None:
+            upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+        key_staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        changes.select(*key_cols).distinct().write.parquet(key_staged)
+        up_staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        upserts.write.parquet(up_staged)
+        up_files = _staged_parquet_files(up_staged)
+        delta = {
+            "key_files": _staged_parquet_files(key_staged),
+            "upsert_files": up_files,
+            "key_cols": list(key_cols),
+        }
+        return self._write_manifest(
+            parent=m["version"],
+            operation="merge-mor",
+            files=m["files"],
+            added_files=len(up_files),
+            added_rows=upserts.count(),
+            partition_by=list(m.get("partition_by") or []),
+            properties=dict(m.get("properties", {})),
+            file_stats=dict(m.get("file_stats", {})),
+            stats_cols=list(m.get("stats_cols") or []),
+            sort_by=list(m.get("sort_by") or []),
+            deltas=list(m.get("deltas", [])) + [delta],
+        )
+
+    def compact_deltas(self) -> int | None:
+        """Fold every pending MoR delta back into base data files (the
+        background half of merge-on-read; Iceberg's rewrite with delete
+        compaction): materialize the fully-applied table, commit it as a
+        delta-free version. Row-identical to ``read()`` by construction.
+        Returns the new version, or None when no deltas are pending."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if not m.get("deltas"):
+            return None
+        applied = self.read()
+        sort_by = m.get("sort_by") or []
+        if sort_by:
+            applied = applied.repartitionByRange(
+                max(applied.rdd.getNumPartitions(), 1), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        writer = applied.write
+        part_cols = m.get("partition_by") or []
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staged)
+        new_files = _staged_parquet_files(staged)
+        cols = m.get("stats_cols") or []
+        stats = _footer_stats(new_files, cols) if cols else {}
+        return self._write_manifest(
+            parent=parent,
+            operation="compact-deltas",
+            files=new_files,
+            added_files=len(new_files),
+            added_rows=0,  # logical rows unchanged — a rewrite
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=sort_by,
+        )
+
+    def _apply_deltas(self, base: DataFrame, m: dict) -> DataFrame:
+        """Reader-side MoR resolution: stacked deltas apply in commit
+        order — equality-delete anti-join on the key, then union the
+        upserts. Each anti-join shuffles only (base-keys × delta-keys);
+        the delete key files are tiny relative to base and broadcast-
+        eligible, so at scale this plans as broadcast anti-joins over
+        one base scan."""
+        for d in m.get("deltas", []):
+            keys = self.spark.read.parquet(*d["key_files"])
+            base = base.join(keys, d["key_cols"], "left_anti")
+            if d["upsert_files"]:
+                ups = self.spark.read.option("mergeSchema", "true").parquet(
+                    *d["upsert_files"]
+                )
+                base = base.unionByName(ups, allowMissingColumns=True)
+        return base
+
     # --- reads (B5) ----------------------------------------------------------
 
     def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
@@ -446,7 +573,9 @@ class SnapshotTable:
         # NONDETERMINISTICALLY vanishes depending on which file is sampled
         # (observed r06). Merging unions all file schemas — the same
         # read-side semantics Iceberg gets from its schema list.
-        return self._read_file_list(m["files"], m.get("partition_by") or [])
+        return self._apply_deltas(
+            self._read_file_list(m["files"], m.get("partition_by") or []), m
+        )
 
     def _read_file_list(self, files: list[str], partition_by: list[str]) -> DataFrame:
         """Read an explicit data-file list under the snapshot's layout
@@ -531,7 +660,7 @@ class SnapshotTable:
         for v in range(from_version + 1, to_version + 1):
             m = self._load(f"v{v:08d}.json")
             op = m["operation"]
-            if op == "compact":
+            if op in ("compact", "compact-deltas"):
                 prev_files = set(m["files"])
                 continue
             if op != "append":
@@ -651,6 +780,9 @@ class SnapshotTable:
             base = self.spark.read.parquet(*m["files"]).limit(0)
         else:
             base = self.spark.read.parquet(*files)
+        # MoR deltas apply BEFORE the residual filter: deletes drop
+        # pruned-in rows by key, upserts must pass the same predicate
+        base = self._apply_deltas(base, m)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= lo)
@@ -869,6 +1001,7 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            deltas=list(m.get("deltas", [])),
         )
 
     def _compact_partitioned(self, m: dict, small_file_bytes: int) -> int | None:
@@ -926,6 +1059,7 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            deltas=list(m.get("deltas", [])),
         )
 
     # --- maintenance (A7) -------------------------------------------------------
@@ -945,7 +1079,11 @@ class SnapshotTable:
                 os.remove(os.path.join(self.snap_dir, name))
         live: set[str] = set()
         for name in self._manifests():
-            live.update(self._load(name)["files"])
+            mm = self._load(name)
+            live.update(mm["files"])
+            for d in mm.get("deltas", []):
+                live.update(d["key_files"])
+                live.update(d["upsert_files"])
         deleted = 0
         if not os.path.isdir(self.data_dir):
             return deleted

@@ -47,6 +47,11 @@ def test_random_op_sequence_agrees_with_model(spark, tmp_path, seed):
             states.append(cur)
             ops.append("append")
         elif roll < 0.70:
+            mode = "mor" if rng.random() < 0.5 else "cow"
+            if mode == "cow" and tbl._resolve().get("deltas"):
+                tbl.compact_deltas()  # CoW refuses over pending deltas
+                states.append(dict(cur))
+                ops.append("compact-deltas")
             keys = sorted(cur)
             upd_keys = rng.sample(keys, min(3, len(keys)))
             del_pool = [k for k in keys if k not in upd_keys]
@@ -61,6 +66,7 @@ def test_random_op_sequence_agrees_with_model(spark, tmp_path, seed):
                 spark.createDataFrame(changes, "k long, v long, _del boolean"),
                 key_cols=["k"],
                 delete_col="_del",
+                mode=mode,
             )
             for k, v, dele in changes:
                 if dele:
@@ -68,7 +74,7 @@ def test_random_op_sequence_agrees_with_model(spark, tmp_path, seed):
                 else:
                     cur[k] = v
             states.append(cur)
-            ops.append("merge")
+            ops.append(f"merge-{mode}")
         elif roll < 0.85:
             got = tbl.compact(small_file_bytes=1 << 30)
             if got is not None:  # no version when nothing to compact

@@ -356,3 +356,128 @@ def test_read_changes_keyed_diff_classifies(spark, table):
     got = {(r.v, r.val, r.change_type) for r in ch.collect()}
     # v=5 upserted with an UNCHANGED payload -> not a change at all
     assert got == {(3, 999, "update"), (20, 200, "insert"), (7, 70, "delete")}
+
+
+# --- merge-on-read deltas (Iceberg v2 equality deletes) ----------------------
+
+
+def _mor_changes(spark, rows):
+    return spark.createDataFrame(rows, "v long, val long, _del boolean")
+
+
+def test_mor_merge_no_base_rewrite_and_stacking(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, 0, 10).withColumn("val", F.col("v") * 10))
+    base_files = table._resolve()["files"]
+    table.merge(
+        _mor_changes(spark, [(3, 999, False), (7, 0, True)]),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    m = table._resolve()
+    assert m["files"] == base_files, "MoR must not rewrite base files"
+    assert m["operation"] == "merge-mor" and len(m["deltas"]) == 1
+    got = {r.v: r.val for r in table.read().collect()}
+    assert got[3] == 999 and 7 not in got and len(got) == 9
+    # second delta stacks; later delta wins on the same key
+    table.merge(
+        _mor_changes(spark, [(3, 111, False), (20, 200, False)]),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    got = {r.v: r.val for r in table.read().collect()}
+    assert got[3] == 111 and got[20] == 200 and len(got) == 10
+    # time travel still sees the pre-delta version
+    assert {r.v for r in table.read(version=1).collect()} == set(range(10))
+
+
+def test_mor_append_inherits_deltas_and_cow_refused(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, 0, 6).withColumn("val", F.col("v")))
+    table.merge(
+        _mor_changes(spark, [(2, 0, True)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    table.commit(_df(spark, 10, 12).withColumn("val", F.col("v")))
+    got = {r.v for r in table.read().collect()}
+    assert got == {0, 1, 3, 4, 5, 10, 11}, "append must not resurrect key 2"
+    with pytest.raises(ValueError, match="pending MoR deltas"):
+        table.merge(
+            _mor_changes(spark, [(1, 5, False)]),
+            key_cols=["v"], delete_col="_del",
+        )
+
+
+def test_compact_deltas_materializes_and_clears(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _df(spark, 0, 50).withColumn("val", F.col("v")), stats_cols=["v"]
+    )
+    table.merge(
+        _mor_changes(spark, [(5, 500, False), (6, 0, True)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    before = {r.v: r.val for r in table.read().collect()}
+    v = table.compact_deltas()
+    m = table._resolve()
+    assert v == 3 and m["deltas"] == [] and m["operation"] == "compact-deltas"
+    assert {r.v: r.val for r in table.read().collect()} == before
+    assert table.compact_deltas() is None  # idempotent: nothing pending
+    # incremental range across compact-deltas contributes nothing
+    assert table.read_incremental(2, to_version=3).count() == 0
+    # a CoW merge works again after compaction
+    table.merge(
+        _mor_changes(spark, [(1, 100, False)]),
+        key_cols=["v"], delete_col="_del",
+    )
+    assert {r.v: r.val for r in table.read().collect()}[1] == 100
+
+
+def test_mor_read_where_applies_deltas_and_expire_keeps_them(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _df(spark, 0, 100).withColumn("val", F.col("v")).repartition(4),
+        stats_cols=["v"],
+        sort_by=["v"],
+    )
+    table.merge(
+        _mor_changes(spark, [(10, 1000, False), (11, 0, True)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    got = {
+        r.v: r.val
+        for r in table.read_where("v", lo=5, hi=20)
+        .filter("v >= 5 AND v <= 20").collect()
+    }
+    assert got[10] == 1000 and 11 not in got and len(got) == 15
+    # expiry must treat delta files as live references
+    deleted = table.expire_snapshots(keep_last=1)
+    got2 = {r.v: r.val for r in table.read().collect()}
+    assert got2[10] == 1000 and 11 not in got2 and len(got2) == 99
+    assert deleted == 0  # nothing unreferenced: v2 holds base + deltas
+
+
+def test_plain_compact_carries_deltas(spark, table):
+    """Small-file compaction rewrites base BYTES only — pending equality
+    deletes must survive it (dropping them would resurrect deleted
+    rows)."""
+    from pyspark.sql import functions as F
+
+    table.commit(
+        _df(spark, 0, 20).withColumn("val", F.col("v")).repartition(4)
+    )
+    table.merge(
+        _mor_changes(spark, [(3, 0, True), (4, 400, False)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    assert table.compact(small_file_bytes=1 << 30) == 3
+    m = table._resolve()
+    assert len(m["deltas"]) == 1, "compact must carry pending deltas"
+    got = {r.v: r.val for r in table.read().collect()}
+    assert 3 not in got and got[4] == 400 and len(got) == 19
