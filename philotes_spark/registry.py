@@ -123,9 +123,11 @@ def _tier(name: str) -> tuple[int, int]:
         "text_gopher_filters",
         "text_bpe_merges",
         "text_compression_ratio",
-        # strong rotation candidates for r07: clustered-commit file
-        # skipping and the incremental append scan, each value-verified
-        # inside the driver harness
+        # strong rotation candidates for r07 (each oracle-backed and
+        # value-verified in pytest; swap duplicate-coverage window slots
+        # for these): clustered-prune, the incremental append scan, the
+        # changelog diff, the SQL-text time travel, the MoR merge, the
+        # reset-aware counter increase, the chunker and the Gopher gate
         "snapshot_clustered_prune",
         "snapshot_incremental_read",
         "snapshot_changelog_diff",
