@@ -481,3 +481,19 @@ def test_plain_compact_carries_deltas(spark, table):
     assert len(m["deltas"]) == 1, "compact must carry pending deltas"
     got = {r.v: r.val for r in table.read().collect()}
     assert 3 not in got and got[4] == 400 and len(got) == 19
+
+
+def test_mor_upsert_with_evolved_schema(spark, table):
+    """A MoR upsert may carry columns the base lacks (additive evolution
+    A12): the delta union must surface the new column with nulls for
+    base rows, same read semantics as evolved appends."""
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, 0, 5).withColumn("val", F.col("v")))
+    changes = spark.createDataFrame(
+        [(1, 100, "eu", False)], "v long, val long, region string, _del boolean"
+    )
+    table.merge(changes, key_cols=["v"], delete_col="_del", mode="mor")
+    got = {r.v: (r.val, r.region) for r in table.read().collect()}
+    assert got[1] == (100, "eu")
+    assert got[0] == (0, None) and len(got) == 5

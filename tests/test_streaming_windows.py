@@ -150,3 +150,38 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     q.stop()
     got_stream = sorted(map(tuple, spark.table("attr_join").collect()))
     assert got_stream == got_batch, "stream-stream join must equal batch"
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact feed enriched against a
+    static dimension — the dim is re-read per micro-batch (always
+    current) and broadcast-sized; no stream-side state is kept."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    t0 = dt.datetime(2024, 5, 1)
+    spark.createDataFrame(
+        [(1, t0, 7), (2, t0, 8), (3, t0, 9)],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.parquet(feed)
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "basic")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(feed)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.event_id: r.tier for r in spark.table("enrich").collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}
