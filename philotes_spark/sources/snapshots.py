@@ -561,9 +561,83 @@ class SnapshotTable:
             return older[-1]
         return self._load(ms[-1])
 
-    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+    # --- named refs (Iceberg tags) + rollback --------------------------------
+
+    def _tag_path(self, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"bad tag name {name!r}")
+        return os.path.join(self.snap_dir, f"tag-{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named, immutable ref to a version (Iceberg tag): the
+        audit/release handle — `read(tag='v2024-audit')` keeps answering
+        identically forever, and :meth:`expire_snapshots` retains tagged
+        versions past the keep-last horizon. Re-tagging an existing name
+        errors (tags are immutable; delete first)."""
+        v = version if version is not None else self.current_version()
+        self._resolve(version=v)  # validates existence
+        p = self._tag_path(name)
+        if os.path.exists(p):
+            raise ValueError(f"tag {name!r} already exists")
+        with open(p, "w") as fh:
+            json.dump({"name": name, "version": v,
+                       "timestamp_ms": int(time.time() * 1000)}, fh)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        os.remove(self._tag_path(name))
+
+    def tags(self) -> DataFrame:
+        """≙ Iceberg's `t$refs` metadata table: (name, version, created)."""
+        rows = []
+        if os.path.isdir(self.snap_dir):
+            for f in sorted(os.listdir(self.snap_dir)):
+                if f.startswith("tag-") and f.endswith(".json"):
+                    with open(os.path.join(self.snap_dir, f)) as fh:
+                        t = json.load(fh)
+                    rows.append((t["name"], t["version"], t["timestamp_ms"]))
+        return self.spark.createDataFrame(
+            rows, "name string, version int, timestamp_ms long"
+        )
+
+    def _tagged_versions(self) -> set[int]:
+        if not os.path.isdir(self.snap_dir):
+            return set()
+        out = set()
+        for f in os.listdir(self.snap_dir):
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(self.snap_dir, f)) as fh:
+                    out.add(json.load(fh)["version"])
+        return out
+
+    def rollback(self, to_version: int) -> int:
+        """Metadata-only rollback (Iceberg's rollback_to_snapshot): commit
+        a NEW version whose file list (and pending deltas) are the old
+        version's — history stays monotonic and auditable, no data moves,
+        and the bad versions remain time-travelable until expiry."""
+        old = self._resolve(version=to_version)
+        return self._write_manifest(
+            parent=self.current_version(),
+            operation="rollback",
+            files=list(old["files"]),
+            added_files=0,
+            added_rows=0,
+            partition_by=list(old.get("partition_by") or []),
+            properties=dict(old.get("properties", {})),
+            file_stats=dict(old.get("file_stats", {})),
+            stats_cols=list(old.get("stats_cols") or []),
+            sort_by=list(old.get("sort_by") or []),
+            deltas=list(old.get("deltas", [])),
+        )
+
+    def read(self, version: int | None = None, as_of_ms: int | None = None,
+             tag: str | None = None) -> DataFrame:
         """Latest snapshot by default; ``version=`` ≙ VERSION AS OF,
-        ``as_of_ms=`` ≙ TIMESTAMP AS OF (sample-queries.sql:47-52)."""
+        ``as_of_ms=`` ≙ TIMESTAMP AS OF (sample-queries.sql:47-52),
+        ``tag=`` ≙ a named immutable ref."""
+        if tag is not None:
+            with open(self._tag_path(tag)) as fh:
+                version = json.load(fh)["version"]
         m = self._resolve(version, as_of_ms)
         if not m["files"]:
             raise ValueError(f"snapshot {m['version']} is empty")
@@ -1068,9 +1142,12 @@ class SnapshotTable:
         """Drop manifests beyond the retention (but always keep the newest
         ``keep_last``), then delete data files no live manifest references
         (buffer retention cleanup analogue, buffer/postgres.go:218-234).
-        Returns the number of data files deleted."""
+        Returns the number of data files deleted. Versions pinned by a
+        tag are always retained (Iceberg ref-aware expiry) — an audit
+        handle that silently stopped resolving would defeat its point."""
         ms = self._manifests()
         keep = set(ms[-keep_last:]) if keep_last else set()
+        keep.update(f"v{v:08d}.json" for v in self._tagged_versions())
         for name in ms:
             if name in keep:
                 continue

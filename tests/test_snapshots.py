@@ -497,3 +497,46 @@ def test_mor_upsert_with_evolved_schema(spark, table):
     got = {r.v: (r.val, r.region) for r in table.read().collect()}
     assert got[1] == (100, "eu")
     assert got[0] == (0, None) and len(got) == 5
+
+
+# --- named refs (tags) + rollback --------------------------------------------
+
+
+def test_tags_pin_versions_and_survive_expiry(spark, table):
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 10, 15))
+    table.tag("audit-v1", version=1)
+    table.commit(_df(spark, 15, 18))
+    assert table.read(tag="audit-v1").count() == 10
+    refs = {r.name: r.version for r in table.tags().collect()}
+    assert refs == {"audit-v1": 1}
+    with pytest.raises(ValueError, match="already exists"):
+        table.tag("audit-v1", version=2)
+    # expiry keeps the tagged version AND its files
+    table.expire_snapshots(keep_last=1)
+    assert table.read(tag="audit-v1").count() == 10
+    with pytest.raises(ValueError, match="unknown version"):
+        table.read(version=2)  # untagged mid version expired
+    table.delete_tag("audit-v1")
+    assert table.tags().count() == 0
+
+
+def test_rollback_is_metadata_only_and_keeps_history(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, 0, 10).withColumn("val", F.col("v")))
+    table.merge(
+        _mor_changes(spark, [(3, 999, False), (4, 0, True)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    bad = {r.v: r.val for r in table.read().collect()}
+    assert bad[3] == 999 and 4 not in bad
+    v3 = table.rollback(to_version=1)
+    assert v3 == 3 and table._resolve()["operation"] == "rollback"
+    good = {r.v: r.val for r in table.read().collect()}
+    assert good == {v: v for v in range(10)}, "rollback restores v1 content"
+    # the rolled-back-over version stays time-travelable
+    assert {r.v: r.val for r in table.read(version=2).collect()} == bad
+    # incremental refuses to file-diff across a rollback (replace commit)
+    with pytest.raises(ValueError, match="crosses a 'rollback'"):
+        table.read_incremental(2)
