@@ -376,3 +376,34 @@ def snapshot_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.read().localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_rollback_read",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_id <= 300
+    """,
+)
+def snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollback under the hash compare: commit events<=300,
+    MoR-merge a bad change set (every 5th value zeroed), roll back to v1
+    — the read must be byte-identical to the original, the bad version
+    stays time-travelable, and no data file moved (sources/snapshots.py
+    rollback; Iceberg's rollback_to_snapshot)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") <= 300)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base)
+        bad = base.filter(F.col("event_id") % 5 == 0).select(
+            "event_id", "user_id", F.lit(0.0).alias("value"),
+            F.lit(False).alias("_del"),
+        )
+        tbl.merge(bad, key_cols=["event_id"], delete_col="_del", mode="mor")
+        tbl.rollback(to_version=1)
+        assert tbl.current_version() == 3
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
