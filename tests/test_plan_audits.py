@@ -377,3 +377,14 @@ def test_stream_dedup_distinct_single_agg(plan_of):
     a = plan_of("stream_dedup_distinct")
     assert a.shuffles == 1
     assert a.scans["events.parquet"] == {"user_id", "event_type"}
+
+
+def test_pq_topk_no_cartesian_two_shuffles(plan_of):
+    """sim_pq_topk: LUT builds on the broadcast-tiny query side; corpus
+    side scans only (vec_id, embedding) and the two shuffles are the
+    ADC top-rerank window + the exact re-rank window — never a corpus
+    cross join."""
+    a = plan_of("sim_pq_topk")
+    assert a.shuffles <= 2
+    assert "CartesianProduct" not in a.plan and "cartesian" not in a.plan.lower()
+    assert a.scans["embeddings.parquet"] == {"vec_id", "embedding"}
