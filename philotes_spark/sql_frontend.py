@@ -62,9 +62,17 @@ def sql(
             )
         tbl = tables[name]
         if kind in ("VERSION", "SYSTEM_VERSION"):
-            version = int(literal)
-            df = tbl.read(version=version)
-            view = f"{name}__asof_v{version}"
+            if literal.startswith("'"):
+                # Iceberg/Spark accept a STRING version meaning a named
+                # ref: `VERSION AS OF 'audit-2024'` reads the tag
+                ref = literal.strip("'")
+                df = tbl.read(tag=ref)
+                safe = re.sub(r"[^A-Za-z0-9_]", "_", ref)
+                view = f"{name}__asof_tag_{safe}"
+            else:
+                version = int(literal)
+                df = tbl.read(version=version)
+                view = f"{name}__asof_v{version}"
         else:
             ms = _as_of_ms(literal)
             df = tbl.read(as_of_ms=ms)

@@ -68,3 +68,17 @@ def test_plain_sql_passes_through(spark):
 def test_unregistered_table_rejected(spark, t):
     with pytest.raises(ValueError, match="not a registered snapshot table"):
         sql(spark, "SELECT * FROM nope VERSION AS OF 1", {"ev": t})
+
+
+def test_version_as_of_string_reads_tag(spark, t):
+    """Iceberg/Spark accept a STRING in VERSION AS OF naming a ref:
+    `VERSION AS OF 'audit-v1'` resolves the tag."""
+    t.tag("audit-v1", version=1)
+    got = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM ev FOR VERSION AS OF 'audit-v1'",
+        {"ev": t},
+    ).collect()
+    assert got[0].n == 10
+    with pytest.raises(FileNotFoundError):
+        sql(spark, "SELECT * FROM ev VERSION AS OF 'nope'", {"ev": t})
