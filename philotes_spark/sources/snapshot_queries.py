@@ -407,3 +407,39 @@ def snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.read().localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_wap_publish",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_id <= 400
+    UNION ALL
+    SELECT event_id, user_id, ROUND(value + 10, 2)
+    FROM events WHERE event_id BETWEEN 401 AND 450
+    """,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the hash compare (branches +
+    fast_forward, sources/snapshots.py): commit events<=400 to main,
+    stage 401-450 (values +10) on an audit branch — asserting main does
+    NOT move — audit the branch row count, then fast-forward main and
+    read the published state. The branch chain stages into the shared
+    data dir, so publish is metadata-only at any table size (Iceberg's
+    WAP pattern)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 400))
+        br = tbl.create_branch("audit")
+        staged = ev.filter(F.col("event_id").between(401, 450)).withColumn(
+            "value", F.round(F.col("value") + 10, 2)
+        )
+        br.commit(staged)
+        assert tbl.current_version() == 1, "branch write must not move main"
+        want = ev.filter(F.col("event_id") <= 450).count()
+        assert br.read().count() == want, "audit failed"
+        tbl.fast_forward("audit")
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

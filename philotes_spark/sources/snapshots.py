@@ -610,6 +610,91 @@ class SnapshotTable:
                     out.add(json.load(fh)["version"])
         return out
 
+    # --- branches (Iceberg refs, mutable) + write-audit-publish -------------
+
+    def create_branch(self, name: str, from_version: int | None = None) -> "SnapshotTable":
+        """Fork a named branch at ``from_version`` (default: current head)
+        — Iceberg's branch ref, the basis of write-audit-publish: commits
+        land on the branch (its own manifest chain), main stays untouched
+        until :meth:`fast_forward`. ZERO data is copied: the branch's
+        first manifest references the fork point's files, and all branch
+        writes stage into the SAME data directory, so fast-forward is a
+        metadata operation at any table size."""
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"bad branch name {name!r}")
+        src = self._resolve(version=from_version)
+        bdir = os.path.join(self.path, "_branches", name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        br = SnapshotTable(self.spark, bdir)
+        br.data_dir = self.data_dir  # shared immutable data files
+        os.makedirs(br.snap_dir, exist_ok=True)
+        br._write_manifest(
+            parent=0,
+            operation="branch",
+            files=list(src["files"]),
+            added_files=0,
+            added_rows=0,
+            partition_by=list(src.get("partition_by") or []),
+            properties={**src.get("properties", {}),
+                        "branch.forked_from": str(src["version"])},
+            file_stats=dict(src.get("file_stats", {})),
+            stats_cols=list(src.get("stats_cols") or []),
+            sort_by=list(src.get("sort_by") or []),
+            deltas=list(src.get("deltas", [])),
+        )
+        return br
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Open an existing branch (see :meth:`create_branch`)."""
+        bdir = os.path.join(self.path, "_branches", name)
+        if not os.path.isdir(os.path.join(bdir, _SNAP_DIR)):
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        br = SnapshotTable(self.spark, bdir)
+        br.data_dir = self.data_dir
+        return br
+
+    def list_branches(self) -> list[str]:
+        root = os.path.join(self.path, "_branches")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d, _SNAP_DIR))
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's manifest chain; its exclusive data files
+        become unreferenced and fall to the next expire_snapshots()."""
+        import shutil as _shutil
+
+        bdir = os.path.join(self.path, "_branches", name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        _shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: main's next version adopts the branch head's
+        state wholesale (Iceberg's fast_forward) — the final step of
+        write-audit-publish. Metadata-only: the branch staged its files
+        into the shared data dir; main's new manifest just references
+        them."""
+        head = self.branch(name)._resolve()
+        return self._write_manifest(
+            parent=self.current_version(),
+            operation="fast-forward",
+            files=list(head["files"]),
+            added_files=0,
+            added_rows=0,
+            partition_by=list(head.get("partition_by") or []),
+            properties={k: v for k, v in head.get("properties", {}).items()
+                        if k != "branch.forked_from"},
+            file_stats=dict(head.get("file_stats", {})),
+            stats_cols=list(head.get("stats_cols") or []),
+            sort_by=list(head.get("sort_by") or []),
+            deltas=list(head.get("deltas", [])),
+        )
+
     def rollback(self, to_version: int) -> int:
         """Metadata-only rollback (Iceberg's rollback_to_snapshot): commit
         a NEW version whose file list (and pending deltas) are the old
@@ -1144,7 +1229,16 @@ class SnapshotTable:
         (buffer retention cleanup analogue, buffer/postgres.go:218-234).
         Returns the number of data files deleted. Versions pinned by a
         tag are always retained (Iceberg ref-aware expiry) — an audit
-        handle that silently stopped resolving would defeat its point."""
+        handle that silently stopped resolving would defeat its point.
+        Branch heads' files are live too (branches stage into the shared
+        data dir); a BRANCH table must expire through its main table,
+        never directly — its live-set would not see main's references."""
+        if os.path.basename(os.path.dirname(self.path)) == "_branches":
+            raise ValueError(
+                "expire_snapshots on a branch would garbage-collect the "
+                "shared data dir against the branch's own references "
+                "only; call it on the main table"
+            )
         ms = self._manifests()
         keep = set(ms[-keep_last:]) if keep_last else set()
         keep.update(f"v{v:08d}.json" for v in self._tagged_versions())
@@ -1155,12 +1249,18 @@ class SnapshotTable:
             if older_than_ms is None or m["timestamp_ms"] < older_than_ms:
                 os.remove(os.path.join(self.snap_dir, name))
         live: set[str] = set()
-        for name in self._manifests():
-            mm = self._load(name)
-            live.update(mm["files"])
-            for d in mm.get("deltas", []):
-                live.update(d["key_files"])
-                live.update(d["upsert_files"])
+
+        def _collect(tbl: "SnapshotTable") -> None:
+            for name in tbl._manifests():
+                mm = tbl._load(name)
+                live.update(mm["files"])
+                for d in mm.get("deltas", []):
+                    live.update(d["key_files"])
+                    live.update(d["upsert_files"])
+
+        _collect(self)
+        for bname in self.list_branches():
+            _collect(self.branch(bname))
         deleted = 0
         if not os.path.isdir(self.data_dir):
             return deleted

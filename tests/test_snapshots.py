@@ -540,3 +540,53 @@ def test_rollback_is_metadata_only_and_keeps_history(spark, table):
     # incremental refuses to file-diff across a rollback (replace commit)
     with pytest.raises(ValueError, match="crosses a 'rollback'"):
         table.read_incremental(2)
+
+
+# --- branches + write-audit-publish ------------------------------------------
+
+
+def test_write_audit_publish_flow(spark, table):
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, 0, 10).withColumn("val", F.col("v")))
+    main_v = table.current_version()
+    # WRITE: stage a batch on an audit branch — main must not move
+    br = table.create_branch("audit")
+    br.commit(_df(spark, 10, 15).withColumn("val", F.col("v")))
+    br.merge(
+        _mor_changes(spark, [(3, 333, False)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    assert table.current_version() == main_v, "branch writes leave main alone"
+    assert {r.v for r in table.read().collect()} == set(range(10))
+    # AUDIT: validate on the branch
+    audited = {r.v: r.val for r in br.read().collect()}
+    assert audited[3] == 333 and set(audited) == set(range(15))
+    # PUBLISH: fast-forward main to the branch head (metadata-only)
+    v = table.fast_forward("audit")
+    assert v == main_v + 1
+    assert table._resolve()["operation"] == "fast-forward"
+    assert {r.v: r.val for r in table.read().collect()} == audited
+    # pre-publish main history intact
+    assert {r.v for r in table.read(version=main_v).collect()} == set(range(10))
+    assert table.list_branches() == ["audit"]
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("audit")
+
+
+def test_branch_files_survive_main_expiry_and_drop_frees_them(spark, table):
+    table.commit(_df(spark, 0, 5))
+    br = table.create_branch("wip")
+    br.commit(_df(spark, 5, 9))  # branch-exclusive files in shared data dir
+    table.commit(_df(spark, 100, 103), operation="overwrite")
+    deleted = table.expire_snapshots(keep_last=1)
+    # v1's files: still referenced by the branch fork — must survive
+    assert br.read().count() == 9, "branch must survive main expiry"
+    assert deleted == 0
+    with pytest.raises(ValueError, match="call it on the main table"):
+        br.expire_snapshots()
+    table.drop_branch("wip")
+    assert table.list_branches() == []
+    deleted = table.expire_snapshots(keep_last=1)
+    assert deleted > 0, "dropped branch's exclusive files become orphans"
+    assert table.read().count() == 3
