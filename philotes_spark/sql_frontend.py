@@ -64,9 +64,18 @@ def sql(
         if kind in ("VERSION", "SYSTEM_VERSION"):
             if literal.startswith("'"):
                 # Iceberg/Spark accept a STRING version meaning a named
-                # ref: `VERSION AS OF 'audit-2024'` reads the tag
+                # ref: `VERSION AS OF 'audit-2024'` — a tag, or (Iceberg
+                # branch semantics) a branch's current head
                 ref = literal.strip("'")
-                df = tbl.read(tag=ref)
+                try:
+                    df = tbl.read(tag=ref)
+                except FileNotFoundError:
+                    try:
+                        df = tbl.branch(ref).read()
+                    except FileNotFoundError:
+                        raise ValueError(
+                            f"no tag or branch {ref!r} on {name!r}"
+                        ) from None
                 safe = re.sub(r"[^A-Za-z0-9_]", "_", ref)
                 view = f"{name}__asof_tag_{safe}"
             else:

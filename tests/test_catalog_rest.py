@@ -453,3 +453,27 @@ def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
         mutate(bad)
         with pytest.raises(CatalogError, match=pat):
             validate_table_metadata_v2(bad)
+
+
+def test_publish_refuses_pending_mor_deltas(mock_catalog, spark, tmp_path):
+    """A MoR table's deltas have no catalog representation — publishing
+    base files alone would serve pre-merge rows to external readers, so
+    publish must refuse until compact_deltas()."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "mor_pub"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")))
+    tbl.merge(
+        spark.createDataFrame([(3, True)], "v long, _del boolean"),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    with _pytest.raises(ValueError, match="pending MoR deltas"):
+        cat.publish_snapshot("ns", "t_mor", tbl)
+    tbl.compact_deltas()
+    assert cat.publish_snapshot("ns", "t_mor", tbl) > 0

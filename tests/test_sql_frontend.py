@@ -80,5 +80,14 @@ def test_version_as_of_string_reads_tag(spark, t):
         {"ev": t},
     ).collect()
     assert got[0].n == 10
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="no tag or branch"):
         sql(spark, "SELECT * FROM ev VERSION AS OF 'nope'", {"ev": t})
+    # a BRANCH name resolves to the branch head (Iceberg branch read)
+    br = t.create_branch("wip")
+    br.commit(
+        spark.range(100, 104).withColumnRenamed("id", "v")
+    )
+    got = sql(
+        spark, "SELECT COUNT(*) AS n FROM ev VERSION AS OF 'wip'", {"ev": t}
+    ).collect()
+    assert got[0].n == 29  # 25 main rows forked + 4 staged
