@@ -126,6 +126,7 @@ def assemble_table_metadata_v2(
     properties: dict | None = None,
     current_schema_id: int | None = None,
     sort_order: dict | None = None,
+    refs: dict | None = None,
 ) -> dict:
     """Assemble a spec-compliant Iceberg **format-version 2** table
     metadata document (types.go:44-93 ``TableMetadata``) from its parts.
@@ -138,7 +139,9 @@ def assemble_table_metadata_v2(
     by list position; ``current_schema_id`` defaults to the newest.
     ``sort_order`` (a spec-shaped order with ``order-id`` >= 1), when
     given, becomes the default write sort order next to the mandatory
-    unsorted order 0."""
+    unsorted order 0. ``refs`` adds named refs (Iceberg branches/tags:
+    ``{name: {"snapshot-id": id, "type": "tag"|"branch"}}``) beside the
+    implicit ``main`` branch at the current snapshot."""
     import uuid as _uuid
 
     raw = schema_rest if isinstance(schema_rest, list) else [schema_rest]
@@ -184,6 +187,11 @@ def assemble_table_metadata_v2(
             for s in snapshots
         ],
         "metadata-log": [],
+        "refs": {
+            **({"main": {"snapshot-id": current, "type": "branch"}}
+               if snapshots else {}),
+            **(refs or {}),
+        },
     }
 
 
@@ -264,6 +272,11 @@ def validate_table_metadata_v2(meta: dict) -> None:
     for entry in meta["snapshot-log"]:
         if entry["snapshot-id"] not in snap_ids:
             fail(f"snapshot-log references unknown snapshot {entry}")
+    for rname, ref in meta.get("refs", {}).items():
+        if ref.get("type") not in ("branch", "tag"):
+            fail(f"ref {rname!r} has invalid type {ref.get('type')!r}")
+        if ref.get("snapshot-id") not in snap_ids:
+            fail(f"ref {rname!r} points at unknown snapshot {ref}")
 
 
 class RestCatalog:

@@ -477,3 +477,45 @@ def test_publish_refuses_pending_mor_deltas(mock_catalog, spark, tmp_path):
         cat.publish_snapshot("ns", "t_mor", tbl)
     tbl.compact_deltas()
     assert cat.publish_snapshot("ns", "t_mor", tbl) > 0
+
+
+def test_v2_metadata_carries_refs(spark, tmp_path):
+    """Tags surface as v2 `refs` beside the implicit main branch, and the
+    validator rejects refs pointing at unknown snapshots."""
+    import pytest as _pytest
+
+    from philotes_spark.sources.catalog_rest import (
+        assemble_table_metadata_v2,
+        snapshot_entry,
+        validate_table_metadata_v2,
+    )
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "refs_t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    snap.commit(df.coalesce(1))
+    snap.commit(df.coalesce(1))
+    snap.tag("audit", version=1)
+    snaps = [snapshot_entry(snap, version=v) for v in (1, 2)]
+    refs = {
+        r.name: {"snapshot-id": r.version, "type": "tag"}
+        for r in snap.tags().collect()
+    }
+    meta = assemble_table_metadata_v2(
+        location="file:///tmp/refs_t",
+        schema_rest={"type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ]},
+        partition_spec={"spec-id": 0, "fields": []},
+        snapshots=snaps,
+        refs=refs,
+    )
+    validate_table_metadata_v2(meta)
+    assert meta["refs"]["main"] == {"snapshot-id": 2, "type": "branch"}
+    assert meta["refs"]["audit"] == {"snapshot-id": 1, "type": "tag"}
+    from philotes_spark.sources.catalog_rest import CatalogError
+
+    bad = dict(meta, refs={"x": {"snapshot-id": 99, "type": "tag"}})
+    with _pytest.raises(CatalogError, match="unknown snapshot"):
+        validate_table_metadata_v2(bad)
