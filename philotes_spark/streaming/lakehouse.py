@@ -43,13 +43,23 @@ def merge_stream_into_snapshot(
     op_col: str = "_cdc_operation",
     checkpoint_dir: str | None = None,
     stats_cols: list[str] | None = None,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ):
     """Start the streaming query that maintains a snapshot table as the
     MERGEd latest state of a CDC stream. Returns the StreamingQuery.
 
     Each micro-batch: dedup to the newest change per key, mark DELETE
     ops, and merge into ``table_path`` (first batch creates the table
-    with ``stats_cols`` so later merges get file-skipping)."""
+    with ``stats_cols`` so later merges get file-skipping).
+
+    ``mode='mor'`` merges each batch as a merge-on-read delta — write
+    cost O(batch) regardless of table size, THE configuration for
+    high-frequency CDC micro-batches at 100 TB (a CoW merge rewrites
+    every key-range-overlapping base file per batch) — with
+    ``compact_every=N`` folding the accumulated deltas back into base
+    files every N batches (the background compaction half; readers
+    between compactions pay the delta anti-joins)."""
     from philotes_spark.sources.snapshots import SnapshotTable
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -63,7 +73,13 @@ def merge_stream_into_snapshot(
                 stats_cols=stats_cols or list(key_cols),
             )
         else:
-            tbl.merge(changes, key_cols=key_cols, delete_col="_del")
+            tbl.merge(changes, key_cols=key_cols, delete_col="_del", mode=mode)
+            if (
+                mode == "mor"
+                and compact_every
+                and len(tbl._resolve().get("deltas", [])) >= compact_every
+            ):
+                tbl.compact_deltas()
 
     writer = stream.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

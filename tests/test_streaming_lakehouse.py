@@ -93,3 +93,46 @@ def test_replayed_batch_is_state_idempotent(spark, tmp_path):
     after = sorted(map(tuple, tbl.read().select("id", "name").collect()))
     assert after == before, "replaying a batch must not change table state"
     assert tbl.current_version() == 2  # the replay is visible only as history
+
+
+def test_mor_mode_stream_agrees_with_cow(spark, tmp_path):
+    """The same CDC feed merged in MoR mode (with periodic delta
+    compaction) must land on the identical final state as CoW — only the
+    write amplification differs."""
+    import datetime as dt
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.streaming.lakehouse import merge_stream_into_snapshot
+
+    feed = str(tmp_path / "morfeed")
+    schema = (
+        "k long, val double, _cdc_lsn_int long, _cdc_operation string"
+    )
+    b1 = [(1, 1.0, 10, "INSERT"), (2, 2.0, 11, "INSERT"), (3, 3.0, 12, "INSERT")]
+    b2 = [(2, 2.5, 20, "UPDATE"), (3, 0.0, 21, "DELETE"), (4, 4.0, 22, "INSERT")]
+    b3 = [(1, 1.5, 30, "UPDATE"), (4, 0.0, 31, "DELETE")]
+
+    def run(path, mode, compact_every=None):
+        for i, b in enumerate((b1, b2, b3)):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                feed + mode, mode="append"
+            )
+            q = merge_stream_into_snapshot(
+                spark.readStream.schema(schema).parquet(feed + mode),
+                path,
+                key_cols=["k"],
+                checkpoint_dir=str(tmp_path / f"ck_{mode}"),
+                mode=mode,
+                compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+            q.stop()
+        return SnapshotTable(spark, path)
+
+    cow = run(str(tmp_path / "cow_t"), "cow")
+    mor = run(str(tmp_path / "mor_t"), "mor", compact_every=2)
+    want = {r.k: r.val for r in cow.read().select("k", "val").collect()}
+    got = {r.k: r.val for r in mor.read().select("k", "val").collect()}
+    assert got == want == {1: 1.5, 2: 2.5}
+    ops = [r.operation for r in mor.snapshots().orderBy("version").collect()]
+    assert "merge-mor" in ops and "compact-deltas" in ops
