@@ -23,7 +23,7 @@ def _df(spark, rows: dict[int, int]):
     return spark.createDataFrame(sorted(rows.items()), SCHEMA)
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", [11, 47])
 def test_random_op_sequence_agrees_with_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     tbl = SnapshotTable(spark, str(tmp_path / f"model{seed}"))
