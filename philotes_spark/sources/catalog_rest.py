@@ -444,6 +444,38 @@ class RestCatalog:
         if status not in (200, 201):
             raise CatalogError(status, json.dumps(body).encode())
 
+    def publish_ref(
+        self,
+        namespace: str,
+        table: str,
+        name: str,
+        snapshot_id: int,
+        ref_type: str = "tag",
+    ) -> None:
+        """Publish a named ref (Iceberg REST ``set-snapshot-ref`` update):
+        tags/branches created locally (SnapshotTable.tag / create_branch)
+        become catalog refs external engines can read
+        (`VERSION AS OF '<name>'` on the consumer side)."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"bad ref type {ref_type!r}")
+        status, body = self._request(
+            "POST",
+            f"/namespaces/{namespace}/tables/{table}",
+            {
+                "requirements": [],
+                "updates": [
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": name,
+                        "type": ref_type,
+                        "snapshot-id": snapshot_id,
+                    }
+                ],
+            },
+        )
+        if status not in (200, 201):
+            raise CatalogError(status, json.dumps(body).encode())
+
     # -- SnapshotTable bridge ------------------------------------------------
 
     def publish_snapshot(

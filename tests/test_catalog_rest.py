@@ -32,6 +32,7 @@ class MockCatalog(ThreadingHTTPServer):
         self.tables: dict[tuple[str, str], dict] = {}
         self.commits: dict[tuple[str, str], list[dict]] = {}
         self.snapshots: dict[tuple[str, str], list[dict]] = {}
+        self.refs: dict[tuple[str, str], dict] = {}
         self.auth_headers: list[str | None] = []
         self.port = self.server_address[1]
 
@@ -74,6 +75,7 @@ class _Handler(BaseHTTPRequestHandler):
                     srv.snapshots.get(key, []),
                     current_schema_id=t["current-schema-id"],
                     sort_order=t.get("write-order"),
+                    refs=srv.refs.get(key, {}),
                 )
                 return self._reply(
                     200,
@@ -126,6 +128,11 @@ class _Handler(BaseHTTPRequestHandler):
                     srv.snapshots.setdefault(key, []).append(upd["snapshot"])
                 elif upd["action"] == "add-schema":
                     srv.tables[key]["schemas"].append(upd["schema"])
+                elif upd["action"] == "set-snapshot-ref":
+                    srv.refs.setdefault(key, {})[upd["ref-name"]] = {
+                        "snapshot-id": upd["snapshot-id"],
+                        "type": upd["type"],
+                    }
                 elif upd["action"] == "set-current-schema":
                     sid = upd["schema-id"]
                     if sid == -1:  # spec: "the schema just added"
@@ -519,3 +526,33 @@ def test_v2_metadata_carries_refs(spark, tmp_path):
     bad = dict(meta, refs={"x": {"snapshot-id": 99, "type": "tag"}})
     with _pytest.raises(CatalogError, match="unknown snapshot"):
         validate_table_metadata_v2(bad)
+
+
+def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
+    """Local tags publish as set-snapshot-ref updates; the served v2
+    metadata carries them in `refs` and still validates."""
+    from philotes_spark.sources.catalog_rest import validate_table_metadata_v2
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "reft"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    snap.commit(df.coalesce(1))
+    snap.commit(df.coalesce(1))
+    snap.tag("release-1", version=1)
+
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("lake", "reft", snap, version=1)
+    cat.publish_snapshot("lake", "reft", snap, version=2)
+    for r in snap.tags().collect():
+        cat.publish_ref("lake", "reft", r.name, r.version)
+    loaded = cat.load_table("lake", "reft")
+    meta = loaded["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["refs"]["release-1"] == {"snapshot-id": 1, "type": "tag"}
+    assert meta["refs"]["main"]["snapshot-id"] == 2
+    import pytest as _pytest
+
+    from philotes_spark.sources.catalog_rest import CatalogError  # noqa: F401
+
+    with _pytest.raises(ValueError, match="bad ref type"):
+        cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
