@@ -590,3 +590,27 @@ def test_branch_files_survive_main_expiry_and_drop_frees_them(spark, table):
     deleted = table.expire_snapshots(keep_last=1)
     assert deleted > 0, "dropped branch's exclusive files become orphans"
     assert table.read().count() == 3
+
+
+def test_mor_on_partitioned_table(spark, table):
+    """MoR deltas over a hive-partitioned base: the partitioned read
+    resolves layout first, then the delta anti-join/union applies —
+    partition columns ride in the upsert files as regular columns."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("v"), (F.col("id") % 2).cast("string").alias("bucket")
+    )
+    table.commit(df, partition_by=["bucket"])
+    changes = spark.createDataFrame(
+        [(3, "1", False), (4, "0", True), (50, "0", False)],
+        "v long, bucket string, _del boolean",
+    )
+    table.merge(changes, key_cols=["v"], delete_col="_del", mode="mor")
+    got = {r.v: str(r.bucket) for r in table.read().collect()}
+    assert 4 not in got and got[50] == "0" and got[3] == "1"
+    assert len(got) == 20  # 20 - 1 del + 1 insert
+    table.compact_deltas()
+    got2 = {r.v: str(r.bucket) for r in table.read().collect()}
+    assert got2 == got
+    assert table._resolve()["partition_by"] == ["bucket"]
