@@ -1025,11 +1025,13 @@ class SnapshotTable:
             total_bytes,
             ",".join(m.get("partition_by") or []) or None,
             len(m.get("properties", {})),
+            len(m.get("deltas", [])),
         )
         return self.spark.createDataFrame(
             [row],
             "version int, timestamp_ms long, operation string, total_files int, "
-            "total_bytes long, partition_spec string, n_properties int",
+            "total_bytes long, partition_spec string, n_properties int, "
+            "n_pending_deltas int",
         )
 
     def _merge_partitioned(

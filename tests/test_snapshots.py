@@ -614,3 +614,32 @@ def test_mor_on_partitioned_table(spark, table):
     got2 = {r.v: str(r.bucket) for r in table.read().collect()}
     assert got2 == got
     assert table._resolve()["partition_by"] == ["bucket"]
+
+
+def test_racing_mor_merge_loses_conflict(spark, table, monkeypatch):
+    """Two MoR writers racing the same parent: the loser's manifest link
+    fails with CommitConflict (same optimistic-concurrency guarantee as
+    append commits), and the table stays consistent."""
+    table.commit(_df(spark, 0, 10))
+    table.merge(
+        _mor_changes(spark, [(1, 11, False)]),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    # stale writer: thinks the parent is still v1
+    real_load = table._load
+    monkeypatch.setattr(
+        table, "current_version", lambda: 1
+    )
+    monkeypatch.setattr(
+        table, "_load", lambda name: real_load("v00000001.json")
+        if name == "v00000001.json" else real_load(name)
+    )
+    with pytest.raises(CommitConflict):
+        table.merge(
+            _mor_changes(spark, [(2, 22, False)]),
+            key_cols=["v"], delete_col="_del", mode="mor",
+        )
+    monkeypatch.undo()
+    assert table.metadata().collect()[0].n_pending_deltas == 1
+    got = {r.v for r in table.read().collect()}
+    assert got == set(range(10))
