@@ -135,6 +135,7 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_mor_merge",
         "snapshot_rollback_read",
         "snapshot_wap_publish",
+        "snapshot_zorder_prune",
         # r06 rotation (VERDICT r05 next-round #2): swap these three below
         # the window — b11 (filter+order) and b15 (COUNT(col) null-skip)
         # are shape-duplicates of window-green b4/b8 and b3/b17/a8, and the

@@ -443,3 +443,48 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.read().localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_zorder_prune",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value >= 100 AND value <= 300
+    """,
+)
+def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering, value-verified (sources/snapshots.zorder_key):
+    commit events z-ordered on (user_id, value), assert file skipping
+    works on BOTH dimensions — a lexicographic sort only prunes its
+    leading column — then answer a range predicate on the TRAILING
+    dimension through the stats-pruned read. The oracle is the plain
+    filter over all rows, so the hash compare proves multi-dimensional
+    pruning loses nothing. Delta OPTIMIZE ZORDER / Iceberg z-order
+    parity; at 100 TB this is what makes two-column dashboards scan a
+    sliver of the table instead of all of it."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.repartition(8), zorder_by=["user_id", "value"])
+        # assertion probes sized to the fixture's own distribution (the
+        # query runs at several SFs): the bottom ~20% of either dim's
+        # rank space must skip files under z-order
+        u20, v20 = (
+            ev.approxQuantile("user_id", [0.2], 0.001)[0],
+            ev.approxQuantile("value", [0.2], 0.001)[0],
+        )
+        kept_u, total = tbl.pruned_file_count("user_id", lo=None, hi=u20)
+        kept_v, _ = tbl.pruned_file_count("value", lo=None, hi=v20)
+        assert kept_u < total and kept_v < total, (
+            f"z-order must prune both dims: u {kept_u}/{total}, v {kept_v}/{total}"
+        )
+        out = (
+            tbl.read_where("value", lo=100, hi=300)
+            .filter((F.col("value") >= 100) & (F.col("value") <= 300))
+            .select("event_id", "user_id", "value")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -643,3 +643,51 @@ def test_racing_mor_merge_loses_conflict(spark, table, monkeypatch):
     assert table.metadata().collect()[0].n_pending_deltas == 1
     got = {r.v for r in table.read().collect()}
     assert got == set(range(10))
+
+
+def test_zorder_commit_prunes_on_both_dimensions(spark, table):
+    """Z-order clustering: a 2-D z-ordered commit prunes files for a
+    narrow range on EITHER column; the lexicographically-sorted twin
+    prunes only on its leading column. Value-verified under pruning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(8_000)]
+    df = spark.createDataFrame(rows, "a long, b long").repartition(16)
+
+    table.commit(df, zorder_by=["a", "b"])
+    m = table._resolve()
+    assert m["zorder_by"] == ["a", "b"]
+    assert set(m["stats_cols"]) == {"a", "b"}
+    total = len(m["files"])
+    assert total >= 8
+    kept_a, _ = table.pruned_file_count("a", lo=100, hi=900)
+    kept_b, _ = table.pruned_file_count("b", lo=100, hi=900)
+    assert kept_a <= total // 2, f"z-order must prune dim a: {kept_a}/{total}"
+    assert kept_b <= total // 2, f"z-order must prune dim b: {kept_b}/{total}"
+
+    # the lexicographic twin: same data sorted by (a, b) — only a prunes
+    lex = SnapshotTable(spark, table.path + "_lex")
+    lex.commit(df, sort_by=["a", "b"], stats_cols=["a", "b"])
+    lk_a, lt = lex.pruned_file_count("a", lo=100, hi=900)
+    lk_b, _ = lex.pruned_file_count("b", lo=100, hi=900)
+    assert lk_a <= lt // 2
+    assert lk_b > lt // 2, "lexicographic sort cannot prune the trailing dim"
+
+    # correctness under pruned reads, both dimensions
+    want_a = sorted((a, b) for a, b in rows if 100 <= a <= 900)
+    got_a = sorted(
+        (r.a, r.b)
+        for r in table.read_where("a", lo=100, hi=900)
+        .filter("a >= 100 AND a <= 900").collect()
+    )
+    assert got_a == want_a
+    want_b = sorted((a, b) for a, b in rows if 100 <= b <= 900)
+    got_b = sorted(
+        (r.a, r.b)
+        for r in table.read_where("b", lo=100, hi=900)
+        .filter("b >= 100 AND b <= 900").collect()
+    )
+    assert got_b == want_b
