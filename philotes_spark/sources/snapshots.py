@@ -285,6 +285,8 @@ class SnapshotTable:
 
         if sort_by is None and operation == "append":
             sort_by = parent_manifest.get("sort_by") or None  # inherit
+        if zorder_by is None and operation == "append":
+            zorder_by = parent_manifest.get("zorder_by") or None  # inherit
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         out = df
         if zorder_by:
@@ -389,6 +391,28 @@ class SnapshotTable:
 
     # --- merge (copy-on-write upsert/delete) --------------------------------
 
+    def _recluster(self, df: DataFrame, m: dict) -> DataFrame:
+        """Re-apply the table's clustering (sort_by or zorder_by) to
+        rewritten data — Iceberg's sort-order-aware rewrite; without it
+        every merge/compaction widens per-file value ranges and
+        file-skipping degrades commit by commit."""
+        sort_by = m.get("sort_by") or []
+        zorder_by = m.get("zorder_by") or []
+        nparts = max(df.rdd.getNumPartitions(), 1)
+        if zorder_by:
+            z = zorder_key(df, list(zorder_by))
+            return (
+                df.withColumn("_z", z)
+                .repartitionByRange(nparts, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        if sort_by:
+            return df.repartitionByRange(nparts, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        return df
+
     def merge(
         self,
         changes: DataFrame,
@@ -479,14 +503,9 @@ class SnapshotTable:
             else upserts
         )
         sort_by = m.get("sort_by") or []
-        if sort_by:
-            # preserve the table's clustering through the rewrite (the
-            # untouched files keep theirs by reference) — Iceberg's
-            # sort-order-aware CoW; without this the merged files' value
-            # ranges widen and file-skipping degrades merge by merge
-            new_data = new_data.repartitionByRange(
-                max(new_data.rdd.getNumPartitions(), 1), *sort_by
-            ).sortWithinPartitions(*sort_by)
+        # preserve the table's clustering (sort_by OR zorder_by) through
+        # the rewrite; untouched files keep theirs by reference
+        new_data = self._recluster(new_data, m)
         new_data.write.parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
@@ -504,6 +523,7 @@ class SnapshotTable:
             file_stats=file_stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            zorder_by=list(m.get("zorder_by") or []),
         )
 
     def _merge_mor(
@@ -542,6 +562,7 @@ class SnapshotTable:
             file_stats=dict(m.get("file_stats", {})),
             stats_cols=list(m.get("stats_cols") or []),
             sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])) + [delta],
         )
 
@@ -557,12 +578,8 @@ class SnapshotTable:
         m = self._load(f"v{parent:08d}.json")
         if not m.get("deltas"):
             return None
-        applied = self.read()
+        applied = self._recluster(self.read(), m)
         sort_by = m.get("sort_by") or []
-        if sort_by:
-            applied = applied.repartitionByRange(
-                max(applied.rdd.getNumPartitions(), 1), *sort_by
-            ).sortWithinPartitions(*sort_by)
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         writer = applied.write
         part_cols = m.get("partition_by") or []
@@ -583,6 +600,7 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            zorder_by=list(m.get("zorder_by") or []),
         )
 
     def _apply_deltas(self, base: DataFrame, m: dict) -> DataFrame:
@@ -701,6 +719,7 @@ class SnapshotTable:
             file_stats=dict(src.get("file_stats", {})),
             stats_cols=list(src.get("stats_cols") or []),
             sort_by=list(src.get("sort_by") or []),
+            zorder_by=list(src.get("zorder_by") or []),
             deltas=list(src.get("deltas", [])),
         )
         return br
@@ -752,6 +771,7 @@ class SnapshotTable:
             file_stats=dict(head.get("file_stats", {})),
             stats_cols=list(head.get("stats_cols") or []),
             sort_by=list(head.get("sort_by") or []),
+            zorder_by=list(head.get("zorder_by") or []),
             deltas=list(head.get("deltas", [])),
         )
 
@@ -772,6 +792,7 @@ class SnapshotTable:
             file_stats=dict(old.get("file_stats", {})),
             stats_cols=list(old.get("stats_cols") or []),
             sort_by=list(old.get("sort_by") or []),
+            zorder_by=list(old.get("zorder_by") or []),
             deltas=list(old.get("deltas", [])),
         )
 
@@ -1173,6 +1194,7 @@ class SnapshotTable:
             file_stats=file_stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            zorder_by=list(m.get("zorder_by") or []),
         )
 
     def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
@@ -1222,6 +1244,7 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
         )
 
@@ -1280,6 +1303,7 @@ class SnapshotTable:
             file_stats=stats,
             stats_cols=list(cols),
             sort_by=sort_by,
+            zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
         )
 

@@ -691,3 +691,42 @@ def test_zorder_commit_prunes_on_both_dimensions(spark, table):
         .filter("b >= 100 AND b <= 900").collect()
     )
     assert got_b == want_b
+
+
+def test_zorder_survives_merge_append_and_delta_compaction(spark, table):
+    """The z-order marker and clustering persist through append (inherit
+    + re-cluster), CoW merge, MoR delta compaction — pruning on the
+    trailing dimension must still work after all three."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(29)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000)) for i in range(6_000)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(12)
+    table.commit(df, zorder_by=["a", "b"])
+
+    # append inherits + clusters its own files
+    more = [(10_000 + i, rng.randrange(10_000), rng.randrange(10_000)) for i in range(3_000)]
+    table.commit(spark.createDataFrame(more, "k long, a long, b long").repartition(6))
+    assert table._resolve()["zorder_by"] == ["a", "b"]
+
+    # CoW merge keeps the marker and re-clusters rewritten files
+    table.merge(
+        spark.createDataFrame([(1, 5, 5, False)], "k long, a long, b long, _del boolean"),
+        key_cols=["k"], delete_col="_del",
+    )
+    assert table._resolve()["zorder_by"] == ["a", "b"]
+
+    # MoR + compaction keep it too
+    table.merge(
+        spark.createDataFrame([(2, 7, 7, False)], "k long, a long, b long, _del boolean"),
+        key_cols=["k"], delete_col="_del", mode="mor",
+    )
+    table.compact_deltas()
+    m = table._resolve()
+    assert m["zorder_by"] == ["a", "b"] and m["deltas"] == []
+
+    b20 = spark.createDataFrame(rows + more, "k long, a long, b long").approxQuantile("b", [0.2], 0.001)[0]
+    kept_b, total = table.pruned_file_count("b", lo=None, hi=b20)
+    assert kept_b < total, f"trailing-dim pruning lost: {kept_b}/{total}"
