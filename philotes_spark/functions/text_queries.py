@@ -572,3 +572,80 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_tfidf_doc_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+        SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs / dfreq.df) AS w
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        WHERE dfreq.df <= 100
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dp / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE dp / (na.nrm * nb.nrm) >= 0.6
+    """,
+)
+def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document TF-IDF cosine similarity (the sparse lexical
+    twin of the embedding tier's sim_threshold_pairs): pairs with
+    cosine >= 0.6 over tf·ln(N/df) weights.
+
+    Scale shape — the inverted-index formulation, never a doc×doc
+    cartesian: weights build in two hash aggregates ((doc, tok) then
+    tok), the pair dot-products come from an equi-join on the TOKEN
+    postings, and a df-cut (df <= 100) bounds any posting list before
+    the join — the same stop-token guard as the n-gram Jaccard tier,
+    without which one ubiquitous token creates a quadratic bucket. N is
+    a bounded 1-row count (same class as the CC convergence probe)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = float(docs.count())
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "tok")
+        .filter(F.col("df") <= 100)
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.6)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+    )

@@ -123,6 +123,7 @@ def _tier(name: str) -> tuple[int, int]:
         "text_gopher_filters",
         "text_bpe_merges",
         "text_compression_ratio",
+        "text_tfidf_doc_pairs",
         # strong rotation candidates for r07 (each oracle-backed and
         # value-verified in pytest; swap duplicate-coverage window slots
         # for these): clustered-prune, the incremental append scan, the
