@@ -185,3 +185,74 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.stop()
     got = {r.event_id: r.tier for r in spark.table("enrich").collect()}
     assert got == {1: "gold", 2: "basic", 3: None}
+
+
+def test_interval_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: a left row with no match
+    emits (left, null) only once the watermark passes its join horizon —
+    the subtle half of Spark's stream-stream join semantics."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    cdir, pdir = str(tmp_path / "lo_clicks"), str(tmp_path / "lo_purch")
+    t0 = T0
+    c1 = [(7, t0, "c1"), (9, t0 + dt.timedelta(minutes=2), "c4")]
+    p1 = [(7, t0 + dt.timedelta(minutes=30), "p1")]
+    spark.createDataFrame(c1, C_SCHEMA).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(p1, P_SCHEMA).coalesce(1).write.parquet(pdir)
+
+    clicks = spark.readStream.schema(C_SCHEMA).parquet(cdir).withWatermark(
+        "l_ts", "10 minutes"
+    )
+    purch = spark.readStream.schema(P_SCHEMA).parquet(pdir).withWatermark(
+        "r_ts", "10 minutes"
+    )
+    joined = clicks.join(
+        purch,
+        (clicks.user_id == purch.user_id)
+        & (purch.r_ts >= clicks.l_ts)
+        & (purch.r_ts < clicks.l_ts + F.expr("INTERVAL 1 hour")),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+
+    rows: list = []
+
+    def drain():
+        # foreachBatch: restart-from-checkpoint works (memory sink refuses)
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, _id: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "lo_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return sorted((r.click_id, r.purchase_id) for r in rows)
+
+    got = drain()
+    # inner match emits; c4's null CANNOT emit yet (its horizon t0+2m+1h
+    # is not past the watermark max(t)-10m = t0+20m)
+    assert ("c1", "p1") in got
+    assert ("c4", None) not in got
+    # advance event time far past c4's horizon → the null row emits
+    # the GLOBAL watermark is the MIN over both inputs — event time
+    # must advance on BOTH streams or left state never expires
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=3), "p_late")], P_SCHEMA
+    ).coalesce(1).write.parquet(pdir, mode="append")
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=3), "c_late")], C_SCHEMA
+    ).coalesce(1).write.parquet(cdir, mode="append")
+    drain()  # this batch ADVANCES the committed watermark...
+    spark.createDataFrame(
+        [(98, t0 + dt.timedelta(hours=3, minutes=1), "p_late2")], P_SCHEMA
+    ).coalesce(1).write.parquet(pdir, mode="append")
+    spark.createDataFrame(
+        [(98, t0 + dt.timedelta(hours=3, minutes=1), "c_late2")], C_SCHEMA
+    ).coalesce(1).write.parquet(cdir, mode="append")
+    got = drain()  # ...and the next batch evicts + emits the null row
+    assert ("c4", None) in got, "unmatched left must emit after watermark"
