@@ -79,6 +79,24 @@ def scan_columns(df: DataFrame) -> dict[str, set[str]]:
     return scans
 
 
+def count_runtime_bloom_filters(df: DataFrame) -> int:
+    """Number of runtime bloom filters injected into the plan (Catalyst's
+    ``InjectRuntimeFilter`` rule): a ``bloom_filter_agg`` built from the
+    creation (dim) side of a selective join, probed as ``might_contain``
+    in the application (fact) side's scan filter.
+
+    At 100 TB this is a first-class shuffle reducer: fact rows that can
+    never match the filtered dim are dropped AT THE SCAN, before the
+    join shuffle, cutting probe-side shuffle volume by the dim filter's
+    selectivity. The rule is threshold-gated
+    (``runtime.bloomFilter.applicationSideScanSizeThreshold`` = 10 GB by
+    default) so it never fires on test-sized data — the audit test
+    lowers the thresholds to prove injection + result equality, and this
+    counter is how it asserts the filter is actually in the plan."""
+    plan = physical_plan(df, "formatted")
+    return len(re.findall(r"might_contain", plan))
+
+
 def forced_broadcast_hints(df: DataFrame) -> list[str]:
     """Subtree strings of every explicit broadcast hint (``F.broadcast``)
     in the analyzed logical plan.

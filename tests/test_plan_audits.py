@@ -5,6 +5,7 @@ or adds a shuffle — regressions invisible to result-correctness tests.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from philotes_spark import registry
 from philotes_spark.plans import audit
@@ -388,3 +389,57 @@ def test_pq_topk_no_cartesian_two_shuffles(plan_of):
     assert a.shuffles <= 2
     assert "CartesianProduct" not in a.plan and "cartesian" not in a.plan.lower()
     assert a.scans["embeddings.parquet"] == {"vec_id", "embedding"}
+
+
+def test_runtime_bloom_filter_injection_and_equality(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    with a selective filter on the dim side of a fact-dim join, the
+    optimizer builds a bloom_filter_agg over the dim join keys and
+    probes it as might_contain in the fact side's scan filter — fact
+    rows that cannot match are dropped BEFORE the join shuffle. The
+    rule is on by default but gated on a 10 GB probe-side scan, so at
+    100 TB it fires automatically; here the thresholds are lowered to
+    prove injection happens and does not change results."""
+    from philotes_spark.plans.audit import count_runtime_bloom_filters
+    from philotes_spark.sources.catalog import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # selective creation-side predicate, join on the fact's FK: the
+    # canonical shape the rule targets (fact shuffle >> dim shuffle)
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    def q():
+        return (
+            lineitem.select("l_orderkey", "l_extendedprice")
+            .join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_extendedprice").alias("revenue"))
+        )
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # make the join plan as a shuffle join so the fact side is worth
+        # filtering (a broadcast join already prunes at the probe)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        filtered = q()
+        n_bloom = count_runtime_bloom_filters(filtered)
+        got = sorted(map(tuple, filtered.collect()))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert n_bloom >= 1, "bloom filter must be injected into the fact scan"
+    want = sorted(map(tuple, q().collect()))
+    # double summation order differs between the two physical plans;
+    # compare to the cent, which is exact for these magnitudes
+    canon = lambda rows: [(d, round(v, 2)) for d, v in rows]  # noqa: E731
+    assert canon(got) == canon(want), "runtime filter must not change results"
