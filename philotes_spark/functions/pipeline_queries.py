@@ -434,3 +434,63 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_hash",
         )
     )
+
+
+@query(
+    "train_shuffle_epoch",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, source,
+               md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, key,
+               ('0x' || substring(key, 1, 2))::INT % 8 AS shard
+        FROM k
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY key, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id, source
+    FROM s ORDER BY shard, pos
+    """,
+)
+def train_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every document
+    gets a pseudorandom rank from md5(seed:doc_id) — changing the seed
+    string reshuffles, re-running reproduces the exact order on any
+    engine (the oracle computes the identical hash). The order is
+    materialized as (shard, pos): shard = first hash byte mod n_shards,
+    pos = rank within the shard — the layout a distributed data loader
+    consumes directly (one reader per shard, sequential within).
+
+    Scale shape: a GLOBAL sort of 100 TB is a range-partitioned
+    total order — legal but needless here; hashing already randomizes,
+    so ordering only WITHIN hash-assigned shards gives the same
+    statistical shuffle with a window partitioned by shard (uniform by
+    construction, no skew) and no range-sampling pass. One projection +
+    one shard-keyed window shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        key.alias("key"),
+        F.pmod(F.conv(F.substring(key, 1, 2), 16, 10).cast("int"), F.lit(8))
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        keyed.select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("shard", "pos")
+    )

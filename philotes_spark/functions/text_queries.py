@@ -649,3 +649,75 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.6)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+@query(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               ROUND(len(list_filter(t, x -> list_contains({_sw_list('en')}, x)))
+                     / len(t), 4) AS sw_ratio
+        FROM toks
+    ),
+    grid AS (SELECT UNNEST([0, 5, 10, 15, 20, 25, 30, 35, 40]) AS thr_pct),
+    agg AS (
+        SELECT g.thr_pct,
+               CAST(SUM(CASE WHEN s.sw_ratio >= g.thr_pct / 100.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(CASE WHEN s.sw_ratio >= g.thr_pct / 100.0
+                             THEN s.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM scored s CROSS JOIN grid g
+        GROUP BY g.thr_pct
+    )
+    SELECT CAST(thr_pct AS INT) AS thr_pct, n_docs_kept, tokens_kept,
+           ROUND(n_docs_kept / CAST(MAX(n_docs_kept) OVER () AS DOUBLE), 4)
+               AS frac_docs_kept
+    FROM agg ORDER BY thr_pct
+    """,
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for a quality gate: for a grid of minimum
+    stopword-ratio cutoffs, how many documents (and tokens) survive —
+    the retention-vs-strictness table a curation pipeline reads before
+    committing to a filter setting, computed in one pass instead of
+    re-running the filter per candidate value.
+
+    Scale shape: per-doc signals are one narrow projection; the grid
+    fan-out (explode of a 9-element literal array) multiplies rows 9x
+    but partial aggregation collapses them map-side to 9 groups per
+    partition, so the one shuffle carries ~9 rows per task regardless of
+    corpus size. The retention denominator is recovered from the 9-row
+    aggregate itself (thr=0 keeps every scored doc, so max(n_docs_kept)
+    over the result IS the total) — no second scan, no driver action."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    scored = docs.select(
+        X.word_count(t).alias("n_tokens"),
+        X.stopword_ratio(t).alias("sw_ratio"),
+    )
+    grid = F.array(*[F.lit(p) for p in range(0, 45, 5)])
+    kept = F.col("sw_ratio") >= F.col("thr_pct") / 100.0
+    agg = (
+        scored.select("n_tokens", "sw_ratio", F.explode(grid).alias("thr_pct"))
+        .groupBy(F.col("thr_pct").cast("int").alias("thr_pct"))
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    total = F.max("n_docs_kept").over(Window.partitionBy())
+    return agg.select(
+        "thr_pct",
+        "n_docs_kept",
+        "tokens_kept",
+        F.round(F.col("n_docs_kept") / total.cast("double"), 4).alias(
+            "frac_docs_kept"
+        ),
+    ).orderBy("thr_pct")

@@ -149,6 +149,11 @@ def _tier(name: str) -> tuple[int, int]:
         "b11_change_history",
         "b15_count_nonnull",
         "multimodal_audio",
+        # r06 late additions (oracle-gated in pytest, below the window so
+        # the r06 rotation composition is untouched): deterministic epoch
+        # shuffle and the quality-threshold retention sweep
+        "train_shuffle_epoch",
+        "text_quality_threshold_sweep",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -443,3 +443,22 @@ def test_runtime_bloom_filter_injection_and_equality(spark, sf_dir):
     # compare to the cent, which is exact for these magnitudes
     canon = lambda rows: [(d, round(v, 2)) for d, v in rows]  # noqa: E731
     assert canon(got) == canon(want), "runtime filter must not change results"
+
+
+def test_shuffle_epoch_shard_window_not_global_sort(plan_of):
+    """train_shuffle_epoch: rank within hash-assigned shards — a window
+    partitioned by shard plus the presentation sort, never a single
+    global-order window; scan reads only (doc_id, source)."""
+    a = plan_of("train_shuffle_epoch")
+    assert a.shuffles <= 2  # shard hash exchange + final range sort
+    assert "Exchange SinglePartition" not in a.plan
+    assert a.scans["documents.parquet"] == {"doc_id", "source"}
+
+
+def test_quality_sweep_one_corpus_shuffle(plan_of):
+    """text_quality_threshold_sweep: the 9x grid fan-out collapses
+    map-side (partial agg), so the only corpus-sized cost is one narrow
+    (text) scan; everything after the first shuffle is 9 rows."""
+    a = plan_of("text_quality_threshold_sweep")
+    assert a.shuffles <= 3  # grid agg + 9-row window + presentation sort
+    assert a.scans["documents.parquet"] == {"text"}
