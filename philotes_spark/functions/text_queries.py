@@ -721,3 +721,78 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_docs_kept"
         ),
     ).orderBy("thr_pct")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v FROM cnt),
+    top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 32),
+    topsum AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc FROM top),
+    scored AS (
+        SELECT tk.doc_id,
+               ln(COALESCE(
+                   tp.c / t.n,
+                   (t.n - ts.tc) / t.n / GREATEST(t.v - 32, 1)
+               )) AS lp
+        FROM toks tk
+        LEFT JOIN top tp USING (tok)
+        CROSS JOIN tot t CROSS JOIN topsum ts
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document — the CCNet/perplexity
+    family of curation signals: train a unigram LM on the corpus itself
+    (top-K vocabulary, probability mass of the tail spread uniformly
+    over out-of-vocabulary types), then score each document by its mean
+    token log-probability. Low scores flag gibberish/boilerplate; the
+    cap K (32 here so the OOV path is exercised by the fixtures; ~64k in
+    production) bounds the model size independently of corpus size.
+
+    Scale shape: vocabulary counting is one tok-keyed shuffle with
+    map-side partials; top-K is TakeOrdered (no global sort); the model
+    (K rows) and the three scalar aggregates broadcast, so scoring is a
+    broadcast join over the exploded corpus — the only other shuffle is
+    the per-doc aggregation. No collect: the scalars stay in-plan as
+    1-row broadcast cross joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    top = cnt.orderBy(F.desc("c"), "tok").limit(32)
+    topsum = top.agg(F.sum("c").cast("double").alias("tc"))
+    lp = F.log(
+        F.coalesce(
+            F.col("c") / F.col("n"),
+            (F.col("n") - F.col("tc"))
+            / F.col("n")
+            / F.greatest(F.col("v") - F.lit(32), F.lit(1)),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(top), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(topsum))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -154,6 +154,7 @@ def _tier(name: str) -> tuple[int, int]:
         # shuffle and the quality-threshold retention sweep
         "train_shuffle_epoch",
         "text_quality_threshold_sweep",
+        "text_unigram_logprob",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -462,3 +462,19 @@ def test_quality_sweep_one_corpus_shuffle(plan_of):
     a = plan_of("text_quality_threshold_sweep")
     assert a.shuffles <= 3  # grid agg + 9-row window + presentation sort
     assert a.scans["documents.parquet"] == {"text"}
+
+
+def test_unigram_logprob_broadcast_model_two_corpus_shuffles(plan_of):
+    """text_unigram_logprob: the LM (top-K vocab + scalar totals) comes
+    back as broadcast joins; the corpus is shuffled exactly twice (vocab
+    count, per-doc aggregate) and the scan reads only (doc_id, text).
+    A sort-merge join on tok would re-shuffle the exploded corpus."""
+    a = plan_of("text_unigram_logprob")
+    assert a.broadcast_joins >= 3, "vocab + both scalar frames must broadcast"
+    assert "SortMergeJoin" not in a.plan
+    # two scans of documents (vocab pass, scoring pass) share the audit
+    # key; both must stay within the two needed columns
+    assert a.scans["documents.parquet"] <= {"doc_id", "text"}
+    # corpus-sized exchanges: vocab count, per-doc agg, presentation
+    # sort; the remainder are 1-row scalar-aggregate exchanges
+    assert a.shuffles <= 6
