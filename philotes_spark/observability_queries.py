@@ -287,3 +287,91 @@ def metric_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="1 day",
         order_cols=["ts", "event_id"],
     )
+
+
+@query(
+    "metric_histogram_quantile",
+    oracle="""
+    WITH g AS (
+        SELECT UNNEST([5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0,
+                       'infinity'::DOUBLE]) AS le
+    ),
+    b AS (
+        SELECT date_trunc('day', ts) AS day, g.le,
+               CAST(SUM(CASE WHEN value <= g.le THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cum
+        FROM events CROSS JOIN g
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, le, cum,
+               LAG(cum, 1, 0) OVER (PARTITION BY day ORDER BY le) AS prev_cum,
+               LAG(le, 1, 0.0) OVER (PARTITION BY day ORDER BY le) AS prev_le,
+               MAX(cum) OVER (PARTITION BY day) AS total
+        FROM b
+    )
+    SELECT CAST(day AS TIMESTAMP) AS bucket_start,
+           ROUND(CASE WHEN isinf(le) THEN prev_le
+                      ELSE prev_le + (0.95 * total - prev_cum)
+                           / (cum - prev_cum) * (le - prev_le)
+                 END, 4) AS p95
+    FROM w WHERE cum >= 0.95 * total
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY day ORDER BY le) = 1
+    ORDER BY bucket_start
+    """,
+)
+def metric_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.95, ...)`` over le-bucketed counters
+    (A27, internal/api/services/prometheus.go:55-147 family): daily
+    cumulative bucket counts on a fixed le grid, then the Prometheus
+    interpolation — find the first bucket whose cumulative count reaches
+    the target rank and interpolate linearly inside it; a quantile
+    landing in the +Inf bucket returns the highest finite bound. This is
+    the exact arithmetic Prometheus documents, so dashboards moved onto
+    the engine read identical values.
+
+    Scale shape: the 8x le fan-out collapses map-side (partial agg) to
+    8 rows per day per partition — one corpus-sized shuffle; every
+    window after it runs on the (days x 8) frame."""
+    from pyspark.sql import Window
+
+    grid = [5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0, float("inf")]
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    b = (
+        ev.select(
+            "day", "value", F.explode(F.array(*[F.lit(x) for x in grid])).alias("le")
+        )
+        .groupBy("day", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0)).alias("cum")
+        )
+    )
+    by_le = Window.partitionBy("day").orderBy("le")
+    w = b.select(
+        "day",
+        "le",
+        "cum",
+        F.lag("cum", 1, 0).over(by_le).alias("prev_cum"),
+        F.lag("le", 1, 0.0).over(by_le).alias("prev_le"),
+        F.max("cum").over(Window.partitionBy("day")).alias("total"),
+    )
+    q = w.filter(F.col("cum") >= 0.95 * F.col("total")).withColumn(
+        "rn", F.row_number().over(by_le)
+    )
+    interp = F.col("prev_le") + (
+        0.95 * F.col("total") - F.col("prev_cum")
+    ) / (F.col("cum") - F.col("prev_cum")) * (F.col("le") - F.col("prev_le"))
+    return (
+        q.filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("bucket_start"),
+            F.round(
+                F.when(F.col("le") == F.lit(float("inf")), F.col("prev_le"))
+                .otherwise(interp),
+                4,
+            ).alias("p95"),
+        )
+        .orderBy("bucket_start")
+    )

@@ -155,6 +155,7 @@ def _tier(name: str) -> tuple[int, int]:
         "train_shuffle_epoch",
         "text_quality_threshold_sweep",
         "text_unigram_logprob",
+        "metric_histogram_quantile",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -478,3 +478,13 @@ def test_unigram_logprob_broadcast_model_two_corpus_shuffles(plan_of):
     # corpus-sized exchanges: vocab count, per-doc agg, presentation
     # sort; the remainder are 1-row scalar-aggregate exchanges
     assert a.shuffles <= 6
+
+
+def test_histogram_quantile_mapside_collapse(plan_of):
+    """metric_histogram_quantile: the 8x le fan-out must collapse
+    map-side — one corpus-sized (day, le) shuffle; the interpolation
+    windows run on the (days x 8) frame. Scan: (ts, value) only."""
+    a = plan_of("metric_histogram_quantile")
+    assert "partial_sum" in a.plan, "bucket counts must partial-aggregate"
+    assert a.shuffles <= 4
+    assert a.scans["events.parquet"] == {"ts", "value"}
