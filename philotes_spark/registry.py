@@ -156,6 +156,7 @@ def _tier(name: str) -> tuple[int, int]:
         "text_quality_threshold_sweep",
         "text_unigram_logprob",
         "metric_histogram_quantile",
+        "sim_threshold_sweep",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -409,3 +409,56 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, QUERY_IDS, books, k=10, rerank=100, codes=codes).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "sim_threshold_sweep",
+    oracle=f"""
+    WITH {_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    cos AS (
+        SELECT ROUND(dp / (na.nrm * nb.nrm), 4) AS c
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dp / (na.nrm * nb.nrm) >= 0.30
+    ),
+    g AS (SELECT UNNEST([30, 35, 40, 45, 50]) AS thr_pct)
+    SELECT CAST(g.thr_pct AS INT) AS thr_pct,
+           CAST(SUM(CASE WHEN c >= g.thr_pct / 100.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           ROUND(AVG(CASE WHEN c >= g.thr_pct / 100.0 THEN c END), 4)
+               AS avg_sim
+    FROM cos CROSS JOIN g
+    GROUP BY g.thr_pct ORDER BY thr_pct
+    """,
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup threshold calibration: how many near-duplicate
+    pairs (and at what mean similarity) each candidate cosine cutoff
+    would declare — computed from ONE exact pair pass at the loosest
+    threshold, instead of re-running the O(n²) tier per candidate. This
+    is the table read before committing a dedup threshold, the embedding
+    twin of text_quality_threshold_sweep.
+
+    Scale shape: the pair generation is the block-matrix equi-join of
+    similarity_pairs (no cartesian node, per-task memory bounded by one
+    block pair); the 5x grid fan-out happens on the already-reduced pair
+    list and collapses map-side to 5 rows per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs(emb, 0.30).select("cosine_sim")
+    grid = F.array(*[F.lit(p) for p in (30, 35, 40, 45, 50)])
+    kept = F.col("cosine_sim") >= F.col("thr_pct") / 100.0
+    return (
+        pairs.select("cosine_sim", F.explode(grid).alias("thr_pct"))
+        .groupBy(F.col("thr_pct").cast("int").alias("thr_pct"))
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_pairs"),
+            F.round(F.avg(F.when(kept, F.col("cosine_sim"))), 4).alias("avg_sim"),
+        )
+        .orderBy("thr_pct")
+    )

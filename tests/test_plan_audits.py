@@ -488,3 +488,13 @@ def test_histogram_quantile_mapside_collapse(plan_of):
     assert "partial_sum" in a.plan, "bucket counts must partial-aggregate"
     assert a.shuffles <= 4
     assert a.scans["events.parquet"] == {"ts", "value"}
+
+
+def test_sim_threshold_sweep_block_join_no_cartesian(plan_of):
+    """sim_threshold_sweep: pair generation stays the block-matrix
+    equi-join (no cartesian/nested-loop node); the 5x grid fan-out
+    aggregates map-side, so the plan is two shuffles total."""
+    a = plan_of("sim_threshold_sweep")
+    assert a.shuffles <= 3
+    assert "CartesianProduct" not in a.plan
+    assert "BroadcastNestedLoopJoin" not in a.plan
