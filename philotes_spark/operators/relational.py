@@ -1975,3 +1975,53 @@ def q21_shape_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(a.day - f.cohort_day AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    WHERE a.day - f.cohort_day <= 7
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen day, counted
+    on each subsequent active day (offsets 0..7): the canonical
+    product-analytics rollup a warehouse serves daily, and a two-level
+    self-dependent aggregation (first-touch per user, then distinct
+    activity joined back to it).
+
+    Scale shape: both the first-touch aggregate and the distinct
+    activity set shuffle on user_id — one exchange feeds both (the join
+    runs on the shared partitioning), then the (cohort, offset) rollup
+    is a second small shuffle with map-side partials. No window over the
+    raw event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

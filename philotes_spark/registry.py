@@ -157,6 +157,8 @@ def _tier(name: str) -> tuple[int, int]:
         "text_unigram_logprob",
         "metric_histogram_quantile",
         "sim_threshold_sweep",
+        "stream_interval_join_attrib",
+        "events_retention_cohorts",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

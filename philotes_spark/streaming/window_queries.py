@@ -123,3 +123,61 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stream(ev, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
+
+
+@query(
+    "stream_interval_join_attrib",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS l_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS r_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           CAST(COUNT(DISTINCT p.purchase_id) AS BIGINT) AS n_purchases,
+           CAST(MIN(c.click_id) AS BIGINT) AS first_click_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.l_ts <= p.r_ts
+     AND c.l_ts > p.r_ts - INTERVAL '15 minutes'
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def stream_interval_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution through the stream-stream interval join
+    (streaming/windows.interval_join — the shape whose streaming state
+    stays bounded by watermark + interval): purchases matched to the
+    same user's clicks in the preceding 15 minutes, rolled up per user.
+    The batch run here IS the streaming semantics (Spark defines
+    stream-stream joins by batch equivalence; the streaming path of the
+    identical function, including left-outer null emission, is pinned in
+    tests/test_streaming_windows.py).
+
+    Scale shape: one user-keyed shuffle join; the time bound is a join
+    residual. In streaming mode state expiry bounds the buffer to
+    (watermark + 15 min) x arrival rate per side."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("r_ts")
+    )
+    joined = interval_join(clicks, purchases, "user_id", within="15 minutes")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.min("click_id").alias("first_click_id"),
+        )
+        .orderBy("user_id")
+    )

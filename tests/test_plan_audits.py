@@ -498,3 +498,22 @@ def test_sim_threshold_sweep_block_join_no_cartesian(plan_of):
     assert a.shuffles <= 3
     assert "CartesianProduct" not in a.plan
     assert "BroadcastNestedLoopJoin" not in a.plan
+
+
+def test_interval_join_attrib_single_user_shuffle(plan_of):
+    """stream_interval_join_attrib: the time bound must plan as a join
+    residual on the user_id equi-join — no cartesian node, no range
+    join explosion; scan reads (event_id, user_id, ts, event_type)."""
+    a = plan_of("stream_interval_join_attrib")
+    assert "CartesianProduct" not in a.plan
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert any("event_type" in p for p in a.pushed), "type filters must push"
+
+
+def test_retention_cohorts_shares_user_exchange(plan_of):
+    """events_retention_cohorts: first-touch agg + distinct activity +
+    their join all run on the user_id partitioning (one corpus
+    exchange), then the (cohort, offset) rollup — shuffle budget 3."""
+    a = plan_of("events_retention_cohorts")
+    assert a.shuffles <= 4
+    assert a.scans["events.parquet"] == {"user_id", "ts"}
