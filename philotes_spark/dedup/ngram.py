@@ -78,3 +78,57 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.25,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-set CONTAINMENT ≥ threshold, where
+    containment = |A∩B| / min(|A|, |B|) — the asymmetric near-dup
+    criterion: a short document embedded verbatim in a long one scores
+    ~1.0 here while its symmetric Jaccard (|A∩B|/|A∪B|) stays low
+    because the union is dominated by the long side. The standard second
+    pass of corpus dedup (Lee et al. 2022 "Deduplicating Training Data"
+    uses the same family of substring/containment criteria).
+
+    Same inverted-index plan as jaccard_pairs: shingle explode →
+    posting self-join (8-byte keys) → per-pair intersection counts →
+    size join-back; df-cut + AQE handle hot shingles."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    posting = sh
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        posting = sh.join(rare, "shingle", "left_semi")
+
+    a = posting.select(F.col("doc").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from philotes_spark.dedup.exact import dedup_exact
 from philotes_spark.dedup.minhash import minhash_dedup
-from philotes_spark.dedup.ngram import jaccard_pairs
+from philotes_spark.dedup.ngram import containment_pairs, jaccard_pairs
 from philotes_spark.dedup.simhash import simhash_near_dups
 from philotes_spark.registry import query
 from philotes_spark.sources.catalog import load_table
@@ -142,3 +142,37 @@ def q_dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_contents"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + 2], ' ') AS shingle
+        FROM toks,
+             (SELECT UNNEST(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i) i
+        WHERE i.i <= len(t) - 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / LEAST(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / LEAST(sa.n_sh, sb.n_sh), 4) >= 0.25
+    """,
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs ≥ 0.25 (|A∩B| / min set size):
+    the short-doc-inside-long-doc criterion symmetric Jaccard misses —
+    on these fixtures it surfaces pairs dedup_ngram_jaccard's 0.12 gate
+    does not. Same inverted-index join shape as the Jaccard tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)

@@ -2025,3 +2025,68 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS median_value
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.median_value,
+               abs(e.value - m.median_value) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_raw
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.median_value), 4) AS median_value,
+           ROUND(ANY_VALUE(m.mad_raw), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad_raw
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per series: exact median + median
+    absolute deviation (MAD, scaled by the 1.4826 normal-consistency
+    constant), counting points beyond 3 scaled MADs — the
+    monitoring-grade alternative to z-scores (metric_anomaly_zscore)
+    when the metric has heavy tails; also the engine's EXACT
+    percentile surface (`percentile`), complementing the
+    approx_percentile sketch tier (sketch_percentiles).
+
+    Scale shape: two grouped exact percentiles (each one event_type-keyed
+    shuffle; exact percentile sorts within groups — the honest cost of
+    exactness, the sketch tier is the scale path when rank error is
+    acceptable) with the per-type medians broadcast back against the
+    fact rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("median_value"), 4).alias("median_value"),
+            F.round(F.any_value("mad_raw"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad_raw"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -149,9 +149,12 @@ def _tier(name: str) -> tuple[int, int]:
         "b11_change_history",
         "b15_count_nonnull",
         "multimodal_audio",
-        # r06 late additions (oracle-gated in pytest, below the window so
-        # the r06 rotation composition is untouched): deterministic epoch
-        # shuffle and the quality-threshold retention sweep
+        # r06 late additions (each oracle-gated in pytest, kept below the
+        # window so the r06 rotation composition is untouched; all seven
+        # join the r07 rotation-candidate pool above): deterministic
+        # epoch shuffle, the two threshold-calibration sweeps, unigram LM
+        # scoring, PromQL histogram_quantile, the interval-join
+        # attribution rollup, cohort retention
         "train_shuffle_epoch",
         "text_quality_threshold_sweep",
         "text_unigram_logprob",
@@ -159,6 +162,8 @@ def _tier(name: str) -> tuple[int, int]:
         "sim_threshold_sweep",
         "stream_interval_join_attrib",
         "events_retention_cohorts",
+        "events_mad_outliers",
+        "dedup_ngram_containment",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

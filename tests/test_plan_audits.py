@@ -517,3 +517,22 @@ def test_retention_cohorts_shares_user_exchange(plan_of):
     a = plan_of("events_retention_cohorts")
     assert a.shuffles <= 4
     assert a.scans["events.parquet"] == {"user_id", "ts"}
+
+
+def test_mad_outliers_broadcasts_medians(plan_of):
+    """events_mad_outliers: the per-type medians/MADs join back against
+    the fact rows as broadcasts (bounded by series cardinality) — no
+    fact-side shuffle join; scan reads (event_type, value) only."""
+    a = plan_of("events_mad_outliers")
+    assert a.broadcast_joins >= 2
+    assert "SortMergeJoin" not in a.plan
+    assert a.scans["events.parquet"] == {"event_type", "value"}
+
+
+def test_ngram_containment_inverted_index_no_cartesian(plan_of):
+    """dedup_ngram_containment: same inverted-index equi-join shape as
+    the Jaccard tier — posting self-join on the shingle key, never a
+    document cross join."""
+    a = plan_of("dedup_ngram_containment")
+    assert "CartesianProduct" not in a.plan
+    assert "BroadcastNestedLoopJoin" not in a.plan
