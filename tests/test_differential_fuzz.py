@@ -228,3 +228,55 @@ def test_same_window_sql_same_answer(fuzz_env, seed):
     spark, duck = fuzz_env
     sql = gen_window_query(seed)
     _assert_same(sql, spark, duck)
+
+
+# --- family 4: string functions / CASE over documents ------------------------
+
+DOC_DIMS = [
+    "source",
+    "lang",
+    "CASE WHEN n_chars < 120 THEN 'short' WHEN n_chars < 180 THEN 'mid' "
+    "ELSE 'long' END",
+    "length(text) % 5",
+    "substring(text, 1, 1)",
+]
+DOC_AGGS = [
+    "COUNT(*)",
+    "SUM(n_chars)",
+    "MIN(length(text))",
+    "MAX(length(text))",
+    "COUNT(DISTINCT lang)",
+    "MIN(upper(substring(text, 1, 4)))",
+    "MAX(doc_id)",
+]
+DOC_PREDS = [
+    "n_chars BETWEEN 80 AND 220",
+    "lang IN ('en', 'es')",
+    "text LIKE '%value%'",
+    "text NOT LIKE 'key%'",
+    "length(text) > 120",
+    "doc_id % 4 <> 1",
+    "source <> 'src0'",
+]
+
+
+def gen_doc_query(seed: int) -> str:
+    rng = random.Random(seed)
+    dims = rng.sample(DOC_DIMS, rng.randint(1, 2))
+    aggs = rng.sample(DOC_AGGS, rng.randint(1, 3))
+    sel = [f"{d} AS d{i}" for i, d in enumerate(dims)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = f"SELECT {', '.join(sel)} FROM documents"
+    preds = rng.sample(DOC_PREDS, rng.randint(0, 3))
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    sql += " GROUP BY " + ", ".join(dims)
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(300, 320))
+def test_same_doc_sql_same_answer(fuzz_env, seed):
+    spark, duck = fuzz_env
+    sql = gen_doc_query(seed)
+    _assert_same(sql, spark, duck)
