@@ -164,6 +164,7 @@ def _tier(name: str) -> tuple[int, int]:
         "events_retention_cohorts",
         "events_mad_outliers",
         "dedup_ngram_containment",
+        "sim_ivfpq_topk",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1,0 +1,258 @@
+"""IVF-PQ approximate nearest neighbor — the combined production ANN
+layout (FAISS ``IVFx,PQy``; Jégou et al. 2011 §IV): an inverted-file
+coarse quantizer prunes WHICH corpus rows are scored, product-quantized
+RESIDUAL codes shrink WHAT is read to score them. The two tiers compose:
+IVF alone (similarity/ivf.py) still reads float vectors inside probed
+cells; PQ alone (similarity/pq.py) scans every code row. IVF-PQ probes
+``n_probe`` cells and scores only their code rows — at 100 TB that is
+the difference between touching ~n_probe/n_centroids of 8-byte codes vs
+either full-corpus anything.
+
+Residual encoding is the load-bearing detail: each unit vector is
+encoded as PQ codes of (v − centroid[cell]), so for a unit query q
+
+    <q, v>  ≈  <q, centroid[cell]>  +  <q, reconstruction(residual)>
+            =  base(cell)           +  Σ_j LUT[j][codes[j]]
+
+with the LUT built from q's subvectors against the SHARED residual
+codebooks — one m×ks table per query, cell-independent, so the probe
+join stays an equi-join on cell with a broadcast query side.
+
+Plan shape at 100 TB:
+  train:  centroids + residual codebooks from ONE bounded driver-side
+          sample (numpy) — never a corpus scan;
+  encode: one corpus projection producing (cell, codes) — the index
+          build, persisted and reused across query batches;
+  query:  probe_cells explodes each query to n_probe (query, cell) rows
+          (broadcast-sized); candidates equi-join on cell; ADC score is
+          a pure expression over the codes column; optional exact
+          re-rank reads float vectors for the top-R candidates only.
+
+Reference scope note: the reference platform has no ANN surface at all
+(SURVEY §2C north-star tier); this module exists for the LLM-pipeline
+mandate, not Go parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from philotes_spark.similarity.ivf import _centroid_lit, assign_cells, probe_cells
+from philotes_spark.similarity.knn import as_double, dot, l2_norm
+from philotes_spark.similarity.pq import _books_lit
+
+
+def train_ivfpq(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, residual codebooks) from ONE bounded sample: k-means
+    the unit sample for the coarse quantizer, then per-subspace k-means
+    on the sample's residuals — the same driver-side training budget as
+    the single-tier indexes, one collect instead of two."""
+    import numpy as np
+
+    rows = (
+        emb.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+
+    # coarse quantizer (same loop as ivf.train_centroids, shared sample)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                mu = members.mean(axis=0)
+                c[j] = mu / np.linalg.norm(mu)
+
+    # residual codebooks (same per-subspace loop as pq.train_pq_codebooks,
+    # but over residuals — the IVFPQ pairing)
+    r = x - c[(x @ c.T).argmax(axis=1)]
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        rs = r[:, j * sub : (j + 1) * sub]
+        cb = rs[rng.choice(len(rs), size=min(ks, len(rs)), replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((rs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(len(cb)):
+                members = rs[assign == ci]
+                if len(members):
+                    cb[ci] = members.mean(axis=0)
+        books.append(cb.tolist())
+    return c.tolist(), books
+
+
+def encode_ivfpq(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): nearest coarse cell + PQ codes of the residual,
+    one pure corpus projection — the index build. Persist the result to
+    amortize across query batches."""
+    m, sub = len(books), len(books[0][0])
+    cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    cvec = F.element_at(_centroid_lit(centroids), F.col("cell") + 1)
+    resid = F.zip_with(unit, cvec, lambda a, b: a - b)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(resid, j * sub + 1, sub),
+    )
+    dists = F.zip_with(
+        subs,
+        _books_lit(books),
+        lambda s, book: F.transform(
+            book,
+            lambda cw: F.aggregate(
+                F.zip_with(s, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+        ),
+    )
+    codes = F.transform(
+        dists, lambda dv: (F.array_position(dv, F.array_min(dv)) - 1).cast("int")
+    )
+    return cells.select("id", "cell", codes.alias("codes"))
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Train + encode once: (centroids, books, persisted coded corpus).
+    Caller owns the persist."""
+    centroids, books = train_ivfpq(
+        emb, n_centroids=n_centroids, m=m, ks=ks, vec_col=vec_col, seed=seed
+    )
+    coded = encode_ivfpq(
+        emb, centroids, books, id_col=id_col, vec_col=vec_col
+    ).persist()
+    return centroids, books, coded
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int | None = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[list[list[float]], list[list[list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """ADC top-k over probed cells: (query_id, neighbor_id,
+    est_cosine | cosine_sim, rank). Pass ``index`` from
+    ``build_ivfpq_index`` to skip training + the corpus encode (the
+    serving shape: build once, query many). With ``rerank`` set, the
+    top-``rerank`` ADC candidates are re-scored with exact cosine
+    (float reads for candidates only)."""
+    if index is None:
+        index = build_ivfpq_index(
+            emb,
+            n_centroids=n_centroids,
+            m=m,
+            ks=ks,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+    centroids, books, coded = index
+    m, sub = len(books), len(books[0][0])
+
+    v = as_double(F.col(vec_col))
+    qbase = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), v.alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    probed = probe_cells(qbase, centroids, n_probe)  # + cell column
+    qunit = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
+    qsubs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(qunit, j * sub + 1, sub),
+    )
+    lut = F.zip_with(
+        qsubs,
+        _books_lit(books),
+        lambda s, book: F.transform(book, lambda cw: dot(s, cw)),
+    )
+    base = dot(qunit, F.element_at(_centroid_lit(centroids), F.col("cell") + 1))
+    q = probed.select("query_id", "qv", "qn", "cell", lut.alias("lut"), base.alias("base"))
+
+    est = F.col("base") + F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda cj, row: F.element_at(row, cj + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scored = (
+        coded.join(F.broadcast(q), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("est", est)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("est"), "id")
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                F.round("est", 4).alias("est_cosine"),
+                "rank",
+            )
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "qv", "qn", F.col("id").alias("neighbor_id"))
+    )
+    cvec = emb.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("cv"), l2_norm(v).alias("cn")
+    )
+    exact = cand.join(cvec, "neighbor_id").withColumn(
+        "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -462,3 +462,20 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr_pct")
     )
+
+
+@query("sim_ivfpq_topk")  # rows-only: trained codebooks are engine-local
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the standard query set — the combined production
+    ANN layout (coarse cells prune WHICH rows are scored, residual PQ
+    codes shrink WHAT is read; exact re-rank of the ADC top-50 restores
+    true cosines). similarity/ivfpq.py documents the decomposition
+    <q,v> ≈ <q,centroid[cell]> + LUT-sum. Recall floors and the
+    rerank-recovers-exact contract are pinned in
+    tests/test_similarity_recall.py."""
+    from philotes_spark.similarity.ivfpq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, QUERY_IDS, k=10, n_centroids=16, n_probe=4, rerank=50
+    ).orderBy("query_id", "rank")

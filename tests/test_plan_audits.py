@@ -536,3 +536,12 @@ def test_ngram_containment_inverted_index_no_cartesian(plan_of):
     a = plan_of("dedup_ngram_containment")
     assert "CartesianProduct" not in a.plan
     assert "BroadcastNestedLoopJoin" not in a.plan
+
+
+def test_ivfpq_equi_join_on_cell_no_cartesian(plan_of):
+    """sim_ivfpq_topk: candidates join the broadcast probed-query side
+    EQUI on cell; the float corpus is read only for the re-rank
+    candidates, never cross-joined."""
+    a = plan_of("sim_ivfpq_topk")
+    assert "CartesianProduct" not in a.plan
+    assert a.broadcast_joins >= 1, "probed query side must broadcast"
