@@ -375,3 +375,70 @@ def metric_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    WITH r AS (
+        SELECT 'accepted_values(events.event_type)' AS check_name,
+               CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click', 'view', 'signup', 'purchase', 'error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        FROM events
+        UNION ALL
+        SELECT 'foreign_key(orders.o_custkey->customer.c_custkey)',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'in_range(events.value)',
+               CAST(SUM(CASE WHEN value IS NOT NULL
+                    AND (value < 0 OR value > 400)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'not_null(events.value)',
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'unique(events.event_id)',
+               CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'unique(events.user_id)',
+               CAST(COUNT(user_id) - COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+    )
+    SELECT check_name, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM r ORDER BY check_name
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (philotes_spark/quality.py — the
+    Deequ/dbt-tests shape): NOT NULL, UNIQUE, ACCEPTED VALUES, RANGE and
+    FOREIGN KEY constraints evaluated over the fixture warehouse in one
+    call, with deliberately failing checks (unique on a non-key column,
+    a too-tight range) so both statuses appear. Each check is one
+    aggregate / one anti-join; the report is a union of 1-row frames —
+    constraints scale with the schema, not the data."""
+    from philotes_spark import quality as Q
+
+    tables = {
+        t: load_table(spark, sf_dir, t) for t in ("events", "orders", "customer")
+    }
+    checks = [
+        Q.accepted_values(
+            "events", "event_type",
+            ["click", "view", "signup", "purchase", "error"],
+        ),
+        Q.foreign_key("orders", "o_custkey", "customer", "c_custkey"),
+        Q.in_range("events", "value", 0, 400),
+        Q.not_null("events", "value"),
+        Q.unique("events", "event_id"),
+        Q.unique("events", "user_id"),
+    ]
+    return Q.run_checks(checks, tables)
