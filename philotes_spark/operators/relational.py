@@ -2090,3 +2090,36 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "unpivot_event_matrix",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    HAVING COUNT(*) > 0 ORDER BY 1, 2
+    """,
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide day x event-type matrix from
+    pivot_daily_event_matrix turned back into tidy long form with
+    ``DataFrame.unpivot`` (SQL ``stack``) — the wide->long half of the
+    reshaping surface, and a round-trip proof: unpivot(pivot(x)) must
+    equal the plain long-form aggregation, which is exactly what the
+    oracle computes directly. Zero-count cells (introduced by the pivot
+    fill) are dropped to restore the original group set.
+
+    Scale shape: unpivot is a projection (each wide row explodes to
+    n_types rows) — no shuffle beyond the pivot's own aggregate."""
+    wide = pivot_daily_event_matrix.__wrapped__(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )

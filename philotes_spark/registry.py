@@ -166,6 +166,7 @@ def _tier(name: str) -> tuple[int, int]:
         "dedup_ngram_containment",
         "sim_ivfpq_topk",
         "dq_constraint_report",
+        "unpivot_event_matrix",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
