@@ -167,6 +167,7 @@ def _tier(name: str) -> tuple[int, int]:
         "sim_ivfpq_topk",
         "dq_constraint_report",
         "unpivot_event_matrix",
+        "snapshot_overwrite_partitions",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

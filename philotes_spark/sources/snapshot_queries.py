@@ -488,3 +488,39 @@ def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_overwrite_partitions",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id <= 500 AND event_type <> 'click'
+    UNION ALL
+    SELECT event_id, event_type, ROUND(value + 1000, 2) AS value
+    FROM events WHERE event_id <= 500 AND event_type = 'click'
+    """,
+)
+def snapshot_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (sources/snapshots.py
+    overwrite_partitions — Spark's partitionOverwriteMode=dynamic /
+    Iceberg REPLACE PARTITIONS): commit events≤500 hive-partitioned by
+    event_type, re-land ONLY the click partition with +1000 values, read
+    the result — every other partition's files are untouched (the
+    idempotent daily-backfill write; at 100 TB the cost is O(changed
+    partitions), not a table rewrite). The keep/drop decision is
+    metadata-only, parsed from manifest paths."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") <= 500)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base, partition_by=["event_type"])
+        relanded = base.filter(F.col("event_type") == "click").withColumn(
+            "value", F.round(F.col("value") + 1000, 2)
+        )
+        tbl.overwrite_partitions(relanded)
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -349,6 +349,69 @@ class SnapshotTable:
             else [],
         )
 
+    def overwrite_partitions(
+        self, df: DataFrame, properties: dict[str, str] | None = None
+    ) -> int:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Iceberg's REPLACE
+        PARTITIONS): replace ONLY the hive partitions present in ``df``,
+        leaving every other partition's files untouched — the idempotent
+        daily-backfill write. A full ``overwrite`` rewrites a 100 TB
+        table to re-land one day; this costs O(changed partitions) data
+        write plus a metadata-only keep/drop decision over the parent
+        file list (partition tuples parsed from manifest paths, no
+        scan). The table's clustering (sort_by/zorder_by) is re-applied
+        to the incoming rows so file-skipping doesn't decay.
+
+        Refused while MoR deltas are pending: delete keys may target
+        rows inside the replaced partitions, and applying them after the
+        swap would resurrect or double-delete — compact first (same
+        guard as the REST publish)."""
+        parent = self.current_version()
+        if not parent:
+            raise ValueError("overwrite_partitions requires an existing table")
+        m = self._load(f"v{parent:08d}.json")
+        spec = m.get("partition_by") or []
+        if not spec:
+            raise ValueError(
+                "overwrite_partitions requires a partitioned table; "
+                "use operation='overwrite'"
+            )
+        if m.get("deltas"):
+            raise ValueError(
+                "pending merge-on-read deltas; run compact_deltas() before "
+                "a partition overwrite"
+            )
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        self._recluster(df, m).write.partitionBy(*spec).parquet(staged)
+        new_files = _staged_parquet_files(staged)
+        incoming = {_file_partition(f, self.data_dir, spec) for f in new_files}
+        kept = [
+            f
+            for f in m["files"]
+            if _file_partition(f, self.data_dir, spec) not in incoming
+        ]
+        files = kept + new_files
+        stats = {
+            f: s for f, s in m.get("file_stats", {}).items() if f in set(kept)
+        }
+        cols = m.get("stats_cols") or []
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation="overwrite-partitions",
+            files=files,
+            added_files=len(new_files),
+            added_rows=df.count(),
+            partition_by=list(spec),
+            properties={**m.get("properties", {}), **(properties or {})},
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+        )
+
     def _write_manifest(self, *, parent: int, operation: str, files, added_files,
                         added_rows, partition_by, properties, file_stats,
                         stats_cols, sort_by: list[str] | None = None,

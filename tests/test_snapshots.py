@@ -730,3 +730,58 @@ def test_zorder_survives_merge_append_and_delta_compaction(spark, table):
     b20 = spark.createDataFrame(rows + more, "k long, a long, b long").approxQuantile("b", [0.2], 0.001)[0]
     kept_b, total = table.pruned_file_count("b", lo=None, hi=b20)
     assert kept_b < total, f"trailing-dim pruning lost: {kept_b}/{total}"
+
+
+# --- dynamic partition overwrite ---------------------------------------------
+
+
+def _part_df(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(day=d, v=v) for d, v in rows])
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, table):
+    table.commit(
+        _part_df(spark, [("d1", 1), ("d1", 2), ("d2", 10), ("d3", 100)]),
+        partition_by=["day"],
+    )
+    v = table.overwrite_partitions(_part_df(spark, [("d2", 99), ("d2", 98)]))
+    got = sorted((r.day, r.v) for r in table.read().collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 98), ("d2", 99), ("d3", 100)]
+    # time travel still sees the pre-overwrite d2
+    old = sorted((r.day, r.v) for r in table.read(version=v - 1).collect())
+    assert ("d2", 10) in old and ("d2", 99) not in old
+    # history records the operation
+    ops = {r.version: r.operation for r in table.snapshots().collect()}
+    assert ops[v] == "overwrite-partitions"
+
+
+def test_overwrite_partitions_new_partition_is_an_insert(spark, table):
+    table.commit(_part_df(spark, [("d1", 1)]), partition_by=["day"])
+    table.overwrite_partitions(_part_df(spark, [("d9", 9)]))
+    got = sorted((r.day, r.v) for r in table.read().collect())
+    assert got == [("d1", 1), ("d9", 9)]
+
+
+def test_overwrite_partitions_requires_partitioned_table(spark, table):
+    table.commit(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="partitioned"):
+        table.overwrite_partitions(_part_df(spark, [("d1", 1)]))
+
+
+def test_overwrite_partitions_refuses_pending_deltas(spark, table):
+    from pyspark.sql import Row
+
+    table.commit(
+        _part_df(spark, [("d1", 1), ("d2", 10)]), partition_by=["day"]
+    )
+    table.merge(
+        spark.createDataFrame([Row(day="d2", v=11)]), key_cols=["day"], mode="mor"
+    )
+    with pytest.raises(ValueError, match="deltas"):
+        table.overwrite_partitions(_part_df(spark, [("d2", 42)]))
+    table.compact_deltas()
+    table.overwrite_partitions(_part_df(spark, [("d2", 42)]))
+    got = sorted((r.day, r.v) for r in table.read().collect())
+    assert got == [("d1", 1), ("d2", 42)]
