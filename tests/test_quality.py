@@ -60,3 +60,58 @@ def test_all_green_report(spark):
         {"t": t},
     )
     assert all(v == (0, "pass") for v in rep.values())
+
+
+def test_streaming_per_batch_dq_report(spark, sf_dir, tmp_path):
+    """The post-batch validation loop of a CDC pipeline: run_checks
+    inside foreachBatch produces a per-micro-batch violations report,
+    and the per-batch violation totals sum to the batch-mode report
+    over the same data — DQ composes with streaming without any
+    stream-specific code."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    feed = str(tmp_path / "feed")
+    # two files → availableNow still may batch them together; totals, not
+    # batch counts, are the contract
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        feed, mode="append"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        feed, mode="append"
+    )
+    checks = [
+        Q.accepted_values(
+            "events", "event_type",
+            ["click", "view", "signup", "purchase", "error"],
+        ),
+        Q.in_range("events", "value", 0, 400),
+        Q.not_null("events", "value"),
+    ]
+    reports: list[dict[str, int]] = []
+
+    def sink(batch_df, batch_id):
+        rows = Q.run_checks(checks, {"events": batch_df}).collect()
+        reports.append({r.check_name: r.violations for r in rows})
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(feed)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert reports, "at least one micro-batch must report"
+    streamed_totals = {
+        name: sum(rep.get(name, 0) for rep in reports)
+        for name in {k for rep in reports for k in rep}
+    }
+    batch_rows = Q.run_checks(checks, {"events": ev}).collect()
+    batch_totals = {r.check_name: r.violations for r in batch_rows}
+    assert streamed_totals == batch_totals
