@@ -149,12 +149,15 @@ def _tier(name: str) -> tuple[int, int]:
         "b11_change_history",
         "b15_count_nonnull",
         "multimodal_audio",
-        # r06 late additions (each oracle-gated in pytest, kept below the
-        # window so the r06 rotation composition is untouched; all seven
-        # join the r07 rotation-candidate pool above): deterministic
+        # r06 late additions (each oracle-gated in pytest — except the
+        # rows-only IVF-PQ tier, which is recall-gated — and kept below
+        # the window so the r06 rotation composition is untouched; ALL of
+        # these join the r07 rotation-candidate pool above): deterministic
         # epoch shuffle, the two threshold-calibration sweeps, unigram LM
         # scoring, PromQL histogram_quantile, the interval-join
-        # attribution rollup, cohort retention
+        # attribution rollup, cohort retention, MAD outliers, containment
+        # dedup, IVF-PQ, the DQ constraint report, the unpivot round
+        # trip, dynamic partition overwrite
         "train_shuffle_epoch",
         "text_quality_threshold_sweep",
         "text_unigram_logprob",
