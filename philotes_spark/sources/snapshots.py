@@ -134,6 +134,18 @@ def _staged_parquet_files(staged: str) -> list[str]:
     ]
 
 
+def _footer_row_count(files: list[str]) -> int:
+    """Total rows across parquet files, from footer metadata only. Used
+    for a commit's ``added_rows``: the staged files ARE the committed
+    rows, so re-running ``df.count()`` (a second full execution of the
+    input plan — at 100 TB, a second scan/shuffle of everything just
+    written) is pure waste; the writer already recorded the count in
+    every footer."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _footer_stats(files: list[str], cols: list[str]) -> dict:
     """Per-file [min, max] for ``cols``, read from the parquet footers —
     no data scan; the same statistics an Iceberg manifest carries."""
@@ -334,7 +346,7 @@ class SnapshotTable:
             operation=operation,
             files=files,
             added_files=len(new_files),
-            added_rows=df.count(),
+            added_rows=_footer_row_count(new_files),
             partition_by=list(partition_by) if partition_by else [],
             properties={**parent_manifest.get("properties", {}), **(properties or {})},
             file_stats=stats,
@@ -403,7 +415,7 @@ class SnapshotTable:
             operation="overwrite-partitions",
             files=files,
             added_files=len(new_files),
-            added_rows=df.count(),
+            added_rows=_footer_row_count(new_files),
             partition_by=list(spec),
             properties={**m.get("properties", {}), **(properties or {})},
             file_stats=stats,
@@ -619,7 +631,7 @@ class SnapshotTable:
             operation="merge-mor",
             files=m["files"],
             added_files=len(up_files),
-            added_rows=upserts.count(),
+            added_rows=_footer_row_count(up_files),
             partition_by=list(m.get("partition_by") or []),
             properties=dict(m.get("properties", {})),
             file_stats=dict(m.get("file_stats", {})),
