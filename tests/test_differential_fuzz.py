@@ -280,3 +280,70 @@ def test_same_doc_sql_same_answer(fuzz_env, seed):
     spark, duck = fuzz_env
     sql = gen_doc_query(seed)
     _assert_same(sql, spark, duck)
+
+
+# --- family 5: outer joins + set operations ----------------------------------
+# outer-join null semantics (COUNT(col) vs COUNT(*), aggregates over
+# all-null groups) and the distinct-set semantics of UNION/INTERSECT/EXCEPT
+
+OUTER_AGGS = [
+    "COUNT(*)",
+    "COUNT(o.o_orderkey)",
+    "COUNT(DISTINCT o.o_orderstatus)",
+    "MIN(o.o_orderdate)",
+    "SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)",
+]
+OUTER_PREDS = [
+    "c.c_acctbal < 0",
+    "c.c_mktsegment = 'BUILDING'",
+    "c.c_nationkey % 2 = 0",
+]
+
+
+def gen_outer_join_query(seed: int) -> str:
+    rng = random.Random(seed)
+    aggs = rng.sample(OUTER_AGGS, rng.randint(2, 3))
+    sel = ["c.c_nationkey % 5 AS d0"] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = (
+        f"SELECT {', '.join(sel)} FROM customer c "
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
+    )
+    # join-side extra condition sometimes, to create all-null groups
+    if rng.random() < 0.5:
+        sql += " AND o.o_totalprice > 200000"
+    preds = rng.sample(OUTER_PREDS, rng.randint(0, 2))
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    sql += " GROUP BY c.c_nationkey % 5"
+    return sql
+
+
+SETOP_SIDES = [
+    "SELECT event_type AS x FROM events WHERE value > 250",
+    "SELECT event_type AS x FROM events WHERE user_id % 3 = 0",
+    "SELECT event_type AS x FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'",
+    "SELECT event_type AS x FROM events WHERE event_id % 2 = 0",
+]
+
+
+def gen_setop_query(seed: int) -> str:
+    rng = random.Random(seed)
+    a, b = rng.sample(SETOP_SIDES, 2)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT x, COUNT(*) AS n FROM ({a} {op} {b}) s GROUP BY x"
+    )
+
+
+@pytest.mark.parametrize("seed", range(400, 412))
+def test_same_outer_join_sql_same_answer(fuzz_env, seed):
+    spark, duck = fuzz_env
+    _assert_same(gen_outer_join_query(seed), spark, duck)
+
+
+@pytest.mark.parametrize("seed", range(500, 512))
+def test_same_setop_sql_same_answer(fuzz_env, seed):
+    spark, duck = fuzz_env
+    _assert_same(gen_setop_query(seed), spark, duck)
