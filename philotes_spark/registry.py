@@ -171,6 +171,7 @@ def _tier(name: str) -> tuple[int, int]:
         "dq_constraint_report",
         "unpivot_event_matrix",
         "snapshot_overwrite_partitions",
+        "snapshot_refs",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -524,3 +524,36 @@ def snapshot_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame
         return tbl.read().localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_refs",
+    oracle="""
+    SELECT 'audit' AS ref_name, 'tag' AS ref_type,
+           1 AS version, CAST(NULL AS INT) AS forked_from
+    UNION ALL
+    SELECT 'dev', 'branch', 2, 1
+    UNION ALL
+    SELECT 'main', 'branch', 2, CAST(NULL AS INT)
+    ORDER BY ref_name
+    """,
+)
+def snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 `t$refs` metadata table (Iceberg's refs listing): build a
+    table with two commits, an immutable tag at v1 and a branch forked
+    at v1 carrying one extra commit, then list every addressable state —
+    main's head, the tag, the branch head with its fork point. The
+    listing is metadata-only at any table size (tag files + branch
+    manifest chains); the oracle pins the deterministic contract."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 200))
+        tbl.tag("audit", version=1)
+        br = tbl.create_branch("dev", from_version=1)
+        br.commit(ev.filter(F.col("event_id").between(201, 300)))
+        tbl.commit(ev.filter(F.col("event_id").between(201, 400)))
+        return tbl.refs().orderBy("ref_name").localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -753,6 +753,36 @@ class SnapshotTable:
             rows, "name string, version int, timestamp_ms long"
         )
 
+    def refs(self) -> DataFrame:
+        """≙ Iceberg's `t$refs` metadata table, unified: the mutable
+        `main` head, every immutable tag, and every branch with its own
+        head version and fork point — the one listing an operator reads
+        to know which table states are addressable. Metadata-only (tag
+        files + branch manifest chains; no data touched)."""
+        rows: list[tuple] = []
+        head = self.current_version()
+        if head:
+            rows.append(("main", "branch", head, None))
+        if os.path.isdir(self.snap_dir):
+            for f in sorted(os.listdir(self.snap_dir)):
+                if f.startswith("tag-") and f.endswith(".json"):
+                    with open(os.path.join(self.snap_dir, f)) as fh:
+                        t = json.load(fh)
+                    rows.append((t["name"], "tag", t["version"], None))
+        for name in self.list_branches():
+            br = self.branch(name)
+            bh = br.current_version()
+            forked = br._load(f"v{1:08d}.json")["properties"].get(
+                "branch.forked_from"
+            )
+            rows.append(
+                (name, "branch", bh, int(forked) if forked is not None else None)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "ref_name string, ref_type string, version int, forked_from int",
+        )
+
     def _tagged_versions(self) -> set[int]:
         if not os.path.isdir(self.snap_dir):
             return set()
@@ -1141,10 +1171,18 @@ class SnapshotTable:
         )
 
     def files(self, version: int | None = None) -> DataFrame:
-        """≙ `t$files`: the data files of one snapshot, with sizes."""
+        """≙ `t$files`: the data files of one snapshot, with sizes and
+        footer row counts (metadata-only, no data scan)."""
+        import pyarrow.parquet as pq
+
         m = self._resolve(version)
-        rows = [(f, os.path.getsize(f)) for f in m["files"]]
-        return self.spark.createDataFrame(rows, "file_path string, size_bytes long")
+        rows = [
+            (f, os.path.getsize(f), pq.ParquetFile(f).metadata.num_rows)
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, size_bytes long, n_rows long"
+        )
 
     def partitions(self, version: int | None = None) -> DataFrame:
         """≙ `t$partitions` (sample-queries.sql:55-61): partition values with
