@@ -796,3 +796,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_top_bigrams_per_source",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT source, array_to_string(t[i.i : i.i + 1], ' ') AS bigram
+        FROM toks,
+             (SELECT UNNEST(generate_series(1,
+                  (SELECT MAX(len(t)) FROM toks))) AS i) i
+        WHERE i.i <= len(t) - 1
+    ),
+    counted AS (
+        SELECT source, bigram, COUNT(*) AS n FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, bigram, CAST(n AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n DESC, bigram) AS INT) AS rank
+        FROM counted
+    )
+    SELECT source, rank, bigram, n FROM ranked
+    WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def text_top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus signature: the 5 most frequent word bigrams per source —
+    the quick-look query run on every new data source (boilerplate and
+    template text surface immediately as dominant n-grams). Multiset
+    counts (every occurrence, unlike the dedup tiers' distinct
+    shingles).
+
+    Scale shape: the bigram explode collapses map-side into the
+    (source, bigram) partial aggregate, then a source-keyed top-5
+    window over the already-aggregated counts — the corpus is touched
+    by exactly one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    toks = docs.select("source", t.alias("t")).filter(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.array_join(F.slice("t", i + 1, 2), " "),
+    )
+    counted = (
+        toks.select("source", F.explode(grams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "bigram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "bigram", "n")
+        .orderBy("source", "rank")
+    )

@@ -2123,3 +2123,64 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "w_rank_family",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w2 AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w2 AS INT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           FIRST_VALUE(event_id) OVER w AS first_eid,
+           LAST_VALUE(event_id) OVER
+               (PARTITION BY event_type ORDER BY value, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS last_eid
+    FROM events
+    WHERE event_id <= 200
+    WINDOW w  AS (PARTITION BY event_type ORDER BY value, event_id),
+           w2 AS (PARTITION BY event_type
+                  ORDER BY CAST(floor(value / 10) AS INT))
+    ORDER BY event_id
+    """,
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-window family in one frame: row_number /
+    rank / dense_rank (with ties, via a bucketed order), percent_rank,
+    cume_dist, ntile, first_value, and last_value over an explicit
+    full-partition frame (the classic default-frame trap: LAST_VALUE
+    under the default RANGE..CURRENT ROW frame returns the current row —
+    pinned here with the corrected frame). One event_type-keyed shuffle
+    serves every function; ties are broken by event_id wherever the
+    result would otherwise be order-dependent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("value") / 10).cast("int")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.filter(F.col("event_id") <= 200)
+        .select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("event_id").over(w).alias("first_eid"),
+            F.last("event_id").over(wfull).alias("last_eid"),
+        )
+        .orderBy("event_id")
+    )

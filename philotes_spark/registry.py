@@ -172,6 +172,8 @@ def _tier(name: str) -> tuple[int, int]:
         "unpivot_event_matrix",
         "snapshot_overwrite_partitions",
         "snapshot_refs",
+        "w_rank_family",
+        "text_top_bigrams_per_source",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -545,3 +545,22 @@ def test_ivfpq_equi_join_on_cell_no_cartesian(plan_of):
     a = plan_of("sim_ivfpq_topk")
     assert "CartesianProduct" not in a.plan
     assert a.broadcast_joins >= 1, "probed query side must broadcast"
+
+
+def test_rank_family_single_window_shuffle(plan_of):
+    """w_rank_family: every ranking function shares the event_type
+    partitioning — one corpus shuffle plus the presentation sort; the
+    bucketed-order window may re-sort but not re-exchange."""
+    a = plan_of("w_rank_family")
+    assert a.shuffles <= 2
+    assert a.scans["events.parquet"] == {"event_id", "event_type", "value"}
+    assert any("event_id" in p for p in a.pushed)
+
+
+def test_top_bigrams_mapside_collapse_then_topk(plan_of):
+    """text_top_bigrams_per_source: the bigram explode must collapse
+    into the (source, bigram) partial aggregate before any exchange;
+    the top-5 window runs on aggregated counts."""
+    a = plan_of("text_top_bigrams_per_source")
+    assert "partial_count" in a.plan
+    assert a.scans["documents.parquet"] == {"source", "text"}
