@@ -347,3 +347,52 @@ def test_same_outer_join_sql_same_answer(fuzz_env, seed):
 def test_same_setop_sql_same_answer(fuzz_env, seed):
     spark, duck = fuzz_env
     _assert_same(gen_setop_query(seed), spark, duck)
+
+
+# --- family 6: date/time expressions -----------------------------------------
+# the portable temporal dialect: EXTRACT fields, date_trunc grains,
+# interval arithmetic (dow/epoch/strftime excluded — numbering and
+# formatting are engine-specific)
+
+TIME_DIMS = [
+    "EXTRACT(HOUR FROM ts)",
+    "EXTRACT(DAY FROM ts)",
+    "EXTRACT(MONTH FROM ts)",
+    "CAST(date_trunc('week', ts) AS DATE)",
+    "CAST(ts AS DATE)",
+]
+TIME_AGGS = [
+    "COUNT(*)",
+    "MIN(ts)",
+    "MAX(ts)",
+    "COUNT(DISTINCT CAST(ts AS DATE))",
+    "COUNT(DISTINCT EXTRACT(HOUR FROM ts))",
+]
+TIME_PREDS = [
+    "ts + INTERVAL 2 HOUR < TIMESTAMP '2024-01-20 00:00:00'",
+    "ts - INTERVAL 1 DAY >= TIMESTAMP '2024-01-03 00:00:00'",
+    "EXTRACT(HOUR FROM ts) BETWEEN 9 AND 17",
+    "CAST(ts AS DATE) = DATE '2024-01-10'",
+    "EXTRACT(MINUTE FROM ts) < 30",
+]
+
+
+def gen_time_query(seed: int) -> str:
+    rng = random.Random(seed)
+    dims = rng.sample(TIME_DIMS, rng.randint(1, 2))
+    aggs = rng.sample(TIME_AGGS, rng.randint(1, 3))
+    sel = [f"{d} AS d{i}" for i, d in enumerate(dims)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = f"SELECT {', '.join(sel)} FROM events"
+    preds = rng.sample(TIME_PREDS, rng.randint(0, 2))
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    sql += " GROUP BY " + ", ".join(dims)
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(600, 616))
+def test_same_time_sql_same_answer(fuzz_env, seed):
+    spark, duck = fuzz_env
+    _assert_same(gen_time_query(seed), spark, duck)
