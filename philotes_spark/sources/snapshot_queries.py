@@ -557,3 +557,39 @@ def snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.refs().orderBy("ref_name").localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_delete_update",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'click' THEN value + 1000
+                ELSE value END AS value
+    FROM events
+    WHERE event_id <= 500 AND event_type <> 'error'
+    """,
+)
+def snapshot_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML on a snapshot table (sources/snapshots.py
+    delete_where/update_where — the DELETE/UPDATE statements the
+    reference's users run through Trino on Iceberg): commit events<=500,
+    DELETE WHERE event_type='error', UPDATE clicks to value+1000, read
+    the final state. Both operations compose onto the stats-pruned
+    copy-on-write merge, so a selective DELETE rewrites only files whose
+    key range intersects the doomed keys; time travel preserves every
+    pre-DML state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500), stats_cols=["event_id"])
+        tbl.delete_where("event_type = 'error'", key_cols=["event_id"])
+        tbl.update_where(
+            "event_type = 'click'", {"value": "value + 1000"},
+            key_cols=["event_id"],
+        )
+        return tbl.read().localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -641,6 +641,44 @@ class SnapshotTable:
             deltas=list(m.get("deltas", [])) + [delta],
         )
 
+    def delete_where(
+        self, condition: str, key_cols: list[str], mode: str = "cow"
+    ) -> int:
+        """Row-level ``DELETE FROM t WHERE <condition>`` as a new
+        snapshot: rows matching the SQL condition are removed, everything
+        else carries forward — composed onto :meth:`merge`, so it
+        inherits the stats-pruned copy-on-write rewrite (only files whose
+        key range intersects the doomed keys rewrite) or, with
+        ``mode='mor'``, lands as an O(changes) equality-delete delta.
+        The scan that finds doomed keys prunes/pushes down like any
+        read; at 100 TB a selective DELETE touches the matching files
+        twice (find + rewrite) and everything else zero times."""
+        doomed = (
+            self.read()
+            .filter(F.expr(condition))
+            .withColumn("_philotes_delete", F.lit(True))
+        )
+        return self.merge(
+            doomed, key_cols=key_cols, delete_col="_philotes_delete", mode=mode
+        )
+
+    def update_where(
+        self,
+        condition: str,
+        set_exprs: dict[str, str],
+        key_cols: list[str],
+        mode: str = "cow",
+    ) -> int:
+        """Row-level ``UPDATE t SET c = <expr>, ... WHERE <condition>``
+        as a new snapshot: matching rows are rewritten with the SET
+        expressions evaluated against their current values (expressions
+        may reference any column), everything else carries forward. Same
+        merge composition and pruning as :meth:`delete_where`."""
+        changed = self.read().filter(F.expr(condition))
+        for col, expr in set_exprs.items():
+            changed = changed.withColumn(col, F.expr(expr))
+        return self.merge(changed, key_cols=key_cols, mode=mode)
+
     def compact_deltas(self) -> int | None:
         """Fold every pending MoR delta back into base data files (the
         background half of merge-on-read; Iceberg's rewrite with delete

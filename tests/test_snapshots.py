@@ -785,3 +785,39 @@ def test_overwrite_partitions_refuses_pending_deltas(spark, table):
     table.overwrite_partitions(_part_df(spark, [("d2", 42)]))
     got = sorted((r.day, r.v) for r in table.read().collect())
     assert got == [("d1", 1), ("d2", 42)]
+
+
+# --- row-level DELETE / UPDATE -----------------------------------------------
+
+
+def test_delete_where_removes_matching_rows(spark, table):
+    table.commit(_df(spark, 0, 100), stats_cols=["v"])
+    v = table.delete_where("v % 10 = 3", key_cols=["v"])
+    got = sorted(r.v for r in table.read().collect())
+    assert got == [x for x in range(100) if x % 10 != 3]
+    # time travel still sees the deleted rows
+    assert len(table.read(version=v - 1).collect()) == 100
+
+
+def test_update_where_rewrites_matching_rows(spark, table):
+    from pyspark.sql import Row
+
+    table.commit(
+        spark.createDataFrame([Row(k=i, val=float(i)) for i in range(20)]),
+        stats_cols=["k"],
+    )
+    table.update_where("k >= 15", {"val": "val * 100"}, key_cols=["k"])
+    got = {r.k: r.val for r in table.read().collect()}
+    assert got[14] == 14.0 and got[15] == 1500.0 and got[19] == 1900.0
+    assert len(got) == 20
+
+
+def test_delete_where_mor_is_metadata_sized(spark, table):
+    table.commit(_df(spark, 0, 50))
+    before = set(table._resolve()["files"])
+    table.delete_where("v < 5", key_cols=["v"], mode="mor")
+    m = table._resolve()
+    assert set(m["files"]) == before, "MoR delete must not rewrite base files"
+    assert m["deltas"], "delete must land as a pending delta"
+    got = sorted(r.v for r in table.read().collect())
+    assert got == list(range(5, 50))
