@@ -43,15 +43,96 @@ def _as_of_ms(literal: str) -> int:
     return int(ts.timestamp() * 1000)
 
 
+_DML_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_list(s: str) -> dict[str, str]:
+    """``a = expr1, b = expr2`` → {a: expr1, b: expr2}; commas inside
+    parentheses or quotes do not split."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not _ or not col.strip() or not expr.strip():
+            raise ValueError(f"bad SET clause item: {p.strip()!r}")
+        out[col.strip()] = expr.strip()
+    return out
+
+
 def sql(
     spark: SparkSession,
     statement: str,
     snapshot_tables: dict[str, SnapshotTable] | None = None,
+    dml_keys: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Run ``statement``, serving ``[FOR] VERSION/TIMESTAMP AS OF`` over
     the engine's snapshot tables (see module docs). ``snapshot_tables``
-    maps the table names usable with AS OF to their snapshot roots."""
+    maps the table names usable with AS OF to their snapshot roots.
+
+    ``DELETE FROM t WHERE …`` and ``UPDATE t SET … WHERE …`` statements
+    (the row-level DML the reference's users run through Trino on
+    Iceberg) execute against registered snapshot tables via
+    ``delete_where``/``update_where`` — stats-pruned copy-on-write
+    commits with time travel preserved. ``dml_keys`` maps each
+    DML-enabled table to its key columns; the statement returns a 1-row
+    frame (table, operation, version)."""
     tables = snapshot_tables or {}
+    keys = dml_keys or {}
+
+    def _dml_target(name: str) -> tuple[SnapshotTable, list[str]]:
+        if name not in tables:
+            raise ValueError(
+                f"DML on {name!r}: not a registered snapshot table "
+                f"(have {sorted(tables)})"
+            )
+        if name not in keys:
+            raise ValueError(
+                f"DML on {name!r}: no key columns registered (pass "
+                "dml_keys={'" + name + "': [...]})"
+            )
+        return tables[name], keys[name]
+
+    m = _DML_DELETE.match(statement)
+    if m:
+        tbl, key_cols = _dml_target(m.group(1))
+        version = tbl.delete_where(m.group(2), key_cols=key_cols)
+        return spark.createDataFrame(
+            [(m.group(1), "delete", version)],
+            "table string, operation string, version int",
+        )
+    m = _DML_UPDATE.match(statement)
+    if m:
+        tbl, key_cols = _dml_target(m.group(1))
+        version = tbl.update_where(
+            m.group(3), _split_set_list(m.group(2)), key_cols=key_cols
+        )
+        return spark.createDataFrame(
+            [(m.group(1), "update", version)],
+            "table string, operation string, version int",
+        )
 
     def _rewrite(m: re.Match) -> str:
         name, kind, literal = m.group(1), m.group(2).upper(), m.group(3)

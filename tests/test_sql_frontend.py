@@ -91,3 +91,66 @@ def test_version_as_of_string_reads_tag(spark, t):
         spark, "SELECT COUNT(*) AS n FROM ev VERSION AS OF 'wip'", {"ev": t}
     ).collect()
     assert got[0].n == 29  # 25 main rows forked + 4 staged
+
+
+# --- DML statements -----------------------------------------------------------
+
+
+def test_delete_statement_text(spark, tmp_path):
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 50).withColumnRenamed("id", "v"))
+    res = sql_frontend.sql(
+        spark,
+        "DELETE FROM tbl WHERE v >= 40",
+        snapshot_tables={"tbl": t},
+        dml_keys={"tbl": ["v"]},
+    ).collect()
+    assert [(r.table, r.operation, r.version) for r in res] == [("tbl", "delete", 2)]
+    assert sorted(r.v for r in t.read().collect()) == list(range(40))
+    # and the statement surface still time-travels to the pre-DML state
+    old = sql_frontend.sql(
+        spark, "SELECT COUNT(*) AS n FROM tbl VERSION AS OF 1",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert old[0].n == 50
+
+
+def test_update_statement_text_multi_set(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, a=float(i), b="x") for i in range(10)]
+        )
+    )
+    sql_frontend.sql(
+        spark,
+        "UPDATE tbl SET a = a * 2, b = concat(b, '!') WHERE k >= 8",
+        snapshot_tables={"tbl": t},
+        dml_keys={"tbl": ["k"]},
+    ).collect()
+    got = {r.k: (r.a, r.b) for r in t.read().collect()}
+    assert got[7] == (7.0, "x") and got[8] == (16.0, "x!") and got[9] == (18.0, "x!")
+
+
+def test_dml_requires_registration_and_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumnRenamed("id", "v"))
+    with _pytest.raises(ValueError, match="not a registered"):
+        sql_frontend.sql(spark, "DELETE FROM nope WHERE v = 1",
+                         snapshot_tables={"tbl": t}, dml_keys={"tbl": ["v"]})
+    with _pytest.raises(ValueError, match="key columns"):
+        sql_frontend.sql(spark, "DELETE FROM tbl WHERE v = 1",
+                         snapshot_tables={"tbl": t})
