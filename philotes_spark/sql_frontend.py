@@ -51,6 +51,40 @@ _DML_UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# the canonical upsert MERGE (Trino/Spark-SQL shape), constrained to the
+# full-row clauses the snapshot merge implements natively:
+#   MERGE INTO t USING src [AS alias] ON t.k = src.k [AND t.k2 = src.k2]
+#   [WHEN MATCHED AND <del-col> THEN DELETE]
+#   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+_DML_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)\s+USING\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s*"
+    r"(?:WHEN\s+MATCHED\s+AND\s+(\w+)\s+THEN\s+DELETE\s+)?"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _merge_on_keys(on: str, target: str, src_names: set[str]) -> list[str]:
+    """Extract key columns from an equi-conjunction ``t.k = s.k [AND …]``;
+    anything else is unsupported (merge keys must be equality pairs)."""
+    keys = []
+    for part in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = re.fullmatch(
+            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", part
+        )
+        if not m:
+            raise ValueError(f"unsupported MERGE ON term: {part.strip()!r}")
+        names = {m.group(1), m.group(3)}
+        if target not in names or not (names - {target}) <= src_names:
+            raise ValueError(f"MERGE ON must join target to source: {part.strip()!r}")
+        if m.group(2) != m.group(4):
+            raise ValueError(
+                f"MERGE ON must pair identical column names: {part.strip()!r}"
+            )
+        keys.append(m.group(2))
+    return keys
 
 
 def _split_set_list(s: str) -> dict[str, str]:
@@ -131,6 +165,23 @@ def sql(
         )
         return spark.createDataFrame(
             [(m.group(1), "update", version)],
+            "table string, operation string, version int",
+        )
+    m = _DML_MERGE.match(statement)
+    if m:
+        name, src, alias, on, del_col = m.group(1, 2, 3, 4, 5)
+        if name not in tables:
+            raise ValueError(
+                f"MERGE into {name!r}: not a registered snapshot table "
+                f"(have {sorted(tables)})"
+            )
+        key_cols = _merge_on_keys(on, name, {src, alias} - {None})
+        changes = spark.table(src)
+        version = tables[name].merge(
+            changes, key_cols=key_cols, delete_col=del_col
+        )
+        return spark.createDataFrame(
+            [(name, "merge", version)],
             "table string, operation string, version int",
         )
 

@@ -154,3 +154,61 @@ def test_dml_requires_registration_and_keys(spark, tmp_path):
     with _pytest.raises(ValueError, match="key columns"):
         sql_frontend.sql(spark, "DELETE FROM tbl WHERE v = 1",
                          snapshot_tables={"tbl": t})
+
+
+def test_merge_statement_text_upsert_and_delete(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([Row(k=i, val=float(i)) for i in range(10)])
+    )
+    spark.createDataFrame(
+        [
+            Row(k=3, val=300.0, _del=False),   # update
+            Row(k=42, val=420.0, _del=False),  # insert
+            Row(k=7, val=0.0, _del=True),      # delete
+        ]
+    ).createOrReplaceTempView("chg")
+    try:
+        res = sql_frontend.sql(
+            spark,
+            "MERGE INTO tbl USING chg AS s ON tbl.k = s.k "
+            "WHEN MATCHED AND _del THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            snapshot_tables={"tbl": t},
+        ).collect()
+        assert [(r.table, r.operation, r.version) for r in res] == [
+            ("tbl", "merge", 2)
+        ]
+        got = {r.k: r.val for r in t.read().collect()}
+        assert got[3] == 300.0 and got[42] == 420.0 and 7 not in got
+        assert len(got) == 10  # 10 - 1 deleted + 1 inserted
+    finally:
+        spark.catalog.dropTempView("chg")
+
+
+def test_merge_statement_rejects_non_equi_on(spark, tmp_path):
+    import pytest as _pytest
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumnRenamed("id", "k"))
+    spark.range(0, 2).withColumnRenamed("id", "k").createOrReplaceTempView("chg2")
+    try:
+        with _pytest.raises(ValueError, match="unsupported MERGE ON"):
+            sql_frontend.sql(
+                spark,
+                "MERGE INTO tbl USING chg2 AS s ON tbl.k >= s.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *",
+                snapshot_tables={"tbl": t},
+            )
+    finally:
+        spark.catalog.dropTempView("chg2")
