@@ -396,3 +396,37 @@ def gen_time_query(seed: int) -> str:
 def test_same_time_sql_same_answer(fuzz_env, seed):
     spark, duck = fuzz_env
     _assert_same(gen_time_query(seed), spark, duck)
+
+
+# --- family 7: correlated EXISTS / IN subqueries ------------------------------
+
+SUBQ_SHAPES = [
+    # correlated EXISTS: users who ever did <type>
+    "SELECT event_type AS d0, COUNT(*) AS a0 FROM events e WHERE {neg}EXISTS "
+    "(SELECT 1 FROM events x WHERE x.user_id = e.user_id "
+    "AND x.event_type = '{t}') GROUP BY event_type",
+    # uncorrelated IN over a filtered key set
+    "SELECT event_type AS d0, COUNT(DISTINCT user_id) AS a0 FROM events "
+    "WHERE user_id {neg}IN (SELECT user_id FROM events WHERE "
+    "event_type = '{t}' AND value > 200) GROUP BY event_type",
+    # correlated scalar subquery compare: events above their user's average
+    "SELECT event_type AS d0, COUNT(*) AS a0 FROM events e WHERE value > "
+    "(SELECT AVG(value) FROM events x WHERE x.user_id = e.user_id) "
+    "GROUP BY event_type",
+]
+
+
+def gen_subquery_query(seed: int) -> str:
+    rng = random.Random(seed)
+    shape = rng.choice(SUBQ_SHAPES)
+    t = rng.choice(["click", "purchase", "error", "signup"])
+    neg = rng.choice(["", "NOT "])
+    if "{neg}" not in shape:
+        return shape.format(t=t)
+    return shape.format(t=t, neg=neg)
+
+
+@pytest.mark.parametrize("seed", range(700, 716))
+def test_same_subquery_sql_same_answer(fuzz_env, seed):
+    spark, duck = fuzz_env
+    _assert_same(gen_subquery_query(seed), spark, duck)
