@@ -51,6 +51,12 @@ _DML_UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
+    r"(?:\(\s*([\w\s,]+?)\s*\))?\s*"
+    r"((?:SELECT|VALUES)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 # the canonical upsert MERGE (Trino/Spark-SQL shape), constrained to the
 # full-row clauses the snapshot merge implements natively:
 #   MERGE INTO t USING src [AS alias] ON t.k = src.k [AND t.k2 = src.k2]
@@ -165,6 +171,44 @@ def sql(
         )
         return spark.createDataFrame(
             [(m.group(1), "update", version)],
+            "table string, operation string, version int",
+        )
+    m = _DML_INSERT.match(statement)
+    if m:
+        name, col_list, body = m.group(1, 2, 3)
+        if name not in tables:
+            raise ValueError(
+                f"INSERT into {name!r}: not a registered snapshot table "
+                f"(have {sorted(tables)})"
+            )
+        tbl = tables[name]
+        rows = spark.sql(body)
+        if col_list:
+            cols = [c.strip() for c in col_list.split(",")]
+            if len(cols) != len(rows.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(cols)} names for "
+                    f"{len(rows.columns)} projected columns"
+                )
+            rows = rows.toDF(*cols)
+        if tbl.current_version():
+            want = tbl.read().schema
+            if sorted(rows.columns) != sorted(f.name for f in want):
+                raise ValueError(
+                    f"INSERT columns {sorted(rows.columns)} do not match "
+                    f"table columns {sorted(f.name for f in want)}"
+                )
+            # align order AND types to the table schema (VALUES literals
+            # arrive as INT where the table stores BIGINT, etc. — the
+            # standard insert coercion)
+            from pyspark.sql import functions as F
+
+            rows = rows.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
+            )
+        version = tbl.commit(rows, operation="append")
+        return spark.createDataFrame(
+            [(name, "insert", version)],
             "table string, operation string, version int",
         )
     m = _DML_MERGE.match(statement)

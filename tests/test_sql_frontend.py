@@ -212,3 +212,42 @@ def test_merge_statement_rejects_non_equi_on(spark, tmp_path):
             )
     finally:
         spark.catalog.dropTempView("chg2")
+
+
+def test_insert_statement_text_select_and_values(spark, tmp_path):
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumnRenamed("id", "v"))
+    res = sql_frontend.sql(
+        spark,
+        "INSERT INTO tbl (v) VALUES (100), (101)",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert [(r.table, r.operation, r.version) for r in res] == [("tbl", "insert", 2)]
+    sql_frontend.sql(
+        spark,
+        "INSERT INTO tbl SELECT CAST(id + 200 AS BIGINT) AS v FROM range(2)",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    got = sorted(r.v for r in t.read().collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 200, 201]
+    # pre-insert state intact via time travel
+    assert len(t.read(version=1).collect()) == 5
+
+
+def test_insert_statement_rejects_schema_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).withColumnRenamed("id", "v"))
+    with _pytest.raises(ValueError, match="do not match"):
+        sql_frontend.sql(
+            spark,
+            "INSERT INTO tbl SELECT 1 AS wrong_col",
+            snapshot_tables={"tbl": t},
+        )
