@@ -176,6 +176,7 @@ def sql(
     m = _DML_INSERT.match(statement)
     if m:
         name, col_list, body = m.group(1, 2, 3)
+        body = body.rstrip().rstrip(";")
         if name not in tables:
             raise ValueError(
                 f"INSERT into {name!r}: not a registered snapshot table "
