@@ -2184,3 +2184,38 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain(u, anc, depth) AS (
+        SELECT DISTINCT user_id AS u, user_id AS anc, 0 AS depth
+        FROM events WHERE user_id < 100
+        UNION ALL
+        SELECT u, CAST(floor(anc / 2.0) AS BIGINT), depth + 1
+        FROM chain WHERE anc > 0
+    )
+    SELECT u, CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS n_ancestors
+    FROM chain GROUP BY u ORDER BY u
+"""
+
+
+@query("q_recursive_hierarchy", oracle=_RECURSIVE_CHAIN_SQL)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new in Spark 4): walk the
+    synthetic ancestor chain u -> floor(u/2) -> ... -> 0 for every user
+    id, reporting chain depth and ancestor count — the transitive
+    closure / hierarchy-walk shape (org charts, BOM explosions,
+    reachability) that needed the iterative-DataFrame workaround before
+    Spark 4 parsed the statement natively. The IDENTICAL statement text
+    runs on both engines; each recursion step is a distributed
+    self-union, depth bounded at ceil(log2(max u)).
+
+    (The engine's own iterative tier — large-star/small-star connected
+    components — remains the scale path for graph closure over edges
+    that don't shrink geometrically; this pins the SQL-statement
+    surface.)"""
+    from philotes_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

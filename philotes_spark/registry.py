@@ -175,6 +175,7 @@ def _tier(name: str) -> tuple[int, int]:
         "w_rank_family",
         "text_top_bigrams_per_source",
         "snapshot_delete_update",
+        "q_recursive_hierarchy",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
