@@ -115,6 +115,8 @@ def run_checks(checks: list[Check], tables: dict[str, DataFrame]) -> DataFrame:
     """Evaluate every check and union the per-constraint rows:
     (check_name, violations, status). Deterministic order by name
     (`constraint` is reserved in ANSI/DuckDB — hence check_name)."""
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
     out = None
     for ch in checks:
         part = _violations(ch, tables)

@@ -134,6 +134,22 @@ def _staged_parquet_files(staged: str) -> list[str]:
     ]
 
 
+def _footer_map(files: list[str], fn):
+    """Apply ``fn(path) -> value`` to every parquet footer, keeping input
+    order. Footer reads are metadata-sized but latency-bound (one GET per
+    file on object storage); a few thousand files read serially would put
+    seconds of sequential round-trips on the commit path, so fan out over
+    a small driver-side threadpool — the same bounded metadata
+    parallelism Iceberg's own commit/planning paths use. Threads, not a
+    Spark job: the work is per-file I/O wait, not CPU."""
+    if len(files) <= 1:
+        return [fn(f) for f in files]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        return list(pool.map(fn, files))
+
+
 def _footer_row_count(files: list[str]) -> int:
     """Total rows across parquet files, from footer metadata only. Used
     for a commit's ``added_rows``: the staged files ARE the committed
@@ -143,7 +159,9 @@ def _footer_row_count(files: list[str]) -> int:
     every footer."""
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return sum(
+        _footer_map(files, lambda f: pq.ParquetFile(f).metadata.num_rows)
+    )
 
 
 def _footer_stats(files: list[str], cols: list[str]) -> dict:
@@ -151,8 +169,7 @@ def _footer_stats(files: list[str], cols: list[str]) -> dict:
     no data scan; the same statistics an Iceberg manifest carries."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for f in files:
+    def one(f: str) -> dict:
         md = pq.ParquetFile(f).metadata
         per: dict[str, list] = {}
         for rg_i in range(md.num_row_groups):
@@ -169,8 +186,9 @@ def _footer_stats(files: list[str], cols: list[str]) -> dict:
                 per[c.path_in_schema] = (
                     [mn, mx] if prev is None else [min(prev[0], mn), max(prev[1], mx)]
                 )
-        out[f] = per
-    return out
+        return per
+
+    return dict(zip(files, _footer_map(files, one)))
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
@@ -641,6 +659,31 @@ class SnapshotTable:
             deltas=list(m.get("deltas", [])) + [delta],
         )
 
+    def _guard_keys_identify(self, changed: DataFrame, key_cols: list[str]) -> None:
+        """Row-level DML (``delete_where``/``update_where``) REQUIRES
+        ``key_cols`` to uniquely identify base rows: :meth:`merge`
+        replaces *every* base row sharing a key with a matched row, so a
+        WHERE that matched only part of a non-unique key group would
+        silently drop (or duplicate-rewrite) the group's other rows.
+        Cheap guard before committing: the count of base rows whose key
+        appears in the change set must equal the change-set row count.
+        One extra semi-join aggregate per DML statement — it prunes and
+        pushes down like any read, and a wrong answer is never cheap."""
+        n_changed = changed.count()
+        n_matched = (
+            self.read()
+            .join(changed.select(*key_cols).distinct(), key_cols, "left_semi")
+            .count()
+        )
+        if n_matched != n_changed:
+            raise ValueError(
+                f"row-level DML requires key columns {key_cols} to uniquely "
+                f"identify rows: the WHERE matched {n_changed} row(s) but "
+                f"{n_matched} base row(s) share their keys — committing "
+                "would silently rewrite whole key groups. Register a "
+                "unique key for this table."
+            )
+
     def delete_where(
         self, condition: str, key_cols: list[str], mode: str = "cow"
     ) -> int:
@@ -652,12 +695,16 @@ class SnapshotTable:
         ``mode='mor'``, lands as an O(changes) equality-delete delta.
         The scan that finds doomed keys prunes/pushes down like any
         read; at 100 TB a selective DELETE touches the matching files
-        twice (find + rewrite) and everything else zero times."""
+        twice (find + rewrite) and everything else zero times.
+
+        ``key_cols`` must uniquely identify rows (guarded — see
+        :meth:`_guard_keys_identify`)."""
         doomed = (
             self.read()
             .filter(F.expr(condition))
             .withColumn("_philotes_delete", F.lit(True))
         )
+        self._guard_keys_identify(doomed, key_cols)
         return self.merge(
             doomed, key_cols=key_cols, delete_col="_philotes_delete", mode=mode
         )
@@ -673,8 +720,23 @@ class SnapshotTable:
         as a new snapshot: matching rows are rewritten with the SET
         expressions evaluated against their current values (expressions
         may reference any column), everything else carries forward. Same
-        merge composition and pruning as :meth:`delete_where`."""
+        merge composition and pruning as :meth:`delete_where`, and the
+        same unique-key requirement (guarded).
+
+        SET on a key column is rejected: the merge removes base rows by
+        the NEW key values, so a key rewrite would keep the old-key copy
+        AND add a new-key copy — Iceberg/Delta likewise forbid identity/
+        merge-key updates; model a key change as DELETE + INSERT."""
+        bad = sorted(set(set_exprs) & set(key_cols))
+        if bad:
+            raise ValueError(
+                f"UPDATE may not SET key column(s) {bad}: rows are "
+                "identified by key, so a key rewrite would duplicate the "
+                "row (old-key copy survives the anti-join). Use DELETE "
+                "then INSERT for key changes."
+            )
         changed = self.read().filter(F.expr(condition))
+        self._guard_keys_identify(changed, key_cols)
         for col, expr in set_exprs.items():
             changed = changed.withColumn(col, F.expr(expr))
         return self.merge(changed, key_cols=key_cols, mode=mode)

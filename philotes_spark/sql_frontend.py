@@ -1,4 +1,5 @@
-"""SQL statement front-end with time-travel rewriting (B5 as *SQL text*).
+"""SQL statement front-end: time-travel rewriting (B5 as *SQL text*) and
+the lakehouse DML statement surface (INSERT/UPDATE/DELETE/MERGE as text).
 
 The reference documents its time-travel surface as Trino SQL statements
 (`docs/query/sample-queries.sql:47-52`: ``SELECT ... FROM t FOR VERSION
@@ -14,12 +15,25 @@ Plain statements pass through untouched, so this is a superset of the
 bare SQL surface. (On a cluster with Iceberg/Delta on the classpath the
 rewrite becomes unnecessary — Spark parses the clause natively; this
 keeps the *statement* contract identical either way.)
+
+DML routing (Trino-on-Iceberg statement shapes,
+`docs/query/sample-queries.sql`): a DML statement whose target is a
+*registered snapshot table* executes through the snapshot engine
+(stats-pruned copy-on-write commits, time travel preserved). A DML
+statement on any other table falls through to ``spark.sql`` untouched —
+Spark legitimately supports INSERT INTO catalog tables and row-level DML
+on v2 sources, and this front-end must not break that. A DML statement
+that *does* target a registered snapshot table but misses the supported
+grammar raises ``unsupported DML shape`` naming the grammar, instead of
+dying inside Catalyst with an unrelated parse error.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import re
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,59 +57,42 @@ def _as_of_ms(literal: str) -> int:
     return int(ts.timestamp() * 1000)
 
 
+_IDENT = r"[A-Za-z_][\w.]*"
 _DML_DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+?)\s*;?\s*$",
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_UPDATE = re.compile(
-    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*"
     r"(?:\(\s*([\w\s,]+?)\s*\))?\s*"
     r"((?:SELECT|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-# the canonical upsert MERGE (Trino/Spark-SQL shape), constrained to the
-# full-row clauses the snapshot merge implements natively:
-#   MERGE INTO t USING src [AS alias] ON t.k = src.k [AND t.k2 = src.k2]
-#   [WHEN MATCHED AND <del-col> THEN DELETE]
-#   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-_DML_MERGE = re.compile(
-    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)\s+USING\s+([A-Za-z_][\w.]*)"
-    r"(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s*"
-    r"(?:WHEN\s+MATCHED\s+AND\s+(\w+)\s+THEN\s+DELETE\s+)?"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+# leading-keyword + target sniff, used only to decide routing (snapshot
+# engine vs spark.sql fall-through) and to produce the grammar error when
+# a registered-table statement misses the full parse
+_DML_LEAD = re.compile(
+    rf"^\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO)\s+({_IDENT})",
+    re.IGNORECASE,
 )
 
-
-def _merge_on_keys(on: str, target: str, src_names: set[str]) -> list[str]:
-    """Extract key columns from an equi-conjunction ``t.k = s.k [AND …]``;
-    anything else is unsupported (merge keys must be equality pairs)."""
-    keys = []
-    for part in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
-        m = re.fullmatch(
-            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", part
-        )
-        if not m:
-            raise ValueError(f"unsupported MERGE ON term: {part.strip()!r}")
-        names = {m.group(1), m.group(3)}
-        if target not in names or not (names - {target}) <= src_names:
-            raise ValueError(f"MERGE ON must join target to source: {part.strip()!r}")
-        if m.group(2) != m.group(4):
-            raise ValueError(
-                f"MERGE ON must pair identical column names: {part.strip()!r}"
-            )
-        keys.append(m.group(2))
-    return keys
+_DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
+  INSERT INTO t [(col, ...)] SELECT ... | VALUES ...
+  DELETE FROM t [WHERE <cond>]
+  UPDATE t SET col = expr[, ...] [WHERE <cond>]
+  MERGE INTO t [AS a] USING src | (<subquery>) AS b ON a.k = b.k [AND ...]
+    WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET col = expr[, ...] | DELETE
+    WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * | INSERT (col, ...) VALUES (expr, ...)
+    WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET col = expr[, ...]"""
 
 
-def _split_set_list(s: str) -> dict[str, str]:
-    """``a = expr1, b = expr2`` → {a: expr1, b: expr2}; commas inside
-    parentheses or quotes do not split."""
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split ``s`` on ``sep`` occurrences at paren-depth 0 outside
+    quotes (commas inside function calls / string literals don't split)."""
     parts, depth, quote, cur = [], 0, None, []
     for ch in s:
         if quote:
@@ -107,19 +104,374 @@ def _split_set_list(s: str) -> dict[str, str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif ch == "," and depth == 0:
+        elif ch == sep and depth == 0:
             parts.append("".join(cur))
             cur = []
             continue
         cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _top_level_keyword_spans(s: str, word: str) -> list[int]:
+    """Start offsets of whole-word ``word`` at depth 0 outside quotes."""
+    out, depth, quote = [], 0, None
+    pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                out.append(i)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _merge_on_keys(on: str, t_names: set[str], s_names: set[str]) -> list[str]:
+    """Extract key columns from an equi-conjunction ``t.k = s.k [AND …]``;
+    anything else is unsupported (merge keys must be equality pairs).
+    Each term must join the target to the source — exactly one side
+    qualified by a target name/alias, the other by a source name/alias
+    (``ON t.k = t.k`` is rejected, not vacuously accepted)."""
+    keys = []
+    for part in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = re.fullmatch(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", part)
+        if not m:
+            raise ValueError(f"unsupported MERGE ON term: {part.strip()!r}")
+        q1, c1, q2, c2 = m.groups()
+        t_to_s = q1 in t_names and q2 in s_names
+        s_to_t = q1 in s_names and q2 in t_names
+        if not (t_to_s or s_to_t) or q1 == q2:
+            raise ValueError(
+                f"MERGE ON must join target to source: {part.strip()!r} "
+                f"(target names {sorted(t_names)}, source names {sorted(s_names)})"
+            )
+        if c1 != c2:
+            raise ValueError(
+                f"MERGE ON must pair identical column names: {part.strip()!r}"
+            )
+        keys.append(c1)
+    return keys
+
+
+def _split_set_list(s: str) -> dict[str, str]:
+    """``a = expr1, b = expr2`` → {a: expr1, b: expr2}; commas inside
+    parentheses or quotes do not split. Column names may be qualified
+    (``t.a = expr``) — the qualifier is dropped (it can only lawfully
+    name the clause's own row)."""
     out = {}
-    for p in parts:
+    for p in _split_top(s):
         col, _, expr = p.partition("=")
         if not _ or not col.strip() or not expr.strip():
             raise ValueError(f"bad SET clause item: {p.strip()!r}")
-        out[col.strip()] = expr.strip()
+        col = col.strip().split(".")[-1]
+        out[col] = expr.strip()
     return out
+
+
+@dataclass
+class _MergeSpec:
+    """Parsed general MERGE statement (see ``_DML_GRAMMAR``)."""
+
+    target: str
+    t_alias: str
+    source: str  # table name, or the subquery SQL text
+    source_is_query: bool
+    s_alias: str
+    on: str
+    # statement-ordered clause lists; each item: (cond_sql_or_None, action)
+    matched: list[tuple] = field(default_factory=list)
+    not_matched: list[tuple] = field(default_factory=list)
+    nmbs: list[tuple] = field(default_factory=list)
+
+
+_WHEN_NMBS = re.compile(
+    r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_NM = re.compile(
+    r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_MATCHED = re.compile(
+    r"^\s*MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge_action(act: str, family: str) -> dict:
+    act = act.strip().rstrip(";").strip()
+    if re.fullmatch(r"DELETE", act, re.IGNORECASE):
+        if family == "not_matched":
+            raise ValueError("WHEN NOT MATCHED supports only INSERT actions")
+        return {"op": "delete"}
+    if re.fullmatch(r"UPDATE\s+SET\s+\*", act, re.IGNORECASE):
+        if family != "matched":
+            raise ValueError(
+                "UPDATE SET * is only valid in WHEN MATCHED (it copies "
+                "the source row; NOT MATCHED BY SOURCE has no source row)"
+            )
+        return {"op": "update_all"}
+    m = re.fullmatch(r"UPDATE\s+SET\s+(.+)", act, re.IGNORECASE | re.DOTALL)
+    if m:
+        if family == "not_matched":
+            raise ValueError("WHEN NOT MATCHED supports only INSERT actions")
+        return {"op": "update", "set": _split_set_list(m.group(1))}
+    if re.fullmatch(r"INSERT\s+\*", act, re.IGNORECASE):
+        if family != "not_matched":
+            raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+        return {"op": "insert_all"}
+    m = re.fullmatch(
+        r"INSERT\s*\(\s*([\w\s,.]+?)\s*\)\s*VALUES\s*\((.+)\)",
+        act,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        if family != "not_matched":
+            raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+        cols = [c.strip().split(".")[-1] for c in m.group(1).split(",")]
+        exprs = [e.strip() for e in _split_top(m.group(2))]
+        if len(cols) != len(exprs):
+            raise ValueError(
+                f"INSERT column list has {len(cols)} names for "
+                f"{len(exprs)} VALUES expressions"
+            )
+        return {"op": "insert", "cols": cols, "exprs": exprs}
+    raise ValueError(f"unsupported MERGE action: {act!r}")
+
+
+def _parse_merge(statement: str) -> _MergeSpec:
+    """Parse the general MERGE grammar (``_DML_GRAMMAR``). Raises
+    ValueError naming the offending piece on any unsupported shape."""
+    s = statement.strip().rstrip(";").strip()
+    m = re.match(rf"MERGE\s+INTO\s+({_IDENT})\s+", s, re.IGNORECASE)
+    if not m:
+        raise ValueError("MERGE must start with MERGE INTO <table>")
+    target = m.group(1)
+    pos = m.end()
+    t_alias = target
+    am = re.compile(
+        r"(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*)\s+", re.IGNORECASE
+    ).match(s, pos)
+    if am:
+        t_alias = am.group(1)
+        pos = am.end()
+    um = re.compile(r"USING\s+", re.IGNORECASE).match(s, pos)
+    if not um:
+        raise ValueError("MERGE requires USING <source>")
+    pos = um.end()
+    if s[pos] == "(":
+        depth, quote, i = 0, None, pos
+        while i < len(s):
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parentheses in MERGE USING subquery")
+        source, source_is_query = s[pos + 1 : i].strip(), True
+        pos = i + 1
+    else:
+        sm = re.compile(rf"({_IDENT})", re.IGNORECASE).match(s, pos)
+        if not sm:
+            raise ValueError("MERGE USING requires a table name or (subquery)")
+        source, source_is_query = sm.group(1), False
+        pos = sm.end()
+    s_alias = None if source_is_query else source
+    am = re.compile(
+        r"\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)", re.IGNORECASE
+    ).match(s, pos)
+    if am:
+        s_alias = am.group(1)
+        pos = am.end()
+    if s_alias is None:
+        raise ValueError("MERGE USING (<subquery>) requires an alias")
+    om = re.compile(r"\s*ON\s+", re.IGNORECASE).match(s, pos)
+    if not om:
+        raise ValueError("MERGE requires ON <condition> after USING")
+    rest = s[om.end() :]
+    spans = _top_level_keyword_spans(rest, "WHEN")
+    if not spans:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    on = rest[: spans[0]].strip()
+    spec = _MergeSpec(target, t_alias, source, source_is_query, s_alias, on)
+    bounds = spans + [len(rest)]
+    for a, b in zip(bounds, bounds[1:]):
+        clause = rest[a:b]
+        clause = re.sub(r"^\s*WHEN\b", "", clause, flags=re.IGNORECASE)
+        for pat, family in (
+            (_WHEN_NMBS, "nmbs"),
+            (_WHEN_NM, "not_matched"),
+            (_WHEN_MATCHED, "matched"),
+        ):
+            cm = pat.match(clause)
+            if cm:
+                action = _parse_merge_action(cm.group("act"), family)
+                getattr(spec, family).append((cm.group("cond"), action))
+                break
+        else:
+            raise ValueError(f"unsupported MERGE WHEN clause: {clause.strip()!r}")
+    return spec
+
+
+def _exec_merge(
+    spark: SparkSession, name: str, tbl: SnapshotTable, spec: _MergeSpec
+) -> int:
+    """Execute a parsed general MERGE against a snapshot table by
+    compiling its clauses into ONE change-set DataFrame and feeding it to
+    :meth:`SnapshotTable.merge` — so the statement inherits the engine's
+    stats-pruned copy-on-write rewrite and time travel. The change set is
+    the union of: matched rows projected through their first-true
+    MATCHED clause (update/delete), source rows through NOT MATCHED
+    inserts, and base rows through NOT MATCHED BY SOURCE clauses. Rows
+    hitting no clause stay out of the change set and carry forward by
+    key. Three joins on the merge keys (inner + two anti) over the same
+    two scans — Catalyst plans them off one exchange per side; at 100 TB
+    the change-set build shuffles O(base ⋈ source keys), and the commit
+    itself only rewrites key-range-intersecting files. NOT MATCHED BY
+    SOURCE clauses put every unmatched base key into the change set —
+    semantically a full-table inspection, so expect a full rewrite
+    (same as Iceberg/Delta)."""
+    t_names = {spec.target, spec.t_alias}
+    s_names = {spec.s_alias} if spec.source_is_query else {spec.source, spec.s_alias}
+    key_cols = _merge_on_keys(spec.on, t_names, s_names)
+
+    base = tbl.read()
+    tcols = [f.name for f in base.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    flag = "_philotes_merge_delete"
+    for cond, action in spec.matched + spec.nmbs:
+        bad = sorted(set(action.get("set", {})) & set(key_cols))
+        if bad:
+            raise ValueError(
+                f"MERGE UPDATE may not SET merge key column(s) {bad}; "
+                "model key changes as DELETE + INSERT"
+            )
+
+    tag = uuid.uuid4().hex[:12]
+    tv, sv = f"__philotes_merge_t_{tag}", f"__philotes_merge_s_{tag}"
+    ta, sa = spec.t_alias, spec.s_alias
+    base.createOrReplaceTempView(tv)
+    src_df = (
+        spark.sql(spec.source) if spec.source_is_query else spark.table(spec.source)
+    )
+    src_df.createOrReplaceTempView(sv)
+    try:
+
+        def proj_sql(exprs: dict[str, str], del_flag: bool) -> str:
+            cols = [
+                f"CAST(({exprs[c]}) AS {types[c]}) AS {c}" for c in tcols
+            ]
+            cols.append(f"{'true' if del_flag else 'false'} AS {flag}")
+            return ", ".join(cols)
+
+        def family_frames(clauses, from_sql, build) -> list[DataFrame]:
+            frames, prior = [], []
+            for cond, action in clauses:
+                this = f"coalesce(({cond}), false)" if cond else "true"
+                nots = [f"NOT {c}" for c in prior]
+                where = " AND ".join([this, *nots])
+                frames.append(build(action, from_sql, where))
+                # first-true-clause-wins: later clauses in the family see
+                # only rows this clause did not capture (an unconditional
+                # clause captures everything — later clauses go empty)
+                prior.append(this)
+            return frames
+
+        matched_from = f"{tv} AS {ta} JOIN {sv} AS {sa} ON {spec.on}"
+        nm_from = f"{sv} AS {sa} LEFT ANTI JOIN {tv} AS {ta} ON {spec.on}"
+        nmbs_from = f"{tv} AS {ta} LEFT ANTI JOIN {sv} AS {sa} ON {spec.on}"
+
+        def run(select: str, from_sql: str, where: str) -> DataFrame:
+            return spark.sql(f"SELECT {select} FROM {from_sql} WHERE {where}")
+
+        def build_matched(action, from_sql, where):
+            if action["op"] == "delete":
+                exprs = {
+                    c: f"{ta}.{c}" if c in key_cols else "NULL" for c in tcols
+                }
+                return run(proj_sql(exprs, True), from_sql, where)
+            if action["op"] == "update_all":
+                exprs = {c: f"{sa}.{c}" for c in tcols}
+            else:
+                exprs = {
+                    c: action["set"].get(c, f"{ta}.{c}") for c in tcols
+                }
+            return run(proj_sql(exprs, False), from_sql, where)
+
+        def build_nm(action, from_sql, where):
+            if action["op"] == "insert_all":
+                exprs = {c: f"{sa}.{c}" for c in tcols}
+            else:
+                given = dict(zip(action["cols"], action["exprs"]))
+                unknown = sorted(set(given) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column(s) {unknown} not in table columns "
+                        f"{sorted(tcols)}"
+                    )
+                exprs = {c: given.get(c, "NULL") for c in tcols}
+            return run(proj_sql(exprs, False), from_sql, where)
+
+        def build_nmbs(action, from_sql, where):
+            if action["op"] == "delete":
+                exprs = {
+                    c: f"{ta}.{c}" if c in key_cols else "NULL" for c in tcols
+                }
+                return run(proj_sql(exprs, True), from_sql, where)
+            exprs = {c: action["set"].get(c, f"{ta}.{c}") for c in tcols}
+            return run(proj_sql(exprs, False), from_sql, where)
+
+        frames = (
+            family_frames(spec.matched, matched_from, build_matched)
+            + family_frames(spec.not_matched, nm_from, build_nm)
+            + family_frames(spec.nmbs, nmbs_from, build_nmbs)
+        )
+        changes = frames[0]
+        for f in frames[1:]:
+            changes = changes.unionByName(f)
+        return tbl.merge(changes, key_cols=key_cols, delete_col=flag)
+    finally:
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+
+
+# the canonical full-row upsert MERGE (the shape the snapshot merge
+# implements natively, kept as a direct fast path — its delete-flag
+# semantics intentionally skip inserting flagged-but-unmatched rows,
+# matching the reference's CDC apply):
+#   MERGE INTO t USING src [AS alias] ON t.k = src.k [AND t.k2 = src.k2]
+#   [WHEN MATCHED AND <del-col> THEN DELETE]
+#   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+_DML_MERGE_LEGACY = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})\s+USING\s+({_IDENT})"
+    r"(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s*"
+    r"(?:WHEN\s+MATCHED\s+AND\s+(\w+)\s+THEN\s+DELETE\s+)?"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def sql(
@@ -132,102 +484,105 @@ def sql(
     the engine's snapshot tables (see module docs). ``snapshot_tables``
     maps the table names usable with AS OF to their snapshot roots.
 
-    ``DELETE FROM t WHERE …`` and ``UPDATE t SET … WHERE …`` statements
-    (the row-level DML the reference's users run through Trino on
-    Iceberg) execute against registered snapshot tables via
-    ``delete_where``/``update_where`` — stats-pruned copy-on-write
-    commits with time travel preserved. ``dml_keys`` maps each
-    DML-enabled table to its key columns; the statement returns a 1-row
-    frame (table, operation, version)."""
+    DML statements (``INSERT INTO`` / ``DELETE FROM`` / ``UPDATE`` /
+    ``MERGE INTO`` — the row-level DML the reference's users run through
+    Trino on Iceberg) whose target is a registered snapshot table execute
+    via the snapshot engine — stats-pruned copy-on-write commits with
+    time travel preserved; see ``_DML_GRAMMAR`` for the accepted shapes.
+    DML on any other table falls through to ``spark.sql`` (catalog
+    tables, v2 sources). ``dml_keys`` maps each DML-enabled table to its
+    key columns (which must uniquely identify rows — guarded at commit);
+    a DML statement returns a 1-row frame (table, operation, version)."""
     tables = snapshot_tables or {}
     keys = dml_keys or {}
 
-    def _dml_target(name: str) -> tuple[SnapshotTable, list[str]]:
-        if name not in tables:
-            raise ValueError(
-                f"DML on {name!r}: not a registered snapshot table "
-                f"(have {sorted(tables)})"
-            )
+    def _dml_keys_for(name: str) -> list[str]:
         if name not in keys:
             raise ValueError(
                 f"DML on {name!r}: no key columns registered (pass "
                 "dml_keys={'" + name + "': [...]})"
             )
-        return tables[name], keys[name]
+        return keys[name]
 
-    m = _DML_DELETE.match(statement)
-    if m:
-        tbl, key_cols = _dml_target(m.group(1))
-        version = tbl.delete_where(m.group(2), key_cols=key_cols)
-        return spark.createDataFrame(
-            [(m.group(1), "delete", version)],
-            "table string, operation string, version int",
-        )
-    m = _DML_UPDATE.match(statement)
-    if m:
-        tbl, key_cols = _dml_target(m.group(1))
-        version = tbl.update_where(
-            m.group(3), _split_set_list(m.group(2)), key_cols=key_cols
-        )
-        return spark.createDataFrame(
-            [(m.group(1), "update", version)],
-            "table string, operation string, version int",
-        )
-    m = _DML_INSERT.match(statement)
-    if m:
-        name, col_list, body = m.group(1, 2, 3)
-        body = body.rstrip().rstrip(";")
-        if name not in tables:
-            raise ValueError(
-                f"INSERT into {name!r}: not a registered snapshot table "
-                f"(have {sorted(tables)})"
+    lead = _DML_LEAD.match(statement)
+    if lead and lead.group(1) in tables:
+        name = lead.group(1)
+        m = _DML_DELETE.match(statement)
+        if m:
+            condition = m.group(2) or "true"
+            version = tables[name].delete_where(
+                condition, key_cols=_dml_keys_for(name)
             )
-        tbl = tables[name]
-        rows = spark.sql(body)
-        if col_list:
-            cols = [c.strip() for c in col_list.split(",")]
-            if len(cols) != len(rows.columns):
-                raise ValueError(
-                    f"INSERT column list has {len(cols)} names for "
-                    f"{len(rows.columns)} projected columns"
-                )
-            rows = rows.toDF(*cols)
-        if tbl.current_version():
-            want = tbl.read().schema
-            if sorted(rows.columns) != sorted(f.name for f in want):
-                raise ValueError(
-                    f"INSERT columns {sorted(rows.columns)} do not match "
-                    f"table columns {sorted(f.name for f in want)}"
-                )
-            # align order AND types to the table schema (VALUES literals
-            # arrive as INT where the table stores BIGINT, etc. — the
-            # standard insert coercion)
-            from pyspark.sql import functions as F
+            return spark.createDataFrame(
+                [(name, "delete", version)],
+                "table string, operation string, version int",
+            )
+        m = _DML_UPDATE.match(statement)
+        if m:
+            condition = m.group(3) or "true"
+            version = tables[name].update_where(
+                condition, _split_set_list(m.group(2)), key_cols=_dml_keys_for(name)
+            )
+            return spark.createDataFrame(
+                [(name, "update", version)],
+                "table string, operation string, version int",
+            )
+        m = _DML_INSERT.match(statement)
+        if m:
+            _, col_list, body = m.group(1, 2, 3)
+            body = body.rstrip().rstrip(";")
+            tbl = tables[name]
+            rows = spark.sql(body)
+            if col_list:
+                cols = [c.strip() for c in col_list.split(",")]
+                if len(cols) != len(rows.columns):
+                    raise ValueError(
+                        f"INSERT column list has {len(cols)} names for "
+                        f"{len(rows.columns)} projected columns"
+                    )
+                rows = rows.toDF(*cols)
+            if tbl.current_version():
+                want = tbl.read().schema
+                if sorted(rows.columns) != sorted(f.name for f in want):
+                    raise ValueError(
+                        f"INSERT columns {sorted(rows.columns)} do not match "
+                        f"table columns {sorted(f.name for f in want)}"
+                    )
+                # align order AND types to the table schema (VALUES literals
+                # arrive as INT where the table stores BIGINT, etc. — the
+                # standard insert coercion)
+                from pyspark.sql import functions as F
 
-            rows = rows.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
+                rows = rows.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
+                )
+            version = tbl.commit(rows, operation="append")
+            return spark.createDataFrame(
+                [(name, "insert", version)],
+                "table string, operation string, version int",
             )
-        version = tbl.commit(rows, operation="append")
-        return spark.createDataFrame(
-            [(name, "insert", version)],
-            "table string, operation string, version int",
-        )
-    m = _DML_MERGE.match(statement)
-    if m:
-        name, src, alias, on, del_col = m.group(1, 2, 3, 4, 5)
-        if name not in tables:
-            raise ValueError(
-                f"MERGE into {name!r}: not a registered snapshot table "
-                f"(have {sorted(tables)})"
+        m = _DML_MERGE_LEGACY.match(statement)
+        if m:
+            _, src, alias, on, del_col = m.group(1, 2, 3, 4, 5)
+            key_cols = _merge_on_keys(on, {name}, {src, alias} - {None})
+            changes = spark.table(src)
+            version = tables[name].merge(
+                changes, key_cols=key_cols, delete_col=del_col
             )
-        key_cols = _merge_on_keys(on, name, {src, alias} - {None})
-        changes = spark.table(src)
-        version = tables[name].merge(
-            changes, key_cols=key_cols, delete_col=del_col
-        )
-        return spark.createDataFrame(
-            [(name, "merge", version)],
-            "table string, operation string, version int",
+            return spark.createDataFrame(
+                [(name, "merge", version)],
+                "table string, operation string, version int",
+            )
+        if re.match(r"^\s*MERGE\b", statement, re.IGNORECASE):
+            spec = _parse_merge(statement)  # raises on unsupported shapes
+            version = _exec_merge(spark, name, tables[name], spec)
+            return spark.createDataFrame(
+                [(name, "merge", version)],
+                "table string, operation string, version int",
+            )
+        raise ValueError(
+            f"unsupported DML shape for snapshot table {name!r}: "
+            f"{statement.strip()[:120]!r}\n{_DML_GRAMMAR}"
         )
 
     def _rewrite(m: re.Match) -> str:

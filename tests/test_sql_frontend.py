@@ -140,7 +140,7 @@ def test_update_statement_text_multi_set(spark, tmp_path):
     assert got[7] == (7.0, "x") and got[8] == (16.0, "x!") and got[9] == (18.0, "x!")
 
 
-def test_dml_requires_registration_and_keys(spark, tmp_path):
+def test_dml_requires_keys_and_unregistered_falls_through(spark, tmp_path):
     import pytest as _pytest
 
     from philotes_spark import sql_frontend
@@ -148,12 +148,275 @@ def test_dml_requires_registration_and_keys(spark, tmp_path):
 
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.commit(spark.range(0, 5).withColumnRenamed("id", "v"))
-    with _pytest.raises(ValueError, match="not a registered"):
+    # DML on a table that is NOT a registered snapshot table is NOT
+    # intercepted: it delegates to spark.sql (which legitimately serves
+    # INSERT INTO catalog tables / DML on v2 sources) and fails there
+    # with Spark's own resolution error, not this front-end's ValueError
+    with _pytest.raises(Exception) as exc:
         sql_frontend.sql(spark, "DELETE FROM nope WHERE v = 1",
                          snapshot_tables={"tbl": t}, dml_keys={"tbl": ["v"]})
+    assert not isinstance(exc.value, ValueError)
     with _pytest.raises(ValueError, match="key columns"):
         sql_frontend.sql(spark, "DELETE FROM tbl WHERE v = 1",
                          snapshot_tables={"tbl": t})
+
+
+def test_insert_into_catalog_table_delegates_to_spark(spark, tmp_path):
+    """The ADVICE r06 regression case: INSERT INTO a Spark catalog table
+    must keep working when the target is not a registered snapshot
+    table — the front-end may not intercept it."""
+    from philotes_spark import sql_frontend
+
+    spark.sql("DROP TABLE IF EXISTS _frontend_cat_tbl")
+    spark.sql("CREATE TABLE _frontend_cat_tbl (v BIGINT) USING parquet")
+    try:
+        sql_frontend.sql(
+            spark,
+            "INSERT INTO _frontend_cat_tbl VALUES (1), (2), (3)",
+            snapshot_tables={},  # nothing registered
+        )
+        got = sql_frontend.sql(
+            spark, "SELECT COUNT(*) AS n FROM _frontend_cat_tbl"
+        ).collect()
+        assert got[0].n == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _frontend_cat_tbl")
+
+
+def test_unsupported_dml_shape_on_registered_table_names_grammar(spark, tmp_path):
+    import pytest as _pytest
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumnRenamed("id", "v"))
+    # a DML-leading statement targeting a REGISTERED table that misses
+    # the grammar raises the named error, not a Catalyst parse error
+    with _pytest.raises(ValueError, match="unsupported DML shape"):
+        sql_frontend.sql(
+            spark,
+            "DELETE FROM tbl USING other WHERE tbl.v = other.v",
+            snapshot_tables={"tbl": t},
+            dml_keys={"tbl": ["v"]},
+        )
+    with _pytest.raises(ValueError, match="unsupported MERGE action"):
+        sql_frontend.sql(
+            spark,
+            "MERGE INTO tbl USING chg AS s ON tbl.v = s.v "
+            "WHEN MATCHED THEN FROBNICATE",
+            snapshot_tables={"tbl": t},
+            dml_keys={"tbl": ["v"]},
+        )
+
+
+def test_delete_and_update_without_where(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, a=float(i)) for i in range(6)]))
+    sql_frontend.sql(
+        spark, "UPDATE tbl SET a = a + 0.5",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert sorted(r.a for r in t.read().collect()) == [i + 0.5 for i in range(6)]
+    res = sql_frontend.sql(
+        spark, "DELETE FROM tbl",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert res[0].operation == "delete"
+    assert t.read().count() == 0
+    # time travel still serves the pre-DML states
+    old = sql_frontend.sql(
+        spark, "SELECT COUNT(*) AS n FROM tbl VERSION AS OF 1",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert old[0].n == 6
+
+
+def test_update_rejects_set_on_key_column(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, a=float(i)) for i in range(4)]))
+    with _pytest.raises(ValueError, match="may not SET key column"):
+        sql_frontend.sql(
+            spark, "UPDATE tbl SET k = k + 100 WHERE k = 1",
+            snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+        )
+    # table unchanged — the guard fired before any commit
+    assert t.current_version() == 1 and t.read().count() == 4
+
+
+def test_row_level_dml_guards_non_unique_keys(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # key column k is NOT unique: two rows share k=1
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=1, a="x"), Row(k=1, a="y"), Row(k=2, a="z")]
+        )
+    )
+    # the WHERE matches only one row of the k=1 group; a blind merge
+    # would silently drop the other — the guard must refuse to commit
+    with _pytest.raises(ValueError, match="uniquely identify"):
+        sql_frontend.sql(
+            spark, "DELETE FROM tbl WHERE a = 'x'",
+            snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+        )
+    with _pytest.raises(ValueError, match="uniquely identify"):
+        sql_frontend.sql(
+            spark, "UPDATE tbl SET a = 'w' WHERE a = 'y'",
+            snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+        )
+    assert t.current_version() == 1 and t.read().count() == 3
+    # deleting the WHOLE key group is well-defined and passes the guard
+    sql_frontend.sql(
+        spark, "DELETE FROM tbl WHERE k = 1",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert [r.k for r in t.read().collect()] == [2]
+
+
+def test_merge_column_level_set_and_conditional_insert(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, val=float(i), note="base") for i in range(5)]
+        )
+    )
+    spark.createDataFrame(
+        [
+            Row(k=2, delta=10.0),   # matched → val += delta, note untouched
+            Row(k=4, delta=-1.0),   # matched but AND-cond false → untouched
+            Row(k=7, delta=70.0),   # not matched → column-list insert
+            Row(k=9, delta=-9.0),   # not matched, cond false → skipped
+        ]
+    ).createOrReplaceTempView("chg_cs")
+    try:
+        sql_frontend.sql(
+            spark,
+            "MERGE INTO tbl AS t USING chg_cs AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.delta > 0 THEN UPDATE SET val = t.val + s.delta "
+            "WHEN NOT MATCHED AND s.delta > 0 THEN "
+            "INSERT (k, val) VALUES (s.k, s.delta)",
+            snapshot_tables={"tbl": t},
+            dml_keys={"tbl": ["k"]},
+        ).collect()
+        got = {r.k: (r.val, r.note) for r in t.read().collect()}
+        assert got[2] == (12.0, "base")      # updated via SET list
+        assert got[4] == (4.0, "base")       # clause cond false → untouched
+        assert got[7] == (70.0, None)        # inserted; unlisted col NULL
+        assert 9 not in got                   # insert cond false → skipped
+        assert got[0] == (0.0, "base") and len(got) == 6
+    finally:
+        spark.catalog.dropTempView("chg_cs")
+
+
+def test_merge_matched_delete_and_not_matched_by_source(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([Row(k=i, val=float(i)) for i in range(6)])
+    )
+    spark.createDataFrame(
+        [Row(k=1, val=100.0), Row(k=3, val=-3.0), Row(k=8, val=80.0)]
+    ).createOrReplaceTempView("chg_nmbs")
+    try:
+        # full sync: matched negatives delete, matched update, unmatched
+        # source inserts, and base rows ABSENT from the source delete too
+        sql_frontend.sql(
+            spark,
+            "MERGE INTO tbl AS t USING chg_nmbs AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.val < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            snapshot_tables={"tbl": t},
+            dml_keys={"tbl": ["k"]},
+        ).collect()
+        got = {r.k: r.val for r in t.read().collect()}
+        # k=1 updated, k=3 deleted (matched, negative), k=8 inserted,
+        # k=0,2,4,5 deleted (not matched by source)
+        assert got == {1: 100.0, 8: 80.0}
+    finally:
+        spark.catalog.dropTempView("chg_nmbs")
+
+
+def test_merge_using_subquery_source(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, val=float(i)) for i in range(4)]))
+    spark.createDataFrame(
+        [Row(k=1, val=10.0), Row(k=1, val=11.0), Row(k=6, val=60.0)]
+    ).createOrReplaceTempView("raw_chg")
+    try:
+        # dedup-to-latest inside the USING subquery (needs an alias)
+        sql_frontend.sql(
+            spark,
+            "MERGE INTO tbl AS t USING "
+            "(SELECT k, MAX(val) AS val FROM raw_chg GROUP BY k) AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            snapshot_tables={"tbl": t},
+            dml_keys={"tbl": ["k"]},
+        ).collect()
+        got = {r.k: r.val for r in t.read().collect()}
+        assert got == {0: 0.0, 1: 11.0, 2: 2.0, 3: 3.0, 6: 60.0}
+    finally:
+        spark.catalog.dropTempView("raw_chg")
+
+
+def test_merge_on_rejects_self_join_term(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1, val=1.0)]))
+    spark.createDataFrame([Row(k=1, val=2.0)]).createOrReplaceTempView("chg_self")
+    try:
+        # ON t.k = t.k never references the source: previously passed a
+        # vacuous subset check (ADVICE r06); must be rejected
+        with _pytest.raises(ValueError, match="must join target to source"):
+            sql_frontend.sql(
+                spark,
+                "MERGE INTO tbl AS t USING chg_self AS s ON t.k = t.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *",
+                snapshot_tables={"tbl": t},
+                dml_keys={"tbl": ["k"]},
+            )
+    finally:
+        spark.catalog.dropTempView("chg_self")
 
 
 def test_merge_statement_text_upsert_and_delete(spark, tmp_path):
