@@ -593,3 +593,125 @@ def snapshot_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.read().localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_merge_clauses",
+    oracle="""
+    WITH b AS (SELECT event_id, event_type, value FROM events
+               WHERE event_id <= 300),
+         s AS (SELECT event_id, value FROM events
+               WHERE event_id BETWEEN 200 AND 400)
+    SELECT b.event_id, b.event_type,
+           ROUND(b.value + s.value, 4) AS value
+    FROM b JOIN s ON b.event_id = s.event_id
+    WHERE NOT (s.value < 50)
+    UNION ALL
+    SELECT s.event_id, CAST(NULL AS VARCHAR) AS event_type,
+           ROUND(s.value, 4) AS value
+    FROM s WHERE s.event_id NOT IN (SELECT event_id FROM b)
+    UNION ALL
+    SELECT b.event_id, b.event_type, ROUND(b.value, 4) AS value
+    FROM b
+    WHERE b.event_id NOT IN (SELECT event_id FROM s)
+      AND b.event_type <> 'error'
+    """,
+)
+def snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general MERGE statement grammar (sql_frontend._parse_merge /
+    _exec_merge; Trino-on-Iceberg MERGE shapes, ref
+    `docs/query/sample-queries.sql`): conditional WHEN MATCHED DELETE,
+    column-level UPDATE SET referencing both aliases, INSERT (cols)
+    VALUES, and WHEN NOT MATCHED BY SOURCE DELETE — all compiled into
+    ONE change-set fed to the snapshot engine's stats-pruned merge.
+    Base = events ≤300; source = a USING subquery over events 200–400."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    from philotes_spark import sql_frontend
+
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    src_view = "__philotes_dml_src_events"
+    ev.filter(F.col("event_id").between(200, 400)).select(
+        "event_id", "value"
+    ).createOrReplaceTempView(src_view)
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") <= 300), stats_cols=["event_id"]
+        )
+        sql_frontend.sql(
+            spark,
+            f"""
+            MERGE INTO ev AS t
+            USING (SELECT event_id, value FROM {src_view}) AS s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND s.value < 50 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+            WHEN NOT MATCHED THEN
+              INSERT (event_id, value) VALUES (s.event_id, s.value)
+            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE
+            """,
+            snapshot_tables={"ev": tbl},
+            dml_keys={"ev": ["event_id"]},
+        ).collect()
+        return (
+            tbl.read()
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(src_view)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_update_unfiltered",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value * 2, 4) AS value
+    FROM events WHERE event_id <= 400 AND event_type <> 'pageview'
+    """,
+)
+def snapshot_update_unfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE-less DML statement text (sql_frontend): ``UPDATE t SET …``
+    rewrites every row, ``DELETE FROM t`` with a condition then trims —
+    the two statement shapes Trino users hit first that the r6 grammar
+    rejected. Both still commit as snapshot versions with time travel."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    from philotes_spark import sql_frontend
+
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") <= 400), stats_cols=["event_id"]
+        )
+        sql_frontend.sql(
+            spark,
+            "UPDATE ev SET value = value * 2",
+            snapshot_tables={"ev": tbl},
+            dml_keys={"ev": ["event_id"]},
+        ).collect()
+        sql_frontend.sql(
+            spark,
+            "DELETE FROM ev WHERE event_type = 'pageview'",
+            snapshot_tables={"ev": tbl},
+            dml_keys={"ev": ["event_id"]},
+        ).collect()
+        return (
+            tbl.read()
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

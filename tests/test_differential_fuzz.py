@@ -430,3 +430,123 @@ def gen_subquery_query(seed: int) -> str:
 def test_same_subquery_sql_same_answer(fuzz_env, seed):
     spark, duck = fuzz_env
     _assert_same(gen_subquery_query(seed), spark, duck)
+
+
+# --- family 8: DML statement sequences (snapshot engine vs DuckDB) -----------
+# The same randomly generated INSERT/UPDATE/DELETE/MERGE sequence runs
+# against a SnapshotTable through the SQL front-end AND against a real
+# DuckDB table seeded from the same fixture rows; the final table
+# contents must match. DuckDB v1.0 has no MERGE INTO, so each generated
+# MERGE is mirrored as the standard DELETE USING / UPDATE FROM / INSERT
+# NOT-IN-original-keys triple evaluated against the pre-merge key set
+# (exactly MERGE's matched/not-matched semantics for unique keys).
+
+_DML_UPDATE_EXPRS = ["v + 1.5", "v * 2", "0.0 - v", "v + k"]
+_DML_CONDS = [
+    "k % 5 = 2",
+    "v > 1000",
+    "s = 'BUILDING'",
+    "k % 7 = 3 AND v < 5000",
+]
+_MERGE_MATCH_CONDS = ["src.v < 0", "src.v > 5000", "t.v > src.v"]
+_MERGE_SET_EXPRS = ["t.v + src.v", "src.v", "t.v - 1.0"]
+
+
+def _gen_dml_statements(seed: int) -> list[tuple[str, str | list[str]]]:
+    """[(spark_stmt, duck_stmt_or_stmts), ...] — identical text for
+    UPDATE/DELETE/INSERT; MERGE carries its DuckDB mirror script."""
+    rng = random.Random(seed)
+    out = []
+    n_inserts = 0
+    kinds = [rng.choice(["update", "delete", "insert", "merge"]) for _ in range(2)]
+    kinds.append("merge")  # every seed exercises the general MERGE path
+    rng.shuffle(kinds)
+    for kind in kinds:
+        if kind == "update":
+            stmt = (
+                f"UPDATE dml_t SET v = {rng.choice(_DML_UPDATE_EXPRS)}"
+                f" WHERE {rng.choice(_DML_CONDS)}"
+            )
+            out.append((stmt, stmt))
+        elif kind == "delete":
+            stmt = f"DELETE FROM dml_t WHERE {rng.choice(_DML_CONDS)}"
+            out.append((stmt, stmt))
+        elif kind == "insert":
+            off = 1_000_000 + n_inserts * 100_000
+            n_inserts += 1
+            stmt = (
+                f"INSERT INTO dml_t SELECT c_custkey + {off} AS k, "
+                "c_acctbal AS v, c_mktsegment AS s FROM customer "
+                f"WHERE c_custkey % 11 = {rng.randint(0, 10)}"
+            )
+            out.append((stmt, stmt))
+        else:
+            r = rng.randint(0, 6)
+            mc = rng.choice(_MERGE_MATCH_CONDS)
+            mex = rng.choice(_MERGE_SET_EXPRS)
+            src_sql = (
+                "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+                f"FROM customer WHERE c_custkey % 7 = {r}"
+            )
+            spark_stmt = (
+                f"MERGE INTO dml_t AS t USING ({src_sql}) AS src "
+                "ON t.k = src.k "
+                f"WHEN MATCHED AND {mc} THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET v = {mex} "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            mc_d = mc.replace("src.", "_src.").replace("t.", "dml_t.")
+            mex_d = mex.replace("src.", "_src.").replace("t.", "dml_t.")
+            duck_script = [
+                f"CREATE OR REPLACE TEMP VIEW _src AS {src_sql}",
+                "CREATE OR REPLACE TEMP TABLE _orig AS SELECT k FROM dml_t",
+                "DELETE FROM dml_t USING _src "
+                f"WHERE dml_t.k = _src.k AND coalesce({mc_d}, false)",
+                f"UPDATE dml_t SET v = {mex_d} FROM _src "
+                f"WHERE dml_t.k = _src.k AND NOT coalesce({mc_d}, false)",
+                "INSERT INTO dml_t SELECT _src.k, _src.v, _src.s FROM _src "
+                "WHERE _src.k NOT IN (SELECT k FROM _orig)",
+            ]
+            out.append((spark_stmt, duck_script))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(800, 812))
+def test_same_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
+    import duckdb
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+    init_sql = (
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+        "FROM customer WHERE c_custkey % 3 = 0"
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "dml_t"))
+    tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    own_duck = duckdb.connect()
+    own_duck.sql(
+        "CREATE VIEW customer AS "
+        f"SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    own_duck.sql(f"CREATE TABLE dml_t AS {init_sql}")
+    for spark_stmt, duck_side in _gen_dml_statements(seed):
+        sql_frontend.sql(
+            spark, spark_stmt,
+            snapshot_tables={"dml_t": tbl}, dml_keys={"dml_t": ["k"]},
+        ).collect()
+        for d in [duck_side] if isinstance(duck_side, str) else duck_side:
+            own_duck.sql(d)
+    s_rows = {r.k: (r.v, r.s) for r in tbl.read().collect()}
+    d_rows = {k: (v, s) for k, v, s in own_duck.sql(
+        "SELECT k, v, s FROM dml_t"
+    ).fetchall()}
+    assert sorted(s_rows) == sorted(d_rows), f"seed={seed} key sets differ"
+    for k in s_rows:
+        sv, ss = s_rows[k]
+        dv, ds = d_rows[k]
+        assert ss == ds, f"seed={seed} k={k}: {ss!r} != {ds!r}"
+        assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9), (
+            f"seed={seed} k={k}: {sv} != {dv}"
+        )

@@ -36,6 +36,31 @@ def test_families_inside_driver_window():
         assert any(n.startswith(family) for n in head), family
 
 
+def test_r07_rotation_composition():
+    # VERDICT r06 #2: the late-r6 operator tier graduates into the
+    # driver's 50-slot window; the evicted duplicate-coverage slots and
+    # the r07 additions sit below it (still oracle-gated in pytest)
+    head = set(list(entry.queries())[:50])
+    for n in (
+        "snapshot_delete_update",
+        "w_rank_family",
+        "q_recursive_hierarchy",
+        "dq_constraint_report",
+        "snapshot_refs",
+    ):
+        assert n in head, n
+    for n in (
+        "b16_freshness",
+        "w_moving_avg",
+        "cdc_op_rollup",
+        "multimodal_frames",
+        "sim_threshold_pairs",
+        "snapshot_merge_clauses",
+        "snapshot_update_unfiltered",
+    ):
+        assert n not in head, n
+
+
 def test_driver_window_fully_oracle_backed():
     # VERDICT r03 #1: every one of the driver's 50 slots must carry a full
     # rows+schema+hash oracle check; rows-only tiers (HLL/CMS sketches,
