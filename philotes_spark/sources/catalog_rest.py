@@ -92,20 +92,30 @@ def schema_to_rest(schema: T.StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def snapshot_entry(snap, version: int | None = None) -> dict:
+def snapshot_entry(
+    snap, version: int | None = None, rest_schema: dict | None = None
+) -> dict:
     """One spec-shaped Iceberg v2 ``snapshots[]`` entry for a local
     SnapshotTable version (types.go:95-113 ``Snapshot``): snapshot-id and
-    sequence-number are the monotonic local version, manifest-list points
-    at the version's JSON manifest (our manifest log plays the role of
-    Iceberg's avro manifest list — documented stand-in, same content:
-    file paths + per-file stats), and the summary carries the standard
+    sequence-number are the monotonic local version, ``manifest-list``
+    points at a REAL Avro manifest list (written on demand alongside its
+    Avro manifest file — :func:`iceberg_manifest.write_manifests_for_version`,
+    the spec's on-disk pointer chain an external reader follows; ref
+    rest.go:320-344), and the summary carries the standard
     operation/added/total counters."""
+    from philotes_spark.sources.iceberg_manifest import (
+        write_manifests_for_version,
+    )
+
     m = snap._resolve(version=version)
+    manifest_list = write_manifests_for_version(
+        snap, m["version"], rest_schema=rest_schema
+    )
     entry = {
         "snapshot-id": m["version"],
         "sequence-number": m["version"],
         "timestamp-ms": m["timestamp_ms"],
-        "manifest-list": os.path.join(snap.snap_dir, f"v{m['version']:08d}.json"),
+        "manifest-list": manifest_list,
         "summary": {
             "operation": "append" if m["operation"] == "append" else "overwrite",
             "added-data-files": str(m.get("added_files", 0)),
@@ -552,7 +562,13 @@ class RestCatalog:
                 namespace,
                 table,
                 data_files,
-                snapshot=snapshot_entry(snap, version=manifest["version"]),
+                snapshot=snapshot_entry(
+                    snap,
+                    version=manifest["version"],
+                    rest_schema=schema_to_rest(
+                        snap.read(version=version).schema
+                    ),
+                ),
                 new_schema=new_schema,
             )
         return len(data_files)
@@ -600,8 +616,11 @@ class RestCatalog:
                 f"schema divergence: catalog serves {got_fields},"
                 f" local is {want['fields']}".encode(),
             )
-        # the catalog's snapshot list must reach the published version and
-        # point its manifest-list at the version's local manifest
+        # the catalog's snapshot list must reach the published version,
+        # and its manifest-list must be a REAL Avro pointer chain an
+        # external Iceberg reader can follow: decode manifest list →
+        # manifest files → data files, and the decoded file list must
+        # round-trip to the local manifest exactly
         pub = [s for s in meta["snapshots"]
                if s["snapshot-id"] == manifest["version"]]
         if not pub:
@@ -611,14 +630,18 @@ class RestCatalog:
                 f" {manifest['version']} (serves"
                 f" {[s['snapshot-id'] for s in meta['snapshots']]})".encode(),
             )
-        want_ml = os.path.join(
-            snap.snap_dir, f"v{manifest['version']:08d}.json"
-        )
-        if pub[0]["manifest-list"] != want_ml:
+        from philotes_spark.sources.iceberg_manifest import read_data_files
+
+        avro_files = read_data_files(pub[0]["manifest-list"])
+        avro_paths = {f["file_path"] for f in avro_files}
+        if avro_paths != local_files:
             raise CatalogError(
                 200,
-                f"manifest-list divergence: catalog serves"
-                f" {pub[0]['manifest-list']}, local is {want_ml}".encode(),
+                (
+                    "avro manifest divergence: decoded manifest list has"
+                    f" {sorted(avro_paths)} but local manifest"
+                    f" v{manifest['version']} has {sorted(local_files)}"
+                ).encode(),
             )
 
         import pyarrow.parquet as pq

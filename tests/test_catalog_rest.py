@@ -429,15 +429,17 @@ def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
     assert [s["sequence-number"] for s in snaps] == [1, 2]
     assert snaps[1]["parent-snapshot-id"] == 1
     assert meta["current-snapshot-id"] == 2
-    # manifest-list points at the version's manifest, which exists and
-    # carries the committed file list (our JSON manifest log stands in
-    # for the avro manifest list — same content)
+    # manifest-list is a REAL Avro OCF chain (VERDICT r06 #3): decode it
+    # back like an external Iceberg reader and the data-file list must
+    # round-trip to the version's local manifest
+    from philotes_spark.sources.iceberg_manifest import read_data_files
+
     for s in snaps:
-        assert s["manifest-list"].endswith(f"v{s['snapshot-id']:08d}.json")
-        with open(s["manifest-list"]) as fh:
-            m = json.load(fh)
-        assert m["version"] == s["snapshot-id"]
-        assert int(s["summary"]["total-data-files"]) == len(m["files"])
+        assert s["manifest-list"].endswith(f"ml-{s['snapshot-id']:08d}.avro")
+        decoded = read_data_files(s["manifest-list"])
+        local = snap._resolve(version=s["snapshot-id"])
+        assert {f["file_path"] for f in decoded} == set(local["files"])
+        assert int(s["summary"]["total-data-files"]) == len(decoded)
     assert snaps[0]["summary"]["operation"] == "append"
     assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1, 2]
 
@@ -556,3 +558,124 @@ def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad ref type"):
         cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
+
+
+# --- Avro manifest layer (VERDICT r06 #3) ------------------------------------
+
+
+def test_avro_codec_round_trip(tmp_path):
+    """The stdlib Avro codec round-trips every type the Iceberg manifest
+    schemas use: primitives, unions-with-null, nested records, arrays,
+    maps — written as an OCF and decoded back."""
+    from philotes_spark.sources.avro import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                },
+            },
+        ],
+    }
+    rows = [
+        {
+            "i": -1,
+            "l": 2**40,
+            "d": 3.5,
+            "s": "héllo",
+            "b": b"\x00\xff",
+            "flag": True,
+            "opt": None,
+            "arr": [1, -2, 300],
+            "m": {"a": "x", "b": "y"},
+            "nested": {"x": "deep"},
+        },
+        {
+            "i": 7,
+            "l": -9,
+            "d": -0.25,
+            "s": "",
+            "b": b"",
+            "flag": False,
+            "opt": 42,
+            "arr": [],
+            "m": {},
+            "nested": {"x": None},
+        },
+    ]
+    path = str(tmp_path / "t.avro")
+    n = write_ocf(path, schema, rows, metadata={"who": "test"})
+    assert n == (tmp_path / "t.avro").stat().st_size
+    got_schema, meta, got = read_ocf(path)
+    assert got_schema == schema
+    assert meta["who"] == b"test"
+    assert got == rows
+
+
+def test_avro_manifest_round_trip_with_partitions(spark, tmp_path):
+    """write_manifests_for_version emits the spec's two-file Avro chain;
+    decoding it back recovers the data-file list, per-file record
+    counts, ADDED/EXISTING statuses across versions, and typed identity
+    partition values — everything an external reader plans a scan
+    from."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import (
+        read_data_files,
+        read_manifest_list,
+        write_manifests_for_version,
+    )
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0)],
+        "k long, v string, x double",
+    ).coalesce(1)
+    snap.commit(df1, partition_by=["k"])
+    snap.commit(
+        spark.createDataFrame([(3, "d", 40.0)], "k long, v string, x double")
+        .coalesce(1),
+    )
+    rest = schema_to_rest(snap.read().schema)
+    ml2 = write_manifests_for_version(snap, 2, rest_schema=rest)
+
+    lst = read_manifest_list(ml2)
+    assert len(lst) == 1
+    assert lst[0]["added_snapshot_id"] == 2
+    assert lst[0]["content"] == 0
+    assert lst[0]["manifest_length"] > 0
+    m2 = snap._resolve(version=2)
+    assert (
+        lst[0]["added_files_count"] + lst[0]["existing_files_count"]
+        == len(m2["files"])
+    )
+    assert lst[0]["added_rows_count"] == 1
+    assert lst[0]["existing_rows_count"] == 3
+
+    files = read_data_files(ml2)
+    assert {f["file_path"] for f in files} == set(m2["files"])
+    assert sum(f["record_count"] for f in files) == 4
+    assert all(f["file_format"] == "PARQUET" for f in files)
+    # typed identity partition values decoded from the hive layout
+    by_k = {}
+    for f in files:
+        by_k.setdefault(f["partition"]["k"], 0)
+        by_k[f["partition"]["k"]] += f["record_count"]
+    # the engine keeps the table's hive layout across appends, so every
+    # file carries its typed identity partition value
+    assert by_k == {1: 2, 2: 1, 3: 1}
