@@ -193,6 +193,7 @@ def _tier(name: str) -> tuple[int, int]:
         # grammar and the WHERE-less UPDATE/DELETE statement shapes
         "snapshot_merge_clauses",
         "snapshot_update_unfiltered",
+        "snapshot_schema_history",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

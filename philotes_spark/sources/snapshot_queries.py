@@ -715,3 +715,51 @@ def snapshot_update_unfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_schema_history",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version,
+           CAST(0 AS INTEGER) AS schema_version,
+           CAST(3 AS INTEGER) AS n_columns,
+           'event_id bigint, event_type string, value double' AS columns
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(1 AS INTEGER), CAST(4 AS INTEGER),
+           'event_id bigint, event_type string, value double, value2 double'
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), CAST(1 AS INTEGER), CAST(4 AS INTEGER),
+           'event_id bigint, event_type string, value double, value2 double'
+    """,
+)
+def snapshot_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`t$schema_history` metadata table (SnapshotTable.schema_history —
+    the reference journals every schema evolution per table,
+    `init-scripts/02-cdc-schema.sql:21-31`, `schema.go:147-174`): commit
+    v1 with 3 columns, v2 appends rows carrying an ADDED column
+    (additive evolution, A12), v3 appends at the evolved shape;
+    schema_version bumps exactly once. The journal is constant by
+    construction, so the oracle pins it literally."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 200))
+        evolved = ev.filter(F.col("event_id").between(201, 300)).withColumn(
+            "value2", F.col("value") * 2
+        )
+        tbl.commit(evolved)
+        tbl.commit(
+            ev.filter(F.col("event_id").between(301, 400)).withColumn(
+                "value2", F.col("value") * 3
+            )
+        )
+        return (
+            tbl.schema_history()
+            .select("version", "schema_version", "n_columns", "columns")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1328,6 +1328,51 @@ class SnapshotTable:
             "n_pending_deltas int",
         )
 
+    def schema_history(self) -> DataFrame:
+        """≙ a `t$schema_history` metadata table: one row per snapshot
+        version with the schema a reader sees at that version and a
+        monotonically increasing ``schema_version`` that bumps exactly
+        when the (name, type, nullable) column list changes — the
+        queryable schema-evolution journal the reference keeps per table
+        (`deployments/docker/init-scripts/02-cdc-schema.sql:21-31`,
+        `internal/pkg/schema/schema.go:147-174`).
+
+        Columns: (version, schema_version, n_columns, columns,
+        captured_at_ms). ``columns`` is the ordered ``name type`` list.
+        Driver-side metadata work only: each version's schema comes from
+        plan ANALYSIS (footer reads), never a data scan; empty versions
+        inherit the prior schema."""
+        rows = []
+        schema_version = 0
+        prev: list[tuple] | None = None
+        for mf in self._manifests():
+            m = self._load(mf)
+            try:
+                schema = self.read(version=m["version"]).schema
+                cols = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields
+                ]
+            except ValueError:  # empty snapshot: schema carries forward
+                cols = prev or []
+            if prev is not None and cols != prev:
+                schema_version += 1
+            prev = cols
+            rows.append(
+                (
+                    m["version"],
+                    schema_version,
+                    len(cols),
+                    ", ".join(f"{n} {t}" for n, t, _ in cols),
+                    m["timestamp_ms"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, schema_version int, n_columns int, "
+            "columns string, captured_at_ms long",
+        )
+
     def _merge_partitioned(
         self,
         m: dict,

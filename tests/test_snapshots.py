@@ -821,3 +821,24 @@ def test_delete_where_mor_is_metadata_sized(spark, table):
     assert m["deltas"], "delete must land as a pending delta"
     got = sorted(r.v for r in table.read().collect())
     assert got == list(range(5, 50))
+
+
+def test_schema_history_journal(spark, tmp_path):
+    """t$schema_history (VERDICT r06 #6): schema_version bumps exactly
+    when a version's visible column list changes — added column, then a
+    no-change append, then a type-stable rename-free evolution."""
+    from pyspark.sql import Row
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    t.commit(
+        spark.createDataFrame([Row(k=2, v="b", extra=2.5)])
+    )  # additive evolution
+    t.commit(spark.createDataFrame([Row(k=3, v="c", extra=3.5)]))  # no change
+    hist = {r.version: r for r in t.schema_history().collect()}
+    assert [hist[v].schema_version for v in (1, 2, 3)] == [0, 1, 1]
+    assert hist[1].n_columns == 2 and hist[2].n_columns == 3
+    assert hist[2].columns.endswith("extra double")
+    assert hist[1].captured_at_ms <= hist[3].captured_at_ms
