@@ -40,7 +40,6 @@ HEADLINE = [
     "b10_latest_by_key",
     "b13_join_agg_segment",
     "cdc_latest_state",
-    "cdc_op_rollup",
     "stream_tumbling_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -48,11 +47,17 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_quality_stats",
     "token_counts_by_source",
-    "doc_fingerprint",
     # r05 additions — the corpus-curation signals; both oracle-backed and
     # shuffle-heavy, exactly what the headline exists to watch
     "text_repetition_stats",
     "text_dup_ngram_fraction",
+    # r07 rotation (VERDICT r06 #8): the newest expensive tier replaces
+    # two near-duplicate cheap entries (cdc_op_rollup — group-by shape
+    # covered by b7/b13; doc_fingerprint — narrow text map covered by
+    # text_quality_stats): IVF-PQ ANN (train + ADC scan + rerank) and
+    # the document chunker (posexplode + doc-keyed shuffle)
+    "sim_ivfpq_topk",
+    "train_chunk_documents",
 ]
 
 
@@ -114,6 +119,34 @@ def _oracle_times(registry, sf_dir: str, names: list[str], reps: int) -> dict[st
         best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
         out[name] = round(best, 3)
     con.close()
+    return out
+
+
+def _latest_sweep_keys() -> dict:
+    """Gate keys from the newest committed SWEEP artifact (``bench.py
+    --sweep`` writes SWEEP.json; the round snapshot is committed as
+    SWEEP_r{N}.json). Returns {} when none exists — the summary line
+    then simply carries no sweep evidence."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(
+        glob.glob(os.path.join(here, "SWEEP_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ) or [p for p in [os.path.join(here, "SWEEP.json")] if os.path.exists(p)]
+    if not candidates:
+        return {}
+    path = candidates[-1]
+    try:
+        with open(path) as fh:
+            art = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    out = {"sweep_artifact": os.path.basename(path)}
+    for row in art.get("rows", []):
+        key = "ratio_" + row["sf"].replace(".", "")
+        out[key] = row.get("ratio")
     return out
 
 
@@ -188,8 +221,17 @@ def main() -> None:
     # maps grew the single JSON line past the driver's tail-capture window,
     # so BENCH_r05.json arrived front-truncated and unparseable). The gate
     # keys stay here; per-query detail goes to stderr + a sidecar file.
+    # VERDICT r06 #1: the 2x gate's pass case lives at sf>=0.3 where the
+    # per-action floor amortizes; the sweep that proves it is committed
+    # as a machine-readable SWEEP_r{N}.json (written by `bench.py
+    # --sweep` over the salted .fixtures). Merge its ratio keys into the
+    # summary line (with provenance) so the gate is decidable from the
+    # driver artifact alone.
+    sweep_keys = _latest_sweep_keys()
+
     summary = {
         "metric": "headline_queries_total_time",
+        **sweep_keys,
         # headline = full executions, best-of-N (directly comparable
         # to the DuckDB oracle numbers and to pre-r03 rounds)
         "value": round(sum(cold.values()), 3),
@@ -287,6 +329,32 @@ def sweep() -> None:
     for sf, s, d in rows_out:
         ratio = f"{s / d:.1f}x" if d > 0 else "n/a"
         print(f"| {sf} | {s:.2f} | {d:.2f} | {ratio} |")
+
+    # machine-readable artifact (VERDICT r06 #1): commit the round's
+    # snapshot as SWEEP_r{N}.json; main() folds its ratio keys into the
+    # bench summary line so the scale gate is decidable from artifacts
+    art = {
+        "metric": "scale_sweep_cold_totals",
+        "unit": "sec",
+        "reps": reps,
+        "n_queries": len(names),
+        "skipped_no_oracle": skipped,
+        "rows": [
+            {
+                "sf": sf,
+                "spark_total": round(s, 3),
+                "oracle_total": round(d, 3),
+                "ratio": round(s / d, 2) if d > 0 else None,
+            }
+            for sf, s, d in rows_out
+        ],
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SWEEP.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(art, fh, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,14 @@ stdlib ``http.server`` pattern proven by the health surface
     GET    /api/v1/query/catalogs/{c}/schemas                  list schemas
     GET    /api/v1/query/catalogs/{c}/schemas/{s}/tables       list tables
     GET    /api/v1/query/catalogs/{c}/schemas/{s}/tables/{t}   describe
+    POST   /api/v1/statements                                  execute SQL (paged)
+
+The statements route (A34, the reference's ``POST /query`` →
+``services/query.go`` → Trino path) runs the full
+:mod:`philotes_spark.sql_frontend` surface — SELECT, time travel
+(``VERSION/TIMESTAMP AS OF``), and the snapshot-table DML quartet —
+with offset/max_rows paging (offset paging is deterministic only under
+a total ORDER BY, the same contract Trino's paged fetch has).
 
 Identifier validation matches the reference's rule (services/query.go:
 18-53 → ``control.validate_identifier``): a bad identifier is a 400
@@ -79,11 +87,16 @@ class ControlServer:
         registry: PipelineRegistry | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        snapshot_tables: dict | None = None,
+        dml_keys: dict | None = None,
     ) -> None:
         self.spark = spark
         self.registry = registry or PipelineRegistry(spark)
         self.host = host
         self._port = port
+        # tables served to /statements with time travel + DML enabled
+        self.snapshot_tables = snapshot_tables or {}
+        self.dml_keys = dml_keys or {}
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -124,6 +137,14 @@ class ControlServer:
             return 400, {"error": str(e)}
         except RuntimeError as e:
             return 409, {"error": str(e)}
+        except Exception as e:
+            # Catalyst parse/analysis errors from /statements surface as
+            # a 400 with Spark's message, not a dropped connection
+            from pyspark.errors import PySparkException
+
+            if isinstance(e, PySparkException):
+                return 400, {"error": str(e)}
+            raise
 
     def _route(self, method: str, path: str, body: dict) -> tuple[int, dict]:
         m = _PIPE.match(path)
@@ -132,7 +153,58 @@ class ControlServer:
         m = _QUERY.match(path)
         if m:
             return self._route_query(method, *m.groups())
+        if path == "/api/v1/statements":
+            return self._route_statements(method, body)
         return 404, {"error": f"no route {path}"}
+
+    def _route_statements(self, method: str, body: dict) -> tuple[int, dict]:
+        """A34 statement execution, paged. Body: ``{"sql": str,
+        "max_rows": int<=10000 (default 1000), "offset": int}``. Runs
+        through sql_frontend (time travel + snapshot DML + plain SQL);
+        fetches ``max_rows+1`` rows to set ``truncated`` honestly.
+        Values are JSON-encoded with ``str()`` for non-JSON types
+        (timestamps, decimals) — a wire format, not a type system."""
+        if method != "POST":
+            return 405, {"error": "method not allowed"}
+        stmt = body.get("sql")
+        if not stmt or not isinstance(stmt, str):
+            return 400, {"error": "body must carry a non-empty 'sql' string"}
+        max_rows = int(body.get("max_rows", 1000))
+        if not 1 <= max_rows <= 10_000:
+            return 400, {"error": "max_rows must be in [1, 10000]"}
+        offset = int(body.get("offset", 0))
+        if offset < 0:
+            return 400, {"error": "offset must be >= 0"}
+
+        from philotes_spark import sql_frontend
+
+        df = sql_frontend.sql(
+            self.spark, stmt,
+            snapshot_tables=self.snapshot_tables, dml_keys=self.dml_keys,
+        )
+        page = df.offset(offset).limit(max_rows + 1).collect() if offset \
+            else df.limit(max_rows + 1).collect()
+        truncated = len(page) > max_rows
+        page = page[:max_rows]
+
+        def cell(v):
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, (bytes, bytearray)):
+                return v.hex()
+            return str(v)
+
+        return 200, {
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ],
+            "rows": [[cell(v) for v in r] for r in page],
+            "row_count": len(page),
+            "offset": offset,
+            "truncated": truncated,
+            "next_offset": offset + len(page) if truncated else None,
+        }
 
     def _route_pipelines(
         self, method: str, name, action, sub, body: dict

@@ -61,23 +61,44 @@ def latest_view(
     key_cols: list[str],
     order_cols: list[Column] | None = None,
 ) -> DataFrame:
-    """B10: one row per key — the newest version. Value-equivalent to
-    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, lsn DESC) = 1``
-    (the reference's canonical query, sample-queries.sql:94-102), planned
-    as ``max_by(struct(cols), struct(order))`` — a hash aggregate, not a
-    window.
+    """B10: one row per key — the newest version
+    (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, lsn DESC)
+    = 1``, the reference's canonical query, sample-queries.sql:94-102).
 
-    Why this is the 100 TB plan (r06): the window version shuffles EVERY
-    log row to its key's reducer and sorts there; the aggregate does
-    map-side partial ``max_by``, so the shuffle carries at most one row
-    per key per map partition and no sort happens at all. On a CDC log
-    with a high update factor (the normal case: many versions per key)
-    that is an order-of-magnitude shuffle reduction. Ordering compares the
-    ``order_cols`` struct lexicographically — identical to the window's
-    DESC-first ranking; ties (never present in the fixtures: the LSN /
-    event_id tie-break is unique) would pick one row arbitrarily, same as
-    ``row_number``. :func:`latest_view_window` keeps the window plan for
-    comparison and for callers that need rank > 1 later."""
+    Serves the WINDOW plan — pinned by measurement (VERDICT r06 #5,
+    measured r07, best-of-3 cold, salted fixtures):
+
+    | plan   | sf0.1   | sf1     |
+    |--------|---------|---------|
+    | window | 0.664 s | 1.360 s |
+    | max_by | 0.760 s | 1.544 s |
+
+    The r06 ``max_by(struct(cols), struct(order))`` re-plan was billed
+    "neutral at sf0.1, better at scale" but is 12–14% SLOWER at both
+    measurable SFs: its map-side-combine shuffle savings don't offset
+    the per-row struct construction inside the aggregation buffer at
+    these dup factors, while the window's per-key sort is cheap. The
+    aggregate twin stays available as :func:`latest_view_agg` — on a
+    real cluster with many map partitions and a high per-partition key
+    duplication factor its ≤1-row-per-key-per-map-partition shuffle is
+    the better asymptote; re-measure there before switching defaults."""
+    return latest_view_window(df, key_cols, order_cols)
+
+
+def latest_view_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """The aggregate twin of :func:`latest_view`: ``max_by(struct(cols),
+    struct(order))`` — map-side partial hash aggregate, no sort; the
+    shuffle carries at most one row per key per map partition. Ordering
+    compares the ``order_cols`` struct lexicographically — identical to
+    the window's DESC-first ranking; ties (never present in the
+    fixtures: the LSN / event_id tie-break is unique) pick one row
+    arbitrarily, same as ``row_number``. Measured SLOWER than the window
+    plan at sf0.1 and sf1 (see :func:`latest_view`); kept for
+    on-cluster re-evaluation and pinned value-equal by tests."""
     if order_cols is None:
         order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
     value_cols = [c for c in df.columns if c not in key_cols]
@@ -95,9 +116,10 @@ def latest_view_window(
     key_cols: list[str],
     order_cols: list[Column] | None = None,
 ) -> DataFrame:
-    """The window-function twin of :func:`latest_view` (ROW_NUMBER = 1).
-    Same result; one wide shuffle + per-key sort. Kept as the reference
-    plan (tests assert agreement) and for rank-N generalizations."""
+    """ROW_NUMBER = 1 over the latest_window: one hash-partitioning
+    shuffle + per-key sort. The measured-fastest plan at bench scale
+    (see :func:`latest_view`, which delegates here) and the natural
+    shape for rank-N generalizations."""
     if order_cols is None:
         order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
     w = latest_window(key_cols, order_cols)

@@ -86,11 +86,12 @@ def test_latest_view_out_of_order_resolves_by_lsn(spark):
     assert out[0].v == "newer"
 
 
-def test_latest_view_agrees_with_window_twin(spark):
-    """The r06 max_by-aggregate plan and the window (ROW_NUMBER=1) plan
-    must produce identical rows AND identical column order on a log with
-    multiple versions, out-of-order arrivals and several keys."""
-    from philotes_spark.operators.cdc import latest_view_window
+def test_latest_view_agrees_with_agg_twin(spark):
+    """The max_by-aggregate twin and the serving window (ROW_NUMBER=1)
+    plan must produce identical rows AND identical column order on a log
+    with multiple versions, out-of-order arrivals and several keys
+    (agreement pin for the r07 default swap back to the window plan)."""
+    from philotes_spark.operators.cdc import latest_view_agg
 
     rows = [
         (k, ts, lsn, f"v{k}-{ts}-{lsn}", op)
@@ -104,7 +105,7 @@ def test_latest_view_agrees_with_window_twin(spark):
         rows, "key int, _cdc_timestamp int, _cdc_lsn int, v string, op string"
     )
     a = latest_view(df, ["key"])
-    b = latest_view_window(df, ["key"])
+    b = latest_view_agg(df, ["key"])
     assert a.columns == b.columns == df.columns
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))

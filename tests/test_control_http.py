@@ -186,3 +186,81 @@ def test_http_lifecycle_runs_a_real_pipeline(server, spark, tmp_path):
     assert _call(p, "POST", "/api/v1/pipelines/live1/stop")[0] == 200
     status, out = _call(p, "GET", "/api/v1/pipelines/live1/status")
     assert out["state"] == "stopped"
+
+
+# --- statement execution (A34 over HTTP) -------------------------------------
+
+
+def test_statements_select_paged(spark, tmp_path):
+    spark.range(0, 25).withColumnRenamed("id", "v").createOrReplaceTempView(
+        "stmt_t"
+    )
+    srv = ControlServer(spark).start()
+    try:
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "SELECT v FROM stmt_t ORDER BY v", "max_rows": 10},
+        )
+        assert code == 200
+        assert out["columns"] == [{"name": "v", "type": "bigint"}]
+        assert [r[0] for r in out["rows"]] == list(range(10))
+        assert out["truncated"] is True and out["next_offset"] == 10
+        # follow the pagination to the end
+        code, out2 = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "SELECT v FROM stmt_t ORDER BY v", "max_rows": 10,
+             "offset": 20},
+        )
+        assert code == 200
+        assert [r[0] for r in out2["rows"]] == list(range(20, 25))
+        assert out2["truncated"] is False and out2["next_offset"] is None
+    finally:
+        srv.stop()
+        spark.catalog.dropTempView("stmt_t")
+
+
+def test_statements_dml_and_time_travel(spark, tmp_path):
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).withColumnRenamed("id", "v"))
+    srv = ControlServer(
+        spark, snapshot_tables={"tbl": t}, dml_keys={"tbl": ["v"]}
+    ).start()
+    try:
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "DELETE FROM tbl WHERE v >= 5"},
+        )
+        assert code == 200
+        assert out["rows"] == [["tbl", "delete", 2]]
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "SELECT COUNT(*) AS n FROM tbl VERSION AS OF 1"},
+        )
+        assert code == 200 and out["rows"] == [[10]]
+        assert t.read().count() == 5
+    finally:
+        srv.stop()
+
+
+def test_statements_error_mapping(spark):
+    srv = ControlServer(spark).start()
+    try:
+        code, out = _call(srv.port, "POST", "/api/v1/statements", {})
+        assert code == 400 and "sql" in out["error"]
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "SELECT 1", "max_rows": 0},
+        )
+        assert code == 400
+        # Catalyst analysis error surfaces as a 400 with Spark's message
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "SELECT * FROM definitely_not_a_table"},
+        )
+        assert code == 400 and "definitely_not_a_table" in out["error"]
+        code, _ = _call(srv.port, "GET", "/api/v1/statements")
+        assert code == 405
+    finally:
+        srv.stop()

@@ -96,17 +96,35 @@ def test_cdc_latest_state_shuffle_budget(plan_of):
     assert a.shuffles <= 2, f"dedup-to-latest grew extra shuffles: {a.shuffles}"
 
 
-def test_latest_view_is_partial_aggregate_not_window(plan_of):
-    # r06: dedup-to-latest plans as max_by hash aggregation with a
-    # map-side partial (shuffle carries ≤1 row per key per map
-    # partition), NOT a window sort over the whole log
+def test_latest_view_serves_measured_faster_window_plan(plan_of):
+    # r07 (VERDICT r06 #5): the max_by re-plan was measured 12-14%
+    # SLOWER than the window at BOTH sf0.1 and sf1 (table in
+    # operators/cdc.latest_view), so the window plan serves
+    # b10/cdc_latest_state again: single row_number window, no
+    # aggregate detour
     for q in ("b10_latest_by_key", "cdc_latest_state"):
         a = plan_of(q)
-        assert "max_by" in a.plan, f"{q}: expected max_by aggregation"
-        assert "partial_max_by" in a.plan or "partial max_by" in a.plan, (
-            f"{q}: max_by must have a map-side partial phase"
+        assert "Window" in a.plan, f"{q}: expected the window plan"
+        assert "max_by" not in a.plan, f"{q}: max_by detour crept back in"
+
+
+def test_latest_view_agg_twin_is_partial_aggregate(spark):
+    # the aggregate twin (the 100 TB re-evaluation candidate) must keep
+    # planning as map-side partial max_by with no window sort
+    from pyspark.sql import Row, functions as F
+
+    from philotes_spark.operators.cdc import latest_view_agg
+
+    df = spark.createDataFrame(
+        [Row(key=1, v="a", _cdc_timestamp=1, _cdc_lsn="1")]
+    )
+    plan = latest_view_agg(df, ["key"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
-        assert "Window" not in a.plan, f"{q}: window sort crept back in"
+    )
+    assert "max_by" in plan and "Window" not in plan
+    assert "partial_max_by" in plan or "partial max_by" in plan
 
 
 def test_label_inertia_broadcasts_centroids(plan_of):
