@@ -194,6 +194,7 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_merge_clauses",
         "snapshot_update_unfiltered",
         "snapshot_schema_history",
+        "snapshot_positional_delete",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

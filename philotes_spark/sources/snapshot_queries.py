@@ -763,3 +763,39 @@ def snapshot_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_positional_delete",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    WHERE event_id <= 400
+      AND NOT (event_type = 'error' OR value < 10)
+    """,
+)
+def snapshot_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 positional delete (SnapshotTable.delete_where_positional
+    — the keyless delete-file kind, ref `internal/iceberg/types.go`
+    delete-file content): doomed rows land as (file_path, row_index)
+    addresses from Spark's `_metadata` scan columns, O(deleted) write,
+    zero base files rewritten; the read anti-joins the tiny address
+    file. Stacked twice to exercise delta ordering."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 400))
+        tbl.delete_where_positional("event_type = 'error'")
+        tbl.delete_where_positional("value < 10")
+        return (
+            tbl.read()
+            .select(
+                "event_id", "event_type", F.round("value", 4).alias("value")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -741,6 +741,65 @@ class SnapshotTable:
             changed = changed.withColumn(col, F.expr(expr))
         return self.merge(changed, key_cols=key_cols, mode=mode)
 
+    def delete_where_positional(self, condition: str) -> int:
+        """Row-level DELETE as an Iceberg-v2 POSITIONAL delete file: the
+        doomed rows' physical (file_path, row_index) addresses — Spark's
+        ``_metadata`` scan columns — land as an O(deleted) delta; NO base
+        file is read back or rewritten and NO key columns are needed
+        (this is the delete that works on keyless tables, the second of
+        Iceberg v2's two delete-file kinds beside equality deletes /
+        ``delete_where(mode='mor')``). Readers anti-join on the address
+        pair — tiny, broadcast-eligible — until :meth:`compact_deltas`
+        folds it into base files.
+
+        Stacks over other positional deltas, but refuses to run over a
+        pending delta carrying UPSERT files: upserted rows live outside
+        the base files, so they have no base-file address to delete by —
+        ``compact_deltas()`` first (Iceberg sequencing has the same
+        constraint: position deletes only apply to data files of equal
+        or older sequence numbers)."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        for d in m.get("deltas", []):
+            if d.get("upsert_files"):
+                raise ValueError(
+                    "positional delete over a pending upsert delta is "
+                    "ambiguous (upserted rows have no base-file "
+                    "position); run compact_deltas() first"
+                )
+        base = self._apply_deltas(
+            self._read_file_list(
+                m["files"], m.get("partition_by") or [], with_pos=True
+            ),
+            m,
+        )
+        doomed = base.filter(F.expr(condition)).select(
+            F.col("_pos_file").alias("file_path"),
+            F.col("_pos_index").alias("pos"),
+        )
+        if not doomed.take(1):
+            return parent
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        doomed.write.parquet(staged)
+        pos_files = _staged_parquet_files(staged)
+        delta = {"type": "pos", "pos_files": pos_files}
+        return self._write_manifest(
+            parent=parent,
+            operation="delete-pos",
+            files=m["files"],
+            added_files=len(pos_files),
+            added_rows=0,
+            partition_by=list(m.get("partition_by") or []),
+            properties=dict(m.get("properties", {})),
+            file_stats=dict(m.get("file_stats", {})),
+            stats_cols=list(m.get("stats_cols") or []),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])) + [delta],
+        )
+
     def compact_deltas(self) -> int | None:
         """Fold every pending MoR delta back into base data files (the
         background half of merge-on-read; Iceberg's rewrite with delete
@@ -780,12 +839,20 @@ class SnapshotTable:
 
     def _apply_deltas(self, base: DataFrame, m: dict) -> DataFrame:
         """Reader-side MoR resolution: stacked deltas apply in commit
-        order — equality-delete anti-join on the key, then union the
-        upserts. Each anti-join shuffles only (base-keys × delta-keys);
-        the delete key files are tiny relative to base and broadcast-
-        eligible, so at scale this plans as broadcast anti-joins over
-        one base scan."""
+        order — positional deltas anti-join on the row's physical
+        (file, index) address; equality deltas anti-join on the key,
+        then union the upserts. Each anti-join shuffles only
+        (base-keys × delta-keys); the delete files are tiny relative to
+        base and broadcast-eligible, so at scale this plans as broadcast
+        anti-joins over one base scan."""
         for d in m.get("deltas", []):
+            if d.get("type") == "pos":
+                pos = self.spark.read.parquet(*d["pos_files"]).select(
+                    F.col("file_path").alias("_pos_file"),
+                    F.col("pos").alias("_pos_index"),
+                )
+                base = base.join(pos, ["_pos_file", "_pos_index"], "left_anti")
+                continue
             keys = self.spark.read.parquet(*d["key_files"])
             base = base.join(keys, d["key_cols"], "left_anti")
             if d["upsert_files"]:
@@ -1018,20 +1085,47 @@ class SnapshotTable:
         # NONDETERMINISTICALLY vanishes depending on which file is sampled
         # (observed r06). Merging unions all file schemas — the same
         # read-side semantics Iceberg gets from its schema list.
-        return self._apply_deltas(
-            self._read_file_list(m["files"], m.get("partition_by") or []), m
+        has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
+        out = self._apply_deltas(
+            self._read_file_list(
+                m["files"], m.get("partition_by") or [], with_pos=has_pos
+            ),
+            m,
         )
+        return out.drop("_pos_file", "_pos_index") if has_pos else out
 
-    def _read_file_list(self, files: list[str], partition_by: list[str]) -> DataFrame:
+    def _read_file_list(
+        self,
+        files: list[str],
+        partition_by: list[str],
+        with_pos: bool = False,
+    ) -> DataFrame:
         """Read an explicit data-file list under the snapshot's layout
-        (shared by :meth:`read` and :meth:`read_incremental`)."""
+        (shared by :meth:`read` and :meth:`read_incremental`).
+        ``with_pos`` attaches each row's physical address —
+        ``_pos_file``/``_pos_index`` from Spark's ``_metadata`` scan
+        columns — which positional deletes key on; metadata columns only
+        resolve against a file scan, so they attach per scan BEFORE any
+        union."""
+
+        def pos(p: DataFrame) -> DataFrame:
+            if not with_pos:
+                return p
+            return p.select(
+                "*",
+                F.col("_metadata.file_path").alias("_pos_file"),
+                F.col("_metadata.row_index").alias("_pos_index"),
+            )
+
         if partition_by:
             # hive-layout files: give Spark the staged root as basePath so the
             # key=value path segments come back as partition columns
             parts = [
-                self.spark.read.option("basePath", root)
-                .option("mergeSchema", "true")
-                .parquet(*fs)
+                pos(
+                    self.spark.read.option("basePath", root)
+                    .option("mergeSchema", "true")
+                    .parquet(*fs)
+                )
                 for root, fs in sorted(
                     _group_files_by_root(self.data_dir, files).items()
                 )
@@ -1051,7 +1145,7 @@ class SnapshotTable:
                 # roots written before an evolution lack the new columns
                 out = out.unionByName(p, allowMissingColumns=True)
             return out
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return pos(self.spark.read.option("mergeSchema", "true").parquet(*files))
 
     def read_incremental(
         self, from_version: int, to_version: int | None = None
@@ -1220,14 +1314,25 @@ class SnapshotTable:
                 return True  # no stats ⇒ cannot prune
             return _range_overlaps(rng, lo, hi)
 
+        has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
+
+        def scan(fs: list[str]) -> DataFrame:
+            df = self.spark.read.parquet(*fs)
+            if has_pos:  # positional deltas key on the row's file address
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_pos_file"),
+                    F.col("_metadata.row_index").alias("_pos_index"),
+                )
+            return df
+
         files = [f for f in m["files"] if may_match(f)]
-        if not files:
-            base = self.spark.read.parquet(*m["files"]).limit(0)
-        else:
-            base = self.spark.read.parquet(*files)
+        base = scan(files) if files else scan(m["files"]).limit(0)
         # MoR deltas apply BEFORE the residual filter: deletes drop
         # pruned-in rows by key, upserts must pass the same predicate
         base = self._apply_deltas(base, m)
+        if has_pos:
+            base = base.drop("_pos_file", "_pos_index")
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= lo)
@@ -1599,8 +1704,9 @@ class SnapshotTable:
                 mm = tbl._load(name)
                 live.update(mm["files"])
                 for d in mm.get("deltas", []):
-                    live.update(d["key_files"])
-                    live.update(d["upsert_files"])
+                    live.update(d.get("key_files", []))
+                    live.update(d.get("upsert_files", []))
+                    live.update(d.get("pos_files", []))
 
         _collect(self)
         for bname in self.list_branches():

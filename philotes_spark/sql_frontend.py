@@ -336,7 +336,11 @@ def _parse_merge(statement: str) -> _MergeSpec:
 
 
 def _exec_merge(
-    spark: SparkSession, name: str, tbl: SnapshotTable, spec: _MergeSpec
+    spark: SparkSession,
+    name: str,
+    tbl: SnapshotTable,
+    spec: _MergeSpec,
+    tables: dict[str, SnapshotTable] | None = None,
 ) -> int:
     """Execute a parsed general MERGE against a snapshot table by
     compiling its clauses into ONE change-set DataFrame and feeding it to
@@ -373,8 +377,12 @@ def _exec_merge(
     tv, sv = f"__philotes_merge_t_{tag}", f"__philotes_merge_s_{tag}"
     ta, sa = spec.t_alias, spec.s_alias
     base.createOrReplaceTempView(tv)
+    # a subquery source runs back through the front-end: USING (SELECT
+    # ... FROM t VERSION AS OF 3) AS s composes time travel into MERGE
     src_df = (
-        spark.sql(spec.source) if spec.source_is_query else spark.table(spec.source)
+        sql(spark, spec.source, snapshot_tables=tables)
+        if spec.source_is_query
+        else spark.table(spec.source)
     )
     src_df.createOrReplaceTempView(sv)
     try:
@@ -532,7 +540,11 @@ def sql(
             _, col_list, body = m.group(1, 2, 3)
             body = body.rstrip().rstrip(";")
             tbl = tables[name]
-            rows = spark.sql(body)
+            # the SELECT/VALUES body runs back through this front-end, so
+            # time travel composes: INSERT INTO t SELECT ... FROM t
+            # VERSION AS OF 3 (restore-rows-from-snapshot, a standard
+            # lakehouse recovery idiom) works as statement text
+            rows = sql(spark, body, snapshot_tables=tables)
             if col_list:
                 cols = [c.strip() for c in col_list.split(",")]
                 if len(cols) != len(rows.columns):
@@ -543,7 +555,26 @@ def sql(
                 rows = rows.toDF(*cols)
             if tbl.current_version():
                 want = tbl.read().schema
-                if sorted(rows.columns) != sorted(f.name for f in want):
+                from pyspark.sql import functions as F
+
+                extra = sorted(set(rows.columns) - {f.name for f in want})
+                if extra:
+                    raise ValueError(
+                        f"INSERT columns {extra} do not exist in table "
+                        f"columns {sorted(f.name for f in want)}"
+                    )
+                if col_list and len(set(rows.columns)) < len(want.fields):
+                    # partial column list (standard SQL): unlisted
+                    # columns fill with NULL
+                    rows = rows.select(
+                        "*",
+                        *[
+                            F.lit(None).alias(f.name)
+                            for f in want
+                            if f.name not in rows.columns
+                        ],
+                    )
+                elif sorted(rows.columns) != sorted(f.name for f in want):
                     raise ValueError(
                         f"INSERT columns {sorted(rows.columns)} do not match "
                         f"table columns {sorted(f.name for f in want)}"
@@ -551,8 +582,6 @@ def sql(
                 # align order AND types to the table schema (VALUES literals
                 # arrive as INT where the table stores BIGINT, etc. — the
                 # standard insert coercion)
-                from pyspark.sql import functions as F
-
                 rows = rows.select(
                     *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
                 )
@@ -575,7 +604,7 @@ def sql(
             )
         if re.match(r"^\s*MERGE\b", statement, re.IGNORECASE):
             spec = _parse_merge(statement)  # raises on unsupported shapes
-            version = _exec_merge(spark, name, tables[name], spec)
+            version = _exec_merge(spark, name, tables[name], spec, tables)
             return spark.createDataFrame(
                 [(name, "merge", version)],
                 "table string, operation string, version int",

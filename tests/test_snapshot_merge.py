@@ -307,3 +307,89 @@ def test_partitioned_merge_with_escaped_partition_values(spark, tmp_path):
     p.merge(changes, key_cols=["k"])
     got = {r.k: r.v for r in p.read().collect()}
     assert got == {1: "A2", 2: "b", 3: "c"}, "stale row for key 1 must be gone"
+
+
+# --- positional deletes (Iceberg v2's second delete-file kind) ---------------
+
+
+def test_positional_delete_basic(spark, tmp_path):
+    """delete_where_positional lands the doomed rows' (file, row_index)
+    addresses as an O(deleted) delta: no base file rewritten, no key
+    columns needed, readers anti-join on the address pair."""
+    from pyspark.sql import Row
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(v=i, tag="even" if i % 2 == 0 else "odd") for i in range(20)]
+        ).repartition(3)
+    )
+    m1_files = t._resolve(version=1)["files"]
+    v = t.delete_where_positional("tag = 'odd'")
+    assert v == 2
+    m2 = t._resolve(version=2)
+    assert m2["operation"] == "delete-pos"
+    assert m2["files"] == m1_files  # zero base files rewritten
+    assert m2["deltas"][0]["type"] == "pos"
+    assert sorted(r.v for r in t.read().collect()) == list(range(0, 20, 2))
+    # time travel still serves the pre-delete state
+    assert t.read(version=1).count() == 20
+    # stacked positional deletes compose
+    t.delete_where_positional("v >= 10")
+    assert sorted(r.v for r in t.read().collect()) == [0, 2, 4, 6, 8]
+    # pruned reads resolve the deltas too
+    got = sorted(r.v for r in t.read_where("v", lo=0, hi=6).collect())
+    assert got == [0, 2, 4, 6]
+
+
+def test_positional_delete_compaction_and_equality_stacking(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, x=float(i)) for i in range(10)]))
+    t.delete_where_positional("k IN (3, 4)")
+    # an equality-delete MERGE stacks on top of a positional delta
+    chg = spark.createDataFrame([Row(k=5, x=500.0), Row(k=11, x=110.0)])
+    t.merge(chg, key_cols=["k"], mode="mor")
+    got = {r.k: r.x for r in t.read().collect()}
+    assert 3 not in got and 4 not in got
+    assert got[5] == 500.0 and got[11] == 110.0
+    assert len(got) == 9  # 10 - 2 positionally deleted + 1 inserted
+    # a further positional delete over the pending upsert delta is
+    # ambiguous (upserted rows have no base-file address) — refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_deltas"):
+        t.delete_where_positional("x > 100")
+    # compaction folds everything; results identical, deltas cleared
+    before = {r.k: r.x for r in t.read().collect()}
+    t.compact_deltas()
+    assert t._resolve()["deltas"] == []
+    assert {r.k: r.x for r in t.read().collect()} == before
+    # and positional deletes work again post-compaction
+    t.delete_where_positional("x > 100")
+    assert 11 not in {r.k for r in t.read().collect()}
+
+
+def test_positional_delete_on_partitioned_table(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(day="d1" if i < 6 else "d2", v=i) for i in range(12)]
+        ),
+        partition_by=["day"],
+    )
+    # the condition references the hive partition column
+    t.delete_where_positional("day = 'd1' AND v % 2 = 1")
+    got = sorted((r.day, r.v) for r in t.read().collect())
+    assert got == [("d1", 0), ("d1", 2), ("d1", 4)] + [
+        ("d2", v) for v in range(6, 12)
+    ]

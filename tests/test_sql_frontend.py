@@ -508,9 +508,74 @@ def test_insert_statement_rejects_schema_mismatch(spark, tmp_path):
 
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.commit(spark.range(0, 3).withColumnRenamed("id", "v"))
-    with _pytest.raises(ValueError, match="do not match"):
+    with _pytest.raises(ValueError, match="do not (match|exist)"):
         sql_frontend.sql(
             spark,
             "INSERT INTO tbl SELECT 1 AS wrong_col",
             snapshot_tables={"tbl": t},
         )
+
+
+def test_insert_partial_column_list_null_fills(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1, v="a", x=1.5)]))
+    sql_frontend.sql(
+        spark, "INSERT INTO tbl (k, v) VALUES (2, 'b')",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    got = {r.k: (r.v, r.x) for r in t.read().collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", None)}
+    # unknown columns still rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="do not exist"):
+        sql_frontend.sql(
+            spark, "INSERT INTO tbl (k, nope) VALUES (3, 'c')",
+            snapshot_tables={"tbl": t},
+        )
+
+
+def test_time_travel_composes_into_insert_and_merge(spark, tmp_path):
+    """Lakehouse recovery idiom: restore rows from an old snapshot with
+    plain statement text — the DML body/source runs back through the
+    front-end, so VERSION AS OF resolves inside it."""
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)]))
+    sql_frontend.sql(
+        spark, "DELETE FROM tbl WHERE k >= 3",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert t.read().count() == 3
+    # INSERT back the deleted rows from the pre-delete snapshot
+    sql_frontend.sql(
+        spark,
+        "INSERT INTO tbl SELECT k, v FROM tbl VERSION AS OF 1 WHERE k >= 3",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # MERGE with a time-traveling source: re-sync v against snapshot 1
+    sql_frontend.sql(
+        spark, "UPDATE tbl SET v = v * 100",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    sql_frontend.sql(
+        spark,
+        "MERGE INTO tbl AS t USING "
+        "(SELECT k, v FROM tbl VERSION AS OF 1) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    assert {r.k: r.v for r in t.read().collect()} == {
+        i: float(i) for i in range(5)
+    }
