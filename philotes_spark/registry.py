@@ -195,6 +195,7 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_update_unfiltered",
         "snapshot_schema_history",
         "snapshot_positional_delete",
+        "snapshot_meta_sql",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -799,3 +799,38 @@ def snapshot_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_meta_sql",
+    oracle="""
+    SELECT 1 AS version, 'append' AS operation,
+           CAST(COUNT(*) FILTER (WHERE event_id <= 500) AS BIGINT) AS added_rows
+    FROM events
+    UNION ALL
+    SELECT 2, 'append',
+           CAST(COUNT(*) FILTER (WHERE event_id > 500) AS BIGINT)
+    FROM events
+    """,
+)
+def snapshot_meta_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 metadata tables as STATEMENT TEXT (sample-queries.sql:55-61,
+    Trino's `SELECT * FROM "t$snapshots"`): the same journal as
+    snapshot_history but served through sql_frontend's $-table rewrite
+    — proving the statement surface, not just the programmatic API."""
+    from philotes_spark import sql_frontend
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500))
+        tbl.commit(ev.filter(F.col("event_id") > 500))
+        return sql_frontend.sql(
+            spark,
+            'SELECT version, operation, added_rows FROM "ev$snapshots" '
+            "ORDER BY version",
+            snapshot_tables={"ev": tbl},
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -49,6 +49,18 @@ _TT_RE = re.compile(
     re.IGNORECASE,
 )
 
+# <table>$<metadata table> — Trino/Iceberg's metadata-table syntax
+# (sample-queries.sql:55-61: SELECT * FROM "events$snapshots"), with or
+# without the double quotes Trino requires around the $-name
+_META_TABLES = (
+    "snapshots", "files", "partitions", "properties", "metadata", "refs",
+    "schema_history", "history",
+)
+_META_RE = re.compile(
+    r'"?\b([A-Za-z_][A-Za-z0-9_]*)\$(' + "|".join(_META_TABLES) + r')\b"?',
+    re.IGNORECASE,
+)
+
 
 def _as_of_ms(literal: str) -> int:
     ts = dt.datetime.fromisoformat(literal.strip("'"))
@@ -651,9 +663,26 @@ def sql(
         created.append(view)
         return view
 
+    def _rewrite_meta(m: re.Match) -> str:
+        """``t$snapshots`` (B6 metadata tables as SQL text, Trino's
+        quoted `"t$snapshots"` or bare) → temp view over the
+        corresponding SnapshotTable metadata frame."""
+        name, meta = m.group(1), m.group(2).lower()
+        if name not in tables:
+            raise ValueError(
+                f"metadata table on {name!r}: not a registered snapshot "
+                f"table (have {sorted(tables)})"
+            )
+        tbl = tables[name]
+        df = tbl.snapshots() if meta == "history" else getattr(tbl, meta)()
+        view = f"{name}__meta_{meta}"
+        df.createOrReplaceTempView(view)
+        created.append(view)
+        return view
+
     created: list[str] = []
     try:
-        return spark.sql(_TT_RE.sub(_rewrite, statement))
+        return spark.sql(_TT_RE.sub(_rewrite, _META_RE.sub(_rewrite_meta, statement)))
     finally:
         # analysis resolved the views into the returned plan; drop them so
         # the statement leaves no residue in the session catalog (B1's

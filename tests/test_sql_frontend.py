@@ -579,3 +579,55 @@ def test_time_travel_composes_into_insert_and_merge(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()} == {
         i: float(i) for i in range(5)
     }
+
+
+def test_metadata_tables_as_sql_text(spark, tmp_path):
+    """B6 metadata tables as statement text (sample-queries.sql:55-61:
+    SELECT * FROM "events$snapshots"): $snapshots/$files/$refs/
+    $schema_history resolve through the registered snapshot table, with
+    or without Trino's double quotes, composable with joins/aggregates."""
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    t.commit(spark.createDataFrame([Row(k=2, v="b", extra=1.5)]))
+    t.tag("rel-1", version=1)
+
+    got = sql_frontend.sql(
+        spark,
+        'SELECT version, operation, added_rows FROM "tbl$snapshots" '
+        "ORDER BY version",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert [(r.version, r.operation) for r in got] == [
+        (1, "append"), (2, "append")
+    ]
+    got = sql_frontend.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM tbl$files",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert got[0].n == len(t._resolve()["files"])
+    got = sql_frontend.sql(
+        spark,
+        "SELECT ref_name, ref_type FROM tbl$refs ORDER BY ref_name",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert ("rel-1" in [r.ref_name for r in got])
+    got = sql_frontend.sql(
+        spark,
+        "SELECT MAX(schema_version) AS sv FROM tbl$schema_history",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert got[0].sv == 1
+    # unregistered table errors cleanly; catalog stays residue-free
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a registered snapshot"):
+        sql_frontend.sql(spark, "SELECT * FROM nope$snapshots")
+    assert not [
+        v for v in spark.catalog.listTables() if "__meta_" in v.name
+    ]
