@@ -494,3 +494,128 @@ def train_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "train_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, len({_TOKS}) AS n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+           CAST(SUM(n_tok) AS BIGINT) AS sampled_tokens
+    FROM ranked WHERE rn <= 40
+    GROUP BY source ORDER BY source
+    """,
+)
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with EXACT per-stratum quotas:
+    rank each source's documents by their stable md5 hash (doc_id
+    tie-break) and take the top 40 — the eval-set / ablation-corpus
+    builder that needs exactly-k-per-source, where the mixture sampler's
+    rate predicate (train_source_mixture) only hits quotas in
+    expectation. Any engine reproduces the identical sample (portable
+    md5 ordering); sum_doc_ids pins WHICH docs were picked, not just
+    how many.
+
+    100 TB shape: one shuffle (hash-partition by source), per-stratum
+    sort feeding row_number. With quotas ≪ stratum size, pre-filter by
+    hash threshold (u < 2k/n_s) to bound each sort's input before
+    ranking — the two-phase top-k trick; unnecessary at bench scale."""
+    from philotes_spark.functions import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        X.word_count(X.tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+            F.sum("n_tok").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "train_length_batches",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, greatest(1, len({_TOKS})) AS n_tok FROM documents
+    ),
+    bucketed AS (
+        SELECT n_tok,
+               CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket
+        FROM toks
+    ),
+    agg AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, n_docs,
+           CAST(greatest(1, 2048 // bucket) AS BIGINT) AS docs_per_batch,
+           CAST(CEIL(CAST(n_docs AS DOUBLE)
+                     / greatest(1, 2048 // bucket)) AS BIGINT) AS n_batches,
+           padding_tokens,
+           ROUND(100.0 * real_tokens / (n_docs * bucket), 2) AS fill_pct
+    FROM agg ORDER BY bucket
+    """,
+)
+def train_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: pad each document up to its
+    power-of-two token bucket, pack `floor(2048 / bucket)` docs per
+    batch, and report per-bucket batch counts + padding waste + fill
+    percentage — the batching plan an inference/embedding pipeline
+    builds so a batch's sequences share a padded length (padding waste
+    is the #1 throughput killer in naive batching).
+
+    100 TB shape: pure map expressions + ONE hash aggregate keyed on
+    ~15 bucket values (map-side partial collapses it); no window, no
+    per-doc shuffle — the plan stays two narrow stages at any corpus
+    size."""
+    from philotes_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.greatest(
+            F.lit(1), X.word_count(X.tokens(F.col("text")))
+        ).alias("n_tok")
+    )
+    bucketed = docs.select(
+        "n_tok",
+        F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))).cast("long").alias("bucket"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("long").alias("padding_tokens"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+    )
+    dpb = F.greatest(F.lit(1), (F.lit(2048) / F.col("bucket")).cast("long"))
+    return agg.select(
+        "bucket",
+        "n_docs",
+        dpb.cast("long").alias("docs_per_batch"),
+        F.ceil(F.col("n_docs").cast("double") / dpb).cast("long").alias("n_batches"),
+        "padding_tokens",
+        F.round(
+            F.lit(100.0) * F.col("real_tokens") / (F.col("n_docs") * F.col("bucket")),
+            2,
+        ).alias("fill_pct"),
+    ).orderBy("bucket")

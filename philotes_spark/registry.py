@@ -196,6 +196,8 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_schema_history",
         "snapshot_positional_delete",
         "snapshot_meta_sql",
+        "train_stratified_sample",
+        "train_length_batches",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
