@@ -126,9 +126,16 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _top_level_keyword_spans(s: str, word: str) -> list[int]:
-    """Start offsets of whole-word ``word`` at depth 0 outside quotes."""
-    out, depth, quote = [], 0, None
+    """Start offsets of whole-word ``word`` at paren-depth 0 outside
+    quotes AND outside ``CASE … END`` expressions — a CASE's own
+    WHEN/THEN keywords sit at depth 0 with no parentheses, so clause
+    splitting must track CASE nesting or a ``SET c = CASE WHEN …``
+    swallows the rest of the statement (found by the parser property
+    fuzz)."""
+    out, depth, case_depth, quote = [], 0, 0, None
     pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+    case_pat = re.compile(r"\bCASE\b", re.IGNORECASE)
+    end_pat = re.compile(r"\bEND\b", re.IGNORECASE)
     i = 0
     while i < len(s):
         ch = s[i]
@@ -142,11 +149,22 @@ def _top_level_keyword_spans(s: str, word: str) -> list[int]:
         elif ch == ")":
             depth -= 1
         elif depth == 0:
-            m = pat.match(s, i)
-            if m:
-                out.append(i)
-                i = m.end()
+            cm = case_pat.match(s, i)
+            if cm:
+                case_depth += 1
+                i = cm.end()
                 continue
+            em = end_pat.match(s, i)
+            if em:
+                case_depth = max(0, case_depth - 1)
+                i = em.end()
+                continue
+            if case_depth == 0:
+                m = pat.match(s, i)
+                if m:
+                    out.append(i)
+                    i = m.end()
+                    continue
         i += 1
     return out
 
@@ -209,16 +227,19 @@ class _MergeSpec:
     nmbs: list[tuple] = field(default_factory=list)
 
 
+# clause HEADS only — the action is split off at the first top-level
+# THEN (CASE-aware, see _top_level_keyword_spans), so conditions and
+# actions may freely contain CASE WHEN … THEN … END
 _WHEN_NMBS = re.compile(
-    r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_NM = re.compile(
-    r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*(?:AND\s+(?P<cond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED = re.compile(
-    r"^\s*MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+    r"^\s*MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -332,15 +353,24 @@ def _parse_merge(statement: str) -> _MergeSpec:
     for a, b in zip(bounds, bounds[1:]):
         clause = rest[a:b]
         clause = re.sub(r"^\s*WHEN\b", "", clause, flags=re.IGNORECASE)
+        thens = _top_level_keyword_spans(clause, "THEN")
+        if not thens:
+            raise ValueError(
+                f"unsupported MERGE WHEN clause (no THEN): {clause.strip()!r}"
+            )
+        head, act = clause[: thens[0]], clause[thens[0] + 4 :]
         for pat, family in (
             (_WHEN_NMBS, "nmbs"),
             (_WHEN_NM, "not_matched"),
             (_WHEN_MATCHED, "matched"),
         ):
-            cm = pat.match(clause)
+            cm = pat.match(head)
             if cm:
-                action = _parse_merge_action(cm.group("act"), family)
-                getattr(spec, family).append((cm.group("cond"), action))
+                action = _parse_merge_action(act, family)
+                cond = cm.group("cond")
+                getattr(spec, family).append(
+                    (cond.strip() if cond else None, action)
+                )
                 break
         else:
             raise ValueError(f"unsupported MERGE WHEN clause: {clause.strip()!r}")

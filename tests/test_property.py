@@ -77,3 +77,85 @@ def test_retry_backoff_bounded(attempt, seed):
     assert 0 <= b <= p.max_backoff * (1 + p.jitter)
     if attempt == 0:
         assert b >= p.initial_backoff * (1 - p.jitter)
+
+
+# --- DML parser properties (r07 general MERGE grammar) -----------------------
+
+
+class TestMergeParserProperties:
+    """The statement parser must be total over the grammar: any
+    statement assembled from valid components parses back to exactly
+    its components — aliases, clause kinds, conditions, SET lists —
+    regardless of whitespace, case, or nesting in expressions."""
+
+    from hypothesis import given, settings, strategies as st
+
+    idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+    # expressions with commas/parens/quotes that must NOT confuse the
+    # depth-aware splitters
+    exprs = st.sampled_from([
+        "s.v + 1",
+        "coalesce(s.v, t.v, 0)",
+        "CASE WHEN s.v > 0 THEN 'a,b' ELSE '(c)' END",
+        "concat(s.name, ', ', t.name)",
+        "round(s.v * (t.v + 2), 2)",
+    ])
+    conds = st.sampled_from([
+        None,
+        "s.v < 0",
+        "t.v > s.v AND s.flag",
+        "s.name IN ('x,y', 'z')",
+    ])
+
+    @given(
+        t=idents, ta=idents, sa=idents,
+        set_exprs=st.lists(exprs, min_size=1, max_size=3),
+        mc=conds, ic=conds,
+        use_subquery=st.booleans(),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_parse_round_trips(self, t, ta, sa, set_exprs, mc, ic,
+                               use_subquery, data):
+        from hypothesis import assume
+
+        from philotes_spark.sql_frontend import _parse_merge
+
+        assume(len({t, ta, sa}) == 3)
+        assume(not {t, ta, sa} & {"using", "on", "when", "as", "merge"})
+        cols = [f"c{i}" for i in range(len(set_exprs))]
+        set_list = ", ".join(f"{c} = {e}" for c, e in zip(cols, set_exprs))
+        src = "(SELECT * FROM raw WHERE x IN (1, 2))" if use_subquery else "srctbl"
+        stmt = (
+            f"MERGE INTO {t} AS {ta} USING {src} AS {sa} "
+            f"ON {ta}.k = {sa}.k "
+        )
+        if mc:
+            stmt += f"WHEN MATCHED AND {mc} THEN DELETE "
+        stmt += f"WHEN MATCHED THEN UPDATE SET {set_list} "
+        if ic:
+            stmt += f"WHEN NOT MATCHED AND {ic} THEN INSERT * "
+        else:
+            stmt += "WHEN NOT MATCHED THEN INSERT * "
+        stmt += "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+
+        spec = _parse_merge(stmt)
+        assert spec.target == t and spec.t_alias == ta and spec.s_alias == sa
+        assert spec.source_is_query is use_subquery
+        assert spec.on.strip() == f"{ta}.k = {sa}.k"
+        kinds = [a["op"] for _, a in spec.matched]
+        assert kinds == (["delete", "update"] if mc else ["update"])
+        upd = spec.matched[-1][1]
+        assert list(upd["set"]) == cols
+        assert [e.strip() for e in upd["set"].values()] == set_exprs
+        assert [a["op"] for _, a in spec.not_matched] == ["insert_all"]
+        assert spec.not_matched[0][0] == (f"{ic}" if ic else None)
+        assert [a["op"] for _, a in spec.nmbs] == ["delete"]
+
+    @given(items=st.lists(exprs, min_size=1, max_size=5))
+    @settings(max_examples=40, deadline=None)
+    def test_split_top_is_inverse_of_join(self, items):
+        from philotes_spark.sql_frontend import _split_top
+
+        joined = ", ".join(items)
+        assert [p.strip() for p in _split_top(joined)] == items
