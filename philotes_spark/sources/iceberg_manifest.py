@@ -47,11 +47,34 @@ def partition_record_schema(part_fields: list[dict]) -> dict:
     }
 
 
+def _bounds_map_schema(key_id: int, value_id: int) -> dict:
+    """Iceberg's ``map<int, binary>`` bounds fields in Avro: maps with
+    non-string keys encode as an array of key/value records carrying the
+    spec's field ids, tagged ``logicalType: map`` (Iceberg spec,
+    "Avro" appendix)."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": f"k{key_id}_v{value_id}",
+                "fields": [
+                    _f(key_id, "key", "int"),
+                    _f(value_id, "value", "bytes"),
+                ],
+            },
+        },
+    ]
+
+
 def manifest_entry_schema(part_fields: list[dict]) -> dict:
     """``manifest_entry`` (the record a manifest file stores per data
-    file), required v2 fields; optional column-stats fields are omitted
-    (spec-legal: readers resolve by field-id and treat absent optional
-    fields as absent)."""
+    file), required v2 fields plus the lower/upper column bounds an
+    external reader prunes scans with; the remaining optional
+    column-stats fields are omitted (spec-legal: readers resolve by
+    field-id and treat absent optional fields as absent)."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -62,6 +85,8 @@ def manifest_entry_schema(part_fields: list[dict]) -> dict:
             _f(102, "partition", partition_record_schema(part_fields)),
             _f(103, "record_count", "long"),
             _f(104, "file_size_in_bytes", "long"),
+            _f(125, "lower_bounds", _bounds_map_schema(126, 127)),
+            _f(128, "upper_bounds", _bounds_map_schema(129, 130)),
         ],
     }
     return {
@@ -141,6 +166,64 @@ def _partition_value(path: str, name: str, avro_type: str):
     return None
 
 
+def single_value_bytes(value, iceberg_type: str) -> bytes | None:
+    """Iceberg "Binary single-value serialization" (table spec
+    appendix): little-endian fixed width for numerics, UTF-8 bytes for
+    strings. Types outside the supported set (decimal, date/timestamp
+    stats stored as strings) return None — their bounds are simply
+    omitted, which a reader treats as "no stats" (correct, just less
+    prunable)."""
+    import struct
+
+    if value is None:
+        return None
+    try:
+        if iceberg_type == "int":
+            return struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(value))
+        if iceberg_type == "string" and isinstance(value, str):
+            return value.encode("utf-8")
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def decode_single_value(data: bytes, iceberg_type: str):
+    """Inverse of :func:`single_value_bytes` — the external reader's
+    side of the bounds round trip."""
+    import struct
+
+    fmt = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}.get(
+        iceberg_type
+    )
+    if fmt:
+        return struct.unpack(fmt, data)[0]
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    raise ValueError(f"no single-value decoding for {iceberg_type!r}")
+
+
+def decode_bounds(data_file: dict, rest_schema: dict) -> dict:
+    """{column: (lower, upper)} decoded from a data_file's bounds maps
+    using the schema's field ids/types — what a reader prunes with."""
+    by_id = {f["id"]: (f["name"], f["type"]) for f in rest_schema["fields"]}
+    out: dict[str, list] = {}
+    for side, idx in (("lower_bounds", 0), ("upper_bounds", 1)):
+        for kv in data_file.get(side) or []:
+            if kv["key"] not in by_id:
+                continue
+            name, typ = by_id[kv["key"]]
+            out.setdefault(name, [None, None])[idx] = decode_single_value(
+                kv["value"], typ
+            )
+    return {k: tuple(v) for k, v in out.items()}
+
+
 # --- writers ------------------------------------------------------------------
 
 
@@ -171,6 +254,11 @@ def write_manifests_for_version(
 
     import pyarrow.parquet as pq
 
+    file_stats = m.get("file_stats", {})
+    col_ids = {
+        f["name"]: (f["id"], f["type"])
+        for f in (rest_schema or {}).get("fields", [])
+    }
     entries = []
     added = existing = added_rows = existing_rows = 0
     for f in m["files"]:
@@ -182,6 +270,19 @@ def write_manifests_for_version(
         else:
             existing += 1
             existing_rows += rows
+        # the engine's own manifest stats become spec-serialized bounds
+        # maps, so an external reader prunes with the same [min,max]
+        # ranges the engine's read_where uses
+        lower, upper = [], []
+        for col, rng in sorted(file_stats.get(f, {}).items()):
+            if col not in col_ids:
+                continue
+            fid, typ = col_ids[col]
+            lo = single_value_bytes(rng[0], typ)
+            hi = single_value_bytes(rng[1], typ)
+            if lo is not None and hi is not None:
+                lower.append({"key": fid, "value": lo})
+                upper.append({"key": fid, "value": hi})
         entries.append(
             {
                 "status": 1 if is_added else 0,
@@ -200,6 +301,8 @@ def write_manifests_for_version(
                     },
                     "record_count": rows,
                     "file_size_in_bytes": os.path.getsize(f),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 },
             }
         )

@@ -679,3 +679,34 @@ def test_avro_manifest_round_trip_with_partitions(spark, tmp_path):
     # the engine keeps the table's hive layout across appends, so every
     # file carries its typed identity partition value
     assert by_k == {1: 2, 2: 1, 3: 1}
+
+
+def test_avro_manifest_column_bounds_round_trip(spark, tmp_path):
+    """The engine's per-file [min,max] stats serialize into the data
+    file's lower_bounds/upper_bounds maps (Iceberg single-value binary
+    serialization, map-as-array-of-kv Avro encoding) and decode back
+    typed — the stats an external reader prunes scans with."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import (
+        decode_bounds,
+        read_ocf,
+        read_manifest_list,
+        write_manifests_for_version,
+    )
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 10.5, "apple"), (9, -2.25, "zebra"), (5, 0.0, "mango")],
+        "k long, x double, name string",
+    ).coalesce(1)
+    snap.commit(df, stats_cols=["k", "x", "name"])
+    rest = schema_to_rest(snap.read().schema)
+    ml = write_manifests_for_version(snap, 1, rest_schema=rest)
+    (mf,) = read_manifest_list(ml)
+    _, _, entries = read_ocf(mf["manifest_path"])
+    (entry,) = entries
+    bounds = decode_bounds(entry["data_file"], rest)
+    assert bounds["k"] == (1, 9)
+    assert bounds["x"] == (-2.25, 10.5)
+    assert bounds["name"] == ("apple", "zebra")
