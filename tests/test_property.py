@@ -159,3 +159,85 @@ class TestMergeParserProperties:
 
         joined = ", ".join(items)
         assert [p.strip() for p in _split_top(joined)] == items
+
+
+# --- Avro codec properties (r07 manifest layer) ------------------------------
+
+
+class TestAvroCodecProperties:
+    """The stdlib Avro codec must round-trip arbitrary values of the
+    Iceberg-manifest type repertoire exactly — zigzag longs at the
+    64-bit edges, unicode strings, nested arrays/maps/unions."""
+
+    from hypothesis import given, settings, strategies as st
+
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    strings = st.text(max_size=40)
+    blobs = st.binary(max_size=40)
+
+    @given(n=longs)
+    @settings(max_examples=200, deadline=None)
+    def test_zigzag_long_round_trip(self, n):
+        import io
+
+        from philotes_spark.sources.avro import read_long, write_long
+
+        buf = io.BytesIO()
+        write_long(buf, n)
+        buf.seek(0)
+        assert read_long(buf) == n
+
+    @given(
+        s=strings, b=blobs, l=longs, d=st.floats(allow_nan=False),
+        flag=st.booleans(),
+        opt=st.one_of(st.none(), longs),
+        arr=st.lists(longs, max_size=8),
+        m=st.dictionaries(st.text(max_size=8), strings, max_size=5),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_record_round_trip(self, s, b, l, d, flag, opt, arr, m):
+        import io
+
+        from philotes_spark.sources.avro import decode, encode
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "bytes"},
+                {"name": "l", "type": "long"},
+                {"name": "d", "type": "double"},
+                {"name": "flag", "type": "boolean"},
+                {"name": "opt", "type": ["null", "long"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+            ],
+        }
+        val = {"s": s, "b": b, "l": l, "d": d, "flag": flag,
+               "opt": opt, "arr": arr, "m": m}
+        buf = io.BytesIO()
+        encode(buf, schema, val)
+        buf.seek(0)
+        assert decode(buf, schema) == val
+
+    @given(v=st.one_of(longs, st.floats(allow_nan=False, allow_infinity=False),
+                       strings))
+    @settings(max_examples=100, deadline=None)
+    def test_single_value_serialization_round_trips(self, v):
+        from hypothesis import assume
+
+        from philotes_spark.sources.iceberg_manifest import (
+            decode_single_value,
+            single_value_bytes,
+        )
+
+        if isinstance(v, str):
+            typ = "string"
+        elif isinstance(v, int):
+            typ = "long"
+        else:
+            typ = "double"
+        data = single_value_bytes(v, typ)
+        assume(data is not None)
+        assert decode_single_value(data, typ) == v
