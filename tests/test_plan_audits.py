@@ -582,3 +582,21 @@ def test_top_bigrams_mapside_collapse_then_topk(plan_of):
     a = plan_of("text_top_bigrams_per_source")
     assert "partial_count" in a.plan
     assert a.scans["documents.parquet"] == {"source", "text"}
+
+
+def test_stratified_sample_single_data_shuffle(plan_of):
+    # r07: exact-quota stratified sampling = ONE hash-partition-by-source
+    # exchange feeding the per-stratum rank; the final orderBy may add a
+    # range exchange over n_sources rows (tiny) but nothing else
+    a = plan_of("train_stratified_sample")
+    assert a.shuffles <= 2, f"stratified sample grew shuffles: {a.shuffles}"
+    assert "Window" in a.plan  # rank within stratum
+
+
+def test_length_batches_no_per_doc_shuffle(plan_of):
+    # r07: length-bucketed batching is pure map + one ~15-group hash
+    # aggregate (map-side partial) — no window, no per-doc shuffle
+    a = plan_of("train_length_batches")
+    assert "Window" not in a.plan, "per-doc window crept into the batching plan"
+    assert a.shuffles <= 2, f"length batching grew shuffles: {a.shuffles}"
+    assert "partial" in a.plan.lower(), "aggregate lost its map-side partial"
