@@ -506,12 +506,38 @@ class SnapshotTable:
             )
         return df
 
+    def _dml_mode(self, kind: str, mode: str | None) -> str:
+        """Resolve a row-level operation's write mode: an explicit
+        argument wins; otherwise the table property
+        ``write.<kind>.mode`` (``copy-on-write`` | ``merge-on-read`` —
+        Iceberg's own property names/values) decides, defaulting to
+        copy-on-write. Lets a table opt its DML statements into MoR
+        without every call site knowing."""
+        if mode is None:
+            props = {}
+            v = self.current_version()
+            if v:
+                props = self._load(f"v{v:08d}.json").get("properties", {})
+            mode = props.get(f"write.{kind}.mode", "copy-on-write")
+        resolved = {
+            "cow": "cow",
+            "copy-on-write": "cow",
+            "mor": "mor",
+            "merge-on-read": "mor",
+        }.get(mode)
+        if resolved is None:
+            raise ValueError(
+                f"bad write.{kind}.mode {mode!r}: use copy-on-write or "
+                "merge-on-read"
+            )
+        return resolved
+
     def merge(
         self,
         changes: DataFrame,
         key_cols: list[str],
         delete_col: str | None = None,
-        mode: str = "cow",
+        mode: str | None = None,
     ) -> int:
         """MERGE a change set into the table as a new snapshot version
         (copy-on-write): rows whose key appears in ``changes`` are
@@ -540,8 +566,7 @@ class SnapshotTable:
         :meth:`compact_deltas` folds the deltas back into base files.
         Write amplification moves from the ingest path to a background
         compaction, exactly Iceberg's CoW/MoR dial."""
-        if mode not in ("cow", "mor"):
-            raise ValueError(f"unknown merge mode {mode!r}")
+        mode = self._dml_mode("merge", mode)
         if not key_cols:
             raise ValueError("merge requires key_cols")
         parent = self.current_version()
@@ -685,7 +710,7 @@ class SnapshotTable:
             )
 
     def delete_where(
-        self, condition: str, key_cols: list[str], mode: str = "cow"
+        self, condition: str, key_cols: list[str], mode: str | None = None
     ) -> int:
         """Row-level ``DELETE FROM t WHERE <condition>`` as a new
         snapshot: rows matching the SQL condition are removed, everything
@@ -699,6 +724,7 @@ class SnapshotTable:
 
         ``key_cols`` must uniquely identify rows (guarded — see
         :meth:`_guard_keys_identify`)."""
+        mode = self._dml_mode("delete", mode)
         doomed = (
             self.read()
             .filter(F.expr(condition))
@@ -714,7 +740,7 @@ class SnapshotTable:
         condition: str,
         set_exprs: dict[str, str],
         key_cols: list[str],
-        mode: str = "cow",
+        mode: str | None = None,
     ) -> int:
         """Row-level ``UPDATE t SET c = <expr>, ... WHERE <condition>``
         as a new snapshot: matching rows are rewritten with the SET
@@ -735,6 +761,7 @@ class SnapshotTable:
                 "row (old-key copy survives the anti-join). Use DELETE "
                 "then INSERT for key changes."
             )
+        mode = self._dml_mode("update", mode)
         changed = self.read().filter(F.expr(condition))
         self._guard_keys_identify(changed, key_cols)
         for col, expr in set_exprs.items():

@@ -393,3 +393,47 @@ def test_positional_delete_on_partitioned_table(spark, tmp_path):
     assert got == [("d1", 0), ("d1", 2), ("d1", 4)] + [
         ("d2", v) for v in range(6, 12)
     ]
+
+
+def test_write_mode_table_properties_drive_dml(spark, tmp_path):
+    """Iceberg's write.<op>.mode table properties (copy-on-write |
+    merge-on-read) pick the DML execution mode when the caller passes
+    none — a table opts its statements into MoR without call sites
+    knowing (the property names/values are Iceberg's own)."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(8)]),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    base_files = t._resolve()["files"]
+    t.delete_where("k >= 6", key_cols=["k"])  # no mode passed
+    m = t._resolve()
+    assert m["operation"] == "merge-mor"  # property chose MoR
+    assert m["files"] == base_files  # no rewrite
+    assert sorted(r.k for r in t.read().collect()) == list(range(6))
+    # update has no property set → defaults to copy-on-write, which
+    # merge correctly refuses over the pending MoR delta
+    with _pytest.raises(ValueError, match="pending MoR deltas"):
+        t.update_where("k = 0", {"v": "v + 100"}, key_cols=["k"])
+    # explicit argument still overrides the property
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.commit(
+        spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t2.delete_where("k = 1", key_cols=["k"], mode="cow")
+    assert t2._resolve()["operation"] == "merge"  # CoW despite property
+    # bad property value errors clearly
+    t3 = SnapshotTable(spark, str(tmp_path / "t3"))
+    t3.commit(
+        spark.createDataFrame([Row(k=1, v=1.0)]),
+        properties={"write.update.mode": "sideways"},
+    )
+    with _pytest.raises(ValueError, match="bad write.update.mode"):
+        t3.update_where("k = 1", {"v": "2.0"}, key_cols=["k"])
