@@ -506,6 +506,39 @@ class SnapshotTable:
             )
         return df
 
+    def set_properties(
+        self,
+        set_props: dict[str, str] | None = None,
+        unset: list[str] | None = None,
+    ) -> int:
+        """Metadata-only commit updating the table properties (ALTER
+        TABLE … SET/UNSET TBLPROPERTIES): same file list, new version —
+        so property changes (e.g. ``write.delete.mode``) are themselves
+        versioned and time-travelable, like any Iceberg metadata
+        update."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        props = dict(m.get("properties", {}))
+        props.update(set_props or {})
+        for k in unset or []:
+            props.pop(k, None)
+        return self._write_manifest(
+            parent=parent,
+            operation="set-properties",
+            files=m["files"],
+            added_files=0,
+            added_rows=0,
+            partition_by=list(m.get("partition_by") or []),
+            properties=props,
+            file_stats=dict(m.get("file_stats", {})),
+            stats_cols=list(m.get("stats_cols") or []),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])),
+        )
+
     def _dml_mode(self, kind: str, mode: str | None) -> str:
         """Resolve a row-level operation's write mode: an explicit
         argument wins; otherwise the table property

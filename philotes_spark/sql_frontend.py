@@ -92,6 +92,19 @@ _DML_LEAD = re.compile(
     re.IGNORECASE,
 )
 
+_DDL_ALTER_SET = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_ALTER_UNSET = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+    r"(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_LEAD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
+)
+
 _DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
   INSERT INTO t [(col, ...)] SELECT ... | VALUES ...
   DELETE FROM t [WHERE <cond>]
@@ -553,6 +566,50 @@ def sql(
                 "dml_keys={'" + name + "': [...]})"
             )
         return keys[name]
+
+    alter = _ALTER_LEAD.match(statement)
+    if alter and alter.group(1) in tables:
+        name = alter.group(1)
+        m = _DDL_ALTER_SET.match(statement)
+        if m:
+            props = {}
+            for item in _split_top(m.group(2)):
+                pm = re.fullmatch(
+                    r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", item
+                )
+                if not pm:
+                    raise ValueError(
+                        f"bad TBLPROPERTIES item {item.strip()!r}: "
+                        "use 'key' = 'value'"
+                    )
+                props[pm.group(1)] = pm.group(2)
+            version = tables[name].set_properties(props)
+            return spark.createDataFrame(
+                [(name, "set-properties", version)],
+                "table string, operation string, version int",
+            )
+        m = _DDL_ALTER_UNSET.match(statement)
+        if m:
+            keys_to_drop = []
+            for item in _split_top(m.group(2)):
+                pm = re.fullmatch(r"\s*'([^']*)'\s*", item)
+                if not pm:
+                    raise ValueError(
+                        f"bad UNSET TBLPROPERTIES item {item.strip()!r}: "
+                        "use 'key'"
+                    )
+                keys_to_drop.append(pm.group(1))
+            version = tables[name].set_properties(unset=keys_to_drop)
+            return spark.createDataFrame(
+                [(name, "unset-properties", version)],
+                "table string, operation string, version int",
+            )
+        raise ValueError(
+            f"unsupported ALTER shape for snapshot table {name!r}: only "
+            "SET TBLPROPERTIES ('k'='v', ...) and UNSET TBLPROPERTIES "
+            "[IF EXISTS] ('k', ...) are served; other ALTERs (schema "
+            "changes) happen through commit-time evolution"
+        )
 
     lead = _DML_LEAD.match(statement)
     if lead and lead.group(1) in tables:

@@ -631,3 +631,62 @@ def test_metadata_tables_as_sql_text(spark, tmp_path):
     assert not [
         v for v in spark.catalog.listTables() if "__meta_" in v.name
     ]
+
+
+def test_alter_tblproperties_statement_drives_dml_mode(spark, tmp_path):
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES as statement text:
+    property changes are metadata-only VERSIONED commits, and setting
+    Iceberg's write.delete.mode switches subsequent DELETE statements
+    to merge-on-read without any call-site change."""
+    from pyspark.sql import Row
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(6)]))
+    res = sql_frontend.sql(
+        spark,
+        "ALTER TABLE tbl SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read', 'owner' = 'cdc')",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert res[0].operation == "set-properties" and res[0].version == 2
+    props = {r.key: r.value for r in t.properties().collect()}
+    assert props["write.delete.mode"] == "merge-on-read"
+    base_files = t._resolve()["files"]
+    sql_frontend.sql(
+        spark, "DELETE FROM tbl WHERE k >= 4",
+        snapshot_tables={"tbl": t}, dml_keys={"tbl": ["k"]},
+    ).collect()
+    m = t._resolve()
+    assert m["operation"] == "merge-mor" and m["files"] == base_files
+    assert t.read().count() == 4
+    # UNSET reverts to copy-on-write for the next statement
+    sql_frontend.sql(
+        spark,
+        "ALTER TABLE tbl UNSET TBLPROPERTIES IF EXISTS ('write.delete.mode')",
+        snapshot_tables={"tbl": t},
+    ).collect()
+    assert "write.delete.mode" not in {
+        r.key for r in t.properties().collect()
+    }
+    # unsupported ALTER on a registered table names the limitation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported ALTER shape"):
+        sql_frontend.sql(
+            spark, "ALTER TABLE tbl ADD COLUMN z INT",
+            snapshot_tables={"tbl": t},
+        )
+    # ALTER on an unregistered table falls through to spark.sql
+    spark.sql("DROP TABLE IF EXISTS _alter_cat_tbl")
+    spark.sql("CREATE TABLE _alter_cat_tbl (v BIGINT) USING parquet")
+    try:
+        sql_frontend.sql(
+            spark,
+            "ALTER TABLE _alter_cat_tbl SET TBLPROPERTIES ('a' = 'b')",
+            snapshot_tables={"tbl": t},
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _alter_cat_tbl")
