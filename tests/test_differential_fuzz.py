@@ -525,6 +525,19 @@ def test_same_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     )
     tbl = SnapshotTable(spark, str(tmp_path / "dml_t"))
     tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    # merge-on-read twin: identical statements, every op lands as a
+    # delta (write.<op>.mode properties via the ALTER statement) — the
+    # stacked-delta read path must agree with copy-on-write exactly
+    mor = SnapshotTable(spark, str(tmp_path / "dml_t_mor"))
+    mor.commit(spark.sql(init_sql), stats_cols=["k"])
+    sql_frontend.sql(
+        spark,
+        "ALTER TABLE dml_t SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read', "
+        "'write.update.mode' = 'merge-on-read', "
+        "'write.merge.mode' = 'merge-on-read')",
+        snapshot_tables={"dml_t": mor},
+    ).collect()
     own_duck = duckdb.connect()
     own_duck.sql(
         "CREATE VIEW customer AS "
@@ -536,9 +549,19 @@ def test_same_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
             spark, spark_stmt,
             snapshot_tables={"dml_t": tbl}, dml_keys={"dml_t": ["k"]},
         ).collect()
+        sql_frontend.sql(
+            spark, spark_stmt,
+            snapshot_tables={"dml_t": mor}, dml_keys={"dml_t": ["k"]},
+        ).collect()
         for d in [duck_side] if isinstance(duck_side, str) else duck_side:
             own_duck.sql(d)
+    assert all(
+        m2.get("deltas") or m2["operation"] in ("append", "set-properties")
+        for m2 in [mor._resolve()]
+    ), "MoR twin rewrote base files"
     s_rows = {r.k: (r.v, r.s) for r in tbl.read().collect()}
+    mor_rows = {r.k: (r.v, r.s) for r in mor.read().collect()}
+    assert s_rows == mor_rows, f"seed={seed}: MoR twin diverged from CoW"
     d_rows = {k: (v, s) for k, v, s in own_duck.sql(
         "SELECT k, v, s FROM dml_t"
     ).fetchall()}
