@@ -169,6 +169,16 @@ def _matches(branch, value) -> bool:
     return False
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Read exactly ``n`` bytes or raise — a truncated manifest must fail
+    loudly, never decode to short bytes / garbage structs (ADVICE r07:
+    the fixed/float/double/boolean paths tolerated short reads)."""
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(f"truncated avro data: wanted {n} bytes, got {len(data)}")
+    return data
+
+
 def decode(buf: io.BytesIO, schema):
     """Decode one value per ``schema``; records come back as dicts."""
     t = _type_name(schema)
@@ -177,19 +187,19 @@ def decode(buf: io.BytesIO, schema):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if t in ("int", "long"):
         return read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     if t == "record":
         return {f["name"]: decode(buf, f["type"]) for f in schema["fields"]}
     if t == "array":
@@ -290,7 +300,7 @@ def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
     if codec not in (b"null", b"deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
-    sync = buf.read(16)
+    sync = _read_exact(buf, 16)  # a file cut mid-marker must not read as empty
     records: list[dict] = []
     while True:
         try:
@@ -298,7 +308,7 @@ def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
         except EOFError:
             break
         size = read_long(buf)
-        payload = buf.read(size)
+        payload = _read_exact(buf, size)
         if codec == b"deflate":
             import zlib
 
@@ -306,6 +316,6 @@ def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
         block = io.BytesIO(payload)
         for _ in range(count):
             records.append(decode(block, schema))
-        if buf.read(16) != sync:
+        if _read_exact(buf, 16) != sync:
             raise ValueError(f"{path}: sync marker mismatch")
     return schema, meta, records

@@ -62,6 +62,35 @@ _META_RE = re.compile(
 )
 
 
+def _sub_outside_literals(pattern: re.Pattern, repl, s: str) -> str:
+    """``pattern.sub(repl, ...)`` applied only OUTSIDE single-quoted SQL
+    string literals ('' escapes honored): a query containing a literal
+    like ``'foo$snapshots'`` or ``'t VERSION AS OF 3'`` must pass through
+    to spark.sql untouched, not be rewritten or rejected (ADVICE r07).
+    Double quotes stay substitutable — they quote identifiers in SQL, and
+    Trino's metadata-table syntax is a double-quoted identifier."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2  # '' = escaped quote inside the literal
+                        continue
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        else:
+            j = s.find("'", i)
+            if j == -1:
+                j = n
+            out.append(pattern.sub(repl, s[i:j]))
+            i = j
+    return "".join(out)
+
+
 def _as_of_ms(literal: str) -> int:
     ts = dt.datetime.fromisoformat(literal.strip("'"))
     if ts.tzinfo is None:
@@ -70,12 +99,16 @@ def _as_of_ms(literal: str) -> int:
 
 
 _IDENT = r"[A-Za-z_][\w.]*"
+# heads only — the WHERE boundary is located with
+# _top_level_keyword_spans (quote/paren/CASE-aware), NOT a lazy regex: a
+# SET expression containing ' WHERE ' in a string literal or a
+# parenthesized subquery must not split the statement (ADVICE r07)
 _DML_DELETE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s*(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_UPDATE = re.compile(
-    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_INSERT = re.compile(
@@ -180,6 +213,16 @@ def _top_level_keyword_spans(s: str, word: str) -> list[int]:
                     continue
         i += 1
     return out
+
+
+def _split_where(body: str) -> tuple[str, str]:
+    """Split ``body`` at its first top-level WHERE (quote/paren/CASE-
+    aware) → (head, condition); condition is ``"true"`` when no WHERE
+    exists (the WHERE-less UPDATE/DELETE shape)."""
+    spans = _top_level_keyword_spans(body, "WHERE")
+    if not spans:
+        return body.strip(), "true"
+    return body[: spans[0]].strip(), body[spans[0] + 5 :].strip()
 
 
 def _merge_on_keys(on: str, t_names: set[str], s_names: set[str]) -> list[str]:
@@ -431,16 +474,22 @@ def _exec_merge(
     tag = uuid.uuid4().hex[:12]
     tv, sv = f"__philotes_merge_t_{tag}", f"__philotes_merge_s_{tag}"
     ta, sa = spec.t_alias, spec.s_alias
-    base.createOrReplaceTempView(tv)
-    # a subquery source runs back through the front-end: USING (SELECT
-    # ... FROM t VERSION AS OF 3) AS s composes time travel into MERGE
-    src_df = (
-        sql(spark, spec.source, snapshot_tables=tables)
-        if spec.source_is_query
-        else spark.table(spec.source)
-    )
-    src_df.createOrReplaceTempView(sv)
+    created: list[str] = []
+    # view creation + source compilation inside the try: if compiling the
+    # USING subquery raises, no uuid-tagged view may leak into the session
+    # catalog (no-residue contract; ADVICE r07)
     try:
+        base.createOrReplaceTempView(tv)
+        created.append(tv)
+        # a subquery source runs back through the front-end: USING (SELECT
+        # ... FROM t VERSION AS OF 3) AS s composes time travel into MERGE
+        src_df = (
+            sql(spark, spec.source, snapshot_tables=tables)
+            if spec.source_is_query
+            else spark.table(spec.source)
+        )
+        src_df.createOrReplaceTempView(sv)
+        created.append(sv)
 
         def proj_sql(exprs: dict[str, str], del_flag: bool) -> str:
             cols = [
@@ -516,8 +565,8 @@ def _exec_merge(
             changes = changes.unionByName(f)
         return tbl.merge(changes, key_cols=key_cols, delete_col=flag)
     finally:
-        spark.catalog.dropTempView(tv)
-        spark.catalog.dropTempView(sv)
+        for view in created:
+            spark.catalog.dropTempView(view)
 
 
 # the canonical full-row upsert MERGE (the shape the snapshot merge
@@ -616,7 +665,12 @@ def sql(
         name = lead.group(1)
         m = _DML_DELETE.match(statement)
         if m:
-            condition = m.group(2) or "true"
+            rest, condition = _split_where(m.group(2))
+            if rest:  # DELETE FROM t <extra tokens> [WHERE ...]
+                raise ValueError(
+                    f"unsupported DML shape for snapshot table {name!r}: "
+                    f"unexpected {rest[:60]!r} before WHERE\n{_DML_GRAMMAR}"
+                )
             version = tables[name].delete_where(
                 condition, key_cols=_dml_keys_for(name)
             )
@@ -626,9 +680,9 @@ def sql(
             )
         m = _DML_UPDATE.match(statement)
         if m:
-            condition = m.group(3) or "true"
+            set_sql, condition = _split_where(m.group(2))
             version = tables[name].update_where(
-                condition, _split_set_list(m.group(2)), key_cols=_dml_keys_for(name)
+                condition, _split_set_list(set_sql), key_cols=_dml_keys_for(name)
             )
             return spark.createDataFrame(
                 [(name, "update", version)],
@@ -769,7 +823,15 @@ def sql(
 
     created: list[str] = []
     try:
-        return spark.sql(_TT_RE.sub(_rewrite, _META_RE.sub(_rewrite_meta, statement)))
+        # metadata-table rewriting skips single-quoted literals (a string
+        # 'foo$snapshots' is data, not a table reference); the time-travel
+        # rewrite cannot — its own match includes the quoted timestamp/tag
+        # literal ("... AS OF '2024-01-01'")
+        return spark.sql(
+            _TT_RE.sub(
+                _rewrite, _sub_outside_literals(_META_RE, _rewrite_meta, statement)
+            )
+        )
     finally:
         # analysis resolved the views into the returned plan; drop them so
         # the statement leaves no residue in the session catalog (B1's

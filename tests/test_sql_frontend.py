@@ -690,3 +690,58 @@ def test_alter_tblproperties_statement_drives_dml_mode(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS _alter_cat_tbl")
+
+
+# --- ADVICE r07 regressions ----------------------------------------------------
+
+
+def test_update_set_literal_containing_where_word(spark, tmp_path):
+    """A SET expression whose string literal contains ' WHERE ' must not
+    split the statement (the old lazy regex found the first textual
+    WHERE; the boundary is now located quote/paren-aware)."""
+    t = SnapshotTable(spark, str(tmp_path / "uw"))
+    t.commit(
+        spark.range(0, 4).select(
+            F.col("id").alias("k"), F.lit("x").alias("note")
+        )
+    )
+    sql(
+        spark,
+        "UPDATE uw SET note = ' WHERE it hurts' WHERE k = 2",
+        snapshot_tables={"uw": t},
+        dml_keys={"uw": ["k"]},
+    )
+    rows = {r.k: r.note for r in t.read().collect()}
+    assert rows[2] == " WHERE it hurts"
+    assert rows[1] == "x"
+
+
+def test_meta_table_name_inside_string_literal_passes_through(spark, t):
+    """A literal like 'foo$snapshots' is data, not a metadata-table
+    reference — the statement must pass through to spark.sql untouched
+    instead of raising for the unregistered name."""
+    got = sql(
+        spark,
+        "SELECT 'foo$snapshots' AS s, COUNT(*) AS n FROM ev VERSION AS OF 1",
+        {"ev": t},
+    ).collect()
+    assert got[0].s == "foo$snapshots"
+    assert got[0].n == 10
+
+
+def test_merge_bad_subquery_leaks_no_temp_views(spark, tmp_path):
+    """A MERGE whose USING subquery fails to compile must leave zero
+    __philotes_merge_* views behind (no-residue contract)."""
+    t = SnapshotTable(spark, str(tmp_path / "ml"))
+    t.commit(spark.range(0, 3).select(F.col("id").alias("k")))
+    before = {v.name for v in spark.catalog.listTables()}
+    with pytest.raises(Exception):
+        sql(
+            spark,
+            "MERGE INTO ml USING (SELECT no_such_col FROM nonexistent_tbl) "
+            "AS s ON ml.k = s.k WHEN MATCHED THEN DELETE",
+            snapshot_tables={"ml": t},
+            dml_keys={"ml": ["k"]},
+        )
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not [v for v in after - before if v.startswith("__philotes_merge")]
