@@ -497,22 +497,58 @@ class RestCatalog:
         append. Returns the number of data files committed."""
         import pyarrow.parquet as pq
 
+        from philotes_spark.sources.iceberg_manifest import file_provenance
+
         manifest = snap._resolve(version=version)
-        if manifest.get("deltas"):
-            # the publish maps base data files 1:1 into the catalog; MoR
-            # deltas (equality deletes + upserts) have no representation
-            # there, so an external reader would see pre-merge rows —
-            # refuse rather than publish silently-stale data
-            raise ValueError(
-                f"version {manifest['version']} has pending MoR deltas; "
-                "run compact_deltas() before publishing"
+        added_at, deltas = file_provenance(snap, manifest["version"])
+        # MoR deltas publish as REAL v2 delete manifests (content=1
+        # positional / content=2 equality files — r08, VERDICT r07 #1), so
+        # pending deltas no longer block the publish. ONE corner still
+        # must refuse: the engine applies a pending equality delta's keys
+        # to base files APPENDED AFTER the delta (deliberate, so appends
+        # can't resurrect deleted rows), while Iceberg's sequence rule
+        # exempts strictly-newer data — publishing that state would let an
+        # external reader see rows the engine deletes. compact_deltas()
+        # resolves it.
+        eq_seqs = [s for d, s in deltas if not d.get("type") == "pos"]
+        if eq_seqs:
+            newest_base = max(
+                (added_at.get(f, manifest["version"]) for f in manifest["files"]),
+                default=0,
             )
-        parent_files: set[str] = set()
-        if manifest["version"] > 1:
-            parent_files = set(snap._resolve(version=manifest["version"] - 1)["files"])
-        new_files = [f for f in manifest["files"] if f not in parent_files]
+            if newest_base > min(eq_seqs):
+                raise ValueError(
+                    f"version {manifest['version']} has base files appended "
+                    f"after a pending equality-delete delta (file seq "
+                    f"{newest_base} > delta seq {min(eq_seqs)}): the engine "
+                    "applies the delete to those appends but Iceberg's "
+                    "sequence rule would not — run compact_deltas() before "
+                    "publishing"
+                )
+        # effective data files = base + pending-delta upserts (upserts are
+        # data at the delta's sequence; delete files travel only in the
+        # Avro manifest chain, where external readers plan from). The
+        # append carries the files the catalog does not serve yet, so a
+        # publish is self-contained whether or not every intermediate
+        # version was published.
+        upsert_files = [
+            f for d, _ in deltas for f in d.get("upsert_files", [])
+        ]
+        effective_files = list(manifest["files"]) + upsert_files
 
         created = not self.table_exists(namespace, table)
+        already_served: set[str] = set()
+        served_snapshot_ids: set[int] = set()
+        if not created:
+            loaded = self.load_table(namespace, table)
+            already_served = {
+                f["file-path"] for f in loaded.get("data-files", [])
+            }
+            served_snapshot_ids = {
+                s["snapshot-id"]
+                for s in loaded.get("metadata", {}).get("snapshots", [])
+            }
+        new_files = [f for f in effective_files if f not in already_served]
         self.create_table(
             namespace,
             table,
@@ -557,7 +593,11 @@ class RestCatalog:
             }
             for f in new_files
         ]
-        if data_files:
+        # the commit goes even with zero new data files: a delete-only
+        # version (positional delete, MoR merge with no upserts) changes
+        # rows purely through its delete manifests, and the add-snapshot
+        # update is what points external readers at them
+        if data_files or manifest["version"] not in served_snapshot_ids:
             self.commit_append(
                 namespace,
                 table,
@@ -586,8 +626,18 @@ class RestCatalog:
 
         Returns ``{"files": n, "records": n}`` on success; raises
         :class:`CatalogError` on any divergence."""
+        from philotes_spark.sources.iceberg_manifest import file_provenance
+
         manifest = snap._resolve(version=version)
-        local_files = set(manifest["files"])
+        _, deltas = file_provenance(snap, manifest["version"])
+        local_files = set(manifest["files"]) | {
+            f for d, _ in deltas for f in d.get("upsert_files", [])
+        }
+        local_delete_files = {
+            f
+            for d, _ in deltas
+            for f in (d.get("pos_files", []) + d.get("key_files", []))
+        }
 
         loaded = self.load_table(namespace, table)
         meta = loaded.get("metadata", {})
@@ -630,10 +680,10 @@ class RestCatalog:
                 f" {manifest['version']} (serves"
                 f" {[s['snapshot-id'] for s in meta['snapshots']]})".encode(),
             )
-        from philotes_spark.sources.iceberg_manifest import read_data_files
+        from philotes_spark.sources.iceberg_manifest import plan_entries
 
-        avro_files = read_data_files(pub[0]["manifest-list"])
-        avro_paths = {f["file_path"] for f in avro_files}
+        avro_data, avro_deletes = plan_entries(pub[0]["manifest-list"])
+        avro_paths = {f["file_path"] for f in avro_data}
         if avro_paths != local_files:
             raise CatalogError(
                 200,
@@ -641,6 +691,18 @@ class RestCatalog:
                     "avro manifest divergence: decoded manifest list has"
                     f" {sorted(avro_paths)} but local manifest"
                     f" v{manifest['version']} has {sorted(local_files)}"
+                ).encode(),
+            )
+        # delete manifests (r08): every pending delta's positional/equality
+        # delete file must be planned by the decoded chain, and vice versa
+        avro_delete_paths = {f["file_path"] for f in avro_deletes}
+        if avro_delete_paths != local_delete_files:
+            raise CatalogError(
+                200,
+                (
+                    "avro delete-manifest divergence: decoded chain plans"
+                    f" {sorted(avro_delete_paths)} but local deltas carry"
+                    f" {sorted(local_delete_files)}"
                 ).encode(),
             )
 

@@ -72,9 +72,11 @@ def _bounds_map_schema(key_id: int, value_id: int) -> dict:
 def manifest_entry_schema(part_fields: list[dict]) -> dict:
     """``manifest_entry`` (the record a manifest file stores per data
     file), required v2 fields plus the lower/upper column bounds an
-    external reader prunes scans with; the remaining optional
-    column-stats fields are omitted (spec-legal: readers resolve by
-    field-id and treat absent optional fields as absent)."""
+    external reader prunes scans with and ``equality_ids`` (field 135 —
+    the schema field ids an equality delete file deletes by); the
+    remaining optional column-stats fields are omitted (spec-legal:
+    readers resolve by field-id and treat absent optional fields as
+    absent)."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -87,6 +89,11 @@ def manifest_entry_schema(part_fields: list[dict]) -> dict:
             _f(104, "file_size_in_bytes", "long"),
             _f(125, "lower_bounds", _bounds_map_schema(126, 127)),
             _f(128, "upper_bounds", _bounds_map_schema(129, 130)),
+            _f(
+                135,
+                "equality_ids",
+                ["null", {"type": "array", "items": "int", "element-id": 136}],
+            ),
         ],
     }
     return {
@@ -224,29 +231,79 @@ def decode_bounds(data_file: dict, rest_schema: dict) -> dict:
     return {k: tuple(v) for k, v in out.items()}
 
 
+# --- provenance ----------------------------------------------------------------
+
+
+def file_provenance(snap, version: int) -> tuple[dict[str, int], list[tuple[dict, int]]]:
+    """(added-at version per data file, [(delta, added-at version)] for
+    the version's pending deltas), by walking the manifest chain oldest →
+    ``version``. The Iceberg spec requires EXISTING manifest entries to
+    carry the snapshot id / data sequence number of the snapshot that
+    originally ADDED the file (ADVICE r07: writing the current version
+    misattributes files to delete-file scoping and changelog readers);
+    delta provenance gives each delete/upsert file its true sequence
+    number, which is what makes equality deletes apply to strictly-older
+    data and not to their own upserts. Files whose adding snapshot has
+    been expired attribute to the oldest loadable version — conservative:
+    it can only widen what a delete applies to back to the truth.
+    Driver-side metadata walk: O(versions) JSON loads."""
+    chain = []
+    v = version
+    while v >= 1:
+        try:
+            chain.append(snap._resolve(version=v))
+        except (FileNotFoundError, ValueError):
+            break  # expired history
+        v -= 1
+    chain.reverse()
+    added: dict[str, int] = {}
+    delta_added: dict[str, int] = {}
+    for m in chain:
+        for f in m["files"]:
+            added.setdefault(f, m["version"])
+        for d in m.get("deltas", []):
+            delta_added.setdefault(json.dumps(d, sort_keys=True), m["version"])
+    cur = chain[-1]
+    deltas = [
+        (d, delta_added[json.dumps(d, sort_keys=True)])
+        for d in cur.get("deltas", [])
+    ]
+    return added, deltas
+
+
 # --- writers ------------------------------------------------------------------
 
 
 def write_manifests_for_version(
     snap, version: int, rest_schema: dict | None = None
 ) -> str:
-    """Write a spec-shaped Avro manifest file + manifest list for one
+    """Write spec-shaped Avro manifest files + the manifest list for one
     SnapshotTable version into ``<snap_dir>/`` and return the
     manifest-list path (what a v2 snapshot's ``manifest-list`` must
-    point at). Files added at this version get status=1 (ADDED); files
-    carried forward from the parent get status=0 (EXISTING) with their
-    original data unchanged — the same delta encoding Iceberg commits
-    use. Idempotent per (table, version): deterministic file names,
-    atomic replace."""
+    point at).
+
+    Data manifest (``content=0``): one entry per base data file plus one
+    per pending equality-delta UPSERT file. Files added at this version
+    get status=1 (ADDED, sequence inherited from the manifest list);
+    files carried forward get status=0 (EXISTING) with the snapshot id /
+    sequence number of the version that actually added them
+    (:func:`file_provenance`) — the delta encoding Iceberg commits use.
+
+    Delete manifest (``content=1``, written only when the version carries
+    MoR deltas): positional delete files (``data_file.content=1`` — the
+    engine's pos parquet already has the spec's ``file_path``/``pos``
+    columns) and equality delete files (``content=2`` with
+    ``equality_ids`` resolved to schema field ids). Each delete file
+    carries the sequence number of the delta that committed it, so an
+    external v2 reader applies them with the spec rule — position deletes
+    to data sequence ≤ theirs, equality deletes to data sequence strictly
+    older — which reproduces the engine's stacked-delta semantics exactly
+    (ref interop promise: `internal/iceberg/catalog/rest.go:320-344`).
+
+    Idempotent per (table, version): deterministic names, atomic replace.
+    """
     m = snap._resolve(version=version)
-    parent_files: set[str] = set()
-    if m["version"] > 1:
-        try:
-            parent_files = set(
-                snap._resolve(version=m["version"] - 1)["files"]
-            )
-        except FileNotFoundError:  # expired parent: everything reads ADDED
-            parent_files = set()
+    added_at, deltas = file_provenance(snap, m["version"])
     part_fields = partition_fields_for(
         list(m.get("partition_by") or []), rest_schema
     )
@@ -259,22 +316,13 @@ def write_manifests_for_version(
         f["name"]: (f["id"], f["type"])
         for f in (rest_schema or {}).get("fields", [])
     }
-    entries = []
-    added = existing = added_rows = existing_rows = 0
-    for f in m["files"]:
-        rows = pq.ParquetFile(f).metadata.num_rows
-        is_added = f not in parent_files
-        if is_added:
-            added += 1
-            added_rows += rows
-        else:
-            existing += 1
-            existing_rows += rows
-        # the engine's own manifest stats become spec-serialized bounds
-        # maps, so an external reader prunes with the same [min,max]
-        # ranges the engine's read_where uses
+
+    def entry(path: str, content: int, seq: int, *, bounds_src: str | None = None,
+              equality_ids: list[int] | None = None, rows: int | None = None) -> dict:
+        if rows is None:
+            rows = pq.ParquetFile(path).metadata.num_rows
         lower, upper = [], []
-        for col, rng in sorted(file_stats.get(f, {}).items()):
+        for col, rng in sorted(file_stats.get(bounds_src or "", {}).items()):
             if col not in col_ids:
                 continue
             fid, typ = col_ids[col]
@@ -283,29 +331,66 @@ def write_manifests_for_version(
             if lo is not None and hi is not None:
                 lower.append({"key": fid, "value": lo})
                 upper.append({"key": fid, "value": hi})
-        entries.append(
-            {
-                "status": 1 if is_added else 0,
-                "snapshot_id": m["version"],
-                "sequence_number": None if is_added else m["version"] - 1,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        p["name"]: _partition_value(
-                            f, p["name"], p["avro_type"]
-                        )
-                        for p in part_fields
-                    },
-                    "record_count": rows,
-                    "file_size_in_bytes": os.path.getsize(f),
-                    "lower_bounds": lower or None,
-                    "upper_bounds": upper or None,
+        is_added = seq == m["version"]
+        return {
+            "status": 1 if is_added else 0,
+            # ADDED entries inherit snapshot/sequence from the manifest
+            # list; EXISTING entries must state the ADDING snapshot's
+            # (spec rule — ADVICE r07)
+            "snapshot_id": seq,
+            "sequence_number": None if is_added else seq,
+            "file_sequence_number": None if is_added else seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {
+                    p["name"]: _partition_value(path, p["name"], p["avro_type"])
+                    for p in part_fields
                 },
-            }
-        )
+                "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
+                "equality_ids": equality_ids,
+            },
+        }
+
+    data_entries = [
+        entry(f, 0, added_at.get(f, m["version"]), bounds_src=f)
+        for f in m["files"]
+    ]
+    delete_entries = []
+    for d, d_seq in deltas:
+        if d.get("type") == "pos":
+            for f in d["pos_files"]:
+                delete_entries.append(entry(f, 1, d_seq))
+        else:
+            eq_ids = [
+                col_ids[c][0] for c in d["key_cols"] if c in col_ids
+            ] or None
+            for f in d["key_files"]:
+                delete_entries.append(entry(f, 2, d_seq, equality_ids=eq_ids))
+            # upsert rows are DATA at the delta's sequence — strictly newer
+            # than the equality delete applies to, so they survive it
+            for f in d.get("upsert_files", []):
+                data_entries.append(entry(f, 0, d_seq))
+
+    def stats(entries: list[dict]) -> dict:
+        out = {"added": 0, "existing": 0, "added_rows": 0, "existing_rows": 0,
+               "min_seq": m["version"]}
+        for e in entries:
+            seq = e["snapshot_id"]
+            rows = e["data_file"]["record_count"]
+            if e["status"] == 1:
+                out["added"] += 1
+                out["added_rows"] += rows
+            else:
+                out["existing"] += 1
+                out["existing_rows"] += rows
+            out["min_seq"] = min(out["min_seq"], seq)
+        return out
+
     spec_fields = [
         {
             "source-id": i + 1,
@@ -315,41 +400,50 @@ def write_manifests_for_version(
         }
         for i, p in enumerate(part_fields)
     ]
-    manifest_path = os.path.join(
-        snap.snap_dir, f"mf-{m['version']:08d}-0.avro"
-    )
-    manifest_length = write_ocf(
-        manifest_path,
-        entry_schema,
-        entries,
-        metadata={
-            "format-version": "2",
-            "content": "data",
-            "partition-spec-id": "0",
-            "partition-spec": json.dumps(spec_fields),
-            **({"schema": json.dumps(rest_schema)} if rest_schema else {}),
-        },
-    )
+
+    def write_manifest(entries: list[dict], kind: str, idx: int) -> tuple[str, int]:
+        path = os.path.join(snap.snap_dir, f"mf-{m['version']:08d}-{idx}.avro")
+        length = write_ocf(
+            path,
+            entry_schema,
+            entries,
+            metadata={
+                "format-version": "2",
+                "content": kind,
+                "partition-spec-id": "0",
+                "partition-spec": json.dumps(spec_fields),
+                **({"schema": json.dumps(rest_schema)} if rest_schema else {}),
+            },
+        )
+        return path, length
+
+    manifests = [(write_manifest(data_entries, "data", 0), 0, stats(data_entries))]
+    if delete_entries:
+        manifests.append(
+            (write_manifest(delete_entries, "deletes", 1), 1, stats(delete_entries))
+        )
+
     list_path = os.path.join(snap.snap_dir, f"ml-{m['version']:08d}.avro")
     write_ocf(
         list_path,
         MANIFEST_LIST_SCHEMA,
         [
             {
-                "manifest_path": manifest_path,
-                "manifest_length": manifest_length,
+                "manifest_path": path,
+                "manifest_length": length,
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "sequence_number": m["version"],
-                "min_sequence_number": 1,
+                "min_sequence_number": st["min_seq"],
                 "added_snapshot_id": m["version"],
-                "added_files_count": added,
-                "existing_files_count": existing,
+                "added_files_count": st["added"],
+                "existing_files_count": st["existing"],
                 "deleted_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": existing_rows,
+                "added_rows_count": st["added_rows"],
+                "existing_rows_count": st["existing_rows"],
                 "deleted_rows_count": 0,
             }
+            for (path, length), content, st in manifests
         ],
         metadata={"format-version": "2"},
     )
@@ -364,15 +458,115 @@ def read_manifest_list(path: str) -> list[dict]:
     return records
 
 
-def read_data_files(manifest_list_path: str) -> list[dict]:
+def plan_entries(manifest_list_path: str) -> tuple[list[dict], list[dict]]:
     """Follow the full external-reader pointer chain: manifest list →
-    each manifest file → live data-file entries (status != 2 DELETED).
-    Returns the per-file dicts (file_path, record_count, partition, …)
-    exactly as an Iceberg reader would plan them."""
-    out = []
+    each manifest file → live entries (status != 2 DELETED), with each
+    entry's data sequence number RESOLVED (explicit, or inherited from
+    its manifest-list entry when null — the v2 inheritance rule).
+    Returns (data entries, delete entries): each item is the
+    ``data_file`` dict plus a ``sequence`` key — exactly the scan plan an
+    Iceberg reader builds."""
+    data, deletes = [], []
     for mf in read_manifest_list(manifest_list_path):
         _, _, entries = read_ocf(mf["manifest_path"])
         for e in entries:
-            if e["status"] != 2:
-                out.append(e["data_file"])
-    return out
+            if e["status"] == 2:
+                continue
+            seq = e["sequence_number"]
+            if seq is None:
+                seq = mf["sequence_number"]  # inherited (ADDED entries)
+            item = {**e["data_file"], "sequence": seq}
+            (data if item["content"] == 0 else deletes).append(item)
+    return data, deletes
+
+
+def read_data_files(manifest_list_path: str) -> list[dict]:
+    """Live data-file entries only (the pre-r08 surface; delete files via
+    :func:`plan_entries`)."""
+    return plan_entries(manifest_list_path)[0]
+
+
+def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
+    """Reconstruct the table exactly as an EXTERNAL Iceberg v2 reader
+    would — from the published Avro chain alone, no engine manifest JSON:
+    scan the planned data files (partition values taken from the
+    manifest's partition record, as a real reader does — hive paths are
+    an engine-side layout detail), then apply delete files by the spec's
+    sequence rules: position deletes (content=1) drop rows of data files
+    with sequence ≤ theirs by (file_path, pos); equality deletes
+    (content=2) drop rows of STRICTLY older data files matching on the
+    ``equality_ids`` columns. Returns a DataFrame with the table columns.
+
+    Scale shape: one scan per data file unioned (Spark plans a single
+    multi-file scan per schema group at real scale via its own Iceberg
+    source; this simulation favors fidelity to the spec's planning rules
+    over scan batching), deletes applied as anti-joins — delete files are
+    tiny relative to data and broadcast-eligible."""
+    from pyspark.sql import functions as F
+
+    data, deletes = plan_entries(manifest_list_path)
+    id_to_name = {f["id"]: f["name"] for f in rest_schema["fields"]}
+    spark_type = {
+        f["name"]: {"long": "bigint", "int": "int", "double": "double",
+                    "float": "float", "boolean": "boolean"}.get(
+            f["type"], "string"
+        )
+        for f in rest_schema["fields"]
+    }
+
+    frames = []
+    for d in data:
+        df = spark.read.parquet(d["file_path"]).select(
+            "*",
+            F.col("_metadata.file_path").alias("_ice_file"),
+            F.col("_metadata.row_index").alias("_ice_pos"),
+        )
+        for name, val in (d.get("partition") or {}).items():
+            if name not in df.columns:
+                # a real reader takes partition values from the manifest
+                # record; typed null for an absent value so unions stay
+                # schema-stable
+                df = df.withColumn(
+                    name, F.lit(val).cast(spark_type.get(name, "string"))
+                )
+        frames.append(df.withColumn("_ice_seq", F.lit(d["sequence"])))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+
+    pos = [d for d in deletes if d["content"] == 1]
+    if pos:
+        # a position delete applies to data files with sequence <= its own;
+        # it addresses rows by the data file's own path, so the match is
+        # (file_path, pos) + the sequence guard
+        pd_frames = [
+            spark.read.parquet(d["file_path"]).select(
+                F.col("file_path").alias("_del_file"),
+                F.col("pos").alias("_del_pos"),
+                F.lit(d["sequence"]).alias("_del_seq"),
+            )
+            for d in pos
+        ]
+        pdel = pd_frames[0]
+        for f in pd_frames[1:]:
+            pdel = pdel.unionByName(f)
+        out = out.join(
+            pdel,
+            (out["_ice_file"] == pdel["_del_file"])
+            & (out["_ice_pos"] == pdel["_del_pos"])
+            & (out["_ice_seq"] <= pdel["_del_seq"]),
+            "left_anti",
+        )
+    for d in deletes:
+        if d["content"] != 2:
+            continue
+        key_cols = [id_to_name[i] for i in (d.get("equality_ids") or [])]
+        if not key_cols:
+            raise ValueError(
+                f"equality delete {d['file_path']} carries no equality_ids"
+            )
+        keys = spark.read.parquet(d["file_path"]).select(*key_cols)
+        older = out.filter(F.col("_ice_seq") < d["sequence"])
+        newer = out.filter(F.col("_ice_seq") >= d["sequence"])
+        out = older.join(keys, key_cols, "left_anti").unionByName(newer)
+    return out.drop("_ice_file", "_ice_pos", "_ice_seq")

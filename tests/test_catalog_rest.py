@@ -464,16 +464,120 @@ def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
             validate_table_metadata_v2(bad)
 
 
-def test_publish_refuses_pending_mor_deltas(mock_catalog, spark, tmp_path):
-    """A MoR table's deltas have no catalog representation — publishing
-    base files alone would serve pre-merge rows to external readers, so
-    publish must refuse until compact_deltas()."""
+def _readback_equal(spark, snap, namespace, table, cat):
+    """Decode the published Avro chain and reconstruct the table as an
+    external v2 reader — rows must equal the engine's own read()."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import read_table_via_manifests
+
+    meta = cat.load_table(namespace, table)["metadata"]
+    cur = meta["current-snapshot-id"]
+    pub = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    rest_schema = schema_to_rest(snap.read().schema)
+    external = read_table_via_manifests(
+        spark, pub["manifest-list"], rest_schema
+    )
+    mine = snap.read()
+    assert sorted(external.columns) == sorted(mine.columns)
+    a = external.select(*sorted(external.columns))
+    b = mine.select(*sorted(mine.columns))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    return external.count()
+
+
+def test_publish_positional_delete_readback_without_compaction(
+    mock_catalog, spark, tmp_path
+):
+    """r08 (VERDICT r07 #1): a version carrying POSITIONAL deletes
+    publishes real content=1 delete manifests; an external reader
+    decoding data + delete manifests reconstructs the post-delete rows —
+    no compaction required."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "pos_pub"))
+    tbl.commit(spark.range(0, 20).select(F.col("id").alias("v")))
+    tbl.delete_where_positional("v % 5 = 0")
+    assert tbl._resolve()["deltas"], "precondition: pending pos delta"
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_pos", tbl)
+    cat.verify_publish("ns", "t_pos", tbl)
+    n = _readback_equal(spark, tbl, "ns", "t_pos", cat)
+    assert n == 16  # 20 minus v in {0,5,10,15}
+
+
+def test_publish_equality_delta_readback_without_compaction(
+    mock_catalog, spark, tmp_path
+):
+    """A version carrying an equality-delete + upsert MoR delta publishes
+    content=2 equality-delete files (keys, equality_ids) and the upserts
+    as data at the delta's sequence — the spec's strictly-older rule then
+    reproduces the engine's merge-on-read result externally."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "eq_pub"))
+    tbl.commit(
+        spark.range(0, 10).select(
+            F.col("id").alias("v"), (F.col("id") * 10).alias("x")
+        )
+    )
+    # delete v=3, upsert v=4 (x=999), insert v=100
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 0, True), (4, 999, False), (100, 1000, False)],
+            "v long, x long, _del boolean",
+        ),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    assert tbl._resolve()["deltas"], "precondition: pending eq delta"
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_eq", tbl)
+    cat.verify_publish("ns", "t_eq", tbl)
+    n = _readback_equal(spark, tbl, "ns", "t_eq", cat)
+    assert n == 10  # 10 - 1 deleted + 1 inserted (upsert replaces in place)
+
+
+def test_publish_stacked_deltas_readback(mock_catalog, spark, tmp_path):
+    """Stacked deltas (equality merge THEN positional delete) publish
+    with per-delta sequence numbers and still read back equal."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "stack_pub"))
+    tbl.commit(spark.range(0, 12).select(F.col("id").alias("v")))
+    tbl.delete_where_positional("v = 1")  # pos delta at seq 2
+    tbl.merge(  # eq delta at seq 3: delete v=2, upsert nothing new
+        spark.createDataFrame([(2, True)], "v long, _del boolean"),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_stack", tbl)
+    cat.verify_publish("ns", "t_stack", tbl)
+    n = _readback_equal(spark, tbl, "ns", "t_stack", cat)
+    assert n == 10
+
+
+def test_publish_refuses_append_after_equality_delta(
+    mock_catalog, spark, tmp_path
+):
+    """The one remaining refusal: base files appended AFTER a pending
+    equality delta — the engine applies the delete keys to them, but
+    Iceberg's sequence rule exempts strictly-newer data, so the published
+    chain would diverge. compact_deltas() resolves."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from philotes_spark.sources.snapshots import SnapshotTable
 
-    tbl = SnapshotTable(spark, str(tmp_path / "mor_pub"))
+    tbl = SnapshotTable(spark, str(tmp_path / "late_append"))
     tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")))
     tbl.merge(
         spark.createDataFrame([(3, True)], "v long, _del boolean"),
@@ -481,11 +585,13 @@ def test_publish_refuses_pending_mor_deltas(mock_catalog, spark, tmp_path):
         delete_col="_del",
         mode="mor",
     )
+    tbl.commit(spark.range(20, 25).select(F.col("id").alias("v")))
     cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
-    with _pytest.raises(ValueError, match="pending MoR deltas"):
-        cat.publish_snapshot("ns", "t_mor", tbl)
+    with _pytest.raises(ValueError, match="appended\\s+after a pending equality"):
+        cat.publish_snapshot("ns", "t_late", tbl)
     tbl.compact_deltas()
-    assert cat.publish_snapshot("ns", "t_mor", tbl) > 0
+    assert cat.publish_snapshot("ns", "t_late", tbl) > 0
+    cat.verify_publish("ns", "t_late", tbl)
 
 
 def test_v2_metadata_carries_refs(spark, tmp_path):
