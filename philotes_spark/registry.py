@@ -198,6 +198,11 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_meta_sql",
         "train_stratified_sample",
         "train_length_batches",
+        # r08 additions (oracle-gated in pytest; below the window so this
+        # round's rotation composition is exact): ALTER COLUMN statement
+        # evolution and INSERT OVERWRITE statement text
+        "snapshot_alter_columns",
+        "snapshot_insert_overwrite",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -834,3 +834,52 @@ def snapshot_meta_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_alter_columns",
+    oracle="""
+    SELECT event_id,
+           value AS amount,
+           CASE WHEN event_id > 400 THEN 'late' END AS source
+    FROM events WHERE event_id <= 600
+    """,
+)
+def snapshot_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/RENAME/DROP COLUMN as statement text (r08,
+    VERDICT r07 #3) mapped to commit-time evolution: metadata-only
+    commits journal the ops (snapshots.alter_add_columns:schema_ops) and
+    readers apply them over the footer schema — no file rewrite at any
+    size. Sequence under test: ADD source → positional INSERT carrying it
+    → RENAME value→amount → DROP user_id; the final read must equal the
+    rewrite DuckDB's oracle computes (ref evolution:
+    `internal/iceberg/schema/schema.go:147-174`)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_alter_late_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 400))
+        tabs = {"t": tbl}
+        sql_stmt(spark, "ALTER TABLE t ADD COLUMN source STRING", tabs)
+        ev.filter(
+            (F.col("event_id") > 400) & (F.col("event_id") <= 600)
+        ).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            "INSERT INTO t SELECT event_id, user_id, value, "
+            f"'late' AS source FROM {view}",
+            tabs,
+        )
+        sql_stmt(spark, "ALTER TABLE t RENAME COLUMN value TO amount", tabs)
+        sql_stmt(spark, "ALTER TABLE t DROP COLUMN user_id", tabs)
+        return (
+            tbl.read().select("event_id", "amount", "source").localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

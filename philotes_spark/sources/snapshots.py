@@ -377,6 +377,11 @@ class SnapshotTable:
             deltas=list(parent_manifest.get("deltas", []))
             if operation == "append"
             else [],
+            # appends inherit the schema-op journal; an overwrite's files
+            # carry their own physical schema, so the journal resets
+            schema_ops=list(parent_manifest.get("schema_ops", []))
+            if operation == "append"
+            else [],
         )
 
     def overwrite_partitions(
@@ -440,13 +445,15 @@ class SnapshotTable:
             stats_cols=list(cols),
             sort_by=list(m.get("sort_by") or []),
             zorder_by=list(m.get("zorder_by") or []),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def _write_manifest(self, *, parent: int, operation: str, files, added_files,
                         added_rows, partition_by, properties, file_stats,
                         stats_cols, sort_by: list[str] | None = None,
                         deltas: list[dict] | None = None,
-                        zorder_by: list[str] | None = None) -> int:
+                        zorder_by: list[str] | None = None,
+                        schema_ops: list[dict] | None = None) -> int:
         version = parent + 1
         manifest = {
             "version": version,
@@ -465,6 +472,10 @@ class SnapshotTable:
             "sort_by": sort_by or [],
             "deltas": deltas or [],
             "zorder_by": zorder_by or [],
+            # ordered ALTER-COLUMN journal applied at read time over the
+            # footer-derived schema (add/rename/drop — commit-time
+            # evolution, A12); reset whenever every file is rewritten
+            "schema_ops": schema_ops or [],
         }
         target = os.path.join(self.snap_dir, f"v{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -537,6 +548,186 @@ class SnapshotTable:
             sort_by=list(m.get("sort_by") or []),
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
+        )
+
+    # --- ALTER COLUMN (commit-time schema evolution, A12) ---------------------
+
+    def _apply_schema_ops(self, df: DataFrame, m: dict) -> DataFrame:
+        """Apply the manifest's ordered ALTER-COLUMN journal over a
+        footer-derived frame — Iceberg resolves this by field-id; the
+        name-based twin keeps each op idempotent over MIXED physical
+        schemas (files written before and after the ALTER):
+
+        - add: typed NULL unless some file already materialized it;
+        - rename: ``coalesce(new, old)`` when both exist physically
+          (pre-rename files carry old, post-rename files carry new),
+          else a plain rename;
+        - drop: dropped if any file still carries it.
+
+        Pure projection — no shuffle, no data scan beyond the plan."""
+        for op in m.get("schema_ops", []):
+            if op["op"] == "add":
+                if op["name"] not in df.columns:
+                    df = df.withColumn(
+                        op["name"], F.lit(None).cast(op["type"])
+                    )
+            elif op["op"] == "rename":
+                if op["from"] in df.columns and op["to"] in df.columns:
+                    df = df.withColumn(
+                        op["to"], F.coalesce(F.col(op["to"]), F.col(op["from"]))
+                    ).drop(op["from"])
+                elif op["from"] in df.columns:
+                    df = df.withColumnRenamed(op["from"], op["to"])
+            elif op["op"] == "drop":
+                df = df.drop(op["name"])
+        return df
+
+    def _alter_guard(self, m: dict) -> None:
+        if m.get("deltas"):
+            raise ValueError(
+                "ALTER COLUMN on a table with pending merge-on-read deltas "
+                "is ambiguous (delta key/upsert files were written under "
+                "the old schema); run compact_deltas() first"
+            )
+
+    def _reserved_names(self, m: dict) -> set[str]:
+        """Names that cannot be (re)introduced while the journal is live:
+        a rename source or dropped column still exists PHYSICALLY in old
+        files, so re-adding the name would make the journal's earlier op
+        swallow the new column's values. An overwrite or compact_deltas
+        resets the journal and frees the names."""
+        out: set[str] = set()
+        for op in m.get("schema_ops", []):
+            if op["op"] == "rename":
+                out.add(op["from"])
+            elif op["op"] == "drop":
+                out.add(op["name"])
+        return out
+
+    def _commit_schema_op(self, m: dict, operation: str, op: dict) -> int:
+        stats_cols = list(m.get("stats_cols") or [])
+        file_stats = dict(m.get("file_stats", {}))
+        if op["op"] == "rename" and op["from"] in stats_cols:
+            stats_cols[stats_cols.index(op["from"])] = op["to"]
+        if op["op"] == "drop" and op["name"] in stats_cols:
+            stats_cols.remove(op["name"])
+            file_stats = {
+                f: {c: r for c, r in s.items() if c != op["name"]}
+                for f, s in file_stats.items()
+            }
+        return self._write_manifest(
+            parent=m["version"],
+            operation=operation,
+            files=m["files"],
+            added_files=0,
+            added_rows=0,
+            partition_by=list(m.get("partition_by") or []),
+            properties=dict(m.get("properties", {})),
+            file_stats=file_stats,
+            stats_cols=stats_cols,
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])) + [op],
+        )
+
+    def alter_add_columns(self, cols: list[tuple[str, str]]) -> int:
+        """``ALTER TABLE t ADD COLUMN(S) name type [, ...]`` as a
+        METADATA-ONLY commit (Iceberg's add-column): the journal entry
+        makes every reader project a typed NULL until data arrives —
+        no file is read or rewritten at any table size. Subsequent
+        inserts carry the column physically (the INSERT path aligns to
+        ``read()``'s schema). Versioned like any commit, so time travel
+        before the ALTER shows the old shape, and ``$schema_history``
+        records the evolution (ref `internal/iceberg/schema/schema.go:147-174`)."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        self._alter_guard(m)
+        existing = {f.name for f in self.read().schema.fields}
+        reserved = self._reserved_names(m)
+        version = parent
+        for name, dtype in cols:
+            if name in existing:
+                raise ValueError(f"column {name!r} already exists")
+            if name in reserved:
+                raise ValueError(
+                    f"column name {name!r} was renamed away or dropped and "
+                    "still exists in old data files; compact or overwrite "
+                    "before reusing the name"
+                )
+            try:  # validate the type string before committing metadata
+                self.spark.createDataFrame([], f"`{name}` {dtype}")
+            except Exception as e:
+                raise ValueError(f"bad column type {dtype!r}: {e}") from None
+            m = self._load(f"v{version:08d}.json")
+            version = self._commit_schema_op(
+                m, "add-column", {"op": "add", "name": name, "type": dtype}
+            )
+            existing.add(name)
+        return version
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE t RENAME COLUMN old TO new`` — metadata-only;
+        readers coalesce the physical old/new columns (see
+        :meth:`_apply_schema_ops`), so no rewrite happens at any scale.
+        Layout columns (partition/sort/z-order) refuse: their values are
+        path- or order-encoded in the files themselves."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        self._alter_guard(m)
+        schema_names = {f.name for f in self.read().schema.fields}
+        if old not in schema_names:
+            raise ValueError(f"no such column {old!r}")
+        if new in schema_names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in self._reserved_names(m):
+            raise ValueError(
+                f"column name {new!r} was renamed away or dropped and still "
+                "exists in old data files; compact or overwrite first"
+            )
+        layout = (
+            set(m.get("partition_by") or [])
+            | set(m.get("sort_by") or [])
+            | set(m.get("zorder_by") or [])
+        )
+        if old in layout:
+            raise ValueError(
+                f"cannot rename layout column {old!r} (partition/sort/"
+                "z-order values are encoded in file paths and ordering); "
+                "rewrite the table with the new layout instead"
+            )
+        return self._commit_schema_op(
+            m, "rename-column", {"op": "rename", "from": old, "to": new}
+        )
+
+    def alter_drop_column(self, name: str) -> int:
+        """``ALTER TABLE t DROP COLUMN name`` — metadata-only; the column
+        stays in old files (and in time travel before this version) but
+        every reader drops it. Layout columns refuse, same as rename."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        self._alter_guard(m)
+        if name not in {f.name for f in self.read().schema.fields}:
+            raise ValueError(f"no such column {name!r}")
+        layout = (
+            set(m.get("partition_by") or [])
+            | set(m.get("sort_by") or [])
+            | set(m.get("zorder_by") or [])
+        )
+        if name in layout:
+            raise ValueError(
+                f"cannot drop layout column {name!r} (partition/sort/"
+                "z-order); rewrite the table with a new layout instead"
+            )
+        return self._commit_schema_op(
+            m, "drop-column", {"op": "drop", "name": name}
         )
 
     def _dml_mode(self, kind: str, mode: str | None) -> str:
@@ -646,7 +837,13 @@ class SnapshotTable:
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         kept = None
         if affected:
-            current = self.spark.read.parquet(*affected)
+            # mergeSchema + schema ops: affected files may straddle an
+            # ALTER COLUMN, and the rewrite must land the APPLIED schema
+            # so it unions with the (read()-shaped) change set
+            current = self._apply_schema_ops(
+                self.spark.read.option("mergeSchema", "true").parquet(*affected),
+                m,
+            )
             kept = current.join(change_keys, key_cols, "left_anti")
         new_data = (
             kept.unionByName(upserts, allowMissingColumns=False)
@@ -675,6 +872,7 @@ class SnapshotTable:
             stats_cols=list(cols),
             sort_by=sort_by,
             zorder_by=list(m.get("zorder_by") or []),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def _merge_mor(
@@ -715,6 +913,7 @@ class SnapshotTable:
             sort_by=list(m.get("sort_by") or []),
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])) + [delta],
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def _guard_keys_identify(self, changed: DataFrame, key_cols: list[str]) -> None:
@@ -830,8 +1029,11 @@ class SnapshotTable:
                     "position); run compact_deltas() first"
                 )
         base = self._apply_deltas(
-            self._read_file_list(
-                m["files"], m.get("partition_by") or [], with_pos=True
+            self._apply_schema_ops(
+                self._read_file_list(
+                    m["files"], m.get("partition_by") or [], with_pos=True
+                ),
+                m,
             ),
             m,
         )
@@ -858,6 +1060,7 @@ class SnapshotTable:
             sort_by=list(m.get("sort_by") or []),
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])) + [delta],
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def compact_deltas(self) -> int | None:
@@ -1053,6 +1256,7 @@ class SnapshotTable:
             sort_by=list(src.get("sort_by") or []),
             zorder_by=list(src.get("zorder_by") or []),
             deltas=list(src.get("deltas", [])),
+            schema_ops=list(src.get("schema_ops", [])),
         )
         return br
 
@@ -1105,6 +1309,7 @@ class SnapshotTable:
             sort_by=list(head.get("sort_by") or []),
             zorder_by=list(head.get("zorder_by") or []),
             deltas=list(head.get("deltas", [])),
+            schema_ops=list(head.get("schema_ops", [])),
         )
 
     def rollback(self, to_version: int) -> int:
@@ -1126,6 +1331,7 @@ class SnapshotTable:
             sort_by=list(old.get("sort_by") or []),
             zorder_by=list(old.get("zorder_by") or []),
             deltas=list(old.get("deltas", [])),
+            schema_ops=list(old.get("schema_ops", [])),
         )
 
     def read(self, version: int | None = None, as_of_ms: int | None = None,
@@ -1146,9 +1352,14 @@ class SnapshotTable:
         # (observed r06). Merging unions all file schemas — the same
         # read-side semantics Iceberg gets from its schema list.
         has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
+        # schema ops apply BEFORE deltas: ALTER refuses pending deltas, so
+        # every live delta was written post-ALTER under the applied schema
         out = self._apply_deltas(
-            self._read_file_list(
-                m["files"], m.get("partition_by") or [], with_pos=has_pos
+            self._apply_schema_ops(
+                self._read_file_list(
+                    m["files"], m.get("partition_by") or [], with_pos=has_pos
+                ),
+                m,
             ),
             m,
         )
@@ -1262,6 +1473,9 @@ class SnapshotTable:
             if op in ("compact", "compact-deltas"):
                 prev_files = set(m["files"])
                 continue
+            if op in ("set-properties", "add-column", "rename-column",
+                      "drop-column"):
+                continue  # metadata-only: the file list is unchanged
             if op != "append":
                 raise ValueError(
                     f"incremental read range crosses a {op!r} commit at "
@@ -1282,7 +1496,9 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        # incremental rows surface under the TO version's applied schema
+        # (ops never touch the commit_version tag)
+        return self._apply_schema_ops(out, self._load(f"v{to_version:08d}.json"))
 
     def read_changes(
         self,
@@ -1390,7 +1606,7 @@ class SnapshotTable:
         base = scan(files) if files else scan(m["files"]).limit(0)
         # MoR deltas apply BEFORE the residual filter: deletes drop
         # pruned-in rows by key, upserts must pass the same predicate
-        base = self._apply_deltas(base, m)
+        base = self._apply_deltas(self._apply_schema_ops(base, m), m)
         if has_pos:
             base = base.drop("_pos_file", "_pos_index")
         cond = F.lit(True)
@@ -1587,8 +1803,11 @@ class SnapshotTable:
             ]
             cur = parts[0]
             for p in parts[1:]:
-                cur = cur.unionByName(p)
-            kept = cur.join(change_keys, key_cols, "left_anti")
+                cur = cur.unionByName(p, allowMissingColumns=True)
+            # rewritten partitions land the APPLIED schema (see merge())
+            kept = self._apply_schema_ops(cur, m).join(
+                change_keys, key_cols, "left_anti"
+            )
         new_data = (
             kept.unionByName(upserts.select(*kept.columns))
             if kept is not None
@@ -1618,6 +1837,7 @@ class SnapshotTable:
             stats_cols=list(cols),
             sort_by=sort_by,
             zorder_by=list(m.get("zorder_by") or []),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
@@ -1669,6 +1889,7 @@ class SnapshotTable:
             sort_by=sort_by,
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def _compact_partitioned(self, m: dict, small_file_bytes: int) -> int | None:
@@ -1728,6 +1949,7 @@ class SnapshotTable:
             sort_by=sort_by,
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     # --- maintenance (A7) -------------------------------------------------------

@@ -134,6 +134,21 @@ _DDL_ALTER_UNSET = re.compile(
     r"(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DDL_ADD_COLS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(.+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_RENAME_COL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_DROP_COL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(\w+)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_LEAD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
 )
@@ -653,11 +668,41 @@ def sql(
                 [(name, "unset-properties", version)],
                 "table string, operation string, version int",
             )
+        m = _DDL_ADD_COLS.match(statement)
+        if m:
+            cols = []
+            for item in _split_top(m.group(2)):
+                cm = re.fullmatch(r"\s*(\w+)\s+(.+?)\s*", item, re.DOTALL)
+                if not cm:
+                    raise ValueError(
+                        f"bad ADD COLUMN item {item.strip()!r}: use "
+                        "<name> <type>"
+                    )
+                cols.append((cm.group(1), cm.group(2)))
+            version = tables[name].alter_add_columns(cols)
+            return spark.createDataFrame(
+                [(name, "add-column", version)],
+                "table string, operation string, version int",
+            )
+        m = _DDL_RENAME_COL.match(statement)
+        if m:
+            version = tables[name].alter_rename_column(m.group(2), m.group(3))
+            return spark.createDataFrame(
+                [(name, "rename-column", version)],
+                "table string, operation string, version int",
+            )
+        m = _DDL_DROP_COL.match(statement)
+        if m:
+            version = tables[name].alter_drop_column(m.group(2))
+            return spark.createDataFrame(
+                [(name, "drop-column", version)],
+                "table string, operation string, version int",
+            )
         raise ValueError(
-            f"unsupported ALTER shape for snapshot table {name!r}: only "
-            "SET TBLPROPERTIES ('k'='v', ...) and UNSET TBLPROPERTIES "
-            "[IF EXISTS] ('k', ...) are served; other ALTERs (schema "
-            "changes) happen through commit-time evolution"
+            f"unsupported ALTER shape for snapshot table {name!r}: "
+            "SET/UNSET TBLPROPERTIES, ADD COLUMN(S) (name type, ...), "
+            "RENAME COLUMN a TO b and DROP COLUMN name are served; other "
+            "ALTERs (layout changes) need an overwrite commit"
         )
 
     lead = _DML_LEAD.match(statement)
@@ -710,6 +755,15 @@ def sql(
                 want = tbl.read().schema
                 from pyspark.sql import functions as F
 
+                if (
+                    not col_list
+                    and len(rows.columns) == len(want.fields)
+                    and all(re.fullmatch(r"col\d+", c) for c in rows.columns)
+                ):
+                    # bare `INSERT INTO t VALUES (...)`: Spark names the
+                    # VALUES projection col1..colN — standard positional
+                    # assignment against the table schema
+                    rows = rows.toDF(*[f.name for f in want])
                 extra = sorted(set(rows.columns) - {f.name for f in want})
                 if extra:
                     raise ValueError(

@@ -573,3 +573,86 @@ def test_same_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
         assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9), (
             f"seed={seed} k={k}: {sv} != {dv}"
         )
+
+
+# --- family 9: ALTER COLUMN + DML sequences (r08) ------------------------------
+# Identical ALTER TABLE ADD/RENAME/DROP COLUMN + DML statement text runs
+# against the snapshot engine (metadata-only schema-op journal) and a
+# real DuckDB table (physical ALTER); final contents must match — the
+# differential proof that read-time op application equals a rewrite.
+
+_ALTER_UPD_EXPRS = ["v * 2", "v + k", "0.0 - v"]
+_ALTER_CONDS = ["k % 3 = 0", "v > 2000", "k % 5 = 1"]
+
+
+def _gen_alter_statements(seed: int) -> list[str]:
+    rng = random.Random(seed)
+    stmts = ["ALTER TABLE alter_t ADD COLUMN w DOUBLE"]
+    off = 2_000_000
+    stmts.append(
+        f"INSERT INTO alter_t SELECT c_custkey + {off} AS k, "
+        "c_acctbal AS v, c_mktsegment AS s, c_acctbal * 0.5 AS w "
+        f"FROM customer WHERE c_custkey % 9 = {rng.randint(0, 8)}"
+    )
+    stmts.append(
+        f"UPDATE alter_t SET w = {rng.choice(_ALTER_UPD_EXPRS)} "
+        f"WHERE {rng.choice(_ALTER_CONDS)}"
+    )
+    stmts.append("ALTER TABLE alter_t RENAME COLUMN w TO weight")
+    stmts.append(
+        f"DELETE FROM alter_t WHERE {rng.choice(_ALTER_CONDS)}"
+    )
+    if rng.random() < 0.5:
+        stmts.append("ALTER TABLE alter_t DROP COLUMN s")
+    return stmts
+
+
+@pytest.mark.parametrize("seed", range(900, 910))
+def test_same_alter_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
+    import duckdb
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+    init_sql = (
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+        "FROM customer WHERE c_custkey % 4 = 0"
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "alter_t"))
+    tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    own_duck = duckdb.connect()
+    own_duck.sql(
+        "CREATE VIEW customer AS "
+        f"SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    own_duck.sql(f"CREATE TABLE alter_t AS {init_sql}")
+    stmts = _gen_alter_statements(seed)
+    for stmt in stmts:
+        sql_frontend.sql(
+            spark, stmt,
+            snapshot_tables={"alter_t": tbl}, dml_keys={"alter_t": ["k"]},
+        ).collect()
+        own_duck.sql(stmt)
+    cols = sorted(tbl.read().columns)
+    d_cols = sorted(
+        r[0] for r in own_duck.sql(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 'alter_t'"
+        ).fetchall()
+    )
+    assert cols == d_cols, f"seed={seed}: schemas differ {cols} vs {d_cols}"
+    sel = ", ".join(cols)
+    s_rows = {r["k"]: tuple(r[c] for c in cols) for r in
+              (row.asDict() for row in tbl.read().select(*cols).collect())}
+    d_rows = {row[cols.index("k")]: tuple(row) for row in
+              own_duck.sql(f"SELECT {sel} FROM alter_t").fetchall()}
+    assert sorted(s_rows) == sorted(d_rows), f"seed={seed}: key sets differ"
+    for k in s_rows:
+        for a, b in zip(s_rows[k], d_rows[k]):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                    f"seed={seed} k={k}: {a} != {b}"
+                )
+            else:
+                assert a == b, f"seed={seed} k={k}: {a!r} != {b!r}"

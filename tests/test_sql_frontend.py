@@ -674,9 +674,11 @@ def test_alter_tblproperties_statement_drives_dml_mode(spark, tmp_path):
     # unsupported ALTER on a registered table names the limitation
     import pytest as _pytest
 
+    # ADD COLUMN is served since r08 — a genuinely unsupported ALTER
+    # (layout change) still names the limitation
     with _pytest.raises(ValueError, match="unsupported ALTER shape"):
         sql_frontend.sql(
-            spark, "ALTER TABLE tbl ADD COLUMN z INT",
+            spark, "ALTER TABLE tbl SET LOCATION '/elsewhere'",
             snapshot_tables={"tbl": t},
         )
     # ALTER on an unregistered table falls through to spark.sql
