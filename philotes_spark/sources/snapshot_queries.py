@@ -883,3 +883,45 @@ def snapshot_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_insert_overwrite",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id <= 500 AND event_type <> 'click'
+    UNION ALL
+    SELECT event_id, 'click' AS event_type, ROUND(value + 1000, 2) AS value
+    FROM events WHERE event_id <= 500 AND event_type = 'click'
+    """,
+)
+def snapshot_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`INSERT OVERWRITE t PARTITION (event_type='click') SELECT ...` as
+    statement text (r08, VERDICT r07 #5) — maps to the engine's dynamic
+    partition overwrite: the static partition literal rides on every
+    written row, so exactly the click partition re-lands (+1000 values)
+    and every other partition's files are untouched. Statement-text twin
+    of snapshot_overwrite_partitions."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") <= 500)
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_iow_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(base, partition_by=["event_type"])
+        base.createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            "INSERT OVERWRITE t PARTITION (event_type = 'click') "
+            "SELECT event_id, ROUND(value + 1000, 2) AS value "
+            f"FROM {view} WHERE event_type = 'click'",
+            {"t": tbl},
+        )
+        return tbl.read().localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -117,11 +117,21 @@ _DML_INSERT = re.compile(
     r"((?:SELECT|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT OVERWRITE [TABLE] t [PARTITION (col=lit, ...)] SELECT|VALUES ...
+# — Spark/Hive's overwrite-write statement: dynamic partition overwrite
+# on a partitioned snapshot table, full overwrite otherwise
+_DML_INSERT_OVERWRITE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s*"
+    r"(?:PARTITION\s*\(\s*([^)]*?)\s*\)\s*)?"
+    r"((?:SELECT|VALUES|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 # leading-keyword + target sniff, used only to decide routing (snapshot
 # engine vs spark.sql fall-through) and to produce the grammar error when
 # a registered-table statement misses the full parse
 _DML_LEAD = re.compile(
-    rf"^\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO)\s+({_IDENT})",
+    rf"^\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|"
+    rf"INSERT\s+INTO|INSERT\s+OVERWRITE(?:\s+TABLE)?)\s+({_IDENT})",
     re.IGNORECASE,
 )
 
@@ -155,6 +165,7 @@ _ALTER_LEAD = re.compile(
 
 _DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
   INSERT INTO t [(col, ...)] SELECT ... | VALUES ...
+  INSERT OVERWRITE [TABLE] t [PARTITION (col=lit, ...)] SELECT ... | VALUES ...
   DELETE FROM t [WHERE <cond>]
   UPDATE t SET col = expr[, ...] [WHERE <cond>]
   MERGE INTO t [AS a] USING src | (<subquery>) AS b ON a.k = b.k [AND ...]
@@ -731,6 +742,64 @@ def sql(
             )
             return spark.createDataFrame(
                 [(name, "update", version)],
+                "table string, operation string, version int",
+            )
+        m = _DML_INSERT_OVERWRITE.match(statement)
+        if m:
+            _, part_spec, body = m.group(1, 2, 3)
+            tbl = tables[name]
+            if not tbl.current_version():
+                raise ValueError(
+                    f"INSERT OVERWRITE on {name!r}: the snapshot table has "
+                    "no committed version to overwrite; use a programmatic "
+                    "commit to establish the schema and layout first"
+                )
+            # the body composes through the front-end like INSERT INTO
+            # (time travel inside the SELECT works)
+            rows = sql(spark, body.rstrip().rstrip(";"), snapshot_tables=tables)
+            from pyspark.sql import functions as F
+
+            for item in _split_top(part_spec) if part_spec else []:
+                col, eq, lit = item.partition("=")
+                if not eq or not col.strip() or not lit.strip():
+                    raise ValueError(
+                        f"bad PARTITION item {item.strip()!r}: use col = "
+                        "<literal> (dynamic overwrite needs no PARTITION "
+                        "clause — the partition columns ride in the SELECT)"
+                    )
+                # static partition value: every written row carries it, so
+                # the dynamic overwrite below replaces exactly that
+                # partition (Spark's static INSERT OVERWRITE semantics)
+                rows = rows.withColumn(col.strip(), F.expr(lit.strip()))
+            want = tbl.read().schema
+            if (
+                len(rows.columns) == len(want.fields)
+                and all(re.fullmatch(r"col\d+", c) for c in rows.columns)
+            ):
+                rows = rows.toDF(*[f.name for f in want])
+            if sorted(rows.columns) != sorted(f.name for f in want):
+                raise ValueError(
+                    f"INSERT OVERWRITE columns {sorted(rows.columns)} do "
+                    f"not match table columns {sorted(f.name for f in want)}"
+                )
+            rows = rows.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
+            )
+            part_by = tbl._resolve().get("partition_by") or []
+            if part_spec and not part_by:
+                raise ValueError(
+                    f"INSERT OVERWRITE PARTITION on {name!r}: the table is "
+                    "not partitioned"
+                )
+            if part_by:
+                # dynamic partition overwrite: only the partitions present
+                # in the rows re-land; everything else is untouched (the
+                # O(changed partitions) idempotent backfill write)
+                version = tbl.overwrite_partitions(rows)
+            else:
+                version = tbl.commit(rows, operation="overwrite")
+            return spark.createDataFrame(
+                [(name, "insert-overwrite", version)],
                 "table string, operation string, version int",
             )
         m = _DML_INSERT.match(statement)

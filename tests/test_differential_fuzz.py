@@ -458,7 +458,10 @@ def _gen_dml_statements(seed: int) -> list[tuple[str, str | list[str]]]:
     rng = random.Random(seed)
     out = []
     n_inserts = 0
-    kinds = [rng.choice(["update", "delete", "insert", "merge"]) for _ in range(2)]
+    kinds = [
+        rng.choice(["update", "delete", "insert", "merge", "overwrite"])
+        for _ in range(2)
+    ]
     kinds.append("merge")  # every seed exercises the general MERGE path
     rng.shuffle(kinds)
     for kind in kinds:
@@ -471,6 +474,17 @@ def _gen_dml_statements(seed: int) -> list[tuple[str, str | list[str]]]:
         elif kind == "delete":
             stmt = f"DELETE FROM dml_t WHERE {rng.choice(_DML_CONDS)}"
             out.append((stmt, stmt))
+        elif kind == "overwrite":
+            # full overwrite on the unpartitioned table (r08 statement);
+            # DuckDB mirror: clear + insert the same body
+            body = (
+                "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+                f"FROM customer WHERE c_custkey % 5 = {rng.randint(0, 4)}"
+            )
+            out.append((
+                f"INSERT OVERWRITE dml_t {body}",
+                ["DELETE FROM dml_t", f"INSERT INTO dml_t {body}"],
+            ))
         elif kind == "insert":
             off = 1_000_000 + n_inserts * 100_000
             n_inserts += 1
@@ -556,7 +570,8 @@ def test_same_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
         for d in [duck_side] if isinstance(duck_side, str) else duck_side:
             own_duck.sql(d)
     assert all(
-        m2.get("deltas") or m2["operation"] in ("append", "set-properties")
+        m2.get("deltas")
+        or m2["operation"] in ("append", "set-properties", "overwrite")
         for m2 in [mor._resolve()]
     ), "MoR twin rewrote base files"
     s_rows = {r.k: (r.v, r.s) for r in tbl.read().collect()}

@@ -747,3 +747,70 @@ def test_merge_bad_subquery_leaks_no_temp_views(spark, tmp_path):
         )
     after = {v.name for v in spark.catalog.listTables()}
     assert not [v for v in after - before if v.startswith("__philotes_merge")]
+
+
+def test_insert_overwrite_statements(spark, tmp_path):
+    """INSERT OVERWRITE: full overwrite on an unpartitioned table,
+    dynamic + static-PARTITION overwrite on a partitioned one."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    # unpartitioned: full replace
+    t = SnapshotTable(spark, str(tmp_path / "iow_flat"))
+    t.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    sql(
+        spark, "INSERT OVERWRITE iow VALUES (100), (101)",
+        snapshot_tables={"iow": t},
+    )
+    assert sorted(r.k for r in t.read().collect()) == [100, 101]
+    assert sorted(r.k for r in t.read(version=1).collect()) == list(range(5))
+
+    # partitioned: dynamic overwrite replaces only the incoming partition
+    p = SnapshotTable(spark, str(tmp_path / "iow_part"))
+    p.commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "k long, g string, v double",
+        ),
+        partition_by=["g"],
+    )
+    sql(
+        spark,
+        "INSERT OVERWRITE iow_p SELECT 9 AS k, 'a' AS g, 99.0 AS v",
+        snapshot_tables={"iow_p": p},
+    )
+    got = {(r.k, r.g, r.v) for r in p.read().collect()}
+    assert got == {(9, "a", 99.0), (3, "b", 30.0)}
+
+    # static PARTITION clause: the literal rides on every row
+    sql(
+        spark,
+        "INSERT OVERWRITE iow_p PARTITION (g = 'b') "
+        "SELECT 7 AS k, 77.0 AS v",
+        snapshot_tables={"iow_p": p},
+    )
+    got = {(r.k, r.g, r.v) for r in p.read().collect()}
+    assert got == {(9, "a", 99.0), (7, "b", 77.0)}
+
+
+def test_insert_overwrite_guards(spark, tmp_path):
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "iow_g"))
+    with pytest.raises(ValueError, match="no committed version"):
+        sql(
+            spark, "INSERT OVERWRITE g VALUES (1)",
+            snapshot_tables={"g": t},
+        )
+    t.commit(spark.range(0, 3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="not partitioned"):
+        sql(
+            spark,
+            "INSERT OVERWRITE g PARTITION (k = 1) SELECT 5 AS k",
+            snapshot_tables={"g": t},
+        )
+    with pytest.raises(ValueError, match="do not match table columns"):
+        sql(
+            spark,
+            "INSERT OVERWRITE g SELECT 1 AS wrong_name",
+            snapshot_tables={"g": t},
+        )
