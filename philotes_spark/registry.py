@@ -188,15 +188,29 @@ def _tier(name: str) -> tuple[int, int]:
         "cdc_op_rollup",
         "multimodal_frames",
         "sim_threshold_pairs",
-        # r07 additions (oracle-gated in pytest; below the window so the
-        # rotation composition above is exact): the general-MERGE clause
-        # grammar and the WHERE-less UPDATE/DELETE statement shapes
-        "snapshot_merge_clauses",
-        "snapshot_update_unfiltered",
-        "snapshot_schema_history",
-        "snapshot_positional_delete",
-        "snapshot_meta_sql",
-        "train_stratified_sample",
+        # r08 rotation (VERDICT r07 next-round #4): snapshot_merge_clauses,
+        # snapshot_update_unfiltered, snapshot_schema_history,
+        # snapshot_positional_delete, snapshot_meta_sql and
+        # train_stratified_sample graduate INTO the window (the r07
+        # operator tier gets driver-hard-verified); these six move below
+        # it — each is duplicate coverage of a shape that stays
+        # window-green:
+        # b3 (global COUNT(*)) via b12_op_counts' groupBy counts +
+        # a8_buffer_stats' count aggregates; b4 (date-arith filter) via
+        # b7_daily_rollup's date grouping + metric_range_daily's
+        # time-bounded filter; b8 (ORDER+LIMIT top-N) via b13_join_topn +
+        # w_topn_per_group; token_counts_by_source via text_quality_stats'
+        # per-doc token/length stats; doc_fingerprint (rolling hash) via
+        # dedup_exact's hash keys + text_dup_ngram_fraction's hashed
+        # n-grams; pivot_daily_event_matrix (conditional agg) via
+        # funnel_conversion. All six stay oracle-gated in
+        # tests/test_queries_oracle.py.
+        "b3_count_star",
+        "b4_recent_filter",
+        "b8_top_n",
+        "token_counts_by_source",
+        "doc_fingerprint",
+        "pivot_daily_event_matrix",
         "train_length_batches",
         # r08 additions (oracle-gated in pytest; below the window so this
         # round's rotation composition is exact): ALTER COLUMN statement

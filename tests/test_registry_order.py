@@ -30,33 +30,46 @@ def test_families_inside_driver_window():
         "alert_",
         "scaling_",
         "funnel_",
-        "pivot_",
+        # pivot_daily_event_matrix rotated below the window r08 — its
+        # conditional-aggregation shape stays window-green via funnel_
         "text_pii",
     ):
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r07_rotation_composition():
-    # VERDICT r06 #2: the late-r6 operator tier graduates into the
-    # driver's 50-slot window; the evicted duplicate-coverage slots and
-    # the r07 additions sit below it (still oracle-gated in pytest)
+def test_r08_rotation_composition():
+    # VERDICT r07 #4: the r07 operator tier graduates into the driver's
+    # 50-slot window; the evicted duplicate-coverage slots and the r08
+    # additions sit below it (still oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
-        "snapshot_delete_update",
+        "snapshot_delete_update",  # r07 graduates stay in
         "w_rank_family",
         "q_recursive_hierarchy",
         "dq_constraint_report",
         "snapshot_refs",
+        "snapshot_merge_clauses",  # r08 graduates
+        "snapshot_update_unfiltered",
+        "snapshot_schema_history",
+        "snapshot_positional_delete",
+        "snapshot_meta_sql",
+        "train_stratified_sample",
     ):
         assert n in head, n
     for n in (
-        "b16_freshness",
+        "b16_freshness",  # r07 evictees stay out
         "w_moving_avg",
         "cdc_op_rollup",
         "multimodal_frames",
         "sim_threshold_pairs",
-        "snapshot_merge_clauses",
-        "snapshot_update_unfiltered",
+        "b3_count_star",  # r08 evictees (duplicate coverage)
+        "b4_recent_filter",
+        "b8_top_n",
+        "token_counts_by_source",
+        "doc_fingerprint",
+        "pivot_daily_event_matrix",
+        "snapshot_alter_columns",  # r08 additions below the window
+        "snapshot_insert_overwrite",
     ):
         assert n not in head, n
 
