@@ -299,10 +299,13 @@ def sweep() -> None:
         )
 
     rows_out = []
+    per_query: dict[str, dict] = {}
+    sc = spark.sparkContext
     for sf_dir in sf_dirs:
         sf = os.path.basename(sf_dir)
-        registry.QUERIES["b3_count_star"](spark, sf_dir).collect()  # warm
+        registry.QUERIES["b2_scan_limit"](spark, sf_dir).collect()  # warm
         s_total = 0.0
+        s_detail: dict[str, dict] = {}
         for name in names:
             fn = registry.QUERIES[name]
             # cold reps: both engines fully re-execute, apples to apples
@@ -311,7 +314,18 @@ def sweep() -> None:
                 lambda: _materialize(fn(spark, sf_dir)),
                 pre=lambda: registry.invalidate_query_cache(spark, sf_dir),
             )
+            # per-query Spark JOB count (the fixed-floor decomposition the
+            # r07 verdict asked for: each job pays ~10-30 ms of scheduler
+            # floor regardless of data size, so multi-job queries carry a
+            # per-action cost the single-process oracle never pays)
+            group = f"sweep-{sf}-{name}"
+            sc.setJobGroup(group, name)
+            registry.invalidate_query_cache(spark, sf_dir)
+            _materialize(fn(spark, sf_dir))
+            sc.setJobGroup("", "")
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
             s_total += best
+            s_detail[name] = {"spark": round(best, 3), "jobs": jobs}
         con = duckdb.connect()
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -320,7 +334,12 @@ def sweep() -> None:
             sql = registry.ORACLES[name]
             best, _ = _best_of(reps, lambda: len(con.sql(sql).fetchall()))
             d_total += best
+            s_detail[name]["oracle"] = round(best, 3)
+            s_detail[name]["ratio"] = (
+                round(s_detail[name]["spark"] / best, 2) if best > 0 else None
+            )
         con.close()
+        per_query[sf] = s_detail
         rows_out.append((sf, s_total, d_total))  # raw; round only at print
         print(f"# {sf}: spark={s_total:.2f}s duckdb={d_total:.2f}s", file=sys.stderr)
 
@@ -348,6 +367,11 @@ def sweep() -> None:
             }
             for sf, s, d in rows_out
         ],
+        # per-query spark-vs-oracle + Spark job counts at every SF (r08,
+        # VERDICT r07 #2): the floor decomposition — spark_total ≈
+        # sum(jobs) × per-job floor + data time, so the residual sf0.3
+        # gap is attributable query by query
+        "per_query": per_query,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SWEEP.json"

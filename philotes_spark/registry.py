@@ -217,6 +217,7 @@ def _tier(name: str) -> tuple[int, int]:
         # evolution and INSERT OVERWRITE statement text
         "snapshot_alter_columns",
         "snapshot_insert_overwrite",
+        "snapshot_ctas",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -925,3 +925,59 @@ def snapshot_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_ctas",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE event_id <= 800
+    GROUP BY event_type
+    """,
+)
+def snapshot_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CREATE TABLE AS SELECT` + `CREATE OR REPLACE TABLE AS` as
+    statement text (r08 — the last programmatic-only DDL from VERDICT
+    r07 missing #4): a CTAS materializes a new snapshot table under the
+    caller's table_root and registers it for follow-up statements; the
+    OR REPLACE rewrite is a versioned overwrite, so the first CTAS
+    result stays time-travelable underneath."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_ctas_src"
+    try:
+        ev.createOrReplaceTempView(view)
+        tabs: dict = {}
+        sql_stmt(
+            spark,
+            f"CREATE TABLE ev_agg AS SELECT * FROM {view} WHERE event_id <= 400",
+            snapshot_tables=tabs,
+            table_root=scratch,
+        )
+        sql_stmt(  # OR REPLACE: a versioned overwrite of the same table
+            spark,
+            "CREATE OR REPLACE TABLE ev_agg AS "
+            f"SELECT * FROM {view} WHERE event_id <= 800",
+            snapshot_tables=tabs,
+            table_root=scratch,
+        )
+        assert tabs["ev_agg"].current_version() == 2
+        return (
+            tabs["ev_agg"]
+            .read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -163,8 +163,17 @@ _ALTER_LEAD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
 )
 
+# CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col, ...)] AS <query>
+_DDL_CTAS = re.compile(
+    rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s+"
+    r"(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?"
+    r"AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
-  INSERT INTO t [(col, ...)] SELECT ... | VALUES ...
+  INSERT INTO t [(col, ...)] SELECT ... | VALUES ...   (bare identifiers
+    only in the column list — quoted/qualified names are not parsed)
   INSERT OVERWRITE [TABLE] t [PARTITION (col=lit, ...)] SELECT ... | VALUES ...
   DELETE FROM t [WHERE <cond>]
   UPDATE t SET col = expr[, ...] [WHERE <cond>]
@@ -617,6 +626,7 @@ def sql(
     statement: str,
     snapshot_tables: dict[str, SnapshotTable] | None = None,
     dml_keys: dict[str, list[str]] | None = None,
+    table_root: str | None = None,
 ) -> DataFrame:
     """Run ``statement``, serving ``[FOR] VERSION/TIMESTAMP AS OF`` over
     the engine's snapshot tables (see module docs). ``snapshot_tables``
@@ -631,7 +641,9 @@ def sql(
     tables, v2 sources). ``dml_keys`` maps each DML-enabled table to its
     key columns (which must uniquely identify rows — guarded at commit);
     a DML statement returns a 1-row frame (table, operation, version)."""
-    tables = snapshot_tables or {}
+    # identity, not truthiness: a caller's EMPTY dict must stay the same
+    # object so a CTAS can register the new table back into it
+    tables = snapshot_tables if snapshot_tables is not None else {}
     keys = dml_keys or {}
 
     def _dml_keys_for(name: str) -> list[str]:
@@ -641,6 +653,39 @@ def sql(
                 "dml_keys={'" + name + "': [...]})"
             )
         return keys[name]
+
+    ctas = _DDL_CTAS.match(statement)
+    if ctas and (table_root is not None or ctas.group(2) in tables):
+        # CREATE TABLE AS over the snapshot engine (r08): serves when the
+        # target is already a registered snapshot table (OR REPLACE
+        # rewrites it in place) or when the caller supplied ``table_root``
+        # (new snapshot tables materialize under <table_root>/<name> and
+        # register into ``snapshot_tables`` so follow-up statements see
+        # them). Without either, Spark's own catalog CTAS applies below.
+        or_replace, name, part_list, body = ctas.group(1, 2, 3, 4)
+        if name in tables and not or_replace:
+            raise ValueError(
+                f"table {name!r} already exists; use CREATE OR REPLACE "
+                "TABLE to rewrite it"
+            )
+        rows = sql(spark, body.rstrip().rstrip(";"), snapshot_tables=tables)
+        part_by = (
+            [c.strip() for c in part_list.split(",")] if part_list else None
+        )
+        if name in tables:
+            tbl = tables[name]
+        else:
+            import os as _os
+
+            tbl = SnapshotTable(spark, _os.path.join(table_root, name))
+            tables[name] = tbl
+        version = tbl.commit(
+            rows, operation="overwrite", partition_by=part_by
+        )
+        return spark.createDataFrame(
+            [(name, "create-table-as", version)],
+            "table string, operation string, version int",
+        )
 
     alter = _ALTER_LEAD.match(statement)
     if alter and alter.group(1) in tables:

@@ -814,3 +814,52 @@ def test_insert_overwrite_guards(spark, tmp_path):
             "INSERT OVERWRITE g SELECT 1 AS wrong_name",
             snapshot_tables={"g": t},
         )
+
+
+def test_ctas_statements(spark, tmp_path):
+    """CREATE TABLE AS / CREATE OR REPLACE TABLE AS over the snapshot
+    engine: new tables materialize under table_root and register; OR
+    REPLACE is a versioned overwrite; catalog CTAS still falls through."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tabs = {}
+    sql(
+        spark,
+        "CREATE TABLE ct AS SELECT id AS k, id * 2 AS v FROM range(5)",
+        snapshot_tables=tabs,
+        table_root=str(tmp_path),
+    )
+    assert "ct" in tabs
+    assert sorted(r.k for r in tabs["ct"].read().collect()) == list(range(5))
+    # no OR REPLACE → refuses
+    with pytest.raises(ValueError, match="already exists"):
+        sql(
+            spark,
+            "CREATE TABLE ct AS SELECT 1 AS k, 1 AS v",
+            snapshot_tables=tabs,
+            table_root=str(tmp_path),
+        )
+    # OR REPLACE → versioned overwrite (v1 still readable)
+    sql(
+        spark,
+        "CREATE OR REPLACE TABLE ct AS SELECT 9 AS k, 9 AS v",
+        snapshot_tables=tabs,
+    )
+    assert [r.k for r in tabs["ct"].read().collect()] == [9]
+    assert sorted(r.k for r in tabs["ct"].read(version=1).collect()) == list(range(5))
+    # PARTITIONED BY lands hive layout
+    sql(
+        spark,
+        "CREATE TABLE ctp PARTITIONED BY (g) AS "
+        "SELECT id AS k, CAST(id % 2 AS STRING) AS g FROM range(6)",
+        snapshot_tables=tabs,
+        table_root=str(tmp_path),
+    )
+    assert tabs["ctp"]._resolve()["partition_by"] == ["g"]
+    # unregistered + no table_root → falls through to spark.sql
+    spark.sql("DROP TABLE IF EXISTS _ctas_cat_tbl")
+    try:
+        sql(spark, "CREATE TABLE _ctas_cat_tbl AS SELECT 1 AS one")
+        assert spark.table("_ctas_cat_tbl").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _ctas_cat_tbl")
