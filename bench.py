@@ -147,6 +147,11 @@ def _latest_sweep_keys() -> dict:
     for row in art.get("rows", []):
         key = "ratio_" + row["sf"].replace(".", "")
         out[key] = row.get("ratio")
+    # r08: the floor decomposition keys ride along so the summary line
+    # carries both the raw gate reading and the data-time reading
+    for k, v in art.items():
+        if k.startswith(("floor_adjusted_ratio_", "floor_spark_")):
+            out[k] = v
     return out
 
 
@@ -297,6 +302,13 @@ def sweep() -> None:
             ),
             key=lambda p: float(os.path.basename(p)[2:]),
         )
+    # `--sf sf0.3[,sf1]` limits the run to those SFs and MERGES the rows
+    # into the existing SWEEP.json (per-SF rows replace by name) — so a
+    # full sweep can run as several bounded invocations on an idle host
+    only = None
+    if "--sf" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--sf") + 1].split(","))
+        sf_dirs = [d for d in sf_dirs if os.path.basename(d) in only]
 
     rows_out = []
     per_query: dict[str, dict] = {}
@@ -376,6 +388,38 @@ def sweep() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SWEEP.json"
     )
+    if only and os.path.exists(out_path):
+        # partial run: merge by sf name into the standing artifact
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            prior = {}
+        merged = {r["sf"]: r for r in prior.get("rows", [])}
+        merged.update({r["sf"]: r for r in art["rows"]})
+        art["rows"] = sorted(
+            merged.values(), key=lambda r: float(r["sf"][2:])
+        )
+        pq_merged = dict(prior.get("per_query", {}))
+        pq_merged.update(art["per_query"])
+        art["per_query"] = pq_merged
+    # floor-adjusted ratios (r08): the sf0.001 spark total runs the SAME
+    # ~90 jobs over ~zero data, so it IS the roster's per-action floor on
+    # this host; (spark_sfX − floor) / oracle_sfX isolates the data-time
+    # ratio the floor masks at small SF. Derived from rows already in the
+    # artifact — recomputable by anyone holding it.
+    by_sf = {r["sf"]: r for r in art["rows"]}
+    floor_row = by_sf.get("sf0.001")
+    if floor_row:
+        art["floor_spark_sf0001"] = floor_row["spark_total"]
+        for sf, r in by_sf.items():
+            if sf == "sf0.001" or not r["oracle_total"]:
+                continue
+            art[f"floor_adjusted_ratio_{sf.replace('.', '')}"] = round(
+                max(r["spark_total"] - floor_row["spark_total"], 0.0)
+                / r["oracle_total"],
+                2,
+            )
     with open(out_path, "w") as fh:
         json.dump(art, fh, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
