@@ -360,6 +360,36 @@ def write_manifests_for_version(
         entry(f, 0, added_at.get(f, m["version"]), bounds_src=f)
         for f in m["files"]
     ]
+    # files the PARENT referenced that this version no longer does get
+    # status=2 (DELETED) entries — the v2 bookkeeping changelog and
+    # incremental readers use to see removals (a scan skips them:
+    # plan_entries filters status==2). Skipped when already expired from
+    # disk — nothing to describe.
+    current_effective = set(m["files"]) | {
+        f for d, _ in deltas for f in d.get("upsert_files", [])
+    }
+    deleted_entries = []
+    if m["version"] > 1:
+        try:
+            p_added, p_deltas = file_provenance(snap, m["version"] - 1)
+            parent_effective = set(
+                snap._resolve(version=m["version"] - 1)["files"]
+            ) | {f for d, _ in p_deltas for f in d.get("upsert_files", [])}
+        except (FileNotFoundError, ValueError):
+            parent_effective = set()
+        for f in sorted(parent_effective - current_effective):
+            if not os.path.exists(f):
+                continue
+            e = entry(f, 0, added_at.get(f, m["version"] - 1), bounds_src=f)
+            e["status"] = 2
+            # a DELETED entry names the deleting snapshot but keeps the
+            # file's own data sequence (spec: sequence inheritance only
+            # applies to ADDED, so state both explicitly)
+            e["snapshot_id"] = m["version"]
+            e["sequence_number"] = added_at.get(f, m["version"] - 1)
+            e["file_sequence_number"] = added_at.get(f, m["version"] - 1)
+            deleted_entries.append(e)
+    data_entries.extend(deleted_entries)
     delete_entries = []
     for d, d_seq in deltas:
         if d.get("type") == "pos":
@@ -377,18 +407,22 @@ def write_manifests_for_version(
                 data_entries.append(entry(f, 0, d_seq))
 
     def stats(entries: list[dict]) -> dict:
-        out = {"added": 0, "existing": 0, "added_rows": 0, "existing_rows": 0,
-               "min_seq": m["version"]}
+        out = {"added": 0, "existing": 0, "deleted": 0, "added_rows": 0,
+               "existing_rows": 0, "deleted_rows": 0, "min_seq": m["version"]}
         for e in entries:
-            seq = e["snapshot_id"]
             rows = e["data_file"]["record_count"]
             if e["status"] == 1:
                 out["added"] += 1
                 out["added_rows"] += rows
+            elif e["status"] == 2:
+                out["deleted"] += 1
+                out["deleted_rows"] += rows
             else:
                 out["existing"] += 1
                 out["existing_rows"] += rows
-            out["min_seq"] = min(out["min_seq"], seq)
+            out["min_seq"] = min(
+                out["min_seq"], e["sequence_number"] or m["version"]
+            )
         return out
 
     spec_fields = [
@@ -438,10 +472,10 @@ def write_manifests_for_version(
                 "added_snapshot_id": m["version"],
                 "added_files_count": st["added"],
                 "existing_files_count": st["existing"],
-                "deleted_files_count": 0,
+                "deleted_files_count": st["deleted"],
                 "added_rows_count": st["added_rows"],
                 "existing_rows_count": st["existing_rows"],
-                "deleted_rows_count": 0,
+                "deleted_rows_count": st["deleted_rows"],
             }
             for (path, length), content, st in manifests
         ],

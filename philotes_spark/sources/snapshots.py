@@ -894,9 +894,17 @@ class SnapshotTable:
         changes.select(*key_cols).distinct().write.parquet(key_staged)
         up_staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         upserts.write.parquet(up_staged)
-        up_files = _staged_parquet_files(up_staged)
+        # drop empty part files: each staged file becomes a delete- or
+        # data-manifest entry and a per-read scan task (footer check only)
+        up_files = [
+            f for f in _staged_parquet_files(up_staged)
+            if _footer_row_count([f]) > 0
+        ]
         delta = {
-            "key_files": _staged_parquet_files(key_staged),
+            "key_files": [
+                f for f in _staged_parquet_files(key_staged)
+                if _footer_row_count([f]) > 0
+            ],
             "upsert_files": up_files,
             "key_cols": list(key_cols),
         }
@@ -1045,7 +1053,13 @@ class SnapshotTable:
             return parent
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         doomed.write.parquet(staged)
-        pos_files = _staged_parquet_files(staged)
+        # empty part files (idle partitions of the doomed frame) would
+        # each become a delete-manifest entry — drop them (footer check,
+        # no data scan); non-empty by the take(1) guard above
+        pos_files = [
+            f for f in _staged_parquet_files(staged)
+            if _footer_row_count([f]) > 0
+        ]
         delta = {"type": "pos", "pos_files": pos_files}
         return self._write_manifest(
             parent=parent,
@@ -1663,6 +1677,41 @@ class SnapshotTable:
         ]
         return self.spark.createDataFrame(
             rows, "file_path string, size_bytes long, n_rows long"
+        )
+
+    def delete_files(self, version: int | None = None) -> DataFrame:
+        """≙ Iceberg's `t$delete_files` metadata table: one row per
+        pending delete file — positional (`content=1`, the spec's
+        file_path/pos parquet) or equality (`content=2`, key columns) —
+        with the sequence number of the delta that committed it and, for
+        equality files, the delete key columns. Empty frame (same
+        schema) on a delta-free version. Metadata-only: file lists come
+        from the manifest; row counts from parquet footers."""
+        import pyarrow.parquet as pq
+
+        from philotes_spark.sources.iceberg_manifest import file_provenance
+
+        m = self._resolve(version)
+        _, deltas = file_provenance(self, m["version"])
+        rows = []
+        for d, seq in deltas:
+            if d.get("type") == "pos":
+                for f in d["pos_files"]:
+                    rows.append(
+                        (f, 1, "position", seq, None,
+                         pq.ParquetFile(f).metadata.num_rows)
+                    )
+            else:
+                keys = ",".join(d["key_cols"])
+                for f in d["key_files"]:
+                    rows.append(
+                        (f, 2, "equality", seq, keys,
+                         pq.ParquetFile(f).metadata.num_rows)
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, content int, delete_type string, "
+            "sequence_number int, equality_columns string, n_rows long",
         )
 
     def partitions(self, version: int | None = None) -> DataFrame:

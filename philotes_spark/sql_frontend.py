@@ -53,8 +53,8 @@ _TT_RE = re.compile(
 # (sample-queries.sql:55-61: SELECT * FROM "events$snapshots"), with or
 # without the double quotes Trino requires around the $-name
 _META_TABLES = (
-    "snapshots", "files", "partitions", "properties", "metadata", "refs",
-    "schema_history", "history",
+    "snapshots", "files", "delete_files", "partitions", "properties",
+    "metadata", "refs", "schema_history", "history",
 )
 _META_RE = re.compile(
     r'"?\b([A-Za-z_][A-Za-z0-9_]*)\$(' + "|".join(_META_TABLES) + r')\b"?',

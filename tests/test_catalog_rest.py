@@ -816,3 +816,88 @@ def test_avro_manifest_column_bounds_round_trip(spark, tmp_path):
     assert bounds["k"] == (1, 9)
     assert bounds["x"] == (-2.25, 10.5)
     assert bounds["name"] == ("apple", "zebra")
+
+
+def test_publish_after_alter_column_evolves_catalog_schema(
+    mock_catalog, spark, tmp_path
+):
+    """r08 integration: ALTER TABLE ADD COLUMN (metadata-only schema-op
+    journal) followed by a publish must ride an add-schema update so the
+    catalog serves the evolved shape, and the read-back must equal the
+    engine's read — including the journal-applied NULLs for pre-ALTER
+    rows."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "alter_pub"))
+    tbl.commit(spark.range(0, 6).select(F.col("id").alias("k")))
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_alter", tbl)
+    cat.verify_publish("ns", "t_alter", tbl)
+
+    tabs = {"t": tbl}
+    sql_frontend.sql(spark, "ALTER TABLE t ADD COLUMN note STRING", tabs)
+    sql_frontend.sql(
+        spark, "INSERT INTO t VALUES (100, 'late')", snapshot_tables=tabs
+    )
+    cat.publish_snapshot("ns", "t_alter", tbl)
+    cat.verify_publish("ns", "t_alter", tbl)
+
+    meta = cat.load_table("ns", "t_alter")["metadata"]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert [f["name"] for f in cur["fields"]] == ["k", "note"]
+    n = _readback_equal(spark, tbl, "ns", "t_alter", cat)
+    assert n == 7
+
+
+def test_manifest_carries_deleted_entries_for_removed_files(
+    mock_catalog, spark, tmp_path
+):
+    """A rewrite commit (CoW merge) removes parent files; the published
+    manifest must record them as status=2 DELETED entries (changelog
+    bookkeeping) while the scan plan excludes them and the manifest-list
+    deleted_* counters are real."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.avro import read_ocf
+    from philotes_spark.sources.iceberg_manifest import plan_entries
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "del_entries"))
+    tbl.commit(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+        stats_cols=["k"],
+    )
+    v1_files = set(tbl._resolve()["files"])
+    tbl.merge(  # full rewrite (single file, key range overlaps)
+        spark.createDataFrame([(3, True)], "k long, _del boolean"),
+        key_cols=["k"],
+        delete_col="_del",
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_del_e", tbl)
+    meta = cat.load_table("ns", "t_del_e")["metadata"]
+    pub = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == tbl.current_version()
+    )
+    # the scan plan excludes DELETED entries
+    data, _ = plan_entries(pub["manifest-list"])
+    assert {f["file_path"] for f in data} == set(tbl._resolve()["files"])
+    # but the manifest itself records the removed v1 files as status=2
+    mls = read_ocf(pub["manifest-list"])[2]
+    data_manifest = next(m for m in mls if m["content"] == 0)
+    entries = read_ocf(data_manifest["manifest_path"])[2]
+    deleted = {
+        e["data_file"]["file_path"] for e in entries if e["status"] == 2
+    }
+    assert deleted == v1_files
+    assert data_manifest["deleted_files_count"] == len(v1_files)
+    assert data_manifest["deleted_rows_count"] == 10
+    n = _readback_equal(spark, tbl, "ns", "t_del_e", cat)
+    assert n == 9

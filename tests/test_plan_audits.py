@@ -600,3 +600,27 @@ def test_length_batches_no_per_doc_shuffle(plan_of):
     assert "Window" not in a.plan, "per-doc window crept into the batching plan"
     assert a.shuffles <= 2, f"length batching grew shuffles: {a.shuffles}"
     assert "partial" in a.plan.lower(), "aggregate lost its map-side partial"
+
+
+def test_schema_op_read_adds_no_shuffle(spark, tmp_path):
+    """r08: ALTER-journal application (add/rename/drop) must stay a pure
+    projection over the scan — zero extra Exchanges vs the pre-ALTER
+    read, so the evolution cost model holds at 100 TB (Iceberg's
+    metadata-only promise)."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.plans.audit import count_shuffles
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "sops"))
+    t.commit(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    before = count_shuffles(t.read())
+    t.alter_add_columns([("w", "double")])
+    t.alter_rename_column("v", "val")
+    t.alter_drop_column("w")
+    after = count_shuffles(t.read())
+    assert after == before == 0

@@ -456,11 +456,23 @@ def test_mor_read_where_applies_deltas_and_expire_keeps_them(spark, table):
         .filter("v >= 5 AND v <= 20").collect()
     }
     assert got[10] == 1000 and 11 not in got and len(got) == 15
-    # expiry must treat delta files as live references
+    # expiry must treat delta files as live references; the only
+    # collectable files are empty staged parts the delta writer dropped
+    # from its manifest (r08: empty part files never enter deltas)
+    import pyarrow.parquet as pq
+
+    live_before = {
+        f
+        for d in table._resolve().get("deltas", [])
+        for f in d.get("key_files", []) + d.get("upsert_files", [])
+    }
     deleted = table.expire_snapshots(keep_last=1)
     got2 = {r.v: r.val for r in table.read().collect()}
     assert got2[10] == 1000 and 11 not in got2 and len(got2) == 99
-    assert deleted == 0  # nothing unreferenced: v2 holds base + deltas
+    # every referenced delta file survived the expiry
+    assert all(
+        pq.ParquetFile(f).metadata.num_rows >= 0 for f in live_before
+    )  # readable = still on disk
 
 
 def test_plain_compact_carries_deltas(spark, table):
@@ -842,3 +854,38 @@ def test_schema_history_journal(spark, tmp_path):
     assert hist[1].n_columns == 2 and hist[2].n_columns == 3
     assert hist[2].columns.endswith("extra double")
     assert hist[1].captured_at_ms <= hist[3].captured_at_ms
+
+
+def test_delete_files_metadata_table(spark, tmp_path):
+    """`t$delete_files` (Iceberg parity): pending positional + equality
+    delete files with sequence numbers and key columns; empty after
+    compaction."""
+    from philotes_spark import sql_frontend
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "delf"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    t.delete_where_positional("k = 1")  # seq 2
+    t.merge(  # seq 3: equality delta
+        spark.createDataFrame([(2, 0, True)], "k long, v long, _d boolean"),
+        key_cols=["k"],
+        delete_col="_d",
+        mode="mor",
+    )
+    rows = {r.delete_type: r for r in t.delete_files().collect()}
+    assert rows["position"].content == 1
+    assert rows["position"].sequence_number == 2
+    assert rows["position"].n_rows == 1
+    assert rows["equality"].content == 2
+    assert rows["equality"].sequence_number == 3
+    assert rows["equality"].equality_columns == "k"
+    # the $-syntax serves it as SQL text
+    got = sql_frontend.sql(
+        spark,
+        "SELECT delete_type, COUNT(*) AS n FROM delf$delete_files "
+        "GROUP BY delete_type ORDER BY delete_type",
+        {"delf": t},
+    ).collect()
+    assert [(r.delete_type, r.n) for r in got] == [("equality", 1), ("position", 1)]
+    t.compact_deltas()
+    assert t.delete_files().count() == 0
