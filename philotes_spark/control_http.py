@@ -89,14 +89,20 @@ class ControlServer:
         port: int = 0,
         snapshot_tables: dict | None = None,
         dml_keys: dict | None = None,
+        table_root: str | None = None,
     ) -> None:
         self.spark = spark
         self.registry = registry or PipelineRegistry(spark)
         self.host = host
         self._port = port
-        # tables served to /statements with time travel + DML enabled
-        self.snapshot_tables = snapshot_tables or {}
+        # tables served to /statements with time travel + DML enabled;
+        # table_root additionally enables CTAS over HTTP (new snapshot
+        # tables materialize under it and self-register)
+        self.snapshot_tables = (
+            snapshot_tables if snapshot_tables is not None else {}
+        )
         self.dml_keys = dml_keys or {}
+        self.table_root = table_root
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -181,6 +187,7 @@ class ControlServer:
         df = sql_frontend.sql(
             self.spark, stmt,
             snapshot_tables=self.snapshot_tables, dml_keys=self.dml_keys,
+            table_root=self.table_root,
         )
         page = df.offset(offset).limit(max_rows + 1).collect() if offset \
             else df.limit(max_rows + 1).collect()

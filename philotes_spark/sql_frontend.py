@@ -163,6 +163,11 @@ _ALTER_LEAD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
 )
 
+_DDL_DROP_TABLE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col, ...)] AS <query>
 _DDL_CTAS = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s+"
@@ -653,6 +658,22 @@ def sql(
                 "dml_keys={'" + name + "': [...]})"
             )
         return keys[name]
+
+    drop = _DDL_DROP_TABLE.match(statement)
+    if drop and drop.group(1) in tables:
+        # DROP TABLE on a registered snapshot table: deregister and
+        # remove the table root (manifests + data files + branches/tags
+        # under it). Unregistered targets fall through to spark.sql so
+        # catalog DROP TABLE keeps working.
+        name = drop.group(1)
+        tbl = tables.pop(name)
+        import shutil as _shutil
+
+        _shutil.rmtree(tbl.path, ignore_errors=True)
+        return spark.createDataFrame(
+            [(name, "drop-table", 0)],
+            "table string, operation string, version int",
+        )
 
     ctas = _DDL_CTAS.match(statement)
     if ctas and (table_root is not None or ctas.group(2) in tables):

@@ -264,3 +264,40 @@ def test_statements_error_mapping(spark):
         assert code == 405
     finally:
         srv.stop()
+
+
+def test_statements_endpoint_serves_ctas_and_drop(spark, tmp_path):
+    """r08: CTAS + DROP TABLE as statement text over POST
+    /api/v1/statements when the server is built with a table_root."""
+    import json
+    import urllib.request
+
+    from philotes_spark.control_http import ControlServer
+
+    tabs = {}
+    srv = ControlServer(
+        spark, snapshot_tables=tabs, dml_keys={},
+        table_root=str(tmp_path),
+    )
+    srv.start()
+    try:
+        def post(stmt):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/api/v1/statements",
+                data=json.dumps({"sql": stmt}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        out = post("CREATE TABLE http_t AS SELECT id AS k FROM range(3)")
+        assert out["rows"][0][1] == "create-table-as"
+        assert "http_t" in tabs
+        out = post("SELECT COUNT(*) AS n FROM http_t VERSION AS OF 1")
+        assert out["rows"][0][0] == 3
+        out = post("DROP TABLE http_t")
+        assert out["rows"][0][1] == "drop-table"
+        assert "http_t" not in tabs
+    finally:
+        srv.stop()

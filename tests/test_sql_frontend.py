@@ -863,3 +863,27 @@ def test_ctas_statements(spark, tmp_path):
         assert spark.table("_ctas_cat_tbl").count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS _ctas_cat_tbl")
+
+
+def test_drop_table_statement(spark, tmp_path):
+    """DROP TABLE deregisters and removes a registered snapshot table's
+    root; unregistered targets still fall through to the Spark catalog."""
+    import os
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tabs = {}
+    sql(
+        spark,
+        "CREATE TABLE dt AS SELECT id AS k FROM range(4)",
+        snapshot_tables=tabs,
+        table_root=str(tmp_path),
+    )
+    root = tabs["dt"].path
+    assert os.path.isdir(root)
+    sql(spark, "DROP TABLE dt", snapshot_tables=tabs)
+    assert "dt" not in tabs and not os.path.exists(root)
+    # catalog fall-through still works
+    spark.sql("CREATE TABLE _drop_cat_tbl (v BIGINT) USING parquet")
+    sql(spark, "DROP TABLE IF EXISTS _drop_cat_tbl", snapshot_tables=tabs)
+    assert "_drop_cat_tbl" not in [t.name for t in spark.catalog.listTables()]
