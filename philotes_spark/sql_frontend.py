@@ -168,6 +168,25 @@ _DDL_DROP_TABLE = re.compile(
     re.IGNORECASE,
 )
 
+# maintenance statements (Delta/Iceberg spellings users type daily):
+#   OPTIMIZE t                      -> small-file compaction
+#   VACUUM t [RETAIN <n> VERSIONS]  -> snapshot expiry
+_DDL_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_DDL_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})\s*"
+    r"(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+# Iceberg ref DDL: ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n]
+#                  ALTER TABLE t DROP TAG|BRANCH name
+_DDL_REF = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(CREATE|DROP)\s+(TAG|BRANCH)\s+"
+    r"(\w+)\s*(?:AS\s+OF\s+VERSION\s+(\d+)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+
 # CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col, ...)] AS <query>
 _DDL_CTAS = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s+"
@@ -708,9 +727,49 @@ def sql(
             "table string, operation string, version int",
         )
 
+    m = _DDL_OPTIMIZE.match(statement)
+    if m and m.group(1) in tables:
+        version = tables[m.group(1)].compact()
+        return spark.createDataFrame(
+            [(m.group(1), "optimize",
+              version if version is not None else
+              tables[m.group(1)].current_version())],
+            "table string, operation string, version int",
+        )
+    m = _DDL_VACUUM.match(statement)
+    if m and m.group(1) in tables:
+        keep = int(m.group(2)) if m.group(2) else 1
+        deleted = tables[m.group(1)].expire_snapshots(keep_last=keep)
+        return spark.createDataFrame(
+            [(m.group(1), "vacuum", deleted)],
+            "table string, operation string, version int",
+        )
+
     alter = _ALTER_LEAD.match(statement)
     if alter and alter.group(1) in tables:
         name = alter.group(1)
+        m = _DDL_REF.match(statement)
+        if m:
+            _, action, kind, ref, as_of = m.group(1, 2, 3, 4, 5)
+            tbl = tables[name]
+            action, kind = action.upper(), kind.upper()
+            if action == "CREATE" and kind == "TAG":
+                v = tbl.tag(ref, version=int(as_of) if as_of else None)
+            elif action == "CREATE":
+                tbl.create_branch(
+                    ref, from_version=int(as_of) if as_of else None
+                )
+                v = tbl.branch(ref).current_version()
+            elif kind == "TAG":
+                tbl.delete_tag(ref)
+                v = tbl.current_version()
+            else:
+                tbl.drop_branch(ref)
+                v = tbl.current_version()
+            return spark.createDataFrame(
+                [(name, f"{action.lower()}-{kind.lower()}", v)],
+                "table string, operation string, version int",
+            )
         m = _DDL_ALTER_SET.match(statement)
         if m:
             props = {}
@@ -778,8 +837,9 @@ def sql(
         raise ValueError(
             f"unsupported ALTER shape for snapshot table {name!r}: "
             "SET/UNSET TBLPROPERTIES, ADD COLUMN(S) (name type, ...), "
-            "RENAME COLUMN a TO b and DROP COLUMN name are served; other "
-            "ALTERs (layout changes) need an overwrite commit"
+            "RENAME COLUMN a TO b, DROP COLUMN name, and CREATE/DROP "
+            "TAG|BRANCH name [AS OF VERSION n] are served; other ALTERs "
+            "(layout changes) need an overwrite commit"
         )
 
     lead = _DML_LEAD.match(statement)

@@ -887,3 +887,35 @@ def test_drop_table_statement(spark, tmp_path):
     spark.sql("CREATE TABLE _drop_cat_tbl (v BIGINT) USING parquet")
     sql(spark, "DROP TABLE IF EXISTS _drop_cat_tbl", snapshot_tables=tabs)
     assert "_drop_cat_tbl" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_maintenance_and_ref_statements(spark, tmp_path):
+    """OPTIMIZE / VACUUM / ALTER TABLE CREATE|DROP TAG|BRANCH as
+    statement text over the snapshot engine."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "maint"))
+    for lo in (0, 5, 10):
+        t.commit(
+            spark.range(lo, lo + 5).selectExpr("id AS k").coalesce(1)
+        )
+    tabs = {"m": t}
+    # tags + branches via statements
+    sql(spark, "ALTER TABLE m CREATE TAG audit AS OF VERSION 1", tabs)
+    got = sql(
+        spark, "SELECT COUNT(*) AS n FROM m VERSION AS OF 'audit'", tabs
+    ).collect()
+    assert got[0].n == 5
+    sql(spark, "ALTER TABLE m CREATE BRANCH wip", tabs)
+    assert "wip" in t.list_branches()
+    sql(spark, "ALTER TABLE m DROP BRANCH wip", tabs)
+    assert "wip" not in t.list_branches()
+    # OPTIMIZE compacts the three tiny files
+    out = sql(spark, "OPTIMIZE m", tabs).collect()
+    assert out[0].operation == "optimize"
+    assert len(t._resolve()["files"]) == 1
+    # VACUUM with retention keeps tagged + last-N versions readable
+    out = sql(spark, "VACUUM m RETAIN 2 VERSIONS", tabs).collect()
+    assert out[0].operation == "vacuum"
+    assert t.read().count() == 15
+    sql(spark, "ALTER TABLE m DROP TAG audit", tabs)
