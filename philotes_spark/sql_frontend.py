@@ -168,6 +168,18 @@ _DDL_DROP_TABLE = re.compile(
     re.IGNORECASE,
 )
 
+# introspection statements over registered snapshot tables (B1 parity
+# for path-based tables — Spark's built-ins need a catalog table):
+_DDL_DESCRIBE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_DDL_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_DDL_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+
 # maintenance statements (Delta/Iceberg spellings users type daily):
 #   OPTIMIZE t                      -> small-file compaction
 #   VACUUM t [RETAIN <n> VERSIONS]  -> snapshot expiry
@@ -725,6 +737,39 @@ def sql(
         return spark.createDataFrame(
             [(name, "create-table-as", version)],
             "table string, operation string, version int",
+        )
+
+    m = _DDL_DESCRIBE.match(statement)
+    if m and m.group(1) in tables:
+        schema = tables[m.group(1)].read().schema
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(), None) for f in schema],
+            "col_name string, data_type string, comment string",
+        )
+    m = _DDL_SHOW_CREATE.match(statement)
+    if m and m.group(1) in tables:
+        name = m.group(1)
+        tbl = tables[name]
+        schema = tbl.read().schema
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in schema
+        )
+        mm = tbl._resolve()
+        ddl = f"CREATE TABLE {name} ({cols}) USING parquet"
+        if mm.get("partition_by"):
+            ddl += f" PARTITIONED BY ({', '.join(mm['partition_by'])})"
+        props = mm.get("properties") or {}
+        if props:
+            ddl += " TBLPROPERTIES (" + ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            ) + ")"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+    m = _DDL_SHOW_PROPS.match(statement)
+    if m and m.group(1) in tables:
+        props = tables[m.group(1)]._resolve().get("properties") or {}
+        return spark.createDataFrame(
+            sorted(props.items()) or [],
+            "key string, value string",
         )
 
     m = _DDL_OPTIMIZE.match(statement)

@@ -901,3 +901,30 @@ def test_manifest_carries_deleted_entries_for_removed_files(
     assert data_manifest["deleted_rows_count"] == 10
     n = _readback_equal(spark, tbl, "ns", "t_del_e", cat)
     assert n == 9
+
+
+def test_publish_partitioned_table_with_deltas_readback(
+    mock_catalog, spark, tmp_path
+):
+    """Partitioned table + positional delete: the external reader takes
+    partition values from the MANIFEST partition record (hive paths are
+    engine layout), applies the delete file, and must equal the engine's
+    read — the full r08 surface in one round trip."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "part_delta"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(12)],
+            "k long, par string, v double",
+        ).coalesce(1),
+        partition_by=["par"],
+    )
+    tbl.delete_where_positional("k IN (0, 3)")
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_pd", tbl)
+    cat.verify_publish("ns", "t_pd", tbl)
+    n = _readback_equal(spark, tbl, "ns", "t_pd", cat)
+    assert n == 10

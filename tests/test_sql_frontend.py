@@ -919,3 +919,30 @@ def test_maintenance_and_ref_statements(spark, tmp_path):
     assert out[0].operation == "vacuum"
     assert t.read().count() == 15
     sql(spark, "ALTER TABLE m DROP TAG audit", tabs)
+
+
+def test_introspection_statements_on_snapshot_tables(spark, tmp_path):
+    """DESCRIBE / SHOW CREATE TABLE / SHOW TBLPROPERTIES serve
+    path-based snapshot tables (Spark's built-ins need catalog tables);
+    unregistered targets still pass through to spark.sql."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "intro"))
+    t.commit(
+        spark.createDataFrame([(1, "a", 1.5)], "k long, g string, v double")
+        .coalesce(1),
+        partition_by=["g"],
+        properties={"owner": "cdc"},
+    )
+    tabs = {"intro_t": t}
+    desc = sql(spark, "DESCRIBE intro_t", tabs).collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("k", "bigint"), ("v", "double"), ("g", "string")
+    ]
+    ddl = sql(spark, "SHOW CREATE TABLE intro_t", tabs).collect()[0].createtab_stmt
+    assert "PARTITIONED BY (g)" in ddl and "'owner' = 'cdc'" in ddl
+    props = {r.key: r.value for r in
+             sql(spark, "SHOW TBLPROPERTIES intro_t", tabs).collect()}
+    assert props == {"owner": "cdc"}
+    # pass-through for plain SQL still intact
+    assert sql(spark, "SELECT 41 + 1 AS x", tabs).collect()[0].x == 42
