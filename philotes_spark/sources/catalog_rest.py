@@ -427,6 +427,7 @@ class RestCatalog:
         data_files: list[dict],
         snapshot: dict | None = None,
         new_schema: dict | None = None,
+        removed_files: list[str] | None = None,
     ) -> None:
         """Commit an append snapshot (rest.go:188-217: a single
         append-files update with empty requirements). When ``snapshot``
@@ -436,11 +437,19 @@ class RestCatalog:
         v2 snapshot list with manifest-list paths. When ``new_schema``
         is given, ``add-schema`` + ``set-current-schema`` (schema-id -1
         = "the one just added", per the Iceberg REST spec) ride along —
-        the additive-evolution commit (A12)."""
+        the additive-evolution commit (A12). ``removed_files`` carries
+        the delete side of a REWRITE commit (merge/compaction/overwrite)
+        for the catalog's flat served-file list — a production catalog
+        derives the same information from the snapshot's status=2
+        manifest entries; the mock needs it stated."""
         updates: list[dict] = []
         if new_schema is not None:
             updates.append({"action": "add-schema", "schema": new_schema})
             updates.append({"action": "set-current-schema", "schema-id": -1})
+        if removed_files:
+            updates.append(
+                {"action": "remove-files", "file-paths": list(removed_files)}
+            )
         updates.append(
             {"action": "append", "append-files": {"data-files": data_files}}
         )
@@ -510,6 +519,24 @@ class RestCatalog:
         # exempts strictly-newer data — publishing that state would let an
         # external reader see rows the engine deletes. compact_deltas()
         # resolves it.
+        # rename/drop schema ops are read-side journal entries a
+        # name-based external reader cannot apply: parquet files carrying
+        # the OLD column name would surface it verbatim. ADD is safe
+        # (absent column reads NULL externally, same as the journal), so
+        # only rename/drop block the publish until materialized.
+        blocked_ops = [
+            op["op"]
+            for op in manifest.get("schema_ops", [])
+            if op["op"] in ("rename", "drop")
+        ]
+        if blocked_ops:
+            raise ValueError(
+                f"version {manifest['version']} has pending "
+                f"{sorted(set(blocked_ops))} schema op(s): external "
+                "readers resolve columns by name from the data files, so "
+                "a rename/drop is invisible to them until the files are "
+                "rewritten — run materialize_schema() before publishing"
+            )
         eq_seqs = [s for d, s in deltas if not d.get("type") == "pos"]
         if eq_seqs:
             newest_base = max(
@@ -549,6 +576,7 @@ class RestCatalog:
                 for s in loaded.get("metadata", {}).get("snapshots", [])
             }
         new_files = [f for f in effective_files if f not in already_served]
+        removed_files = sorted(already_served - set(effective_files))
         self.create_table(
             namespace,
             table,
@@ -597,7 +625,11 @@ class RestCatalog:
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot
         # update is what points external readers at them
-        if data_files or manifest["version"] not in served_snapshot_ids:
+        if (
+            data_files
+            or removed_files
+            or manifest["version"] not in served_snapshot_ids
+        ):
             self.commit_append(
                 namespace,
                 table,
@@ -610,6 +642,7 @@ class RestCatalog:
                     ),
                 ),
                 new_schema=new_schema,
+                removed_files=removed_files,
             )
         return len(data_files)
 

@@ -568,6 +568,14 @@ def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
 
+    # a real reader resolves the TABLE schema: a column no data file
+    # carries yet (fresh ADD COLUMN evolution) reads as typed NULL
+    for f in rest_schema["fields"]:
+        if f["name"] not in out.columns:
+            out = out.withColumn(
+                f["name"], F.lit(None).cast(spark_type.get(f["name"], "string"))
+            )
+
     pos = [d for d in deletes if d["content"] == 1]
     if pos:
         # a position delete applies to data files with sequence <= its own;

@@ -705,6 +705,49 @@ class SnapshotTable:
             m, "rename-column", {"op": "rename", "from": old, "to": new}
         )
 
+    def materialize_schema(self) -> int | None:
+        """Rewrite every data file under the CURRENT applied schema and
+        reset the schema-op journal — the rewrite that makes rename/drop
+        evolution visible to name-based external readers (the REST
+        publish refuses those ops pending, since parquet files carrying
+        old column names cannot express a rename to a reader without the
+        journal). O(table) write, like any full rewrite; layout
+        (partitioning/clustering) is preserved. Returns the new version,
+        or None when no schema ops are pending."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if not m.get("schema_ops"):
+            return None
+        if m.get("deltas"):
+            raise ValueError(
+                "pending merge-on-read deltas; run compact_deltas() first"
+            )
+        applied = self._recluster(self.read(), m)
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        writer = applied.write
+        part_cols = m.get("partition_by") or []
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staged)
+        new_files = _staged_parquet_files(staged)
+        cols = m.get("stats_cols") or []
+        stats = _footer_stats(new_files, cols) if cols else {}
+        return self._write_manifest(
+            parent=parent,
+            operation="materialize-schema",
+            files=new_files,
+            added_files=len(new_files),
+            added_rows=0,  # logical rows unchanged — a rewrite
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+        )
+
     def alter_drop_column(self, name: str) -> int:
         """``ALTER TABLE t DROP COLUMN name`` — metadata-only; the column
         stays in old files (and in time travel before this version) but
@@ -1487,6 +1530,10 @@ class SnapshotTable:
             if op in ("compact", "compact-deltas"):
                 prev_files = set(m["files"])
                 continue
+            # NOTE: materialize-schema deliberately stays on the refusal
+            # path below — it empties the schema-op journal, so rows
+            # appended under pre-rename names inside the range could no
+            # longer be normalized to the final shape
             if op in ("set-properties", "add-column", "rename-column",
                       "drop-column"):
                 continue  # metadata-only: the file list is unchanged

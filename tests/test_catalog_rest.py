@@ -126,6 +126,12 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 elif upd["action"] == "add-snapshot":
                     srv.snapshots.setdefault(key, []).append(upd["snapshot"])
+                elif upd["action"] == "remove-files":
+                    gone = set(upd["file-paths"])
+                    srv.commits[key] = [
+                        f for f in srv.commits.get(key, [])
+                        if f["file-path"] not in gone
+                    ]
                 elif upd["action"] == "add-schema":
                     srv.tables[key]["schemas"].append(upd["schema"])
                 elif upd["action"] == "set-snapshot-ref":
@@ -928,3 +934,38 @@ def test_publish_partitioned_table_with_deltas_readback(
     cat.verify_publish("ns", "t_pd", tbl)
     n = _readback_equal(spark, tbl, "ns", "t_pd", cat)
     assert n == 10
+
+
+def test_publish_refuses_pending_rename_then_materialize(
+    mock_catalog, spark, tmp_path
+):
+    """A pending RENAME/DROP schema op is a read-side journal entry a
+    name-based external reader cannot apply — publish refuses until
+    materialize_schema() rewrites the files; a pending ADD (externally
+    safe: absent column reads NULL) publishes fine, even before any data
+    carries it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "ren_pub"))
+    tbl.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    tbl.alter_add_columns([("note", "string")])
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    # ADD-only journal: publishes, and the external read-back surfaces
+    # the fresh column as NULLs
+    cat.publish_snapshot("ns", "t_ren", tbl)
+    cat.verify_publish("ns", "t_ren", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 5
+
+    tbl.alter_rename_column("note", "comment")
+    with _pytest.raises(ValueError, match="materialize_schema"):
+        cat.publish_snapshot("ns", "t_ren", tbl)
+    assert tbl.materialize_schema() is not None
+    assert tbl._resolve().get("schema_ops") == []
+    cat.publish_snapshot("ns", "t_ren", tbl)
+    cat.verify_publish("ns", "t_ren", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 5
+    # idempotent when nothing pending
+    assert tbl.materialize_schema() is None
