@@ -191,6 +191,13 @@ _DDL_VACUUM = re.compile(
     r"(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$",
     re.IGNORECASE,
 )
+# Iceberg stored-procedure spelling: CALL [catalog.][system.]proc(args)
+# — args positional or named (name => value), string/int literals
+_DDL_CALL = re.compile(
+    r"^\s*CALL\s+(?:[\w]+\.)*(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # Iceberg ref DDL: ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n]
 #                  ALTER TABLE t DROP TAG|BRANCH name
 _DDL_REF = re.compile(
@@ -738,6 +745,72 @@ def sql(
             [(name, "create-table-as", version)],
             "table string, operation string, version int",
         )
+
+    m = _DDL_CALL.match(statement)
+    if m:
+        proc = m.group(1).lower()
+        raw_args = [a.strip() for a in _split_top(m.group(2)) if a.strip()]
+        pos, named = [], {}
+
+        def _lit(v: str):
+            v = v.strip()
+            if v.startswith("'") and v.endswith("'"):
+                return v[1:-1]
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        for a in raw_args:
+            if "=>" in a:
+                k, _, v = a.partition("=>")
+                named[k.strip().lower()] = _lit(v)
+            else:
+                pos.append(_lit(a))
+
+        procs = {
+            "rollback_to_snapshot": ("table", "snapshot_id"),
+            "fast_forward": ("table", "branch"),
+            "expire_snapshots": ("table", "retain_last"),
+            "rewrite_data_files": ("table",),
+            "compact_deltas": ("table",),
+            "materialize_schema": ("table",),
+        }
+        if proc in procs:
+            params = procs[proc]
+            args = dict(zip(params, pos))
+            args.update(named)
+            tname = args.get("table")
+            if tname not in tables:
+                raise ValueError(
+                    f"CALL {proc}: {tname!r} is not a registered snapshot "
+                    f"table (have {sorted(tables)})"
+                )
+            tbl = tables[tname]
+            if proc == "rollback_to_snapshot":
+                v = tbl.rollback(int(args["snapshot_id"]))
+            elif proc == "fast_forward":
+                v = tbl.fast_forward(str(args["branch"]))
+            elif proc == "expire_snapshots":
+                v = tbl.expire_snapshots(
+                    keep_last=int(args.get("retain_last", 1))
+                )
+            elif proc == "rewrite_data_files":
+                out = tbl.compact()
+                v = out if out is not None else tbl.current_version()
+            elif proc == "compact_deltas":
+                out = tbl.compact_deltas()
+                v = out if out is not None else tbl.current_version()
+            else:  # materialize_schema
+                out = tbl.materialize_schema()
+                v = out if out is not None else tbl.current_version()
+            return spark.createDataFrame(
+                [(tname, proc, v)],
+                "table string, operation string, version int",
+            )
+        # unknown procedure: fall through to spark.sql (a real catalog
+        # may serve its own CALLs); if Spark can't either, its error names
+        # the statement
 
     m = _DDL_DESCRIBE.match(statement)
     if m and m.group(1) in tables:

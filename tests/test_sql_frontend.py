@@ -946,3 +946,37 @@ def test_introspection_statements_on_snapshot_tables(spark, tmp_path):
     assert props == {"owner": "cdc"}
     # pass-through for plain SQL still intact
     assert sql(spark, "SELECT 41 + 1 AS x", tabs).collect()[0].x == 42
+
+
+def test_call_procedures(spark, tmp_path):
+    """Iceberg stored-procedure spellings: CALL rollback_to_snapshot /
+    fast_forward / expire_snapshots / rewrite_data_files /
+    compact_deltas / materialize_schema over registered snapshot
+    tables, positional and name => value args."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "proc"))
+    for lo in (0, 5):
+        t.commit(spark.range(lo, lo + 5).selectExpr("id AS k").coalesce(1))
+    tabs = {"p": t}
+    # rollback (system.-qualified spelling)
+    out = sql(spark, "CALL system.rollback_to_snapshot('p', 1)", tabs).collect()
+    assert out[0].operation == "rollback_to_snapshot"
+    assert t.read().count() == 5
+    # branch + named-arg fast_forward
+    br = t.create_branch("wip")
+    br.commit(spark.range(100, 103).selectExpr("id AS k").coalesce(1))
+    sql(spark, "CALL fast_forward(table => 'p', branch => 'wip')", tabs)
+    assert t.read().count() == 8  # 5 forked + 3 staged
+    # rewrite_data_files compacts; compact_deltas no-ops cleanly
+    sql(spark, "CALL rewrite_data_files('p')", tabs)
+    assert len(t._resolve()["files"]) == 1
+    out = sql(spark, "CALL compact_deltas('p')", tabs).collect()
+    assert out[0].version == t.current_version()
+    # expire with retention
+    out = sql(spark, "CALL expire_snapshots('p', retain_last => 1)", tabs).collect()
+    assert out[0].operation == "expire_snapshots"
+    assert t.read().count() == 8
+    # unknown table errors clearly; unknown proc falls through to Spark
+    with pytest.raises(ValueError, match="not a registered snapshot"):
+        sql(spark, "CALL rollback_to_snapshot('nope', 1)", tabs)
