@@ -689,6 +689,26 @@ def sql(
     tables = snapshot_tables if snapshot_tables is not None else {}
     keys = dml_keys or {}
 
+    # Iceberg's branch-write spelling: `t.branch_<name>` as a DML target
+    # resolves to the branch head (write-audit-publish: stage writes on
+    # the branch, audit via VERSION AS OF '<name>', publish via CALL
+    # fast_forward). Resolved into a LOCAL extension of the lookup —
+    # the caller's dict object is only mutated by CTAS registration.
+    branch_refs = {
+        f"{base}.branch_{bname}": (base, bname)
+        for base, bname in set(
+            re.findall(r"\b(\w+)\.branch_(\w+)\b", statement)
+        )
+        if base in tables
+    }
+    if branch_refs:
+        tables = dict(tables)
+        keys = dict(keys)
+        for ref, (base, bname) in branch_refs.items():
+            tables[ref] = tables[base].branch(bname)
+            if base in keys:
+                keys[ref] = keys[base]
+
     def _dml_keys_for(name: str) -> list[str]:
         if name not in keys:
             raise ValueError(
@@ -1167,6 +1187,7 @@ def sql(
             ms = _as_of_ms(literal)
             df = tbl.read(as_of_ms=ms)
             view = f"{name}__asof_t{ms}"
+        view = re.sub(r"[^A-Za-z0-9_]", "_", view)  # dotted branch refs
         df.createOrReplaceTempView(view)
         created.append(view)
         return view
@@ -1194,11 +1215,19 @@ def sql(
         # 'foo$snapshots' is data, not a table reference); the time-travel
         # rewrite cannot — its own match includes the quoted timestamp/tag
         # literal ("... AS OF '2024-01-01'")
-        return spark.sql(
-            _TT_RE.sub(
-                _rewrite, _sub_outside_literals(_META_RE, _rewrite_meta, statement)
-            )
+        rewritten = _TT_RE.sub(
+            _rewrite, _sub_outside_literals(_META_RE, _rewrite_meta, statement)
         )
+        # plain branch reads: any remaining `t.branch_<name>` token reads
+        # the branch head through a temp view (AS OF forms were already
+        # rewritten above)
+        for ref in branch_refs:
+            if ref in rewritten:
+                view = re.sub(r"[^A-Za-z0-9_]", "_", f"{ref}__head")
+                tables[ref].read().createOrReplaceTempView(view)
+                created.append(view)
+                rewritten = rewritten.replace(ref, view)
+        return spark.sql(rewritten)
     finally:
         # analysis resolved the views into the returned plan; drop them so
         # the statement leaves no residue in the session catalog (B1's

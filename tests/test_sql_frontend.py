@@ -980,3 +980,36 @@ def test_call_procedures(spark, tmp_path):
     # unknown table errors clearly; unknown proc falls through to Spark
     with pytest.raises(ValueError, match="not a registered snapshot"):
         sql(spark, "CALL rollback_to_snapshot('nope', 1)", tabs)
+
+
+def test_branch_write_audit_publish_via_statements(spark, tmp_path):
+    """Full write-audit-publish through STATEMENTS only: CREATE BRANCH →
+    INSERT INTO t.branch_wip (branch-targeted DML) → audit the branch
+    head (plain read + VERSION AS OF) → CALL fast_forward → main sees
+    the staged rows."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "wapstmt"))
+    t.commit(spark.range(0, 5).selectExpr("id AS k"))
+    tabs = {"w": t}
+    sql(spark, "ALTER TABLE w CREATE BRANCH wip", tabs)
+    sql(
+        spark,
+        "INSERT INTO w.branch_wip VALUES (100), (101)",
+        snapshot_tables=tabs,
+    )
+    # main untouched while staged
+    assert t.read().count() == 5
+    # audit: plain branch read AND the AS OF spelling
+    got = sql(
+        spark, "SELECT COUNT(*) AS n FROM w.branch_wip", tabs
+    ).collect()
+    assert got[0].n == 7
+    got = sql(
+        spark, "SELECT COUNT(*) AS n FROM w VERSION AS OF 'wip'", tabs
+    ).collect()
+    assert got[0].n == 7
+    sql(spark, "CALL fast_forward('w', 'wip')", tabs)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 100, 101]
+    # the local branch resolution leaked nothing into the caller's dict
+    assert set(tabs) == {"w"}
