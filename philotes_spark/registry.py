@@ -218,6 +218,7 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_alter_columns",
         "snapshot_insert_overwrite",
         "snapshot_ctas",
+        "snapshot_wap_statements",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -981,3 +981,48 @@ def snapshot_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_wap_statements",
+    oracle="""
+    SELECT event_id, value FROM events WHERE event_id <= 300
+    UNION ALL
+    SELECT event_id, ROUND(value * 2, 2) AS value
+    FROM events WHERE event_id > 300 AND event_id <= 400
+    """,
+)
+def snapshot_wap_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through STATEMENTS only (r08): ALTER TABLE
+    CREATE BRANCH → INSERT INTO t.branch_wip (branch-targeted DML) →
+    audit count on the branch head → CALL fast_forward — main then
+    serves base + staged rows. Statement twin of the programmatic
+    snapshot_wap_publish."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_wap_stage_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 300))
+        tabs = {"w": tbl}
+        sql_stmt(spark, "ALTER TABLE w CREATE BRANCH wip", tabs)
+        ev.filter(
+            (F.col("event_id") > 300) & (F.col("event_id") <= 400)
+        ).withColumn("value", F.round(F.col("value") * 2, 2)).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            f"INSERT INTO w.branch_wip SELECT event_id, value FROM {view}",
+            tabs,
+        )
+        # audit on the branch head, main untouched until the publish
+        staged = sql_stmt(
+            spark, "SELECT COUNT(*) AS n FROM w.branch_wip", tabs
+        ).collect()[0].n
+        assert staged > tbl.read().count()
+        sql_stmt(spark, "CALL fast_forward('w', 'wip')", tabs)
+        return tbl.read().localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)
