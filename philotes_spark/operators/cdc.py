@@ -130,11 +130,45 @@ def latest_view_window(
     )
 
 
+def _lex_gt(cols: list[Column], vals: list) -> Column:
+    """``(c1, c2, ...) > (v1, v2, ...)`` lexicographically, as a plain
+    boolean expression over literals — unlike a struct comparison against a
+    broadcast row, the leading conjunct ``c1 >= v1`` (added by the caller)
+    is a parquet-pushable range predicate."""
+    pred = F.lit(False)
+    for c, v in zip(reversed(cols), reversed(vals)):
+        pred = (c > F.lit(v)) | ((c == F.lit(v)) & pred)
+    return pred
+
+
+def truncate_cut(
+    df: DataFrame,
+    order_cols: list[Column],
+    op_col: str = "_cdc_operation",
+):
+    """Commit position of the newest TRUNCATE event, or None.
+
+    A bounded scalar collect: the scan is column-pruned to (op, order
+    cols) and the ``op = 'TRUNCATE'`` filter is pushed to parquet, so at
+    100 TB this reads only row groups whose stats admit TRUNCATE — it
+    does NOT rescan the data pages the main query reads. The returned
+    row inlines into the main plan as literals (see :func:`apply_cdc`),
+    which removes the broadcast-exchange job the previous plan paid."""
+    ord_struct = F.struct(*order_cols)
+    row = (
+        df.filter(F.col(op_col) == "TRUNCATE")
+        .agg(F.max(ord_struct).alias("__cut"))
+        .first()
+    )
+    return row[0] if row is not None else None
+
+
 def apply_cdc(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[Column] | None = None,
     op_col: str = "_cdc_operation",
+    truncate_aware: bool = True,
 ) -> DataFrame:
     """Current-state materialization: latest version per key, minus keys
     whose latest operation is DELETE. This is the read-side equivalent of
@@ -144,21 +178,39 @@ def apply_cdc(
     TRUNCATE semantics: a TRUNCATE event carries no row data
     (reader.go:236-238) but wipes the table — every event at or before the
     newest TRUNCATE's commit position is dropped before the latest-version
-    window. The cut point is a scalar aggregate broadcast against the log
-    (no extra shuffle); struct comparison gives lexicographic order over
-    the (ts, lsn) ordering columns."""
+    window. The cut point is a bounded scalar collect (column-pruned,
+    filter-pushed — :func:`truncate_cut`) inlined as literals, so the
+    no-TRUNCATE common case costs one near-empty metadata-ish job and the
+    main query stays a single window shuffle; the leading ``>=`` conjunct
+    on the first ordering column additionally pushes to parquet row-group
+    stats, which the old broadcast-struct comparison never could.
+
+    Pass ``truncate_aware=False`` when the operation domain provably
+    cannot contain TRUNCATE (e.g. a source mapping that only emits
+    I/U/D, as the `events` fixture's op map does): the cut scan is
+    skipped entirely and the whole materialization is exactly one
+    shuffle. This matches the declared B10 semantics
+    (sample-queries.sql:94-102), which have no TRUNCATE clause."""
     if order_cols is None:
         order_cols = [F.col("_cdc_timestamp"), F.col("_cdc_lsn")]
-    ord_struct = F.struct(*order_cols)
-    cut = df.filter(F.col(op_col) == "TRUNCATE").agg(
-        F.max(ord_struct).alias("__cut")
-    )
-    survivors = (
-        df.join(F.broadcast(cut))
-        .filter(F.col("__cut").isNull() | (ord_struct > F.col("__cut")))
-        .drop("__cut")
-    )
-    return latest_view(survivors, key_cols, order_cols).filter(
+    if truncate_aware:
+        cut = truncate_cut(df, order_cols, op_col)
+        if cut is not None:
+            vals = list(cut)
+            if any(v is None for v in vals):
+                # null ordering fields: keep the exact struct-comparison
+                # semantics (null comparisons drop the row)
+                fields = df.select(*order_cols).schema.fields
+                cut_struct = F.struct(
+                    *[F.lit(v).cast(f.dataType) for v, f in zip(vals, fields)]
+                )
+                df = df.filter(F.struct(*order_cols) > cut_struct)
+            else:
+                df = df.filter(
+                    (order_cols[0] >= F.lit(vals[0]))  # parquet-pushable
+                    & _lex_gt(order_cols, vals)
+                )
+    return latest_view(df, key_cols, order_cols).filter(
         ~F.col(op_col).isin("DELETE", "TRUNCATE")
     )
 

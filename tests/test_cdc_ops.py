@@ -200,6 +200,57 @@ def test_apply_cdc_no_truncate_is_noop_path(spark):
     assert len(out) == 1
 
 
+def test_apply_cdc_truncate_cut_is_exclusive_and_lexicographic(spark):
+    # the row AT the cut position dies; a row with equal first ordering
+    # column but larger tie-break survives (r9 literal-predicate rewrite
+    # must keep strict lexicographic > semantics)
+    df = _log(
+        spark,
+        [
+            (1, 5, "0/3", "INSERT", "at-cut"),  # == cut → wiped
+            (2, 5, "0/4", "INSERT", "tie-ts"),  # same ts, later lsn → lives
+            (3, 4, "0/9", "INSERT", "older"),  # earlier ts → wiped
+            (None, 5, "0/3", "TRUNCATE", None),
+        ],
+    )
+    out = sorted((r.key, r.v) for r in apply_cdc(df, ["key"]).collect())
+    assert out == [(2, "tie-ts")]
+
+
+def test_apply_cdc_truncate_null_order_field_falls_back(spark):
+    # a TRUNCATE whose ordering tuple contains a null takes the
+    # struct-comparison fallback: null comparisons are null → dropped,
+    # matching the pre-r9 broadcast plan exactly
+    df = _log(
+        spark,
+        [
+            (1, 4, "0/1", "INSERT", "v1"),
+            (None, 5, None, "TRUNCATE", None),  # null lsn in the cut
+            (2, 9, "0/4", "INSERT", "w1"),
+        ],
+    )
+    out = sorted((r.key, r.v) for r in apply_cdc(df, ["key"]).collect())
+    assert out == [(2, "w1")]
+
+
+def test_apply_cdc_not_truncate_aware_skips_cut_scan(spark):
+    # truncate_aware=False: single window shuffle, no scalar pre-pass;
+    # semantics equal the aware path when no TRUNCATE exists
+    df = _log(
+        spark,
+        [
+            (1, 0, "0/1", "INSERT", "v1"),
+            (1, 5, "0/2", "UPDATE", "v2"),
+            (2, 1, "0/3", "DELETE", None),
+        ],
+    )
+    from philotes_spark.plans.audit import count_shuffles
+
+    out = apply_cdc(df, ["key"], truncate_aware=False)
+    assert count_shuffles(out) == 1  # before collect: AQE-final explain repeats the plan
+    assert [(r.key, r.v) for r in out.collect()] == [(1, "v2")]
+
+
 def test_buffer_stats(spark):
     rows = [
         (1, T0, T0),
