@@ -385,7 +385,10 @@ class SnapshotTable:
         )
 
     def overwrite_partitions(
-        self, df: DataFrame, properties: dict[str, str] | None = None
+        self,
+        df: DataFrame,
+        properties: dict[str, str] | None = None,
+        clear: list[dict] | None = None,
     ) -> int:
         """Dynamic partition overwrite (Spark's
         ``partitionOverwriteMode=dynamic`` / Iceberg's REPLACE
@@ -401,7 +404,15 @@ class SnapshotTable:
         Refused while MoR deltas are pending: delete keys may target
         rows inside the replaced partitions, and applying them after the
         swap would resurrect or double-delete — compact first (same
-        guard as the REST publish)."""
+        guard as the REST publish).
+
+        ``clear`` (r9): partition specs to drop even when ``df``
+        contributes no rows to them — each item maps partition columns
+        (a subset is a prefix match) to the normalized string value
+        ``_partition_key`` renders. This is how a STATIC ``INSERT
+        OVERWRITE ... PARTITION (col='x')`` with an empty source clears
+        the named partition (Spark/Hive semantics) instead of silently
+        no-opping (ADVICE r8)."""
         parent = self.current_version()
         if not parent:
             raise ValueError("overwrite_partitions requires an existing table")
@@ -417,14 +428,30 @@ class SnapshotTable:
                 "pending merge-on-read deltas; run compact_deltas() before "
                 "a partition overwrite"
             )
+        for item in clear or []:
+            bad = sorted(set(item) - set(spec))
+            if bad:
+                raise ValueError(
+                    f"clear spec names non-partition columns {bad}; "
+                    f"partition columns are {list(spec)}"
+                )
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         self._recluster(df, m).write.partitionBy(*spec).parquet(staged)
         new_files = _staged_parquet_files(staged)
         incoming = {_file_partition(f, self.data_dir, spec) for f in new_files}
+
+        def _cleared(part: tuple) -> bool:
+            by_col = dict(zip(spec, part))
+            return any(
+                all(by_col.get(c) == v for c, v in item.items())
+                for item in (clear or [])
+            )
+
         kept = [
             f
             for f in m["files"]
-            if _file_partition(f, self.data_dir, spec) not in incoming
+            if (p := _file_partition(f, self.data_dir, spec)) not in incoming
+            and not _cleared(p)
         ]
         files = kept + new_files
         stats = {
