@@ -212,13 +212,25 @@ def _tier(name: str) -> tuple[int, int]:
         "doc_fingerprint",
         "pivot_daily_event_matrix",
         "train_length_batches",
-        # r08 additions (oracle-gated in pytest; below the window so this
-        # round's rotation composition is exact): ALTER COLUMN statement
-        # evolution and INSERT OVERWRITE statement text
-        "snapshot_alter_columns",
-        "snapshot_insert_overwrite",
-        "snapshot_ctas",
-        "snapshot_wap_statements",
+        # r09 rotation (VERDICT r08 next-round #4): snapshot_alter_columns,
+        # snapshot_insert_overwrite, snapshot_ctas and
+        # snapshot_wap_statements graduate INTO the window (the r08
+        # statement tier gets driver-hard-verified); these four move below
+        # it — each is duplicate coverage of a shape that stays
+        # window-green:
+        # cdc_lsn_roundtrip (conv/hex scalar expressions) via
+        # scalar_functions, with the CDC family still window-verified by
+        # cdc_normalize + cdc_latest_state; text_langid (per-doc JVM
+        # expression scoring) via text_quality_stats + text_pii_redact;
+        # snapshot_history (metadata tables) via snapshot_meta_sql's
+        # $-table SQL text + snapshot_refs + snapshot_version_as_of;
+        # w_topn_per_group (row_number ranking) via w_rank_family +
+        # b13_join_topn + b10_latest_by_key. All four stay oracle-gated in
+        # tests/test_queries_oracle.py.
+        "cdc_lsn_roundtrip",
+        "text_langid",
+        "snapshot_history",
+        "w_topn_per_group",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

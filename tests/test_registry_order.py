@@ -37,10 +37,10 @@ def test_families_inside_driver_window():
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r08_rotation_composition():
-    # VERDICT r07 #4: the r07 operator tier graduates into the driver's
-    # 50-slot window; the evicted duplicate-coverage slots and the r08
-    # additions sit below it (still oracle-gated in pytest)
+def test_r09_rotation_composition():
+    # VERDICT r08 #4: the r08 statement tier graduates into the driver's
+    # 50-slot window; the evicted duplicate-coverage slots and earlier
+    # evictees sit below it (still oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
         "snapshot_delete_update",  # r07 graduates stay in
@@ -48,12 +48,16 @@ def test_r08_rotation_composition():
         "q_recursive_hierarchy",
         "dq_constraint_report",
         "snapshot_refs",
-        "snapshot_merge_clauses",  # r08 graduates
+        "snapshot_merge_clauses",  # r08 graduates stay in
         "snapshot_update_unfiltered",
         "snapshot_schema_history",
         "snapshot_positional_delete",
         "snapshot_meta_sql",
         "train_stratified_sample",
+        "snapshot_alter_columns",  # r09 graduates (the r08 statement tier)
+        "snapshot_insert_overwrite",
+        "snapshot_ctas",
+        "snapshot_wap_statements",
     ):
         assert n in head, n
     for n in (
@@ -62,14 +66,16 @@ def test_r08_rotation_composition():
         "cdc_op_rollup",
         "multimodal_frames",
         "sim_threshold_pairs",
-        "b3_count_star",  # r08 evictees (duplicate coverage)
+        "b3_count_star",  # r08 evictees stay out
         "b4_recent_filter",
         "b8_top_n",
         "token_counts_by_source",
         "doc_fingerprint",
         "pivot_daily_event_matrix",
-        "snapshot_alter_columns",  # r08 additions below the window
-        "snapshot_insert_overwrite",
+        "cdc_lsn_roundtrip",  # r09 evictees (duplicate coverage)
+        "text_langid",
+        "snapshot_history",
+        "w_topn_per_group",
     ):
         assert n not in head, n
 
