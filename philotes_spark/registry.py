@@ -231,6 +231,10 @@ def _tier(name: str) -> tuple[int, int]:
         "text_langid",
         "snapshot_history",
         "w_topn_per_group",
+        # r09 addition (oracle-gated in pytest; below the window so this
+        # round's rotation composition is exact): ALTER COLUMN TYPE
+        # widening as statement text
+        "snapshot_widen_column",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

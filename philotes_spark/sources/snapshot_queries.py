@@ -1026,3 +1026,67 @@ def snapshot_wap_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_widen_column",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+           ROUND(CAST(CAST(value AS REAL) AS DOUBLE), 4) AS vf
+    FROM events WHERE event_id <= 500
+    UNION ALL
+    SELECT event_id,
+           CAST(FLOOR(value * 100) + 5000000000 AS BIGINT) AS cents,
+           ROUND(CAST(CAST(value AS REAL) AS DOUBLE), 4) AS vf
+    FROM events WHERE event_id > 500 AND event_id <= 600
+    """,
+)
+def snapshot_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ALTER TABLE t ALTER COLUMN c [SET DATA] TYPE <wider>` as
+    statement text (r09, VERDICT r08 #6): int→bigint and float→double
+    land as metadata-only journal ops (snapshots.alter_widen_column) —
+    readers cast pre-ALTER files up, post-ALTER inserts carry values
+    only the widened type holds (cents + 5e9 > int32), and the read
+    unions the mixed physical widths per staged root with zero rewrite
+    at any table size. Narrowing refuses. Iceberg table-spec "Schema
+    Evolution" type promotion; beyond the reference's additive-only
+    evolution (`internal/iceberg/schema/schema.go:147-174`)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("int").alias("cents"),
+        F.col("value").cast("float").alias("vf"),
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_widen_late_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500))
+        tabs = {"t": tbl}
+        sql_stmt(spark, "ALTER TABLE t ALTER COLUMN cents TYPE BIGINT", tabs)
+        ev.filter(
+            (F.col("event_id") > 500) & (F.col("event_id") <= 600)
+        ).select(
+            "event_id",
+            (F.col("cents").cast("bigint") + 5000000000).alias("cents"),
+            "vf",
+        ).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            f"INSERT INTO t SELECT event_id, cents, vf FROM {view}",
+            tabs,
+        )
+        # Trino spelling for the float half
+        sql_stmt(spark, "ALTER TABLE t ALTER COLUMN vf SET DATA TYPE DOUBLE", tabs)
+        got = tbl.read()
+        assert dict(got.dtypes) == {
+            "event_id": "bigint", "cents": "bigint", "vf": "double"
+        }
+        return got.select(
+            "event_id", "cents", F.round("vf", 4).alias("vf")
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

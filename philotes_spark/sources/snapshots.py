@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -112,6 +113,43 @@ def _partition_key(row, part_cols: list[str]) -> tuple:
                 "mis-route the merge)"
             )
     return tuple(out)
+
+
+_WIDEN_INTS = ("tinyint", "smallint", "int", "bigint")
+_TYPE_ALIAS = {
+    "byte": "tinyint",
+    "short": "smallint",
+    "integer": "int",
+    "long": "bigint",
+    "real": "float",
+}
+
+
+def _widening_ok(frm: str, to: str) -> bool:
+    """True when ``frm -> to`` is a value-preserving numeric widening
+    (Iceberg table-spec type promotion, plus decimal scale growth, which
+    is equally exact): every value representable in ``frm`` has an exact
+    representation in ``to``."""
+    frm = _TYPE_ALIAS.get(frm.strip().lower(), frm.strip().lower())
+    to = _TYPE_ALIAS.get(to.strip().lower(), to.strip().lower())
+    if frm in _WIDEN_INTS and to in _WIDEN_INTS:
+        return _WIDEN_INTS.index(frm) < _WIDEN_INTS.index(to)
+    if frm == "float" and to == "double":
+        return True
+    md = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", frm)
+    mt = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", to)
+    if md and mt:
+        p1, s1 = int(md.group(1)), int(md.group(2))
+        p2, s2 = int(mt.group(1)), int(mt.group(2))
+        return (s2 >= s1) and (p2 - s2 >= p1 - s1) and (p2, s2) != (p1, s1)
+    return False
+
+
+def _has_widen(m: dict) -> bool:
+    """Whether the manifest's schema-op journal holds a type widening —
+    the one op class that makes PHYSICAL file schemas numerically
+    disagree, so flat mergeSchema reads must switch to per-root unions."""
+    return any(op.get("op") == "widen" for op in m.get("schema_ops", []))
 
 
 def _group_files_by_root(data_dir: str, files: list[str]) -> dict[str, list[str]]:
@@ -606,6 +644,15 @@ class SnapshotTable:
                     ).drop(op["from"])
                 elif op["from"] in df.columns:
                     df = df.withColumnRenamed(op["from"], op["to"])
+            elif op["op"] == "widen":
+                # cast up (never down — alter_widen_column refused it):
+                # pre-ALTER files read at the old physical width, the
+                # cast lands the declared type; post-ALTER files already
+                # carry it and the cast is a no-op projection
+                if op["name"] in df.columns:
+                    df = df.withColumn(
+                        op["name"], F.col(op["name"]).cast(op["type"])
+                    )
             elif op["op"] == "drop":
                 df = df.drop(op["name"])
         return df
@@ -775,6 +822,52 @@ class SnapshotTable:
             zorder_by=list(m.get("zorder_by") or []),
         )
 
+    def alter_widen_column(self, name: str, new_type: str) -> int:
+        """``ALTER TABLE t ALTER COLUMN name TYPE new_type`` — type
+        WIDENING as a metadata-only journal op (Iceberg's allowed type
+        promotions: int family upcasts, float→double, decimal precision
+        growth; plus value-preserving decimal scale growth). Readers cast
+        old files up (:meth:`_apply_schema_ops`); files written after the
+        ALTER carry the widened physical type, and reads union per staged
+        root so mixed physical widths coexist without a rewrite
+        (:meth:`_read_file_list`). Narrowing and cross-family changes
+        refuse — they lose values the old files already hold."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        self._alter_guard(m)
+        fields = {f.name: f.dataType.simpleString() for f in self.read().schema.fields}
+        if name not in fields:
+            raise ValueError(f"no such column {name!r}")
+        layout = (
+            set(m.get("partition_by") or [])
+            | set(m.get("sort_by") or [])
+            | set(m.get("zorder_by") or [])
+        )
+        if name in layout:
+            raise ValueError(
+                f"cannot widen layout column {name!r} (partition/sort/"
+                "z-order values are path- or order-encoded in the files); "
+                "rewrite the table with the new layout instead"
+            )
+        try:  # validate the type string before committing metadata
+            self.spark.createDataFrame([], f"`{name}` {new_type}")
+        except Exception as e:
+            raise ValueError(f"bad column type {new_type!r}: {e}") from None
+        if not _widening_ok(fields[name], new_type):
+            raise ValueError(
+                f"ALTER COLUMN {name!r} TYPE {new_type!r}: not a widening "
+                f"of {fields[name]!r} — only int-family upcasts "
+                "(tinyint<smallint<int<bigint), float->double, and "
+                "decimal growth that keeps every old value exact "
+                "(scale and integer digits may only grow) are "
+                "metadata-only; anything else needs a rewrite"
+            )
+        return self._commit_schema_op(
+            m, "widen-column", {"op": "widen", "name": name, "type": new_type}
+        )
+
     def alter_drop_column(self, name: str) -> int:
         """``ALTER TABLE t DROP COLUMN name`` — metadata-only; the column
         stays in old files (and in time travel before this version) but
@@ -909,9 +1002,10 @@ class SnapshotTable:
         if affected:
             # mergeSchema + schema ops: affected files may straddle an
             # ALTER COLUMN, and the rewrite must land the APPLIED schema
-            # so it unions with the (read()-shaped) change set
+            # so it unions with the (read()-shaped) change set (per-root
+            # unions when a widen op left mixed physical widths)
             current = self._apply_schema_ops(
-                self.spark.read.option("mergeSchema", "true").parquet(*affected),
+                self._read_file_list(affected, [], widen=_has_widen(m)),
                 m,
             )
             kept = current.join(change_keys, key_cols, "left_anti")
@@ -1441,7 +1535,10 @@ class SnapshotTable:
         out = self._apply_deltas(
             self._apply_schema_ops(
                 self._read_file_list(
-                    m["files"], m.get("partition_by") or [], with_pos=has_pos
+                    m["files"],
+                    m.get("partition_by") or [],
+                    with_pos=has_pos,
+                    widen=_has_widen(m),
                 ),
                 m,
             ),
@@ -1454,6 +1551,7 @@ class SnapshotTable:
         files: list[str],
         partition_by: list[str],
         with_pos: bool = False,
+        widen: bool = False,
     ) -> DataFrame:
         """Read an explicit data-file list under the snapshot's layout
         (shared by :meth:`read` and :meth:`read_incremental`).
@@ -1461,7 +1559,16 @@ class SnapshotTable:
         ``_pos_file``/``_pos_index`` from Spark's ``_metadata`` scan
         columns — which positional deletes key on; metadata columns only
         resolve against a file scan, so they attach per scan BEFORE any
-        union."""
+        union.
+
+        ``widen``: the manifest journal carries ALTER COLUMN TYPE ops, so
+        physical numeric widths may DISAGREE across commits (parquet
+        mergeSchema refuses int vs bigint). One commit = one staged root
+        = one consistent schema, so read per root and unionByName — the
+        analyzer's set-operation coercion widens to the common type, and
+        the journal's cast then lands the declared type. Filters still
+        push into every per-root scan; the union count is bounded by the
+        commit count (compaction resets it)."""
 
         def pos(p: DataFrame) -> DataFrame:
             if not with_pos:
@@ -1498,6 +1605,17 @@ class SnapshotTable:
             out = parts[0]
             for p in parts[1:]:
                 # roots written before an evolution lack the new columns
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+        if widen:
+            parts = [
+                pos(self.spark.read.option("mergeSchema", "true").parquet(*fs))
+                for _root, fs in sorted(
+                    _group_files_by_root(self.data_dir, files).items()
+                )
+            ]
+            out = parts[0]
+            for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
             return out
         return pos(self.spark.read.option("mergeSchema", "true").parquet(*files))
@@ -1681,14 +1799,12 @@ class SnapshotTable:
         has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
 
         def scan(fs: list[str]) -> DataFrame:
-            df = self.spark.read.parquet(*fs)
-            if has_pos:  # positional deltas key on the row's file address
-                df = df.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("_pos_file"),
-                    F.col("_metadata.row_index").alias("_pos_index"),
-                )
-            return df
+            # shared reader: mergeSchema for additive evolution, per-root
+            # unions for widen-mixed widths, _metadata address columns
+            # for positional deltas
+            return self._read_file_list(
+                fs, [], with_pos=has_pos, widen=_has_widen(m)
+            )
 
         files = [f for f in m["files"] if may_match(f)]
         base = scan(files) if files else scan(m["files"]).limit(0)
@@ -1984,7 +2100,9 @@ class SnapshotTable:
         total = sum(os.path.getsize(f) for f in small)
         n_out = max(1, total // small_file_bytes + (1 if total % small_file_bytes else 0))
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        src = self.spark.read.option("mergeSchema", "true").parquet(*small)
+        # per-root unions when a widen op left mixed physical widths; the
+        # journal itself is carried, so the rewrite stays raw-physical
+        src = self._read_file_list(small, [], widen=_has_widen(m))
         sort_by = m.get("sort_by") or []
         if sort_by:
             # sort-compaction (Iceberg rewrite_data_files with sort

@@ -231,6 +231,13 @@ _DDL_DROP_COL = re.compile(
     r"\(?\s*(\w+)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# type widening — both the Spark (`ALTER COLUMN c TYPE t`) and Trino
+# (`ALTER COLUMN c SET DATA TYPE t`) spellings
+_DDL_ALTER_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+(\w+)\s+"
+    r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_LEAD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
 )
@@ -1058,10 +1065,18 @@ def sql(
                 [(name, "drop-column", version)],
                 "table string, operation string, version int",
             )
+        m = _DDL_ALTER_TYPE.match(statement)
+        if m:
+            version = tables[name].alter_widen_column(m.group(2), m.group(3))
+            return spark.createDataFrame(
+                [(name, "widen-column", version)],
+                "table string, operation string, version int",
+            )
         raise ValueError(
             f"unsupported ALTER shape for snapshot table {name!r}: "
             "SET/UNSET TBLPROPERTIES, ADD COLUMN(S) (name type, ...), "
-            "RENAME COLUMN a TO b, DROP COLUMN name, and CREATE/DROP "
+            "RENAME COLUMN a TO b, DROP COLUMN name, ALTER COLUMN c "
+            "[SET DATA] TYPE t (widening only), and CREATE/DROP "
             "TAG|BRANCH name [AS OF VERSION n] are served; other ALTERs "
             "(layout changes) need an overwrite commit"
         )

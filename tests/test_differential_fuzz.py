@@ -606,7 +606,8 @@ def _gen_alter_statements(seed: int) -> list[str]:
     off = 2_000_000
     stmts.append(
         f"INSERT INTO alter_t SELECT c_custkey + {off} AS k, "
-        "c_acctbal AS v, c_mktsegment AS s, c_acctbal * 0.5 AS w "
+        "c_acctbal AS v, c_mktsegment AS s, "
+        "CAST(c_nationkey AS INT) AS n, c_acctbal * 0.5 AS w "
         f"FROM customer WHERE c_custkey % 9 = {rng.randint(0, 8)}"
     )
     stmts.append(
@@ -614,6 +615,18 @@ def _gen_alter_statements(seed: int) -> list[str]:
         f"WHERE {rng.choice(_ALTER_CONDS)}"
     )
     stmts.append("ALTER TABLE alter_t RENAME COLUMN w TO weight")
+    # r09: type widening mid-sequence — post-widen inserts carry values
+    # only the widened type holds, and later DML reads mixed widths
+    spelling = rng.choice(
+        ["ALTER COLUMN n TYPE BIGINT", "ALTER COLUMN n SET DATA TYPE BIGINT"]
+    )
+    stmts.append(f"ALTER TABLE alter_t {spelling}")
+    stmts.append(
+        f"INSERT INTO alter_t SELECT c_custkey + {2 * off} AS k, "
+        "c_acctbal AS v, c_mktsegment AS s, "
+        "c_nationkey + 3000000000 AS n, c_acctbal AS weight "
+        f"FROM customer WHERE c_custkey % 11 = {rng.randint(0, 10)}"
+    )
     stmts.append(
         f"DELETE FROM alter_t WHERE {rng.choice(_ALTER_CONDS)}"
     )
@@ -631,7 +644,8 @@ def test_same_alter_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
 
     spark, _ = fuzz_env
     init_sql = (
-        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s, "
+        "CAST(c_nationkey AS INT) AS n "
         "FROM customer WHERE c_custkey % 4 = 0"
     )
     tbl = SnapshotTable(spark, str(tmp_path / "alter_t"))
