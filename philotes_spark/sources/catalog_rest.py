@@ -92,6 +92,32 @@ def schema_to_rest(schema: T.StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def name_mapping_from_ops(rest_schema: dict, schema_ops: list[dict]) -> list[dict]:
+    """Iceberg ``schema.name-mapping.default`` entries for a table whose
+    data files carry NO embedded field ids (ours — plain parquet written
+    by Spark, like any external-tool-written files the spec's name
+    mapping exists for): one ``{"field-id", "names"}`` entry per current
+    schema field, where ``names`` lists the field's current name plus
+    every physical name it has carried (rename chains walked through the
+    schema-op journal). A reader resolves a file column by matching ANY
+    listed name to the field id, so pre-rename files project into the
+    renamed schema with zero rewrite; dropped columns simply have no
+    mapping entry and are ignored (Iceberg table spec, "Column
+    Projection" / name mapping)."""
+    aliases: dict[str, list[str]] = {}
+    for op in schema_ops:
+        if op.get("op") == "rename":
+            prior = aliases.pop(op["from"], [])
+            aliases[op["to"]] = prior + [op["from"]]
+    return [
+        {
+            "field-id": f["id"],
+            "names": [f["name"], *aliases.get(f["name"], [])],
+        }
+        for f in rest_schema["fields"]
+    ]
+
+
 def snapshot_entry(
     snap, version: int | None = None, rest_schema: dict | None = None
 ) -> dict:
@@ -427,7 +453,7 @@ class RestCatalog:
         data_files: list[dict],
         snapshot: dict | None = None,
         new_schema: dict | None = None,
-        removed_files: list[str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> None:
         """Commit an append snapshot (rest.go:188-217: a single
         append-files update with empty requirements). When ``snapshot``
@@ -437,18 +463,20 @@ class RestCatalog:
         v2 snapshot list with manifest-list paths. When ``new_schema``
         is given, ``add-schema`` + ``set-current-schema`` (schema-id -1
         = "the one just added", per the Iceberg REST spec) ride along —
-        the additive-evolution commit (A12). ``removed_files`` carries
-        the delete side of a REWRITE commit (merge/compaction/overwrite)
-        for the catalog's flat served-file list — a production catalog
-        derives the same information from the snapshot's status=2
-        manifest entries; the mock needs it stated."""
+        the additive-evolution commit (A12). ``properties`` ride as a
+        spec-shaped ``set-properties`` update (how the name-mapping
+        publishes). File REMOVALS are not a wire action: the Iceberg
+        REST spec (and the reference, rest.go:193) has only spec-defined
+        updates, so a rewrite's removals travel solely as the snapshot's
+        status=2 manifest entries and the catalog derives its served
+        file list from the manifest chain (ADVICE r08)."""
         updates: list[dict] = []
         if new_schema is not None:
             updates.append({"action": "add-schema", "schema": new_schema})
             updates.append({"action": "set-current-schema", "schema-id": -1})
-        if removed_files:
+        if properties:
             updates.append(
-                {"action": "remove-files", "file-paths": list(removed_files)}
+                {"action": "set-properties", "updates": dict(properties)}
             )
         updates.append(
             {"action": "append", "append-files": {"data-files": data_files}}
