@@ -231,10 +231,14 @@ def _tier(name: str) -> tuple[int, int]:
         "text_langid",
         "snapshot_history",
         "w_topn_per_group",
-        # r09 addition (oracle-gated in pytest; below the window so this
-        # round's rotation composition is exact): ALTER COLUMN TYPE
-        # widening as statement text
-        "snapshot_widen_column",
+        # r10 rotation (VERDICT r09 next-round #6): snapshot_widen_column
+        # (the r09 ALTER COLUMN TYPE widening, previously oracle-gated in
+        # pytest only) graduates INTO the window; snapshot_update_unfiltered
+        # moves below it — duplicate coverage of shapes that stay
+        # window-green: row-level DML via snapshot_delete_update, the
+        # merge-statement family via snapshot_merge_clauses. It stays
+        # oracle-gated in tests/test_queries_oracle.py.
+        "snapshot_update_unfiltered",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

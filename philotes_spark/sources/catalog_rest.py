@@ -103,19 +103,30 @@ def name_mapping_from_ops(rest_schema: dict, schema_ops: list[dict]) -> list[dic
     listed name to the field id, so pre-rename files project into the
     renamed schema with zero rewrite; dropped columns simply have no
     mapping entry and are ignored (Iceberg table spec, "Column
-    Projection" / name mapping)."""
+    Projection" / name mapping).
+
+    A name may appear in at most ONE entry (the spec treats duplicate
+    names across mapping entries as invalid): an alias is stripped when
+    it is (or re-became) a current field name, and deduped across
+    entries — defensive, since the engine's journal guard
+    (``SnapshotTable._reserved_names``) already refuses reintroducing a
+    renamed-away/dropped name while the journal is live."""
     aliases: dict[str, list[str]] = {}
     for op in schema_ops:
         if op.get("op") == "rename":
             prior = aliases.pop(op["from"], [])
             aliases[op["to"]] = prior + [op["from"]]
-    return [
-        {
-            "field-id": f["id"],
-            "names": [f["name"], *aliases.get(f["name"], [])],
-        }
-        for f in rest_schema["fields"]
-    ]
+    current = {f["name"] for f in rest_schema["fields"]}
+    seen: set[str] = set(current)
+    out = []
+    for f in rest_schema["fields"]:
+        names = [f["name"]]
+        for a in aliases.get(f["name"], []):
+            if a not in seen:
+                names.append(a)
+                seen.add(a)
+        out.append({"field-id": f["id"], "names": names})
+    return out
 
 
 def snapshot_entry(
@@ -544,41 +555,45 @@ class RestCatalog:
         # must refuse: the engine applies a pending equality delta's keys
         # to base files APPENDED AFTER the delta (deliberate, so appends
         # can't resurrect deleted rows), while Iceberg's sequence rule
-        # exempts strictly-newer data — publishing that state would let an
-        # external reader see rows the engine deletes. compact_deltas()
-        # resolves it.
-        # rename/drop schema ops are read-side journal entries a
-        # name-based external reader cannot apply: parquet files carrying
-        # the OLD column name would surface it verbatim. ADD is safe
-        # (absent column reads NULL externally, same as the journal), so
-        # only rename/drop block the publish until materialized.
-        blocked_ops = [
-            op["op"]
-            for op in manifest.get("schema_ops", [])
-            if op["op"] in ("rename", "drop")
-        ]
-        if blocked_ops:
-            raise ValueError(
-                f"version {manifest['version']} has pending "
-                f"{sorted(set(blocked_ops))} schema op(s): external "
-                "readers resolve columns by name from the data files, so "
-                "a rename/drop is invisible to them until the files are "
-                "rewritten — run materialize_schema() before publishing"
+        # exempts strictly-newer data. The refusal is SEMANTIC (r9 was
+        # sequence-shaped and over-broad): only when a late-appended file
+        # actually CONTAINS a pending delete key do the two reads diverge
+        # — checked with one bounded semi-join per delta over the late
+        # files only. A divergent state resolves with the targeted
+        # rewrite_late_appends() (rewrites only those files), not a full
+        # compact_deltas().
+        for d, d_seq in deltas:
+            if d.get("type") == "pos":
+                continue  # positional deletes address files by path — an
+                # append after one can't be affected by it
+            late = [
+                f for f in manifest["files"]
+                if added_at.get(f, manifest["version"]) > d_seq
+            ]
+            if not late:
+                continue
+            keys = snap.spark.read.parquet(*d["key_files"]).select(
+                *d["key_cols"]
             )
-        eq_seqs = [s for d, s in deltas if not d.get("type") == "pos"]
-        if eq_seqs:
-            newest_base = max(
-                (added_at.get(f, manifest["version"]) for f in manifest["files"]),
-                default=0,
+            late_rows = snap._apply_schema_ops(
+                snap._read_file_list(
+                    late,
+                    list(manifest.get("partition_by") or []),
+                    widen=any(
+                        op.get("op") == "widen"
+                        for op in manifest.get("schema_ops", [])
+                    ),
+                ),
+                manifest,
             )
-            if newest_base > min(eq_seqs):
+            if late_rows.join(keys, d["key_cols"], "left_semi").take(1):
                 raise ValueError(
                     f"version {manifest['version']} has base files appended "
-                    f"after a pending equality-delete delta (file seq "
-                    f"{newest_base} > delta seq {min(eq_seqs)}): the engine "
+                    f"after a pending equality-delete delta (seq {d_seq}) "
+                    "that CONTAIN rows matching its delete keys: the engine "
                     "applies the delete to those appends but Iceberg's "
-                    "sequence rule would not — run compact_deltas() before "
-                    "publishing"
+                    "sequence rule would not — run rewrite_late_appends() "
+                    "(or compact_deltas()) before publishing"
                 )
         # effective data files = base + pending-delta upserts (upserts are
         # data at the delta's sequence; delete files travel only in the
@@ -604,7 +619,6 @@ class RestCatalog:
                 for s in loaded.get("metadata", {}).get("snapshots", [])
             }
         new_files = [f for f in effective_files if f not in already_served]
-        removed_files = sorted(already_served - set(effective_files))
         self.create_table(
             namespace,
             table,
@@ -649,15 +663,30 @@ class RestCatalog:
             }
             for f in new_files
         ]
+        # rename/drop schema ops publish as the spec's name mapping
+        # (schema.name-mapping.default): our parquet files carry no
+        # embedded Iceberg field ids, so the mapping is what lets an
+        # external reader resolve a pre-rename file column to its current
+        # field — zero rewrite (replaces the r≤9 materialize_schema()
+        # refusal; ref interop promise rest.go:320-344). Published on
+        # every commit (it is correct, and cheap, even with no renames:
+        # one names=[current] entry per field).
+        rest_schema = schema_to_rest(snap.read(version=version).schema)
+        props = {
+            "schema.name-mapping.default": json.dumps(
+                name_mapping_from_ops(
+                    rest_schema, manifest.get("schema_ops", [])
+                )
+            )
+        }
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot
-        # update is what points external readers at them
-        if (
-            data_files
-            or removed_files
-            or manifest["version"] not in served_snapshot_ids
-        ):
+        # update is what points external readers at them. File REMOVALS
+        # are not a wire action: they travel as the snapshot's status=2
+        # manifest entries, and the catalog derives its served file list
+        # from the manifest chain (ADVICE r08 #4).
+        if data_files or manifest["version"] not in served_snapshot_ids:
             self.commit_append(
                 namespace,
                 table,
@@ -665,12 +694,10 @@ class RestCatalog:
                 snapshot=snapshot_entry(
                     snap,
                     version=manifest["version"],
-                    rest_schema=schema_to_rest(
-                        snap.read(version=version).schema
-                    ),
+                    rest_schema=rest_schema,
                 ),
                 new_schema=new_schema,
-                removed_files=removed_files,
+                properties=props,
             )
         return len(data_files)
 

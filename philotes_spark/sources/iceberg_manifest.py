@@ -520,7 +520,23 @@ def read_data_files(manifest_list_path: str) -> list[dict]:
     return plan_entries(manifest_list_path)[0]
 
 
-def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
+def _rest_to_spark_type(t: str) -> str:
+    """Iceberg REST primitive type → Spark DDL type string."""
+    if t.startswith("decimal"):
+        return t
+    return {
+        "long": "bigint", "int": "int", "double": "double", "float": "float",
+        "boolean": "boolean", "string": "string", "timestamp": "timestamp",
+        "date": "date", "binary": "binary",
+    }.get(t, "string")
+
+
+def read_table_via_manifests(
+    spark,
+    manifest_list_path: str,
+    rest_schema: dict,
+    name_mapping: list[dict] | None = None,
+):
     """Reconstruct the table exactly as an EXTERNAL Iceberg v2 reader
     would — from the published Avro chain alone, no engine manifest JSON:
     scan the planned data files (partition values taken from the
@@ -530,6 +546,13 @@ def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
     with sequence ≤ theirs by (file_path, pos); equality deletes
     (content=2) drop rows of STRICTLY older data files matching on the
     ``equality_ids`` columns. Returns a DataFrame with the table columns.
+
+    ``name_mapping`` is the table's ``schema.name-mapping.default``
+    property (spec "Column Projection": applied to files that carry no
+    embedded field ids — ours): a file column whose physical name is a
+    listed alias resolves to its field's CURRENT name, and file columns
+    matching NO mapping entry (dropped columns) are ignored. This is how
+    a rename/drop-evolved table reads correctly with zero rewrite.
 
     Scale shape: one scan per data file unioned (Spark plans a single
     multi-file scan per schema group at real scale via its own Iceberg
@@ -541,12 +564,28 @@ def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
     data, deletes = plan_entries(manifest_list_path)
     id_to_name = {f["id"]: f["name"] for f in rest_schema["fields"]}
     spark_type = {
-        f["name"]: {"long": "bigint", "int": "int", "double": "double",
-                    "float": "float", "boolean": "boolean"}.get(
-            f["type"], "string"
-        )
+        f["name"]: _rest_to_spark_type(f["type"])
         for f in rest_schema["fields"]
     }
+    # physical alias -> current field name, from the name mapping
+    alias_to_current: dict[str, str] = {}
+    for entry in name_mapping or []:
+        canon = id_to_name.get(entry.get("field-id"))
+        if canon is None:
+            continue  # mapping for a field not in this schema (stale)
+        for nm in entry.get("names", []):
+            if nm != canon:
+                alias_to_current[nm] = canon
+
+    # a published delete-only/emptied version plans zero data files — an
+    # external reader sees an empty table of the declared schema, not an
+    # error (ADVICE r08 #3)
+    if not data:
+        ddl = ", ".join(
+            f"`{f['name']}` {spark_type[f['name']]}"
+            for f in rest_schema["fields"]
+        )
+        return spark.createDataFrame([], ddl)
 
     frames = []
     for d in data:
@@ -555,6 +594,18 @@ def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
             F.col("_metadata.file_path").alias("_ice_file"),
             F.col("_metadata.row_index").alias("_ice_pos"),
         )
+        for old, cur in alias_to_current.items():
+            if old in df.columns and cur not in df.columns:
+                df = df.withColumnRenamed(old, cur)
+        if name_mapping is not None:
+            # spec rule: a file column matching no mapping entry (a
+            # dropped column's physical remnant) is not projected
+            df = df.select(
+                *[
+                    c for c in df.columns
+                    if c in spark_type or c.startswith("_ice_")
+                ]
+            )
         for name, val in (d.get("partition") or {}).items():
             if name not in df.columns:
                 # a real reader takes partition values from the manifest
@@ -569,11 +620,18 @@ def read_table_via_manifests(spark, manifest_list_path: str, rest_schema: dict):
         out = out.unionByName(f, allowMissingColumns=True)
 
     # a real reader resolves the TABLE schema: a column no data file
-    # carries yet (fresh ADD COLUMN evolution) reads as typed NULL
+    # carries yet (fresh ADD COLUMN evolution) reads as typed NULL, and
+    # every column lands at its DECLARED type (a widened field whose old
+    # files carry the narrow physical width casts up — Iceberg type
+    # promotion on read)
     for f in rest_schema["fields"]:
         if f["name"] not in out.columns:
             out = out.withColumn(
                 f["name"], F.lit(None).cast(spark_type.get(f["name"], "string"))
+            )
+        else:
+            out = out.withColumn(
+                f["name"], F.col(f["name"]).cast(spark_type[f["name"]])
             )
 
     pos = [d for d in deletes if d["content"] == 1]

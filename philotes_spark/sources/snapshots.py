@@ -1278,6 +1278,92 @@ class SnapshotTable:
             zorder_by=list(m.get("zorder_by") or []),
         )
 
+    def rewrite_late_appends(self) -> int | None:
+        """Rewrite ONLY the base files appended AFTER a pending
+        equality-delete delta, with every pending delete (positional +
+        equality keys) applied — the targeted fix for the one
+        publish-blocking state (see ``RestCatalog.publish_snapshot``):
+        the engine applies a pending equality delta's keys to late
+        appends, while Iceberg's sequence rule exempts strictly-newer
+        data. After this rewrite the late files physically contain no
+        doomed rows, so the exemption is a no-op and both reads agree —
+        at the cost of rewriting just those files, not the whole table
+        (``compact_deltas`` is the O(table) alternative).
+
+        The rewritten files land at the NEW version's sequence — newer
+        than every pending delta — which is exactly why ALL pending
+        delete effects must be pre-applied, not only the delta they were
+        late for. Upserts stay pending delta files (they are data at
+        their own sequence either way). Returns the new version, or None
+        when no pending equality delta has late-appended files."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        from philotes_spark.sources.iceberg_manifest import file_provenance
+
+        added_at, deltas = file_provenance(self, parent)
+        eq_seqs = [s for d, s in deltas if d.get("type") != "pos"]
+        if not eq_seqs:
+            return None
+        cutoff = min(eq_seqs)
+        late = {f for f in m["files"] if added_at.get(f, parent) > cutoff}
+        if not late:
+            return None
+        has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
+        base = self._apply_schema_ops(
+            self._read_file_list(
+                sorted(late),
+                m.get("partition_by") or [],
+                with_pos=has_pos,
+                widen=_has_widen(m),
+            ),
+            m,
+        )
+        for d in m.get("deltas", []):
+            if d.get("type") == "pos":
+                pos = self.spark.read.parquet(*d["pos_files"]).select(
+                    F.col("file_path").alias("_pos_file"),
+                    F.col("pos").alias("_pos_index"),
+                )
+                base = base.join(pos, ["_pos_file", "_pos_index"], "left_anti")
+            else:
+                keys = self.spark.read.parquet(*d["key_files"])
+                base = base.join(keys, d["key_cols"], "left_anti")
+        if has_pos:
+            base = base.drop("_pos_file", "_pos_index")
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        writer = self._recluster(base, m).write
+        part_cols = m.get("partition_by") or []
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staged)
+        new_files = [
+            f for f in _staged_parquet_files(staged)
+            if _footer_row_count([f]) > 0
+        ]
+        cols = m.get("stats_cols") or []
+        file_stats = {
+            f: s for f, s in m.get("file_stats", {}).items() if f not in late
+        }
+        if cols:
+            file_stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation="rewrite-late-appends",
+            files=[f for f in m["files"] if f not in late] + new_files,
+            added_files=len(new_files),
+            added_rows=0,  # logical rows unchanged — a rewrite
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=file_stats,
+            stats_cols=list(cols),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
+        )
+
     def _apply_deltas(self, base: DataFrame, m: dict) -> DataFrame:
         """Reader-side MoR resolution: stacked deltas apply in commit
         order — positional deltas anti-join on the row's physical

@@ -185,7 +185,9 @@ _DML_UPDATE = re.compile(
 )
 _DML_INSERT = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*"
-    r"(?:\(\s*([^()]*?)\s*\))?\s*"
+    # +? not *?: an explicit empty list `INSERT INTO t ()` must be a
+    # parse error, not silently read as "no column list" (ADVICE r09)
+    r"(?:\(\s*([^()]+?)\s*\))?\s*"
     r"((?:SELECT|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -288,7 +290,7 @@ _DDL_REF = re.compile(
 # CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col, ...)] AS <query>
 _DDL_CTAS = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s+"
-    r"(?:PARTITIONED\s+BY\s*\(\s*([^()]*?)\s*\)\s+)?"
+    r"(?:PARTITIONED\s+BY\s*\(\s*([^()]+?)\s*\)\s+)?"  # +?: `BY ()` errors
     r"AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )

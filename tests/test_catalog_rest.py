@@ -73,6 +73,7 @@ class _Handler(BaseHTTPRequestHandler):
                     t["schemas"],
                     t["partition-spec"],
                     srv.snapshots.get(key, []),
+                    properties=t.get("properties", {}),
                     current_schema_id=t["current-schema-id"],
                     sort_order=t.get("write-order"),
                     refs=srv.refs.get(key, {}),
@@ -126,12 +127,24 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 elif upd["action"] == "add-snapshot":
                     srv.snapshots.setdefault(key, []).append(upd["snapshot"])
-                elif upd["action"] == "remove-files":
-                    gone = set(upd["file-paths"])
+                    # file removals are NOT a wire action (the Iceberg
+                    # REST spec has none): the catalog derives its served
+                    # file list from the snapshot's manifest chain, where
+                    # a rewrite's removals appear as status=2 entries
+                    from philotes_spark.sources.iceberg_manifest import (
+                        plan_entries,
+                    )
+
+                    live, _ = plan_entries(upd["snapshot"]["manifest-list"])
+                    live_paths = {f["file_path"] for f in live}
                     srv.commits[key] = [
                         f for f in srv.commits.get(key, [])
-                        if f["file-path"] not in gone
+                        if f["file-path"] in live_paths
                     ]
+                elif upd["action"] == "set-properties":
+                    srv.tables[key].setdefault("properties", {}).update(
+                        upd["updates"]
+                    )
                 elif upd["action"] == "add-schema":
                     srv.tables[key]["schemas"].append(upd["schema"])
                 elif upd["action"] == "set-snapshot-ref":
@@ -480,8 +493,13 @@ def _readback_equal(spark, snap, namespace, table, cat):
     cur = meta["current-snapshot-id"]
     pub = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
     rest_schema = schema_to_rest(snap.read().schema)
+    # a real reader takes the name mapping from the served table
+    # properties (spec "Column Projection")
+    mapping = json.loads(
+        meta.get("properties", {}).get("schema.name-mapping.default", "null")
+    )
     external = read_table_via_manifests(
-        spark, pub["manifest-list"], rest_schema
+        spark, pub["manifest-list"], rest_schema, name_mapping=mapping
     )
     mine = snap.read()
     assert sorted(external.columns) == sorted(mine.columns)
@@ -571,19 +589,18 @@ def test_publish_stacked_deltas_readback(mock_catalog, spark, tmp_path):
     assert n == 10
 
 
-def test_publish_refuses_append_after_equality_delta(
+def test_publish_append_after_equality_delta_no_overlap_ok(
     mock_catalog, spark, tmp_path
 ):
-    """The one remaining refusal: base files appended AFTER a pending
-    equality delta — the engine applies the delete keys to them, but
-    Iceberg's sequence rule exempts strictly-newer data, so the published
-    chain would diverge. compact_deltas() resolves."""
-    import pytest as _pytest
+    """Base files appended AFTER a pending equality delta publish fine
+    when they contain NO rows matching the delta's delete keys: Iceberg's
+    sequence rule exempts them, but there is nothing for the exemption to
+    change — the refusal is semantic (r10), not sequence-shaped."""
     from pyspark.sql import functions as F
 
     from philotes_spark.sources.snapshots import SnapshotTable
 
-    tbl = SnapshotTable(spark, str(tmp_path / "late_append"))
+    tbl = SnapshotTable(spark, str(tmp_path / "late_append_ok"))
     tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")))
     tbl.merge(
         spark.createDataFrame([(3, True)], "v long, _del boolean"),
@@ -593,11 +610,64 @@ def test_publish_refuses_append_after_equality_delta(
     )
     tbl.commit(spark.range(20, 25).select(F.col("id").alias("v")))
     cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
-    with _pytest.raises(ValueError, match="appended\\s+after a pending equality"):
-        cat.publish_snapshot("ns", "t_late", tbl)
-    tbl.compact_deltas()
-    assert cat.publish_snapshot("ns", "t_late", tbl) > 0
-    cat.verify_publish("ns", "t_late", tbl)
+    assert cat.publish_snapshot("ns", "t_late_ok", tbl) > 0
+    cat.verify_publish("ns", "t_late_ok", tbl)
+    n = _readback_equal(spark, tbl, "ns", "t_late_ok", cat)
+    assert n == 14  # 10 - {3} + 5 appended
+
+
+def test_publish_overlapping_late_append_rewrites_targeted(
+    mock_catalog, spark, tmp_path
+):
+    """The one genuinely divergent state: a late append CONTAINING a
+    pending delete key (the engine deletes it, the spec's sequence rule
+    would resurrect it externally). Publish refuses, pointing at
+    rewrite_late_appends(), which rewrites ONLY the late files (the v1
+    base files survive untouched — targeted, not compact_deltas'
+    O(table)) and the publish then round-trips equal."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "late_overlap"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1))
+    v1_files = set(tbl._resolve()["files"])
+    tbl.merge(  # delete v=3, upsert v=4
+        spark.createDataFrame(
+            [(3, True), (4, False)], "v long, _del boolean"
+        ),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    # late append re-introduces the deleted key 3 AND the upserted key 4:
+    # the engine's read deletes both from base (upsert re-adds one row of
+    # v=4); an external reader would keep the appended copies
+    tbl.commit(
+        spark.createDataFrame([(3,), (4,), (21,)], "v long").coalesce(1)
+    )
+    assert tbl.read().count() == 10  # 10 - {3,4} + upsert(4) + append(21)
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    with _pytest.raises(ValueError, match="rewrite_late_appends"):
+        cat.publish_snapshot("ns", "t_overlap", tbl)
+    v = tbl.rewrite_late_appends()
+    assert v is not None
+    after = tbl._resolve()
+    # targeted: the original base files are still there by reference,
+    # the delta is still pending, only the late append was rewritten
+    assert v1_files <= set(after["files"])
+    assert after["deltas"], "delta must remain pending"
+    assert tbl.read().count() == 10
+    assert cat.publish_snapshot("ns", "t_overlap", tbl) > 0
+    cat.verify_publish("ns", "t_overlap", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_overlap", cat) == 10
+    # idempotent: nothing late anymore... a second call rewrites nothing
+    # (the rewritten files are newer than the delta but contain no doomed
+    # rows — publish's semantic check, not this method, is the gate)
+    tbl2 = SnapshotTable(spark, str(tmp_path / "no_eq"))
+    tbl2.commit(spark.range(3).select(F.col("id").alias("v")))
+    assert tbl2.rewrite_late_appends() is None  # no deltas at all
 
 
 def test_v2_metadata_carries_refs(spark, tmp_path):
@@ -670,6 +740,102 @@ def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad ref type"):
         cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
+
+
+def test_name_mapping_from_ops_chains_and_dedupes():
+    """Rename chains collect every physical alias; a name that re-became
+    a current field name is stripped from alias lists and names never
+    repeat across entries (the spec treats duplicates as invalid —
+    ADVICE r09 low #1)."""
+    from philotes_spark.sources.catalog_rest import name_mapping_from_ops
+
+    rest = {"fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "c", "required": False, "type": "string"},
+    ]}
+    # chain a -> b -> c: field `c` reads files written as a, b, or c
+    ops = [
+        {"op": "rename", "from": "a", "to": "b"},
+        {"op": "rename", "from": "b", "to": "c"},
+    ]
+    mapping = name_mapping_from_ops(rest, ops)
+    assert mapping == [
+        {"field-id": 1, "names": ["k"]},
+        {"field-id": 2, "names": ["c", "a", "b"]},
+    ]
+    # swap-shaped chain k -> tmp -> k: "k" is current, so the alias walk
+    # must not list it twice, and every name stays unique across entries
+    ops2 = [
+        {"op": "rename", "from": "k", "to": "tmp"},
+        {"op": "rename", "from": "tmp", "to": "k"},
+    ]
+    rest2 = {"fields": [{"id": 1, "name": "k", "required": False, "type": "long"}]}
+    mapping2 = name_mapping_from_ops(rest2, ops2)
+    assert mapping2 == [{"field-id": 1, "names": ["k", "tmp"]}]
+    names_flat = [n for e in mapping2 for n in e["names"]]
+    assert len(names_flat) == len(set(names_flat))
+
+
+def test_readback_of_empty_version_returns_zero_rows(spark, tmp_path):
+    """ADVICE r08 #3: a published version whose chain plans ZERO data
+    files (everything removed as status=2) reads back as an empty frame
+    of the declared schema — not an IndexError."""
+    from pyspark.sql import types as T
+
+    from philotes_spark.sources.avro import write_ocf
+    from philotes_spark.sources.iceberg_manifest import (
+        MANIFEST_LIST_SCHEMA,
+        manifest_entry_schema,
+        read_table_via_manifests,
+    )
+
+    entry = {
+        "status": 2,  # DELETED — plan excludes it
+        "snapshot_id": 2,
+        "sequence_number": 1,
+        "file_sequence_number": 1,
+        "data_file": {
+            "content": 0,
+            "file_path": "/gone.parquet",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 5,
+            "file_size_in_bytes": 10,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+        },
+    }
+    mf = str(tmp_path / "mf.avro")
+    length = write_ocf(mf, manifest_entry_schema([]), [entry])
+    ml = str(tmp_path / "ml.avro")
+    write_ocf(
+        ml,
+        MANIFEST_LIST_SCHEMA,
+        [{
+            "manifest_path": mf,
+            "manifest_length": length,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 2,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 2,
+            "added_files_count": 0,
+            "existing_files_count": 0,
+            "deleted_files_count": 1,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 5,
+        }],
+    )
+    rest = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+    ]}
+    df = read_table_via_manifests(spark, ml, rest)
+    assert df.columns == ["k", "v"]
+    assert df.count() == 0
+    assert isinstance(df.schema["k"].dataType, T.LongType)
 
 
 # --- Avro manifest layer (VERDICT r06 #3) ------------------------------------
@@ -905,6 +1071,14 @@ def test_manifest_carries_deleted_entries_for_removed_files(
     assert deleted == v1_files
     assert data_manifest["deleted_files_count"] == len(v1_files)
     assert data_manifest["deleted_rows_count"] == 10
+    # the catalog derived its served list from the chain: the rewrite's
+    # removed files are gone from it (ADVICE r08 — no remove-files wire
+    # action exists) and the full readback gate passes post-rewrite
+    served = {
+        f["file-path"] for f in cat.load_table("ns", "t_del_e")["data-files"]
+    }
+    assert served == set(tbl._resolve()["files"])
+    cat.verify_publish("ns", "t_del_e", tbl)
     n = _readback_equal(spark, tbl, "ns", "t_del_e", cat)
     assert n == 9
 
@@ -936,21 +1110,25 @@ def test_publish_partitioned_table_with_deltas_readback(
     assert n == 10
 
 
-def test_publish_refuses_pending_rename_then_materialize(
+def test_publish_rename_drop_via_name_mapping_no_rewrite(
     mock_catalog, spark, tmp_path
 ):
-    """A pending RENAME/DROP schema op is a read-side journal entry a
-    name-based external reader cannot apply — publish refuses until
-    materialize_schema() rewrites the files; a pending ADD (externally
-    safe: absent column reads NULL) publishes fine, even before any data
-    carries it."""
-    import pytest as _pytest
-    from pyspark.sql import functions as F
-
+    """r10 (r8 ask #1): a table with pending RENAME/DROP journal ops
+    publishes with NO file rewrite — the commit carries the spec's
+    ``schema.name-mapping.default`` property, built from the journal, so
+    an external reader resolves a pre-rename file column to the current
+    field and ignores dropped-column remnants (Iceberg "Column
+    Projection"; ref interop promise rest.go:320-344). The r≤9
+    materialize_schema() refusal is gone; materialize remains the
+    opt-in physical cleanup."""
     from philotes_spark.sources.snapshots import SnapshotTable
 
     tbl = SnapshotTable(spark, str(tmp_path / "ren_pub"))
-    tbl.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, f"j{i}") for i in range(5)], "k long, junk string"
+        ).coalesce(1)
+    )
     tbl.alter_add_columns([("note", "string")])
     cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
     # ADD-only journal: publishes, and the external read-back surfaces
@@ -959,13 +1137,52 @@ def test_publish_refuses_pending_rename_then_materialize(
     cat.verify_publish("ns", "t_ren", tbl)
     assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 5
 
+    # a file that PHYSICALLY carries the pre-rename name...
+    tbl.commit(
+        spark.createDataFrame(
+            [(100, "j100", "late")], "k long, junk string, note string"
+        ).coalesce(1)
+    )
+    # ...then rename + drop, both metadata-only journal entries
     tbl.alter_rename_column("note", "comment")
-    with _pytest.raises(ValueError, match="materialize_schema"):
-        cat.publish_snapshot("ns", "t_ren", tbl)
+    tbl.alter_drop_column("junk")
+    files_before = set(tbl._resolve()["files"])
+
+    cat.publish_snapshot("ns", "t_ren", tbl)
+    # zero rewrite: publish changed no data file
+    assert set(tbl._resolve()["files"]) == files_before
+    cat.verify_publish("ns", "t_ren", tbl)
+
+    meta = cat.load_table("ns", "t_ren")["metadata"]
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    by_current = {e["names"][0]: e for e in mapping}
+    assert by_current["comment"]["names"] == ["comment", "note"]
+    # dropped column has NO mapping entry — external readers ignore it
+    assert "junk" not in {n for e in mapping for n in e["names"]}
+    # field-ids resolve into the served current schema
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert {e["field-id"] for e in mapping} == {f["id"] for f in cur["fields"]}
+
+    # external readback equals the engine read: pre-rename files resolve
+    # `note`→`comment`, the dropped `junk` never surfaces
+    assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 6
+    ext_cols = sorted(
+        f.name for f in tbl.read().select(*sorted(tbl.read().columns)).schema
+    )
+    assert ext_cols == ["comment", "k"]
+
+    # materialize_schema stays available as the physical cleanup: journal
+    # resets, republish round-trips, mapping collapses to current names
     assert tbl.materialize_schema() is not None
     assert tbl._resolve().get("schema_ops") == []
     cat.publish_snapshot("ns", "t_ren", tbl)
     cat.verify_publish("ns", "t_ren", tbl)
-    assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 5
+    assert _readback_equal(spark, tbl, "ns", "t_ren", cat) == 6
+    meta = cat.load_table("ns", "t_ren")["metadata"]
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert all(len(e["names"]) == 1 for e in mapping)
     # idempotent when nothing pending
     assert tbl.materialize_schema() is None

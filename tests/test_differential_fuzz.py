@@ -630,9 +630,60 @@ def _gen_alter_statements(seed: int) -> list[str]:
     stmts.append(
         f"DELETE FROM alter_t WHERE {rng.choice(_ALTER_CONDS)}"
     )
+    # r10: rename→widen→(re-)add sequence — after the rename and the
+    # widen above, a FRESH column arrives and DML touches it, so later
+    # reads mix files that never saw it, journal-NULL rows, and updated
+    # rows (the engine may not reuse the renamed-away name `w` while old
+    # files still carry it — _reserved_names — so the re-add uses a new
+    # name; both engines accept it, keeping the differential valid)
+    stmts.append("ALTER TABLE alter_t ADD COLUMN w2 DOUBLE")
+    stmts.append(
+        f"UPDATE alter_t SET w2 = {rng.choice(_ALTER_UPD_EXPRS)} "
+        f"WHERE {rng.choice(_ALTER_CONDS)}"
+    )
+    if rng.random() < 0.5:
+        stmts.append("ALTER TABLE alter_t RENAME COLUMN w2 TO w3")
     if rng.random() < 0.5:
         stmts.append("ALTER TABLE alter_t DROP COLUMN s")
     return stmts
+
+
+def test_alter_refusal_paths_widen_after_delta_and_readd(fuzz_env, tmp_path):
+    """The journal's guard rails around the family-9 surface (engine-only
+    — DuckDB's physical ALTER has no such states): ALTER COLUMN while a
+    MoR delta is pending refuses (delta key/upsert files were written
+    under the old schema, snapshots.py _alter_guard), and re-adding a
+    renamed-away name refuses while old files still carry it physically
+    (_reserved_names). Both unblock exactly as the messages say."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+    tbl = SnapshotTable(spark, str(tmp_path / "guard_t"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, 10.0, 7), (2, 20.0, 8)], "k long, v double, n int"
+        )
+    )
+    tbl.merge(  # pending equality delta
+        spark.createDataFrame([(1, True)], "k long, _del boolean"),
+        key_cols=["k"],
+        delete_col="_del",
+        mode="mor",
+    )
+    with pytest.raises(ValueError, match="pending merge-on-read deltas"):
+        tbl.alter_widen_column("n", "bigint")
+    with pytest.raises(ValueError, match="pending merge-on-read deltas"):
+        tbl.alter_rename_column("v", "val")
+    assert tbl.compact_deltas() is not None
+    tbl.alter_widen_column("n", "bigint")  # unblocked
+    tbl.alter_rename_column("v", "val")
+    # the renamed-away name may not come back while old files carry it
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        tbl.alter_add_columns([("v", "double")])
+    assert tbl.materialize_schema() is not None  # journal reset frees it
+    tbl.alter_add_columns([("v", "double")])
+    assert sorted(tbl.read().columns) == ["k", "n", "v", "val"]
+    assert tbl.read().schema["n"].dataType.simpleString() == "bigint"
 
 
 @pytest.mark.parametrize("seed", range(900, 910))

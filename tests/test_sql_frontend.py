@@ -1064,6 +1064,27 @@ def test_insert_column_list_quoted_and_qualified(spark, tmp_path):
         )
 
 
+def test_empty_column_list_is_a_parse_error(spark, tmp_path):
+    """ADVICE r09: an EXPLICIT empty list — `INSERT INTO t ()` /
+    `PARTITIONED BY ()` — must error, not silently parse as "no column
+    list"."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ins_e"))
+    t.commit(spark.createDataFrame([(1, "x")], "k long, v string"))
+    tabs = {"ie": t}
+    with pytest.raises(ValueError, match="unsupported DML shape"):
+        sql(spark, "INSERT INTO ie () VALUES (2, 'y')", snapshot_tables=tabs)
+    with pytest.raises(Exception):  # falls through to Spark's parser
+        sql(
+            spark,
+            "CREATE TABLE ce PARTITIONED BY () AS SELECT 1 AS k",
+            snapshot_tables=tabs,
+            table_root=str(tmp_path),
+        )
+    assert t.read().count() == 1  # nothing was written
+
+
 def test_ctas_partitioned_by_quoted_idents(spark, tmp_path):
     tabs = {}
     sql(
