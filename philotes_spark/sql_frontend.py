@@ -890,6 +890,10 @@ def sql(
             "rewrite_data_files": ("table",),
             "compact_deltas": ("table",),
             "materialize_schema": ("table",),
+            # targeted alternative to compact_deltas for the one
+            # publish-blocking MoR state (late appends containing pending
+            # equality-delete keys) — rewrites only those files
+            "rewrite_late_appends": ("table",),
         }
         if proc in procs:
             params = procs[proc]
@@ -915,6 +919,9 @@ def sql(
                 v = out if out is not None else tbl.current_version()
             elif proc == "compact_deltas":
                 out = tbl.compact_deltas()
+                v = out if out is not None else tbl.current_version()
+            elif proc == "rewrite_late_appends":
+                out = tbl.rewrite_late_appends()
                 v = out if out is not None else tbl.current_version()
             else:  # materialize_schema
                 out = tbl.materialize_schema()

@@ -982,6 +982,37 @@ def test_call_procedures(spark, tmp_path):
         sql(spark, "CALL rollback_to_snapshot('nope', 1)", tabs)
 
 
+def test_call_rewrite_late_appends(spark, tmp_path):
+    """CALL rewrite_late_appends('t') — the targeted MoR-publish unblock
+    as statement text: only the post-delta append is rewritten (the
+    original base files survive by reference), the delta stays pending,
+    and the read is unchanged."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "late_proc"))
+    t.commit(spark.range(0, 8).selectExpr("id AS k").coalesce(1))
+    v1_files = set(t._resolve()["files"])
+    t.merge(
+        spark.createDataFrame([(2, True)], "k long, _del boolean"),
+        key_cols=["k"],
+        delete_col="_del",
+        mode="mor",
+    )
+    t.commit(spark.createDataFrame([(2,), (50,)], "k long").coalesce(1))
+    assert t.read().count() == 8  # 8 - {2} + append minus re-deleted 2
+    tabs = {"lp": t}
+    out = sql(spark, "CALL rewrite_late_appends('lp')", tabs).collect()
+    assert out[0].operation == "rewrite_late_appends"
+    assert out[0].version == t.current_version()
+    m = t._resolve()
+    assert v1_files <= set(m["files"]) and m["deltas"]
+    assert t.read().count() == 8
+    # no late files -> no-op returning the current version
+    out = sql(spark, "CALL compact_deltas('lp')", tabs).collect()
+    out = sql(spark, "CALL rewrite_late_appends('lp')", tabs).collect()
+    assert out[0].version == t.current_version()
+
+
 def test_branch_write_audit_publish_via_statements(spark, tmp_path):
     """Full write-audit-publish through STATEMENTS only: CREATE BRANCH →
     INSERT INTO t.branch_wip (branch-targeted DML) → audit the branch
