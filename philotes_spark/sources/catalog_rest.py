@@ -129,6 +129,51 @@ def name_mapping_from_ops(rest_schema: dict, schema_ops: list[dict]) -> list[dic
     return out
 
 
+def align_field_ids(
+    want: dict, served_meta: dict, schema_ops: list[dict]
+) -> dict:
+    """Stable Iceberg field ids across schema evolution: a field keeps
+    the id the catalog ALREADY SERVES for its name (or for any prior
+    name it carried, walked through the rename journal); genuinely new
+    fields get ids above the table's ``last-column-id``.
+    :func:`schema_to_rest` assigns ids positionally — right for a fresh
+    table, wrong for an evolved one: after a DROP, positional
+    re-assignment re-binds a retired id to a DIFFERENT column, and
+    already-published manifests key their bounds maps and
+    ``equality_ids`` on field ids, so id reuse silently corrupts
+    external pruning and delete semantics (Iceberg table spec: field
+    ids are the column identity and are never reused)."""
+    schemas = served_meta.get("schemas") or []
+    cur_id = served_meta.get("current-schema-id", len(schemas) - 1)
+    cur = next(
+        (s for s in schemas if s.get("schema-id") == cur_id),
+        schemas[-1] if schemas else {"fields": []},
+    )
+    served_by_name = {f["name"]: f["id"] for f in cur.get("fields", [])}
+    aliases: dict[str, list[str]] = {}
+    for op in schema_ops:
+        if op.get("op") == "rename":
+            prior = aliases.pop(op["from"], [])
+            aliases[op["to"]] = prior + [op["from"]]
+    last = max(
+        served_meta.get("last-column-id", 0),
+        max((f["id"] for s in schemas for f in s.get("fields", [])), default=0),
+    )
+    out_fields = []
+    for f in want["fields"]:
+        fid = served_by_name.get(f["name"])
+        if fid is None:
+            for a in aliases.get(f["name"], []):
+                if a in served_by_name:
+                    fid = served_by_name[a]
+                    break
+        if fid is None:
+            last += 1
+            fid = last
+        out_fields.append({**f, "id": fid})
+    return {**want, "fields": out_fields}
+
+
 def snapshot_entry(
     snap, version: int | None = None, rest_schema: dict | None = None
 ) -> dict:
@@ -630,15 +675,22 @@ class RestCatalog:
         # additive schema evolution (A12): when the published version's
         # schema differs from what the catalog currently serves, the
         # commit carries add-schema + set-current-schema so external
-        # readers see the evolved shape
+        # readers see the evolved shape. Field ids in the evolved schema
+        # are ALIGNED with the served ids (stable across evolution —
+        # see :func:`align_field_ids`), and the aligned schema is what
+        # every downstream id consumer (manifest bounds, equality_ids,
+        # name mapping) keys on.
         new_schema = None
+        rest_schema = schema_to_rest(snap.read(version=version).schema)
         if not created:
-            want = schema_to_rest(snap.read(version=version).schema)
             meta = self.load_table(namespace, table).get("metadata", {})
             schemas = meta.get("schemas") or (
                 [meta["schema"]] if "schema" in meta else []
             )
             if schemas:
+                rest_schema = align_field_ids(
+                    rest_schema, meta, manifest.get("schema_ops", [])
+                )
                 cur_id = meta.get("current-schema-id", len(schemas) - 1)
                 cur = next(
                     (s for s in schemas if s.get("schema-id") == cur_id),
@@ -651,8 +703,8 @@ class RestCatalog:
                         for f in s["fields"]
                     ]
 
-                if shape(cur) != shape(want):
-                    new_schema = want
+                if shape(cur) != shape(rest_schema):
+                    new_schema = rest_schema
         data_files = [
             {
                 "content": "data",
@@ -671,7 +723,6 @@ class RestCatalog:
         # refusal; ref interop promise rest.go:320-344). Published on
         # every commit (it is correct, and cheap, even with no renames:
         # one names=[current] entry per field).
-        rest_schema = schema_to_rest(snap.read(version=version).schema)
         props = {
             "schema.name-mapping.default": json.dumps(
                 name_mapping_from_ops(

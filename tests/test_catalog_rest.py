@@ -486,15 +486,18 @@ def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
 def _readback_equal(spark, snap, namespace, table, cat):
     """Decode the published Avro chain and reconstruct the table as an
     external v2 reader — rows must equal the engine's own read()."""
-    from philotes_spark.sources.catalog_rest import schema_to_rest
     from philotes_spark.sources.iceberg_manifest import read_table_via_manifests
 
     meta = cat.load_table(namespace, table)["metadata"]
     cur = meta["current-snapshot-id"]
     pub = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
-    rest_schema = schema_to_rest(snap.read().schema)
-    # a real reader takes the name mapping from the served table
-    # properties (spec "Column Projection")
+    # a real reader takes BOTH the schema (with the catalog's stable
+    # field ids) and the name mapping from the served metadata — never
+    # from the engine side
+    rest_schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
     mapping = json.loads(
         meta.get("properties", {}).get("schema.name-mapping.default", "null")
     )
@@ -740,6 +743,70 @@ def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad ref type"):
         cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
+
+
+def test_field_ids_stable_across_evolution(mock_catalog, spark, tmp_path):
+    """Iceberg field ids are the column's identity and are never reused:
+    after a DROP the remaining fields keep their served ids (positional
+    re-assignment would re-bind the retired id to a different column —
+    corrupting the bounds maps and equality_ids already published in
+    older manifests), an ADD takes last-column-id + 1, and a RENAME
+    keeps the id (resolved through the rename journal)."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "ids_t"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "j1", 1.5)], "k long, junk string, v double"
+        ).coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_ids", tbl)
+
+    def current_ids():
+        meta = cat.load_table("ns", "t_ids")["metadata"]
+        cur = next(
+            s for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        return {f["name"]: f["id"] for f in cur["fields"]}, meta
+
+    ids, meta = current_ids()
+    assert ids == {"k": 1, "junk": 2, "v": 3}
+
+    tbl.alter_drop_column("junk")
+    cat.publish_snapshot("ns", "t_ids", tbl)
+    ids, meta = current_ids()
+    assert ids == {"k": 1, "v": 3}  # v keeps 3 — id 2 is retired
+    assert meta["last-column-id"] == 3
+
+    tbl.alter_add_columns([("w", "string")])
+    cat.publish_snapshot("ns", "t_ids", tbl)
+    ids, meta = current_ids()
+    assert ids == {"k": 1, "v": 3, "w": 4}  # never reuses the retired 2
+    assert meta["last-column-id"] == 4
+
+    tbl.alter_rename_column("w", "x")
+    cat.publish_snapshot("ns", "t_ids", tbl)
+    ids, meta = current_ids()
+    assert ids == {"k": 1, "v": 3, "x": 4}  # rename keeps the identity
+    # the name mapping binds the old physical name to the SAME id
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    entry = next(e for e in mapping if "x" in e["names"])
+    assert entry["field-id"] == 4 and "w" in entry["names"]
+    cat.verify_publish("ns", "t_ids", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_ids", cat) == 1
+    # a post-evolution insert + publish still reads back equal with the
+    # stable ids in play end-to-end
+    tbl.commit(
+        spark.createDataFrame([(2, 2.5, "late")], "k long, v double, x string")
+        .coalesce(1)
+    )
+    cat.publish_snapshot("ns", "t_ids", tbl)
+    cat.verify_publish("ns", "t_ids", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_ids", cat) == 2
+    ids, _ = current_ids()
+    assert ids == {"k": 1, "v": 3, "x": 4}
 
 
 def test_name_mapping_from_ops_chains_and_dedupes():
