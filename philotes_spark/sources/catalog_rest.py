@@ -296,6 +296,26 @@ _V2_REQUIRED = (
 )
 
 
+def _legal_promotion(old: str, new: str) -> bool:
+    """Iceberg's allowed primitive type promotions (table spec, "Schema
+    Evolution"): int→long, float→double, decimal precision growth —
+    plus the engine's value-preserving decimal scale growth
+    (``alter_widen_column``: scale and integer digits may only grow),
+    a strict superset of the spec's same-scale rule that still never
+    changes a stored value."""
+    if (old, new) in (("int", "long"), ("float", "double")):
+        return True
+    import re as _re
+
+    m_old = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", old)
+    m_new = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", new)
+    if not (m_old and m_new):
+        return False
+    op, os_ = int(m_old.group(1)), int(m_old.group(2))
+    np, ns = int(m_new.group(1)), int(m_new.group(2))
+    return ns >= os_ and (np - ns) >= (op - os_)
+
+
 def validate_table_metadata_v2(meta: dict) -> None:
     """Assert ``meta`` is a structurally valid Iceberg v2 table-metadata
     document — the shape any external engine requires before it can plan
@@ -314,14 +334,36 @@ def validate_table_metadata_v2(meta: dict) -> None:
         fail(f"current-schema-id {meta['current-schema-id']} not in schemas")
     cur_schema = schemas[meta["current-schema-id"]]
     field_ids = [f["id"] for f in cur_schema["fields"]]
-    if len(set(field_ids)) != len(field_ids) or any(i <= 0 for i in field_ids):
-        fail(f"schema field ids must be unique and positive, got {field_ids}")
     if meta["last-column-id"] < max(field_ids, default=0):
         fail("last-column-id below max assigned field id")
-    for f in cur_schema["fields"]:
-        for k in ("id", "name", "required", "type"):
-            if k not in f:
-                fail(f"schema field missing {k!r}: {f}")
+    # every schema in the history (not just the current one) must carry
+    # well-formed fields with unique positive ids, and a field id reused
+    # across schema versions must stay the same column: its type may only
+    # change by the spec's legal promotions (int→long, float→double,
+    # decimal precision growth) — id reuse for a different column breaks
+    # every manifest that keyed bounds/equality_ids on it
+    by_id_type: dict[int, str] = {}
+    for s in meta["schemas"]:
+        ids = [f["id"] for f in s["fields"]]
+        if len(set(ids)) != len(ids) or any(i <= 0 for i in ids):
+            fail(
+                f"schema {s.get('schema-id')}: field ids must be unique "
+                f"and positive, got {ids}"
+            )
+        for f in s["fields"]:
+            for k in ("id", "name", "required", "type"):
+                if k not in f:
+                    fail(f"schema field missing {k!r}: {f}")
+            prev = by_id_type.get(f["id"])
+            if prev is not None and prev != f["type"] and not _legal_promotion(
+                prev, f["type"]
+            ):
+                fail(
+                    f"field id {f['id']} changes type {prev!r} -> "
+                    f"{f['type']!r} across schemas: not an Iceberg type "
+                    "promotion, so the id was reused for a different column"
+                )
+            by_id_type[f["id"]] = f["type"]
     specs = {s["spec-id"]: s for s in meta["partition-specs"]}
     if meta["default-spec-id"] not in specs:
         fail(f"default-spec-id {meta['default-spec-id']} not in partition-specs")

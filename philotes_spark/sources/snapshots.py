@@ -1758,7 +1758,9 @@ class SnapshotTable:
         for v in range(from_version + 1, to_version + 1):
             m = self._load(f"v{v:08d}.json")
             op = m["operation"]
-            if op in ("compact", "compact-deltas"):
+            if op in ("compact", "compact-deltas", "rewrite-late-appends"):
+                # row-preserving rewrites: no logical inserts — reset the
+                # file baseline so later appends diff against the new files
                 prev_files = set(m["files"])
                 continue
             # NOTE: materialize-schema deliberately stays on the refusal

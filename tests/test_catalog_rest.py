@@ -476,6 +476,12 @@ def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
              "transform": "identity"}), "not a schema field id"),
         (lambda d: d["snapshots"][0].pop("manifest-list"), "snapshot missing"),
         (lambda d: d.update({"current-snapshot-id": 77}), "not in snapshots"),
+        # r10: a field id re-bound to a different column in a later
+        # schema version (not a legal type promotion) must be rejected
+        (lambda d: d["schemas"].append({"schema-id": 1, "fields": [
+            {"id": 1, "name": "ghost", "required": False,
+             "type": "boolean"}]}),
+         "reused for a different column"),
     ]:
         bad = copy.deepcopy(meta)
         mutate(bad)
@@ -743,6 +749,71 @@ def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad ref type"):
         cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
+
+
+def test_duckdb_reads_renamed_table_via_name_mapping(
+    mock_catalog, spark, tmp_path
+):
+    """A genuinely third-party engine (DuckDB, standing in for Trino)
+    consumes the published name mapping: per served file, each current
+    field resolves to whichever of its mapped physical names the file
+    carries (NULL when none does), unmapped remnants of dropped columns
+    are never projected — and the result equals the engine's read with
+    ZERO rewrite."""
+    import duckdb
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "duck_map"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "n1", "j1"), (2, "n2", "j2")],
+            "k long, note string, junk string",
+        ).coalesce(1)
+    )
+    tbl.alter_rename_column("note", "comment")
+    tbl.alter_drop_column("junk")
+    # a post-evolution file physically carrying the new name
+    tbl.commit(
+        spark.createDataFrame([(3, "n3")], "k long, comment string").coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_duck", tbl)
+    loaded = cat.load_table("ns", "t_duck")
+    meta = loaded["metadata"]
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    con = duckdb.connect()
+    selects = []
+    for f in loaded["data-files"]:
+        path = f["file-path"]
+        cols = {
+            r[0]
+            for r in con.execute(
+                "DESCRIBE SELECT * FROM read_parquet(?)", [path]
+            ).fetchall()
+        }
+        proj = []
+        for fld in cur["fields"]:
+            entry = next(e for e in mapping if e["field-id"] == fld["id"])
+            phys = next((n for n in entry["names"] if n in cols), None)
+            proj.append(
+                f'"{phys}" AS {fld["name"]}' if phys else f'NULL AS {fld["name"]}'
+            )
+        selects.append(
+            f"SELECT {', '.join(proj)} FROM read_parquet('{path}')"
+        )
+    got = con.execute(
+        " UNION ALL ".join(selects) + " ORDER BY k"
+    ).fetchall()
+    con.close()
+    mine = sorted(
+        tuple(r) for r in tbl.read().select("k", "comment").collect()
+    )
+    assert got == mine == [(1, "n1"), (2, "n2"), (3, "n3")]
 
 
 def test_field_ids_stable_across_evolution(mock_catalog, spark, tmp_path):

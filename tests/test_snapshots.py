@@ -312,6 +312,36 @@ def test_incremental_read_skips_compact_refuses_merge(spark, table):
     assert table.read_incremental(1, to_version=3).count() == 2
 
 
+def test_incremental_read_skips_rewrite_late_appends(spark, table):
+    """rewrite-late-appends is row-preserving (like compact): an
+    incremental range crossing it emits only genuinely appended rows,
+    with the file baseline reset to the rewritten files."""
+    import pyspark.sql.functions as F
+
+    table.commit(_df(spark, 0, 10))  # v1
+    table.merge(  # v2: pending eq delta deleting v=3
+        spark.createDataFrame([(3, True)], "v long, _del boolean"),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    table.commit(_df(spark, 3, 4))  # v3: late append re-introducing key 3
+    assert table.rewrite_late_appends() is not None  # v4
+    table.commit(_df(spark, 20, 22))  # v5
+    # the range CROSSES the rewrite: v3's append emits (file-diff
+    # contract), v4 resets the baseline instead of refusing or
+    # re-emitting its rewritten rows, v5 diffs against the new files
+    inc = table.read_incremental(from_version=2)
+    assert {(r.v, r.commit_version) for r in inc.collect()} == {
+        (3, 3),
+        (20, 5),
+        (21, 5),
+    }
+    # a range crossing the merge-mor commit itself still refuses
+    with pytest.raises(ValueError, match="crosses a 'merge-mor'"):
+        table.read_incremental(from_version=1)
+
+
 def test_incremental_read_partitioned_and_validation(spark, table):
     from pyspark.sql import functions as F
 
