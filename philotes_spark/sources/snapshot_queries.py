@@ -1090,3 +1090,61 @@ def snapshot_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_name_mapping_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS reading
+    FROM events
+    """,
+)
+def snapshot_name_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 evolution-publish read path under the driver's
+    hash-compare gate: rename + drop land as metadata-only journal ops,
+    the Avro manifest chain is written for the current version, and the
+    table is reconstructed EXTERNALLY — ``read_table_via_manifests``
+    with the ``schema.name-mapping.default`` built from the journal
+    (Iceberg "Column Projection") — so pre-rename files resolve their
+    old physical column name to the current field, the dropped column's
+    remnant never surfaces, and a post-rename file carrying the new
+    name unions in. Zero rewrite at any table size (ref interop promise
+    `internal/iceberg/catalog/rest.go:320-344`)."""
+    from philotes_spark.sources.catalog_rest import (
+        name_mapping_from_ops,
+        schema_to_rest,
+    )
+    from philotes_spark.sources.iceberg_manifest import (
+        read_table_via_manifests,
+        write_manifests_for_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("event_type").alias("junk")
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 600))
+        tbl.alter_rename_column("value", "reading")
+        tbl.alter_drop_column("junk")
+        # a post-evolution file physically carrying the NEW name
+        tbl.commit(
+            ev.filter(F.col("event_id") > 600).select(
+                "event_id", "user_id", F.col("value").alias("reading")
+            )
+        )
+        m = tbl._resolve()
+        rest = schema_to_rest(tbl.read().schema)
+        ml = write_manifests_for_version(tbl, m["version"], rest_schema=rest)
+        external = read_table_via_manifests(
+            spark,
+            ml,
+            rest,
+            name_mapping=name_mapping_from_ops(rest, m.get("schema_ops", [])),
+        )
+        return external.select(
+            "event_id", "user_id", F.round("reading", 4).alias("reading")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -264,6 +264,10 @@ def test_publish_snapshot_bridge(mock_catalog, spark, tmp_path):
     assert all(f["file-format"] == "parquet" for f in committed)
     assert sum(f["record-count"] for f in committed) == 3
     assert all(f["file-size-in-bytes"] > 0 for f in committed)
+    # idempotent replay: the version is already served, nothing commits
+    assert cat.publish_snapshot("lake", "tbl", snap, version=2) == 0
+    assert len(mock_catalog.commits[("lake", "tbl")]) == n1 + n2
+    assert len(mock_catalog.snapshots[("lake", "tbl")]) == 2
     # schema arrived in Iceberg REST form
     meta = cat.load_table("lake", "tbl")
     names = [f["name"] for f in meta["metadata"]["schemas"][0]["fields"]]
