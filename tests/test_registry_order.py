@@ -37,9 +37,9 @@ def test_families_inside_driver_window():
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r09_rotation_composition():
-    # VERDICT r08 #4: the r08 statement tier graduates into the driver's
-    # 50-slot window; the evicted duplicate-coverage slots and earlier
+def test_r10_rotation_composition():
+    # VERDICT r09 #6: snapshot_widen_column graduates into the driver's
+    # 50-slot window; the evicted duplicate-coverage slot and earlier
     # evictees sit below it (still oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
@@ -49,7 +49,6 @@ def test_r09_rotation_composition():
         "dq_constraint_report",
         "snapshot_refs",
         "snapshot_merge_clauses",  # r08 graduates stay in
-        "snapshot_update_unfiltered",
         "snapshot_schema_history",
         "snapshot_positional_delete",
         "snapshot_meta_sql",
@@ -58,6 +57,7 @@ def test_r09_rotation_composition():
         "snapshot_insert_overwrite",
         "snapshot_ctas",
         "snapshot_wap_statements",
+        "snapshot_widen_column",  # r10 graduate
     ):
         assert n in head, n
     for n in (
@@ -76,6 +76,8 @@ def test_r09_rotation_composition():
         "text_langid",
         "snapshot_history",
         "w_topn_per_group",
+        "snapshot_update_unfiltered",  # r10 evictee (dup DML coverage)
+        "snapshot_name_mapping_read",  # r10 addition stays below
     ):
         assert n not in head, n
 
