@@ -745,7 +745,14 @@ class RestCatalog:
                         for f in s["fields"]
                     ]
 
-                if shape(cur) != shape(rest_schema):
+                # only the NEWEST published version may evolve the served
+                # current schema: backfilling an older snapshot must not
+                # regress it (Iceberg schemas are append-only and
+                # current-schema-id tracks the table's present shape)
+                is_newest = manifest["version"] >= max(
+                    served_snapshot_ids, default=0
+                )
+                if is_newest and shape(cur) != shape(rest_schema):
                     new_schema = rest_schema
         data_files = [
             {

@@ -126,16 +126,21 @@ class _Handler(BaseHTTPRequestHandler):
                         upd["append-files"]["data-files"]
                     )
                 elif upd["action"] == "add-snapshot":
-                    srv.snapshots.setdefault(key, []).append(upd["snapshot"])
+                    snaps = srv.snapshots.setdefault(key, [])
+                    snaps.append(upd["snapshot"])
+                    # the snapshot log is ordered by id, so a backfilled
+                    # older snapshot never becomes "current"
+                    snaps.sort(key=lambda s: s["snapshot-id"])
                     # file removals are NOT a wire action (the Iceberg
                     # REST spec has none): the catalog derives its served
-                    # file list from the snapshot's manifest chain, where
-                    # a rewrite's removals appear as status=2 entries
+                    # file list from the CURRENT snapshot's manifest
+                    # chain, where a rewrite's removals appear as
+                    # status=2 entries
                     from philotes_spark.sources.iceberg_manifest import (
                         plan_entries,
                     )
 
-                    live, _ = plan_entries(upd["snapshot"]["manifest-list"])
+                    live, _ = plan_entries(snaps[-1]["manifest-list"])
                     live_paths = {f["file_path"] for f in live}
                     srv.commits[key] = [
                         f for f in srv.commits.get(key, [])
@@ -753,6 +758,41 @@ def test_publish_ref_round_trips_through_load(mock_catalog, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad ref type"):
         cat.publish_ref("lake", "reft", "x", 1, ref_type="nope")
+
+
+def test_backfill_older_version_does_not_regress_catalog(
+    mock_catalog, spark, tmp_path
+):
+    """Publishing snapshots out of order (backfill): an older snapshot
+    added after a newer one must not become the catalog's current
+    snapshot, must not shrink the served file list to its own chain, and
+    must not regress the served current schema to its pre-evolution
+    shape."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "bf"))
+    tbl.commit(spark.createDataFrame([(1,)], "k long").coalesce(1))
+    tbl.commit(
+        spark.createDataFrame([(2, "w2")], "k long, w string").coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_bf", tbl, version=2)  # newest first
+    cat.publish_snapshot("ns", "t_bf", tbl, version=1)  # backfill
+
+    loaded = cat.load_table("ns", "t_bf")
+    meta = loaded["metadata"]
+    validate_table_metadata_v2(meta)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2]
+    assert meta["current-snapshot-id"] == 2
+    # served current schema is still the evolved shape
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert [f["name"] for f in cur["fields"]] == ["k", "w"]
+    # served files are the CURRENT snapshot's, not the backfilled one's
+    cat.verify_publish("ns", "t_bf", tbl, version=2)
+    assert _readback_equal(spark, tbl, "ns", "t_bf", cat) == 2
 
 
 def test_duckdb_reads_renamed_table_via_name_mapping(
