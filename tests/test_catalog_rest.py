@@ -688,6 +688,54 @@ def test_publish_overlapping_late_append_rewrites_targeted(
     assert tbl2.rewrite_late_appends() is None  # no deltas at all
 
 
+def test_rewrite_late_appends_partitioned_with_stacked_pos_delta(
+    mock_catalog, spark, tmp_path
+):
+    """rewrite_late_appends on a PARTITIONED table with a stacked
+    positional delta: the rewrite keeps the hive layout, pre-applies the
+    pos delete AND the equality keys to the late files only, and the
+    publish round-trips equal."""
+    import pytest as _pytest
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "late_part"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+            "k long, par string",
+        ).coalesce(1),
+        partition_by=["par"],
+    )
+    tbl.delete_where_positional("k = 8")  # v2: pos delta
+    tbl.merge(  # v3: eq delta deleting k=3
+        spark.createDataFrame([(3, "odd", True)], "k long, par string, _del boolean"),
+        key_cols=["k"],
+        delete_col="_del",
+        mode="mor",
+    )
+    # v4: late append re-introducing the eq-deleted key
+    tbl.commit(
+        spark.createDataFrame(
+            [(3, "odd"), (40, "even")], "k long, par string"
+        ).coalesce(1)
+    )
+    assert tbl.read().count() == 9  # 10 - {8} - {3} + {40} (3 re-deleted)
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    with _pytest.raises(ValueError, match="rewrite_late_appends"):
+        cat.publish_snapshot("ns", "t_lp", tbl)
+    v = tbl.rewrite_late_appends()
+    assert v is not None
+    m = tbl._resolve()
+    assert m["partition_by"] == ["par"]
+    # rewritten late files keep the hive layout
+    assert any("par=" in f for f in m["files"])
+    assert tbl.read().count() == 9
+    cat.publish_snapshot("ns", "t_lp", tbl)
+    cat.verify_publish("ns", "t_lp", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_lp", cat) == 9
+
+
 def test_v2_metadata_carries_refs(spark, tmp_path):
     """Tags surface as v2 `refs` beside the implicit main branch, and the
     validator rejects refs pointing at unknown snapshots."""
