@@ -961,7 +961,27 @@ def sql(
         return spark.createDataFrame([(ddl,)], "createtab_stmt string")
     m = _DDL_SHOW_PROPS.match(statement)
     if m and m.group(1) in tables:
-        props = tables[m.group(1)]._resolve().get("properties") or {}
+        mm = tables[m.group(1)]._resolve()
+        props = dict(mm.get("properties") or {})
+        if mm.get("schema_ops"):
+            # surface the name mapping a publish would carry, so users
+            # can inspect how an external reader will resolve the
+            # journal's rename/drop evolution (computed, not stored —
+            # the journal is the source of truth)
+            import json as _json
+
+            from philotes_spark.sources.catalog_rest import (
+                name_mapping_from_ops,
+                schema_to_rest,
+            )
+
+            try:
+                rest = schema_to_rest(tables[m.group(1)].read().schema)
+                props["schema.name-mapping.default"] = _json.dumps(
+                    name_mapping_from_ops(rest, mm["schema_ops"])
+                )
+            except ValueError:
+                pass  # nested types: not publishable, nothing to show
         return spark.createDataFrame(
             sorted(props.items()) or [],
             "key string, value string",

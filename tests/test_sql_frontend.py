@@ -944,6 +944,20 @@ def test_introspection_statements_on_snapshot_tables(spark, tmp_path):
     props = {r.key: r.value for r in
              sql(spark, "SHOW TBLPROPERTIES intro_t", tabs).collect()}
     assert props == {"owner": "cdc"}
+    # with a live rename journal, the computed name mapping a publish
+    # would carry is surfaced (r10) — and disappears once materialized
+    import json as _json
+
+    sql(spark, "ALTER TABLE intro_t RENAME COLUMN v TO val", tabs)
+    props = {r.key: r.value for r in
+             sql(spark, "SHOW TBLPROPERTIES intro_t", tabs).collect()}
+    mapping = _json.loads(props["schema.name-mapping.default"])
+    entry = next(e for e in mapping if "val" in e["names"])
+    assert "v" in entry["names"]
+    assert t.materialize_schema() is not None
+    props = {r.key: r.value for r in
+             sql(spark, "SHOW TBLPROPERTIES intro_t", tabs).collect()}
+    assert "schema.name-mapping.default" not in props
     # pass-through for plain SQL still intact
     assert sql(spark, "SELECT 41 + 1 AS x", tabs).collect()[0].x == 42
 
