@@ -724,6 +724,7 @@ class RestCatalog:
         # name mapping) keys on.
         new_schema = None
         rest_schema = schema_to_rest(snap.read(version=version).schema)
+        is_newest = manifest["version"] >= max(served_snapshot_ids, default=0)
         if not created:
             meta = self.load_table(namespace, table).get("metadata", {})
             schemas = meta.get("schemas") or (
@@ -749,9 +750,6 @@ class RestCatalog:
                 # current schema: backfilling an older snapshot must not
                 # regress it (Iceberg schemas are append-only and
                 # current-schema-id tracks the table's present shape)
-                is_newest = manifest["version"] >= max(
-                    served_snapshot_ids, default=0
-                )
                 if is_newest and shape(cur) != shape(rest_schema):
                     new_schema = rest_schema
         data_files = [
@@ -770,15 +768,19 @@ class RestCatalog:
         # external reader resolve a pre-rename file column to its current
         # field — zero rewrite (replaces the r≤9 materialize_schema()
         # refusal; ref interop promise rest.go:320-344). Published on
-        # every commit (it is correct, and cheap, even with no renames:
-        # one names=[current] entry per field).
-        props = {
-            "schema.name-mapping.default": json.dumps(
-                name_mapping_from_ops(
-                    rest_schema, manifest.get("schema_ops", [])
+        # every newest-version commit (correct, and cheap, even with no
+        # renames: one names=[current] entry per field); a BACKFILL of an
+        # older version must not overwrite it — the mapping describes the
+        # served CURRENT schema, which a backfill does not change.
+        props = None
+        if is_newest:
+            props = {
+                "schema.name-mapping.default": json.dumps(
+                    name_mapping_from_ops(
+                        rest_schema, manifest.get("schema_ops", [])
+                    )
                 )
-            )
-        }
+            }
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot
@@ -854,6 +856,35 @@ class RestCatalog:
                 f"schema divergence: catalog serves {got_fields},"
                 f" local is {want['fields']}".encode(),
             )
+        # the served name mapping must be usable by a real reader: one
+        # entry per current field (by the SERVED stable ids), first name
+        # = the field's current name, and no physical name listed twice
+        raw_map = meta.get("properties", {}).get("schema.name-mapping.default")
+        if raw_map is not None:
+            mapping = json.loads(raw_map)
+            if [e.get("field-id") for e in mapping] != [
+                f["id"] for f in got_fields
+            ]:
+                raise CatalogError(
+                    200,
+                    f"name-mapping divergence: entry ids "
+                    f"{[e.get('field-id') for e in mapping]} != served "
+                    f"schema ids {[f['id'] for f in got_fields]}".encode(),
+                )
+            for e, f in zip(mapping, got_fields):
+                if not e.get("names") or e["names"][0] != f["name"]:
+                    raise CatalogError(
+                        200,
+                        f"name-mapping divergence: entry {e} does not "
+                        f"lead with current name {f['name']!r}".encode(),
+                    )
+            flat = [n for e in mapping for n in e.get("names", [])]
+            if len(flat) != len(set(flat)):
+                raise CatalogError(
+                    200,
+                    f"name-mapping divergence: duplicate physical names "
+                    f"{sorted(n for n in flat if flat.count(n) > 1)}".encode(),
+                )
         # the catalog's snapshot list must reach the published version,
         # and its manifest-list must be a REAL Avro pointer chain an
         # external Iceberg reader can follow: decode manifest list →
