@@ -736,3 +736,143 @@ def test_same_alter_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 )
             else:
                 assert a == b, f"seed={seed} k={k}: {a!r} != {b!r}"
+
+
+# --- family 10: MoR lifecycle sequences (r10) ---------------------------------
+# Random sequences of merge-on-read upsert / equality delete / positional
+# delete / append / compact_deltas / rewrite_late_appends run against the
+# snapshot engine; a DuckDB table mirrors each op's LOGICAL effect
+# (compaction and the late-append rewrite are physical no-ops). The final
+# contents must match three ways: engine read == DuckDB, and the
+# published Avro chain + name mapping read back externally must equal
+# both. Appended key ranges are disjoint from every pending delta's keys
+# by construction — the overlapping case is the deliberate publish
+# refusal covered by the targeted tests in test_catalog_rest.py.
+
+
+def _gen_mor_lifecycle(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    ops: list[tuple] = []
+    has_pending_upserts = False
+    n_appends = 0
+    for _ in range(rng.randint(4, 8)):
+        kinds = ["mor_delete", "mor_upsert", "append", "compact",
+                 "rewrite_late"]
+        if not has_pending_upserts:
+            kinds.append("pos_delete")
+        kind = rng.choice(kinds)
+        if kind == "mor_delete":
+            ops.append(("mor_delete", rng.choice([5, 7, 9]), rng.randint(0, 4)))
+        elif kind == "mor_upsert":
+            ops.append(("mor_upsert", rng.choice([4, 6, 8]),
+                        rng.randint(0, 3), rng.choice([1.5, -2.0, 100.0])))
+            has_pending_upserts = True
+        elif kind == "pos_delete":
+            ops.append(("pos_delete", rng.choice(
+                ["v < 500", "k % 13 = 4", "v > 9000"]
+            )))
+        elif kind == "append":
+            ops.append(("append", 2_000_000 + n_appends * 100_000,
+                        rng.randint(0, 10)))
+            n_appends += 1
+        elif kind == "compact":
+            ops.append(("compact",))
+            has_pending_upserts = False
+        else:
+            ops.append(("rewrite_late",))
+    return ops
+
+
+@pytest.mark.parametrize("seed", range(1000, 1010))
+def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
+    import os
+    import sys
+    import threading
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_catalog_rest import MockCatalog, _readback_equal
+
+    spark, _ = fuzz_env
+    init_sql = (
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s "
+        "FROM customer WHERE c_custkey % 2 = 0"
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "mor_life"))
+    tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    own_duck = duckdb.connect()
+    own_duck.sql(
+        "CREATE VIEW customer AS "
+        f"SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    own_duck.sql(f"CREATE TABLE mor_life AS {init_sql}")
+
+    for op in _gen_mor_lifecycle(seed):
+        if op[0] == "mor_delete":
+            _, m, r = op
+            changes = (
+                tbl.read()
+                .filter(f"k % {m} = {r}")
+                .withColumn("_del", F.lit(True))
+            )
+            tbl.merge(changes, key_cols=["k"], delete_col="_del", mode="mor")
+            own_duck.sql(f"DELETE FROM mor_life WHERE k % {m} = {r}")
+        elif op[0] == "mor_upsert":
+            _, m, r, dv = op
+            changes = (
+                tbl.read()
+                .filter(f"k % {m} = {r}")
+                .withColumn("v", F.col("v") + dv)
+            )
+            tbl.merge(changes, key_cols=["k"], mode="mor")
+            own_duck.sql(
+                f"UPDATE mor_life SET v = v + {dv} WHERE k % {m} = {r}"
+            )
+        elif op[0] == "pos_delete":
+            _, cond = op
+            tbl.delete_where_positional(cond)
+            own_duck.sql(f"DELETE FROM mor_life WHERE {cond}")
+        elif op[0] == "append":
+            _, off, r = op
+            body = (
+                f"SELECT c_custkey + {off} AS k, c_acctbal AS v, "
+                "c_mktsegment AS s FROM customer "
+                f"WHERE c_custkey % 11 = {r}"
+            )
+            tbl.commit(spark.sql(body))
+            own_duck.sql(f"INSERT INTO mor_life {body}")
+        elif op[0] == "compact":
+            tbl.compact_deltas()
+        else:  # rewrite_late — physical only
+            tbl.rewrite_late_appends()
+
+    s_rows = {r.k: (r.v, r.s) for r in tbl.read().collect()}
+    d_rows = {k: (v, s) for k, v, s in own_duck.sql(
+        "SELECT k, v, s FROM mor_life"
+    ).fetchall()}
+    own_duck.close()
+    assert sorted(s_rows) == sorted(d_rows), f"seed={seed}: key sets differ"
+    for k in s_rows:
+        assert s_rows[k][1] == d_rows[k][1], f"seed={seed} k={k}"
+        assert math.isclose(
+            s_rows[k][0], d_rows[k][0], rel_tol=1e-9, abs_tol=1e-9
+        ), f"seed={seed} k={k}: {s_rows[k][0]} != {d_rows[k][0]}"
+
+    # third leg: the random final state publishes (whatever mix of
+    # pending deltas/rewrites it carries) and reads back externally equal
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from philotes_spark.sources.catalog_rest import RestCatalog
+
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("fz", f"t{seed}", tbl)
+        cat.verify_publish("fz", f"t{seed}", tbl)
+        assert _readback_equal(spark, tbl, "fz", f"t{seed}", cat) == len(s_rows)
+    finally:
+        srv.shutdown()
+        srv.server_close()
