@@ -144,12 +144,20 @@ def align_field_ids(
     external pruning and delete semantics (Iceberg table spec: field
     ids are the column identity and are never reused)."""
     schemas = served_meta.get("schemas") or []
-    cur_id = served_meta.get("current-schema-id", len(schemas) - 1)
+    cur_sid = served_meta.get("current-schema-id", len(schemas) - 1)
     cur = next(
-        (s for s in schemas if s.get("schema-id") == cur_id),
+        (s for s in schemas if s.get("schema-id") == cur_sid),
         schemas[-1] if schemas else {"fields": []},
     )
-    served_by_name = {f["name"]: f["id"] for f in cur.get("fields", [])}
+    current_by_name = {f["name"]: f["id"] for f in cur.get("fields", [])}
+    # name → id across the FULL schema history (newest schema winning):
+    # a backfilled older version may carry a since-dropped column, which
+    # must recover its historical id — the id that column's
+    # already-published manifests key on — not a fresh one
+    history_by_name: dict[str, int] = {}
+    for s in sorted(schemas, key=lambda s: s.get("schema-id", 0)):
+        for f in s.get("fields", []):
+            history_by_name[f["name"]] = f["id"]
     aliases: dict[str, list[str]] = {}
     for op in schema_ops:
         if op.get("op") == "rename":
@@ -159,19 +167,37 @@ def align_field_ids(
         served_meta.get("last-column-id", 0),
         max((f["id"] for s in schemas for f in s.get("fields", [])), default=0),
     )
-    out_fields = []
-    for f in want["fields"]:
-        fid = served_by_name.get(f["name"])
+    # two passes: current-schema and rename-alias matches are the
+    # column's identity and assign unconditionally; a history-only match
+    # (backfill of a dropped column) may only claim an id no current
+    # field owns — a name RE-ADDED after a drop+materialize is a new
+    # column and must not steal the retired id's current holder
+    assigned: dict[int, int] = {}  # want-field index → id
+    for i, f in enumerate(want["fields"]):
+        fid = current_by_name.get(f["name"])
         if fid is None:
             for a in aliases.get(f["name"], []):
-                if a in served_by_name:
-                    fid = served_by_name[a]
+                if a in current_by_name:
+                    fid = current_by_name[a]
                     break
-        if fid is None:
+        if fid is not None:
+            assigned[i] = fid
+    claimed = set(assigned.values())
+    for i, f in enumerate(want["fields"]):
+        if i in assigned:
+            continue
+        fid = history_by_name.get(f["name"])
+        if fid is None or fid in claimed:
             last += 1
             fid = last
-        out_fields.append({**f, "id": fid})
-    return {**want, "fields": out_fields}
+        assigned[i] = fid
+        claimed.add(fid)
+    return {
+        **want,
+        "fields": [
+            {**f, "id": assigned[i]} for i, f in enumerate(want["fields"])
+        ],
+    }
 
 
 def snapshot_entry(

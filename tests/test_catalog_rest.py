@@ -972,6 +972,61 @@ def test_field_ids_stable_across_evolution(mock_catalog, spark, tmp_path):
     assert ids == {"k": 1, "v": 3, "x": 4}
 
 
+def test_align_field_ids_backfill_recovers_historical_id():
+    """A backfilled older version carrying a since-dropped column must
+    recover the column's HISTORICAL id (its published manifests key on
+    it), while a name re-added after the drop is a new column that never
+    steals a current holder's id."""
+    from philotes_spark.sources.catalog_rest import align_field_ids
+
+    served = {
+        "schemas": [
+            {"schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "junk", "required": False, "type": "string"},
+                {"id": 3, "name": "v", "required": False, "type": "double"},
+            ]},
+            {"schema-id": 1, "fields": [  # junk dropped
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 3, "name": "v", "required": False, "type": "double"},
+            ]},
+        ],
+        "current-schema-id": 1,
+        "last-column-id": 3,
+    }
+    # backfill of the old shape: junk recovers id 2, k/v keep theirs
+    old_shape = {"type": "struct", "fields": [
+        {"name": "k", "required": False, "type": "long"},
+        {"name": "junk", "required": False, "type": "string"},
+        {"name": "v", "required": False, "type": "double"},
+    ]}
+    aligned = align_field_ids(old_shape, served, [])
+    assert [(f["name"], f["id"]) for f in aligned["fields"]] == [
+        ("k", 1), ("junk", 2), ("v", 3)
+    ]
+    # rename chain where history maps BOTH names to one id: the current
+    # name keeps it; the old name (if somehow present again) goes fresh
+    served2 = {
+        "schemas": [
+            {"schema-id": 0, "fields": [
+                {"id": 1, "name": "a", "required": False, "type": "long"},
+            ]},
+            {"schema-id": 1, "fields": [  # a renamed to b
+                {"id": 1, "name": "b", "required": False, "type": "long"},
+            ]},
+        ],
+        "current-schema-id": 1,
+        "last-column-id": 1,
+    }
+    both = {"type": "struct", "fields": [
+        {"name": "b", "required": False, "type": "long"},
+        {"name": "a", "required": False, "type": "long"},
+    ]}
+    aligned2 = align_field_ids(both, served2, [])
+    assert aligned2["fields"][0]["id"] == 1  # current holder keeps it
+    assert aligned2["fields"][1]["id"] == 2  # re-added name never steals
+
+
 def test_name_mapping_from_ops_chains_and_dedupes():
     """Rename chains collect every physical alias; a name that re-became
     a current field name is stripped from alias lists and names never
