@@ -745,22 +745,35 @@ def test_same_alter_dml_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
 # (compaction and the late-append rewrite are physical no-ops). The final
 # contents must match three ways: engine read == DuckDB, and the
 # published Avro chain + name mapping read back externally must equal
-# both. Appended key ranges are disjoint from every pending delta's keys
-# by construction — the overlapping case is the deliberate publish
-# refusal covered by the targeted tests in test_catalog_rest.py.
+# both. Fresh appends use key ranges disjoint from every pending delta's
+# keys; an `append_overlap` op deliberately re-appends PENDING-DELETED
+# keys — the engine's pending delta suppresses them (appends cannot
+# resurrect), mirrored in DuckDB by filtering the insert against the
+# tracked pending-key set, and the final publish exercises the
+# refusal → rewrite_late_appends() → publish path on that state.
 
 
 def _gen_mor_lifecycle(seed: int) -> list[tuple]:
     rng = random.Random(seed)
     ops: list[tuple] = []
     has_pending_upserts = False
+    has_pending_deletes = False
     n_appends = 0
     for _ in range(rng.randint(4, 8)):
         kinds = ["mor_delete", "mor_upsert", "append", "compact",
                  "rewrite_late"]
         if not has_pending_upserts:
             kinds.append("pos_delete")
+        if has_pending_deletes:
+            kinds.append("append_overlap")
         kind = rng.choice(kinds)
+        if kind == "mor_delete":
+            has_pending_deletes = True
+        elif kind == "append_overlap":
+            ops.append(("append_overlap",))
+            continue
+        elif kind == "compact":
+            has_pending_deletes = False
         if kind == "mor_delete":
             ops.append(("mor_delete", rng.choice([5, 7, 9]), rng.randint(0, 4)))
         elif kind == "mor_upsert":
@@ -810,16 +823,28 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
         f"SELECT * FROM '{sf_dir}/customer.parquet'"
     )
     own_duck.sql(f"CREATE TABLE mor_life AS {init_sql}")
+    # the engine's pending-delta key set, mirrored: appends cannot
+    # resurrect a key a pending equality delta deletes
+    own_duck.sql("CREATE TEMP TABLE pend (k BIGINT)")
+    pending_deleted: list[int] = []
 
     for op in _gen_mor_lifecycle(seed):
         if op[0] == "mor_delete":
             _, m, r = op
+            pending_deleted.extend(
+                row.k
+                for row in tbl.read().filter(f"k % {m} = {r}")
+                .select("k").collect()
+            )
             changes = (
                 tbl.read()
                 .filter(f"k % {m} = {r}")
                 .withColumn("_del", F.lit(True))
             )
             tbl.merge(changes, key_cols=["k"], delete_col="_del", mode="mor")
+            own_duck.sql(
+                f"INSERT INTO pend SELECT k FROM mor_life WHERE k % {m} = {r}"
+            )
             own_duck.sql(f"DELETE FROM mor_life WHERE k % {m} = {r}")
         elif op[0] == "mor_upsert":
             _, m, r, dv = op
@@ -829,6 +854,9 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 .withColumn("v", F.col("v") + dv)
             )
             tbl.merge(changes, key_cols=["k"], mode="mor")
+            own_duck.sql(
+                f"INSERT INTO pend SELECT k FROM mor_life WHERE k % {m} = {r}"
+            )
             own_duck.sql(
                 f"UPDATE mor_life SET v = v + {dv} WHERE k % {m} = {r}"
             )
@@ -844,9 +872,30 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 f"WHERE c_custkey % 11 = {r}"
             )
             tbl.commit(spark.sql(body))
-            own_duck.sql(f"INSERT INTO mor_life {body}")
+            own_duck.sql(
+                f"INSERT INTO mor_life {body} "
+                "AND c_custkey + "
+                f"{off} NOT IN (SELECT k FROM pend)"
+            )
+        elif op[0] == "append_overlap":
+            # deliberately re-append pending-DELETED keys: the engine's
+            # pending delta suppresses them; the mirror filters on pend
+            sample = sorted(set(pending_deleted))[:15]
+            if not sample:
+                continue
+            rows = [(k, 0.0, "X") for k in sample]
+            tbl.commit(
+                spark.createDataFrame(rows, "k long, v double, s string")
+            )
+            vals = ", ".join(f"({k}, 0.0, 'X')" for k in sample)
+            own_duck.sql(
+                f"INSERT INTO mor_life SELECT * FROM (VALUES {vals}) "
+                "t(k, v, s) WHERE k NOT IN (SELECT k FROM pend)"
+            )
         elif op[0] == "compact":
             tbl.compact_deltas()
+            own_duck.sql("DELETE FROM pend")
+            pending_deleted.clear()
         else:  # rewrite_late — physical only
             tbl.rewrite_late_appends()
 
@@ -863,14 +912,22 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
         ), f"seed={seed} k={k}: {s_rows[k][0]} != {d_rows[k][0]}"
 
     # third leg: the random final state publishes (whatever mix of
-    # pending deltas/rewrites it carries) and reads back externally equal
+    # pending deltas/rewrites it carries) and reads back externally
+    # equal. A state with overlapping late appends refuses first and
+    # resolves via the targeted rewrite — the exact production flow.
     srv = MockCatalog()
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         from philotes_spark.sources.catalog_rest import RestCatalog
 
         cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
-        cat.publish_snapshot("fz", f"t{seed}", tbl)
+        try:
+            cat.publish_snapshot("fz", f"t{seed}", tbl)
+        except ValueError as e:
+            assert "rewrite_late_appends" in str(e)
+            assert tbl.rewrite_late_appends() is not None
+            assert tbl.read().count() == len(s_rows)  # rewrite preserved rows
+            cat.publish_snapshot("fz", f"t{seed}", tbl)
         cat.verify_publish("fz", f"t{seed}", tbl)
         assert _readback_equal(spark, tbl, "fz", f"t{seed}", cat) == len(s_rows)
     finally:
