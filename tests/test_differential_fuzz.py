@@ -796,7 +796,7 @@ def _gen_mor_lifecycle(seed: int) -> list[tuple]:
     return ops
 
 
-@pytest.mark.parametrize("seed", range(1000, 1010))
+@pytest.mark.parametrize("seed", range(1000, 1015))
 def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     import os
     import sys
