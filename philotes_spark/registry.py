@@ -239,11 +239,14 @@ def _tier(name: str) -> tuple[int, int]:
         # merge-statement family via snapshot_merge_clauses. It stays
         # oracle-gated in tests/test_queries_oracle.py.
         "snapshot_update_unfiltered",
-        # r10 addition (oracle-gated in pytest; below the window so this
+        # r10 additions (oracle-gated in pytest; below the window so this
         # round's rotation composition is exact): the name-mapping
         # external read — rename/drop evolution reconstructed from the
-        # published Avro chain + schema.name-mapping.default
+        # published Avro chain + schema.name-mapping.default — and the
+        # MoR late-append lifecycle (eq delta, resurrecting append,
+        # targeted rewrite)
         "snapshot_name_mapping_read",
+        "snapshot_rewrite_late_appends",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1148,3 +1148,56 @@ def snapshot_name_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_rewrite_late_appends",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE (event_id <= 600 AND event_id % 10 <> 3)
+       OR (event_id > 600 AND event_id <= 700)
+    """,
+)
+def snapshot_rewrite_late_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 MoR late-append lifecycle under the driver gate: an
+    equality-delete delta lands (merge-on-read, O(changes)), a later
+    append re-introduces some of the deleted keys PLUS fresh rows — the
+    pending delta suppresses the resurrected copies (appends cannot
+    undo deletes) — and ``rewrite_late_appends()`` rewrites ONLY the
+    late files with the pending deletes applied, leaving the original
+    base files by reference and the delta pending. The read is
+    row-identical before and after the rewrite; the oracle is the
+    equivalent plain filter."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 600))
+        doomed = (
+            tbl.read()
+            .filter("event_id % 10 = 3")
+            .withColumn("_del", F.lit(True))
+        )
+        tbl.merge(doomed, key_cols=["event_id"], delete_col="_del", mode="mor")
+        # late append: fresh rows AND resurrected copies of deleted keys
+        tbl.commit(
+            ev.filter(
+                ((F.col("event_id") > 600) & (F.col("event_id") <= 700))
+                | ((F.col("event_id") <= 600) & (F.col("event_id") % 10 == 3))
+            )
+        )
+        before = tbl.read().count()
+        v = tbl.rewrite_late_appends()
+        assert v is not None
+        m = tbl._resolve()
+        assert m.get("deltas"), "delta must remain pending"
+        got = tbl.read()
+        assert got.count() == before  # the rewrite preserved every row
+        return got.select(
+            "event_id", "user_id", F.round("value", 4).alias("value")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
