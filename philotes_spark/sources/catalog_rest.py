@@ -130,7 +130,8 @@ def name_mapping_from_ops(rest_schema: dict, schema_ops: list[dict]) -> list[dic
 
 
 def align_field_ids(
-    want: dict, served_meta: dict, schema_ops: list[dict]
+    want: dict, served_meta: dict, schema_ops: list[dict],
+    is_newest: bool = True,
 ) -> dict:
     """Stable Iceberg field ids across schema evolution: a field keeps
     the id the catalog ALREADY SERVES for its name (or for any prior
@@ -142,7 +143,19 @@ def align_field_ids(
     already-published manifests key their bounds maps and
     ``equality_ids`` on field ids, so id reuse silently corrupts
     external pruning and delete semantics (Iceberg table spec: field
-    ids are the column identity and are never reused)."""
+    ids are the column identity and are never reused).
+
+    ``is_newest`` distinguishes the two publish directions, because a
+    name found only in schema HISTORY (not the served current schema)
+    means opposite things in each: on a BACKFILL (``is_newest=False``,
+    publishing a version older than the newest served snapshot) it is a
+    since-dropped column recovering its historical id — the id its
+    already-published manifests key on; on a NEWEST publish it is a
+    column RE-ADDED after a drop, which the spec treats as a brand-new
+    column — handing it the retired id would make old manifests' bounds
+    and ``equality_ids`` (describing the OLD column's data) apply to the
+    new one. Newest publishes therefore mint fresh ids for any name
+    absent from the served current schema (ADVICE r10 #1)."""
     schemas = served_meta.get("schemas") or []
     cur_sid = served_meta.get("current-schema-id", len(schemas) - 1)
     cur = next(
@@ -169,9 +182,10 @@ def align_field_ids(
     )
     # two passes: current-schema and rename-alias matches are the
     # column's identity and assign unconditionally; a history-only match
-    # (backfill of a dropped column) may only claim an id no current
-    # field owns — a name RE-ADDED after a drop+materialize is a new
-    # column and must not steal the retired id's current holder
+    # may only claim an id no current field owns, and ONLY on a backfill
+    # — on a newest publish a name absent from the served current schema
+    # is a re-added (new) column and must mint a fresh id, never recover
+    # the dropped column's retired one
     assigned: dict[int, int] = {}  # want-field index → id
     for i, f in enumerate(want["fields"]):
         fid = current_by_name.get(f["name"])
@@ -186,7 +200,7 @@ def align_field_ids(
     for i, f in enumerate(want["fields"]):
         if i in assigned:
             continue
-        fid = history_by_name.get(f["name"])
+        fid = None if is_newest else history_by_name.get(f["name"])
         if fid is None or fid in claimed:
             last += 1
             fid = last
@@ -323,12 +337,14 @@ _V2_REQUIRED = (
 
 
 def _legal_promotion(old: str, new: str) -> bool:
-    """Iceberg's allowed primitive type promotions (table spec, "Schema
-    Evolution"): int→long, float→double, decimal precision growth —
-    plus the engine's value-preserving decimal scale growth
-    (``alter_widen_column``: scale and integer digits may only grow),
-    a strict superset of the spec's same-scale rule that still never
-    changes a stored value."""
+    """Iceberg's allowed primitive type promotions, SPEC-STRICT (table
+    spec, "Schema Evolution"): int→long, float→double, and decimal
+    precision growth at the SAME scale. The engine's internal widen
+    additionally allows value-preserving decimal scale growth
+    (``alter_widen_column``), but spec-strict readers (pyiceberg, Java)
+    reject metadata where a field id's decimal scale changes across
+    schemas — so the validator must not bless what real engines refuse,
+    and ``publish_snapshot`` refuses to emit it (ADVICE r10 #2)."""
     if (old, new) in (("int", "long"), ("float", "double")):
         return True
     import re as _re
@@ -339,7 +355,7 @@ def _legal_promotion(old: str, new: str) -> bool:
         return False
     op, os_ = int(m_old.group(1)), int(m_old.group(2))
     np, ns = int(m_new.group(1)), int(m_new.group(2))
-    return ns >= os_ and (np - ns) >= (op - os_)
+    return ns == os_ and np >= op
 
 
 def validate_table_metadata_v2(meta: dict) -> None:
@@ -650,12 +666,22 @@ class RestCatalog:
     # -- SnapshotTable bridge ------------------------------------------------
 
     def publish_snapshot(
-        self, namespace: str, table: str, snap, version: int | None = None
+        self, namespace: str, table: str, snap, version: int | None = None,
+        auto_rewrite: bool = False,
     ) -> int:
         """Publish one SnapshotTable version to the catalog: ensure the
         namespace+table exist (schema read from the snapshot's data), then
         commit the version's NEW files (added since its parent) as an
-        append. Returns the number of data files committed."""
+        append. Returns the number of data files committed.
+
+        ``auto_rewrite=True`` makes the one remaining publish refusal
+        (late appends containing pending equality-delete keys, below)
+        self-healing: it runs the targeted
+        :meth:`SnapshotTable.rewrite_late_appends` and publishes the
+        rewritten version — one call instead of catch-rewrite-retry
+        (VERDICT r10 #4). Only applies when publishing the CURRENT
+        version (the rewrite commits a new head); an explicit older
+        ``version`` still raises. Default behavior unchanged."""
         import pyarrow.parquet as pq
 
         from philotes_spark.sources.iceberg_manifest import file_provenance
@@ -675,6 +701,7 @@ class RestCatalog:
         # files only. A divergent state resolves with the targeted
         # rewrite_late_appends() (rewrites only those files), not a full
         # compact_deltas().
+        has_pos = any(d.get("type") == "pos" for d, _ in deltas)
         for d, d_seq in deltas:
             if d.get("type") == "pos":
                 continue  # positional deletes address files by path — an
@@ -692,6 +719,7 @@ class RestCatalog:
                 snap._read_file_list(
                     late,
                     list(manifest.get("partition_by") or []),
+                    with_pos=has_pos,
                     widen=any(
                         op.get("op") == "widen"
                         for op in manifest.get("schema_ops", [])
@@ -699,7 +727,37 @@ class RestCatalog:
                 ),
                 manifest,
             )
+            # rows already removed by a pending POSITIONAL delta are gone
+            # in both the engine's read and an Iceberg reader's (a pos
+            # delete naming a late file's path was necessarily created
+            # after that file, so its sequence covers it) — counting them
+            # as divergence is a false positive forcing an unnecessary
+            # rewrite (ADVICE r10 #3). Anti-join them out first, exactly
+            # as rewrite_late_appends does.
+            if has_pos:
+                from pyspark.sql import functions as F
+
+                for d2, _ in deltas:
+                    if d2.get("type") != "pos":
+                        continue
+                    pos = snap.spark.read.parquet(*d2["pos_files"]).select(
+                        F.col("file_path").alias("_pos_file"),
+                        F.col("pos").alias("_pos_index"),
+                    )
+                    late_rows = late_rows.join(
+                        pos, ["_pos_file", "_pos_index"], "left_anti"
+                    )
+                late_rows = late_rows.drop("_pos_file", "_pos_index")
             if late_rows.join(keys, d["key_cols"], "left_semi").take(1):
+                if auto_rewrite and (
+                    version is None
+                    or version == snap.current_version()
+                ):
+                    new_v = snap.rewrite_late_appends()
+                    if new_v is not None:
+                        return self.publish_snapshot(
+                            namespace, table, snap, version=new_v
+                        )
                 raise ValueError(
                     f"version {manifest['version']} has base files appended "
                     f"after a pending equality-delete delta (seq {d_seq}) "
@@ -758,8 +816,38 @@ class RestCatalog:
             )
             if schemas:
                 rest_schema = align_field_ids(
-                    rest_schema, meta, manifest.get("schema_ops", [])
+                    rest_schema, meta, manifest.get("schema_ops", []),
+                    is_newest=is_newest,
                 )
+                # refuse emitting a spec-illegal type change before it
+                # reaches the catalog (ADVICE r10 #2): the engine's
+                # value-preserving decimal-scale widen is wider than the
+                # spec's promotions, and spec-strict readers (pyiceberg,
+                # Java) reject metadata where a field id's type changes
+                # outside int→long / float→double / same-scale precision
+                # growth. The widen stays fully usable engine-side; to
+                # publish, drop+re-add the column (a new field id).
+                served_types = {
+                    f["id"]: f["type"]
+                    for s in schemas
+                    for f in s.get("fields", [])
+                }
+                for f in rest_schema["fields"]:
+                    prev = served_types.get(f["id"])
+                    if (
+                        prev is not None
+                        and prev != f["type"]
+                        and not _legal_promotion(prev, f["type"])
+                    ):
+                        raise ValueError(
+                            f"column {f['name']!r} (field id {f['id']}) "
+                            f"changed type {prev!r} -> {f['type']!r}: not "
+                            "an Iceberg type promotion, so external "
+                            "readers would reject the published metadata "
+                            "— keep the widen engine-internal, or DROP "
+                            "and re-ADD the column (a new field id) "
+                            "before publishing"
+                        )
                 cur_id = meta.get("current-schema-id", len(schemas) - 1)
                 cur = next(
                     (s for s in schemas if s.get("schema-id") == cur_id),
@@ -827,6 +915,25 @@ class RestCatalog:
                 new_schema=new_schema,
                 properties=props,
             )
+        # persist the served schema state next to the snapshot log so
+        # offline introspection (SHOW TBLPROPERTIES) can align its
+        # displayed field ids with what the catalog actually serves —
+        # schema_to_rest's positional ids diverge from the aligned ones
+        # once the table has published evolution (ADVICE r10 #4). Only
+        # the three keys align_field_ids consumes; bounded metadata.
+        try:
+            meta_after = self.load_table(namespace, table).get("metadata", {})
+            sidecar = {
+                "schemas": meta_after.get("schemas", []),
+                "current-schema-id": meta_after.get("current-schema-id"),
+                "last-column-id": meta_after.get("last-column-id", 0),
+            }
+            with open(
+                os.path.join(snap.path, "_published_meta.json"), "w"
+            ) as fh:
+                json.dump(sidecar, fh)
+        except (OSError, CatalogError):
+            pass  # introspection hint only — never fail the publish
         return len(data_files)
 
     def verify_publish(

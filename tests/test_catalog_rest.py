@@ -1000,9 +1000,17 @@ def test_align_field_ids_backfill_recovers_historical_id():
         {"name": "junk", "required": False, "type": "string"},
         {"name": "v", "required": False, "type": "double"},
     ]}
-    aligned = align_field_ids(old_shape, served, [])
+    aligned = align_field_ids(old_shape, served, [], is_newest=False)
     assert [(f["name"], f["id"]) for f in aligned["fields"]] == [
         ("k", 1), ("junk", 2), ("v", 3)
+    ]
+    # the SAME shape on a NEWEST publish is a re-ADD of a dropped name —
+    # a new column per the spec, so it must mint a fresh id, never
+    # recover the retired one (ADVICE r10 #1: old manifests' bounds and
+    # equality_ids for id 2 describe the OLD column's data)
+    readd = align_field_ids(old_shape, served, [], is_newest=True)
+    assert [(f["name"], f["id"]) for f in readd["fields"]] == [
+        ("k", 1), ("junk", 4), ("v", 3)
     ]
     # rename chain where history maps BOTH names to one id: the current
     # name keeps it; the old name (if somehow present again) goes fresh
@@ -1471,3 +1479,308 @@ def test_publish_rename_drop_via_name_mapping_no_rewrite(
     assert all(len(e["names"]) == 1 for e in mapping)
     # idempotent when nothing pending
     assert tbl.materialize_schema() is None
+
+
+def test_publish_late_append_pos_deleted_rows_not_divergent(
+    mock_catalog, spark, tmp_path
+):
+    """A late-appended row matching a pending equality-delete key is NOT
+    divergence when a pending POSITIONAL delta already removed it: the
+    engine's read and an Iceberg reader's agree (a pos delete naming the
+    late file's path was created after it, so its sequence covers it).
+    r10 counted it and forced an unnecessary rewrite (ADVICE r10 #3)."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "late_posdel"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1))
+    v1_files = set(tbl._resolve()["files"])
+    tbl.merge(  # v2: pending equality delta deleting v=3
+        spark.createDataFrame([(3, True)], "v long, _del boolean"),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    # v3: late append re-introduces the deleted key (plus a fresh row)
+    tbl.commit(spark.createDataFrame([(3,), (50,)], "v long").coalesce(1))
+    # v4: a positional delta addressing the late v=3 copy. The engine's
+    # own delete_where_positional can't target it (its predicate runs
+    # over the delta-APPLIED read, where the eq delta already hides the
+    # row), but the gate must be correct for any on-disk delta state —
+    # an external writer or a restored backup can legitimately carry a
+    # pos delete whose sequence covers a file that is late relative to
+    # an OLDER pending equality delta. Synthesize it raw.
+    import os as _os
+    import uuid as _uuid
+
+    m = tbl._resolve()
+    late_files = sorted(set(m["files"]) - v1_files)
+    doomed = (
+        tbl._read_file_list(late_files, [], with_pos=True)
+        .filter("v = 3")
+        .select(
+            F.col("_pos_file").alias("file_path"),
+            F.col("_pos_index").alias("pos"),
+        )
+    )
+    staged = _os.path.join(tbl.data_dir, _uuid.uuid4().hex)
+    doomed.coalesce(1).write.parquet(staged)
+    pos_files = [
+        _os.path.join(staged, f) for f in _os.listdir(staged)
+        if f.endswith(".parquet")
+    ]
+    tbl._write_manifest(
+        parent=m["version"],
+        operation="delete-pos",
+        files=m["files"],
+        added_files=len(pos_files),
+        added_rows=0,
+        partition_by=[],
+        properties=dict(m.get("properties", {})),
+        file_stats=dict(m.get("file_stats", {})),
+        stats_cols=list(m.get("stats_cols") or []),
+        sort_by=[],
+        zorder_by=[],
+        deltas=list(m.get("deltas", []))
+        + [{"type": "pos", "pos_files": pos_files}],
+        schema_ops=list(m.get("schema_ops", [])),
+    )
+    assert tbl.read().count() == 10  # {0..9}-{3}+{50}
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    # no refusal, no rewrite needed: publishes and round-trips equal
+    cat.publish_snapshot("ns", "t_posdel", tbl)
+    cat.verify_publish("ns", "t_posdel", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_posdel", cat) == 10
+
+
+def test_publish_auto_rewrite_one_call(mock_catalog, spark, tmp_path):
+    """publish_snapshot(auto_rewrite=True) self-heals the one remaining
+    refusal (late appends containing pending equality-delete keys): it
+    runs the targeted rewrite_late_appends() and publishes the rewritten
+    head in ONE call (VERDICT r10 #4). Default behavior unchanged."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "auto_rw"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1))
+    tbl.merge(
+        spark.createDataFrame([(3, True)], "v long, _del boolean"),
+        key_cols=["v"],
+        delete_col="_del",
+        mode="mor",
+    )
+    tbl.commit(spark.createDataFrame([(3,), (21,)], "v long").coalesce(1))
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    with _pytest.raises(ValueError, match="rewrite_late_appends"):
+        cat.publish_snapshot("ns", "t_auto", tbl)  # default still refuses
+    divergent_head = tbl.current_version()
+    assert cat.publish_snapshot("ns", "t_auto", tbl, auto_rewrite=True) > 0
+    assert tbl.current_version() == divergent_head + 1  # rewrite committed
+    cat.verify_publish("ns", "t_auto", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_auto", cat) == 10
+    # an explicit OLDER version must not silently rewrite the head
+    tbl.commit(spark.createDataFrame([(60,)], "v long"))
+    head = tbl.current_version()
+    tbl.merge(
+        spark.createDataFrame([(60, True)], "v long, _del boolean"),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    tbl.commit(spark.createDataFrame([(60,)], "v long").coalesce(1))
+    with _pytest.raises(ValueError, match="rewrite_late_appends"):
+        cat.publish_snapshot(
+            "ns", "t_auto", tbl, version=tbl.current_version(),
+            auto_rewrite=False,
+        )
+    assert tbl.current_version() == head + 2  # nothing auto-committed
+
+
+def test_publish_refuses_spec_illegal_decimal_scale_widen(
+    mock_catalog, spark, tmp_path
+):
+    """The engine's value-preserving decimal SCALE widen stays usable
+    engine-side, but publishing it would change a served field id's type
+    outside the spec's promotions — real readers (pyiceberg/Java) reject
+    such metadata, so publish refuses before emitting it (ADVICE r10 #2);
+    int->long (a legal promotion) still publishes with a stable id."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "dec_widen"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, Decimal("12.34"))], "k int, d decimal(4,2)"
+        ).coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_dec", tbl)
+    cat.verify_publish("ns", "t_dec", tbl)
+    # same-scale precision growth is the spec's promotion: publishes fine
+    tbl.alter_widen_column("d", "decimal(10,2)")
+    cat.publish_snapshot("ns", "t_dec", tbl)
+    cat.verify_publish("ns", "t_dec", tbl)
+    # scale growth is engine-internal only: reads fine locally, refused
+    # at publish with the remedy in the message
+    tbl.alter_widen_column("d", "decimal(12,4)")
+    assert dict(tbl.read().dtypes)["d"] == "decimal(12,4)"
+    with _pytest.raises(ValueError, match="not an Iceberg type promotion"):
+        cat.publish_snapshot("ns", "t_dec", tbl)
+    # int->long keeps the field id through the publish
+    tbl2 = SnapshotTable(spark, str(tmp_path / "int_widen"))
+    tbl2.commit(
+        spark.createDataFrame([(1, 2)], "k int, n int").coalesce(1)
+    )
+    cat.publish_snapshot("ns", "t_intw", tbl2)
+    meta = cat.load_table("ns", "t_intw")["metadata"]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    n_id = next(f["id"] for f in cur["fields"] if f["name"] == "n")
+    tbl2.alter_widen_column("n", "bigint")
+    tbl2.commit(spark.createDataFrame([(2, 2**40)], "k int, n long"))
+    cat.publish_snapshot("ns", "t_intw", tbl2)
+    cat.verify_publish("ns", "t_intw", tbl2)
+    meta = cat.load_table("ns", "t_intw")["metadata"]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    n_field = next(f for f in cur["fields"] if f["name"] == "n")
+    assert (n_field["id"], n_field["type"]) == (n_id, "long")
+    assert _readback_equal(spark, tbl2, "ns", "t_intw", cat) == 2
+
+
+def test_readded_column_after_drop_mints_fresh_id_e2e(
+    mock_catalog, spark, tmp_path
+):
+    """The ADVICE r10 #1 repro, end-to-end: drop -> publish ->
+    materialize_schema (journal reset) -> re-add the same name -> publish
+    mints a FRESH field id for the re-added column (the spec's never-
+    reuse rule: old manifests' bounds/equality_ids for the retired id
+    describe the OLD column's data), and the readback round-trips."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "readd"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "old", 1.5)], "k long, junk string, v double"
+        ).coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_readd", tbl)
+    meta = cat.load_table("ns", "t_readd")["metadata"]
+    old_id = next(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+        if f["name"] == "junk"
+    )
+    tbl.alter_drop_column("junk")
+    cat.publish_snapshot("ns", "t_readd", tbl)
+    assert tbl.materialize_schema() is not None
+    cat.publish_snapshot("ns", "t_readd", tbl)
+    # re-add the same name with a DIFFERENT type — only legal because the
+    # re-add is a new column with a new id; reusing old_id would trip the
+    # validator's promotion check AND corrupt external pruning
+    tbl.alter_add_columns([("junk", "bigint")])
+    tbl.commit(
+        spark.createDataFrame([(2, 2.5, 7)], "k long, v double, junk long")
+    )
+    cat.publish_snapshot("ns", "t_readd", tbl)
+    cat.verify_publish("ns", "t_readd", tbl)
+    meta = cat.load_table("ns", "t_readd")["metadata"]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    new_field = next(f for f in cur["fields"] if f["name"] == "junk")
+    assert new_field["id"] != old_id
+    assert new_field["id"] > max(
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+        if f["name"] != "junk" or f["id"] == old_id
+    )
+    assert _readback_equal(spark, tbl, "ns", "t_readd", cat) == 2
+
+
+def test_show_tblproperties_mapping_aligns_with_served_ids(
+    mock_catalog, spark, tmp_path
+):
+    """SHOW TBLPROPERTIES surfaces the name mapping with field ids
+    ALIGNED to what the catalog serves once the table has published
+    evolution (ADVICE r10 #4): positional schema_to_rest ids diverge
+    after a published drop, and the displayed mapping must not
+    contradict the served schema.name-mapping.default."""
+    import json as _json
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql
+
+    tbl = SnapshotTable(spark, str(tmp_path / "props_align"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "x", 1.5)], "k long, junk string, v double"
+        ).coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_props", tbl)  # served: k=1 junk=2 v=3
+    tbl.alter_drop_column("junk")
+    cat.publish_snapshot("ns", "t_props", tbl)  # served current: k=1 v=3
+    tbl.alter_rename_column("v", "val")  # journal live again
+    props = {
+        r.key: r.value
+        for r in sql(
+            spark, "SHOW TBLPROPERTIES t", {"t": tbl}
+        ).collect()
+    }
+    shown = _json.loads(props["schema.name-mapping.default"])
+    by_name = {e["names"][0]: e["field-id"] for e in shown}
+    # positional ids would say val=2; the served id for the column is 3
+    assert by_name == {"k": 1, "val": 3}
+    # and the shown mapping matches what the next publish actually serves
+    cat.publish_snapshot("ns", "t_props", tbl)
+    served = _json.loads(
+        cat.load_table("ns", "t_props")["metadata"]["properties"][
+            "schema.name-mapping.default"
+        ]
+    )
+    assert {e["names"][0]: e["field-id"] for e in served} == by_name
+
+
+def test_call_publish_snapshot_statement(mock_catalog, spark, tmp_path):
+    """CALL publish_snapshot(...) — the statement spelling of the
+    one-call publish, with auto_rewrite => true self-healing the
+    late-append refusal (VERDICT r10 #4). Requires a catalog bound via
+    sql(..., catalog=); a clear error names the fix when absent."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql
+
+    tbl = SnapshotTable(spark, str(tmp_path / "call_pub"))
+    tbl.commit(spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1))
+    tbl.merge(
+        spark.createDataFrame([(3, True)], "v long, _del boolean"),
+        key_cols=["v"], delete_col="_del", mode="mor",
+    )
+    tbl.commit(spark.createDataFrame([(3,), (21,)], "v long").coalesce(1))
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    tabs = {"t": tbl}
+    with _pytest.raises(ValueError, match="no catalog bound"):
+        sql(spark, "CALL publish_snapshot('t', 'ns', 't_call')", tabs)
+    divergent_head = tbl.current_version()
+    out = sql(
+        spark,
+        "CALL publish_snapshot('t', namespace => 'ns', "
+        "table_name => 't_call', auto_rewrite => 'true')",
+        tabs,
+        catalog=cat,
+    ).collect()[0]
+    assert (out.table, out.operation) == ("t", "publish_snapshot")
+    assert out.version == divergent_head + 1  # rewrite committed + published
+    cat.verify_publish("ns", "t_call", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_call", cat) == 10
