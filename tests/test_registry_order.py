@@ -37,10 +37,12 @@ def test_families_inside_driver_window():
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r10_rotation_composition():
-    # VERDICT r09 #6: snapshot_widen_column graduates into the driver's
-    # 50-slot window; the evicted duplicate-coverage slot and earlier
-    # evictees sit below it (still oracle-gated in pytest)
+def test_r11_rotation_composition():
+    # VERDICT r10 #1: the two r10 flagship queries graduate into the
+    # driver's 50-slot window (snapshot_name_mapping_read,
+    # snapshot_rewrite_late_appends); two duplicate-coverage slots move
+    # below it, and earlier graduates/evictees hold their positions
+    # (evictees stay oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
         "snapshot_delete_update",  # r07 graduates stay in
@@ -58,6 +60,14 @@ def test_r10_rotation_composition():
         "snapshot_ctas",
         "snapshot_wap_statements",
         "snapshot_widen_column",  # r10 graduate
+        "snapshot_name_mapping_read",  # r11 graduates (r10 flagships)
+        "snapshot_rewrite_late_appends",
+        # the shapes that keep the r11 evictees' coverage window-green
+        "b7_daily_rollup",
+        "metric_range_daily",
+        "stream_session_counts",
+        "b10_latest_by_key",
+        "cdc_normalize",
     ):
         assert n in head, n
     for n in (
@@ -77,7 +87,8 @@ def test_r10_rotation_composition():
         "snapshot_history",
         "w_topn_per_group",
         "snapshot_update_unfiltered",  # r10 evictee (dup DML coverage)
-        "snapshot_name_mapping_read",  # r10 addition stays below
+        "stream_tumbling_counts",  # r11 evictees (duplicate coverage)
+        "cdc_latest_state",
     ):
         assert n not in head, n
 
