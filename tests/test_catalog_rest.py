@@ -524,6 +524,17 @@ def _readback_equal(spark, snap, namespace, table, cat):
     a = external.select(*sorted(external.columns))
     b = mine.select(*sorted(mine.columns))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # independent leg (r11): a pandas planner sharing NOTHING with
+    # sources/iceberg_manifest.py applies the spec's planning rules to
+    # the cleanroom-decoded Avro chain — sequence-scoped deletes and
+    # name-mapping resolution validated by a second implementation, not
+    # by the code under test
+    from tests.iceberg_planner import assert_tables_equal, plan_table_pandas
+
+    independent = plan_table_pandas(
+        pub["manifest-list"], rest_schema, name_mapping=mapping
+    )
+    assert_tables_equal(independent, mine.toPandas(), rest_schema)
     return external.count()
 
 
