@@ -933,3 +933,402 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# --- family 11: schema evolution × MoR lifecycle (r11) -------------------------
+# Random interleavings of ALTER ADD/RENAME/DROP/WIDEN with MoR equality/
+# positional deltas, appends (incl. deliberate pending-key overlap),
+# compaction, targeted rewrite and INTERMEDIATE catalog publishes — the
+# surfaces that interact through align_field_ids + name mapping + delete
+# manifests (equality_ids key on field ids across evolution,
+# catalog_rest.py:132-230). A DuckDB table mirrors each op's LOGICAL
+# effect (physical ALTER; compaction/rewrite are physical no-ops). The
+# final state must match four ways: engine read == DuckDB, and the
+# published chain read back by read_table_via_manifests AND by the
+# independent pandas planner must equal both. The engine refuses ALTER
+# while deltas are pending (_alter_guard), so the generator tracks delta
+# state and evolves only in delta-free windows — exactly the sequences a
+# real user can produce. Intermediate publishes run with
+# auto_rewrite=True, so the refusal → rewrite_late_appends() → publish
+# path is exercised mid-sequence, not only at the end.
+
+
+def _gen_evolution_mor(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    ops: list[tuple] = []
+    has_deltas = False
+    has_upserts = False
+    has_pending_deletes = False
+    widened = False
+    n_added = 0
+    n_appends = 0
+    # renameable: current name of the two mutable payload columns
+    vcol, scol = "v", "s"
+    s_dropped = False
+    for _ in range(rng.randint(6, 10)):
+        kinds = ["mor_delete", "mor_upsert", "append", "compact", "publish"]
+        if not has_deltas:
+            kinds += ["alter_rename_v", "alter_add"]
+            if not widened:
+                kinds.append("alter_widen")
+            if not s_dropped:
+                kinds += ["alter_rename_s", "alter_drop_s"]
+        if not has_upserts:
+            kinds.append("pos_delete")
+        if has_pending_deletes:
+            kinds += ["append_overlap", "rewrite_late"]
+        kind = rng.choice(kinds)
+        if kind == "mor_delete":
+            ops.append(("mor_delete", rng.choice([5, 7, 9]), rng.randint(0, 4)))
+            has_deltas = has_pending_deletes = True
+        elif kind == "mor_upsert":
+            ops.append(("mor_upsert", rng.choice([4, 6, 8]),
+                        rng.randint(0, 3), rng.choice([1.5, -2.0, 100.0])))
+            has_deltas = has_upserts = True
+        elif kind == "pos_delete":
+            ops.append(("pos_delete", rng.choice(
+                ["k % 13 = 4", "k % 17 = 2", "k < 400"]
+            )))
+            has_deltas = True  # a pos delta blocks ALTER too
+        elif kind == "append":
+            ops.append(("append", 2_000_000 + n_appends * 100_000,
+                        3 + rng.randint(0, 7)))
+            n_appends += 1
+        elif kind == "append_overlap":
+            ops.append(("append_overlap",))
+        elif kind == "compact":
+            ops.append(("compact",))
+            has_deltas = has_upserts = has_pending_deletes = False
+        elif kind == "rewrite_late":
+            ops.append(("rewrite_late",))
+        elif kind == "publish":
+            ops.append(("publish",))
+        elif kind == "alter_rename_v":
+            new = f"{vcol}x"
+            ops.append(("alter_rename", vcol, new))
+            vcol = new
+        elif kind == "alter_rename_s":
+            new = f"{scol}g"
+            ops.append(("alter_rename", scol, new))
+            scol = new
+        elif kind == "alter_drop_s":
+            ops.append(("alter_drop", scol))
+            s_dropped = True
+        elif kind == "alter_widen":
+            ops.append(("alter_widen",))
+            widened = True
+        else:  # alter_add
+            n_added += 1
+            ops.append(("alter_add", f"w{n_added}"))
+    ops.append(("publish",))  # every sequence ends published + read back
+    return ops
+
+
+def _evo_append_rows(schema, off: int, count: int):
+    """Deterministic rows for the CURRENT schema — same literals feed
+    the engine and the DuckDB mirror, so appends stay differential
+    across any evolution state."""
+    rows = []
+    for i in range(count):
+        row = []
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            if f.name == "k":
+                row.append(off + i)
+            elif t == "bigint":
+                row.append((off + i) * 3)
+            elif t == "int":
+                row.append((i % 7) + 1)
+            elif t == "double":
+                row.append(float(i) + 0.5)
+            else:
+                row.append(f"s{i % 3}")
+        rows.append(tuple(row))
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(1100, 1112))
+def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
+    import os
+    import sys
+    import threading
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_catalog_rest import MockCatalog, _readback_equal
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+
+    spark, _ = fuzz_env
+    init_sql = (
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s, "
+        "CAST(c_nationkey AS INT) AS n "
+        "FROM customer WHERE c_custkey % 3 = 0"
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "evo_mor"))
+    tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    own_duck = duckdb.connect()
+    own_duck.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    own_duck.sql(f"CREATE TABLE evo_mor AS {init_sql}")
+    own_duck.sql("CREATE TEMP TABLE pend (k BIGINT)")
+    pending_deleted: list[int] = []
+    vcol = "v"  # current name of the float payload column (rename target)
+
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+    try:
+        for op in _gen_evolution_mor(seed):
+            if op[0] == "mor_delete":
+                _, m, r = op
+                pending_deleted.extend(
+                    row.k for row in tbl.read().filter(f"k % {m} = {r}")
+                    .select("k").collect()
+                )
+                changes = (
+                    tbl.read().filter(f"k % {m} = {r}")
+                    .withColumn("_del", F.lit(True))
+                )
+                tbl.merge(changes, key_cols=["k"], delete_col="_del",
+                          mode="mor")
+                own_duck.sql(
+                    f"INSERT INTO pend SELECT k FROM evo_mor "
+                    f"WHERE k % {m} = {r}"
+                )
+                own_duck.sql(f"DELETE FROM evo_mor WHERE k % {m} = {r}")
+            elif op[0] == "mor_upsert":
+                _, m, r, dv = op
+                changes = (
+                    tbl.read().filter(f"k % {m} = {r}")
+                    .withColumn(vcol, F.col(vcol) + dv)
+                )
+                tbl.merge(changes, key_cols=["k"], mode="mor")
+                own_duck.sql(
+                    f"INSERT INTO pend SELECT k FROM evo_mor "
+                    f"WHERE k % {m} = {r}"
+                )
+                own_duck.sql(
+                    f"UPDATE evo_mor SET {vcol} = {vcol} + {dv} "
+                    f"WHERE k % {m} = {r}"
+                )
+            elif op[0] == "pos_delete":
+                _, cond = op
+                tbl.delete_where_positional(cond)
+                own_duck.sql(f"DELETE FROM evo_mor WHERE {cond}")
+            elif op[0] == "append":
+                _, off, count = op
+                schema = tbl.read().schema
+                rows = _evo_append_rows(schema, off, count)
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in schema.fields
+                )
+                tbl.commit(spark.createDataFrame(rows, ddl).coalesce(1))
+                vals = ", ".join(
+                    "(" + ", ".join(
+                        f"'{v}'" if isinstance(v, str) else str(v)
+                        for v in row
+                    ) + ")"
+                    for row in rows
+                )
+                names = ", ".join(f.name for f in schema.fields)
+                own_duck.sql(
+                    f"INSERT INTO evo_mor ({names}) "
+                    f"SELECT * FROM (VALUES {vals}) "
+                    f"t({names}) WHERE k NOT IN (SELECT k FROM pend)"
+                )
+            elif op[0] == "append_overlap":
+                sample = sorted(set(pending_deleted))[:12]
+                if not sample:
+                    continue
+                schema = tbl.read().schema
+                rows = [
+                    tuple(
+                        k if f.name == "k"
+                        else 0 if f.dataType.simpleString() in ("bigint", "int")
+                        else 0.0 if f.dataType.simpleString() == "double"
+                        else "X"
+                        for f in schema.fields
+                    )
+                    for k in sample
+                ]
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in schema.fields
+                )
+                tbl.commit(spark.createDataFrame(rows, ddl).coalesce(1))
+                vals = ", ".join(
+                    "(" + ", ".join(
+                        f"'{v}'" if isinstance(v, str) else str(v)
+                        for v in row
+                    ) + ")"
+                    for row in rows
+                )
+                names = ", ".join(f.name for f in schema.fields)
+                own_duck.sql(
+                    f"INSERT INTO evo_mor ({names}) "
+                    f"SELECT * FROM (VALUES {vals}) "
+                    f"t({names}) WHERE k NOT IN (SELECT k FROM pend)"
+                )
+            elif op[0] == "compact":
+                tbl.compact_deltas()
+                own_duck.sql("DELETE FROM pend")
+                pending_deleted.clear()
+            elif op[0] == "rewrite_late":
+                tbl.rewrite_late_appends()
+            elif op[0] == "publish":
+                # one-call publish: the overlap states self-heal via the
+                # in-band rewrite (VERDICT r10 #4), mid-sequence
+                cat.publish_snapshot(
+                    "fz", f"evo{seed}", tbl, auto_rewrite=True
+                )
+                cat.verify_publish("fz", f"evo{seed}", tbl)
+            elif op[0] == "alter_rename":
+                _, old, new = op
+                tbl.alter_rename_column(old, new)
+                own_duck.sql(
+                    f"ALTER TABLE evo_mor RENAME COLUMN {old} TO {new}"
+                )
+                if old == vcol:
+                    vcol = new
+            elif op[0] == "alter_drop":
+                _, col = op
+                tbl.alter_drop_column(col)
+                own_duck.sql(f"ALTER TABLE evo_mor DROP COLUMN {col}")
+            elif op[0] == "alter_widen":
+                tbl.alter_widen_column("n", "bigint")
+                own_duck.sql(
+                    "ALTER TABLE evo_mor ALTER COLUMN n SET DATA TYPE BIGINT"
+                )
+            else:  # alter_add
+                _, name = op
+                tbl.alter_add_columns([(name, "double")])
+                own_duck.sql(f"ALTER TABLE evo_mor ADD COLUMN {name} DOUBLE")
+
+        cols = sorted(tbl.read().columns)
+        d_cols = sorted(
+            r[0] for r in own_duck.sql(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = 'evo_mor'"
+            ).fetchall()
+        )
+        assert cols == d_cols, f"seed={seed}: columns {cols} != {d_cols}"
+        s_rows = {r["k"]: tuple(r[c] for c in cols)
+                  for r in (row.asDict() for row in tbl.read().collect())}
+        sel = ", ".join(cols)
+        d_rows = {row[cols.index("k")]: row for row in own_duck.sql(
+            f"SELECT {sel} FROM evo_mor"
+        ).fetchall()}
+        assert sorted(s_rows) == sorted(d_rows), f"seed={seed}: key sets"
+        for k in s_rows:
+            for c, a, b in zip(cols, s_rows[k], d_rows[k]):
+                if isinstance(a, float) and isinstance(b, float):
+                    assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                        f"seed={seed} k={k} {c}: {a} != {b}"
+                    )
+                else:
+                    assert a == b, f"seed={seed} k={k} {c}: {a!r} != {b!r}"
+        own_duck.close()
+        # external legs: published chain + name mapping read back equal
+        # through the engine's external reader AND the independent
+        # pandas planner (inside _readback_equal)
+        assert _readback_equal(
+            spark, tbl, "fz", f"evo{seed}", cat
+        ) == len(s_rows)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_family11_drop_backfill_publish_ordering(fuzz_env, tmp_path):
+    """The VERDICT r10 #3 'drop → backfill-old-version → publish'
+    ordering, deterministic: after a drop is published as the newest
+    schema, backfilling an OLDER version that still carries the dropped
+    column must recover the column's HISTORICAL field id (its manifest
+    stats key on it), never evolve the served current schema, and leave
+    the newest state externally readable."""
+    import json as _json
+    import os
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_catalog_rest import MockCatalog, _readback_equal
+    from test_manifest_independent_decode import independent_read_ocf
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+    tbl = SnapshotTable(spark, str(tmp_path / "backfill_drop"))
+    tbl.commit(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, junk string, v double"
+        ).coalesce(1),
+        stats_cols=["k", "junk"],
+    )
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("fz", "bfd", tbl)  # v1: junk gets id 2
+        tbl.commit(
+            spark.createDataFrame(
+                [(3, "c", 3.0)], "k long, junk string, v double"
+            ).coalesce(1)
+        )  # v2: same schema, never published yet
+        tbl.alter_drop_column("junk")  # v3
+        cat.publish_snapshot("fz", "bfd", tbl)  # newest: current = (k, v)
+        meta = cat.load_table("fz", "bfd")["metadata"]
+        cur_before = meta["current-schema-id"]
+        # backfill the pre-drop v2 — served current schema must not move
+        cat.publish_snapshot("fz", "bfd", tbl, version=2)
+        meta = cat.load_table("fz", "bfd")["metadata"]
+        assert meta["current-schema-id"] == cur_before
+        cur = next(
+            s for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        assert [f["name"] for f in cur["fields"]] == ["k", "v"]
+        # the backfilled manifest keys junk's stats on its HISTORICAL id
+        # (2), recovered through align_field_ids(is_newest=False) — read
+        # the v2 snapshot's manifest through the cleanroom decoder
+        snap2 = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == 2
+        )
+        _, _, ml = independent_read_ocf(snap2["manifest-list"])
+        data_mf = next(m for m in ml if m["content"] == 0)
+        _, _, entries = independent_read_ocf(data_mf["manifest_path"])
+        v2_entry = next(
+            e for e in entries
+            if e["status"] != 2 and e["sequence_number"] in (None, 2)
+            and e["data_file"]["content"] == 0
+        )
+        bounds = v2_entry["data_file"].get("lower_bounds") or []
+        bound_ids = {e["key"] for e in bounds}
+        assert 2 in bound_ids, (
+            f"junk's historical id 2 missing from bounds keys {bounds}"
+        )
+        junk_bound = next(e["value"] for e in bounds if e["key"] == 2)
+        assert junk_bound == b"c"  # the v2 rows' min junk value
+        # newest state still reads back equal externally (4 legs)
+        junk_ids = {
+            f["id"] for s in meta["schemas"] for f in s["fields"]
+            if f["name"] == "junk"
+        }
+        assert junk_ids == {2}
+        assert _readback_equal(spark, tbl, "fz", "bfd", cat) == 3
+        # the served name mapping never resurrects the dropped column
+        mapping = _json.loads(
+            meta["properties"]["schema.name-mapping.default"]
+        )
+        assert "junk" not in {n for e in mapping for n in e["names"]}
+    finally:
+        srv.shutdown()
+        srv.server_close()
