@@ -442,16 +442,32 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr("filter(g8, x -> x IS NOT NULL)")).alias("g"),
     ).select("doc_id", F.xxhash64("g").alias("g"))
-    counts = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
-    return (
-        sh.join(counts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg((F.col("nd") > 1).cast("double")), 4).alias(
-                "dup_ngram_fraction"
-            ),
-            F.count("*").alias("n_ngrams"),
-        )
+    # r11 re-plan (was: count_distinct per gram + join the RAW exploded
+    # multiset back on g): every occurrence of one (doc, gram) pair
+    # shares the same duplicated-flag, so collapse to (doc_id, g,
+    # multiplicity) FIRST — all of a doc's grams live in one input row,
+    # so this first aggregate combines entirely map-side and the
+    # exchange carries per-doc distinct grams, not the multiset. On that
+    # deduplicated frame a gram's distinct-doc count is a plain
+    # COUNT(*) OVER (PARTITION BY g) — the count_distinct two-phase
+    # expansion AND the multiset-sized join shuffle disappear; the
+    # occurrence-weighted fraction is sum(m·dup)/sum(m), the identical
+    # double division the old avg-over-occurrences computed. 4 exchanges
+    # → 3, and the largest shuffle shrinks by the per-doc gram repeat
+    # factor. Measured at sf0.3 (interleaved, min-of-3 cold):
+    # 3.74 s → 2.45-2.68 s.
+    from pyspark.sql import Window as W
+
+    per_doc_gram = sh.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    with_nd = per_doc_gram.withColumn(
+        "nd", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    dup = F.when(F.col("nd") > 1, F.col("m")).otherwise(F.lit(0))
+    return with_nd.groupBy("doc_id").agg(
+        F.round(F.sum(dup) / F.sum("m"), 4).alias("dup_ngram_fraction"),
+        F.sum("m").alias("n_ngrams"),
     )
 
 
