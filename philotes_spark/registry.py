@@ -270,8 +270,8 @@ def _tier(name: str) -> tuple[int, int]:
 
 def ordered_names() -> list[str]:
     """Registration order within a tier, tiers as documented above."""
-    names = list(QUERIES)
-    return sorted(names, key=lambda n: (*_tier(n), names.index(n)))
+    pos = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda n: (*_tier(n), pos[n]))
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
