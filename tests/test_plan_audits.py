@@ -369,12 +369,14 @@ def test_dup_ngram_fraction_shape(plan_of):
     assert "Generate" in a.plan
 
 
-def test_chunker_one_shuffle_and_pruned_scan(plan_of):
-    """train_chunk_documents: posexplode fan-out then ONE doc-keyed
-    shuffle; the scan reads only (doc_id, text). Any per-chunk slice
-    re-derivation would show as extra scans/shuffles."""
+def test_chunker_zero_shuffle_and_pruned_scan(plan_of):
+    """train_chunk_documents (r11 re-plan): a pure per-document map —
+    tokens materialize once behind a Generate barrier, chunks are
+    array-side slices, ZERO exchanges; the scan reads only
+    (doc_id, text). A tokenizer re-derivation or the old doc-keyed
+    collect_list grouping would show as extra scans/shuffles."""
     a = plan_of("train_chunk_documents")
-    assert a.shuffles == 1
+    assert a.shuffles == 0
     assert a.scans["documents.parquet"] == {"doc_id", "text"}
 
 
