@@ -966,7 +966,8 @@ def _gen_evolution_mor(seed: int) -> list[tuple]:
     vcol, scol = "v", "s"
     s_dropped = False
     for _ in range(rng.randint(6, 10)):
-        kinds = ["mor_delete", "mor_upsert", "append", "compact", "publish"]
+        kinds = ["mor_delete", "mor_upsert", "append", "compact", "publish",
+                 "publish_backfill"]
         if not has_deltas:
             kinds += ["alter_rename_v", "alter_add"]
             if not widened:
@@ -1003,6 +1004,8 @@ def _gen_evolution_mor(seed: int) -> list[tuple]:
             ops.append(("rewrite_late",))
         elif kind == "publish":
             ops.append(("publish",))
+        elif kind == "publish_backfill":
+            ops.append(("publish_backfill", rng.random()))
         elif kind == "alter_rename_v":
             new = f"{vcol}x"
             ops.append(("alter_rename", vcol, new))
@@ -1185,6 +1188,27 @@ def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
             elif op[0] == "publish":
                 # one-call publish: the overlap states self-heal via the
                 # in-band rewrite (VERDICT r10 #4), mid-sequence
+                cat.publish_snapshot(
+                    "fz", f"evo{seed}", tbl, auto_rewrite=True
+                )
+                cat.verify_publish("fz", f"evo{seed}", tbl)
+            elif op[0] == "publish_backfill":
+                # publish an OLDER version mid-sequence: exercises
+                # align_field_ids(is_newest=False) history recovery and
+                # the backfill-cannot-regress-served-state guarantees
+                # under random evolution/MoR interleavings. An old
+                # version whose own late appends diverge legally refuses
+                # (auto_rewrite only applies to the head).
+                cur = tbl.current_version()
+                if cur < 2:
+                    continue
+                v = min(max(1, int(op[1] * cur)), cur - 1)
+                try:
+                    cat.publish_snapshot("fz", f"evo{seed}", tbl, version=v)
+                except ValueError as e:
+                    assert "rewrite_late_appends" in str(e)
+                    continue
+                # non-regression: the head republishes and still verifies
                 cat.publish_snapshot(
                     "fz", f"evo{seed}", tbl, auto_rewrite=True
                 )
