@@ -13,6 +13,14 @@ Invariants (Iceberg table spec, "Schema Evolution" / name mapping):
   retired ids);
 - the name mapping never lists a physical name under two field ids, and
   its first name is always the field's current name.
+
+r11: the strategy also draws MATERIALIZE steps (journal reset — the
+``materialize_schema()`` physical rewrite), which unlock re-ADDING a
+previously dropped or renamed-away name. A re-added name is a NEW
+column (new uid), so the uid-identity invariants above now cover the
+ADVICE r10 #1 reuse bug directly: pre-fix, ``align_field_ids``'s
+history fallback handed the re-added column the retired id on a newest
+publish, failing the "new column never reuses a retired id" assertion.
 """
 
 from __future__ import annotations
@@ -35,36 +43,49 @@ def evolution(draw):
     n0 = draw(st.integers(2, 5))
     cols = [(i, _NAMES[i]) for i in range(n0)]  # (uid, current name)
     next_uid = n0
-    used = {n for _, n in cols}  # every name ever used (fresh-name pool)
     reserved: set[str] = set()  # rename sources + dropped (journal live)
+    published: set[str] = {n for _, n in cols}  # last SERVED current names
     ops: list[dict] = []
     steps: list[tuple] = [("base", n0), ("publish",)]
     for _ in range(draw(st.integers(0, 12))):
-        kinds = ["publish", "add"]
+        kinds = ["publish", "add", "materialize"]
         if cols:
             kinds += ["rename", "drop"]
         kind = draw(st.sampled_from(kinds))
+        current = {n for _, n in cols}
+        # fresh-name pool: not currently held, not journal-reserved, and
+        # not in the last PUBLISHED schema — after a materialize (journal
+        # reset) a name whose drop was published becomes available again
+        # (the re-add case); a name whose drop was NEVER published stays
+        # off-limits because the catalog only has name identity: it would
+        # correctly bind the re-add to the still-served id, which the
+        # uid model here would miscount as reuse
+        fresh = [
+            n for n in _NAMES
+            if n not in current and n not in reserved and n not in published
+        ]
         if kind == "publish":
+            published = set(current)
             steps.append(("publish",))
+        elif kind == "materialize":
+            ops.clear()
+            reserved.clear()
+            steps.append(("materialize",))
         elif kind == "add":
-            fresh = [n for n in _NAMES if n not in used and n not in reserved]
             if not fresh:
                 continue
             name = draw(st.sampled_from(fresh))
             cols.append((next_uid, name))
             next_uid += 1
-            used.add(name)
             ops.append({"op": "add", "name": name, "type": "string"})
             steps.append(("add", name))
         elif kind == "rename":
             idx = draw(st.integers(0, len(cols) - 1))
-            fresh = [n for n in _NAMES if n not in used and n not in reserved]
             if not fresh:
                 continue
             new = draw(st.sampled_from(fresh))
             uid, old = cols[idx]
             cols[idx] = (uid, new)
-            used.add(new)
             reserved.add(old)
             ops.append({"op": "rename", "from": old, "to": new})
             steps.append(("rename", old, new))
@@ -98,6 +119,7 @@ def test_field_ids_are_stable_column_identities(steps):
     served_schemas: list[dict] = []
     id_of_uid: dict[int, int] = {}
     ids_ever: set[int] = set()
+    pub_name_of_uid: dict[int, str] = {}  # name at the LAST publish
 
     # replay the evolution, publishing at the checkpoints
     uid_counter = 0
@@ -120,6 +142,23 @@ def test_field_ids_are_stable_column_identities(steps):
             name = step[1]
             cols = [(u, n) for u, n in cols if n != name]
             ops.append({"op": "drop", "name": name})
+        elif step[0] == "materialize":
+            # journal reset — names become physically current. A column
+            # whose rename was never PUBLISHED loses its external
+            # identity here: the catalog only ever saw the old name, the
+            # reset erases the alias evidence, so the next publish
+            # rightly treats the new name as a new column (fresh id) and
+            # the old name as implicitly dropped. Model that as a fresh
+            # uid; columns whose served name matches keep their identity.
+            ops = []
+            new_cols = []
+            for u, n in cols:
+                if u in id_of_uid and pub_name_of_uid.get(u) != n:
+                    new_cols.append((uid_counter, n))
+                    uid_counter += 1
+                else:
+                    new_cols.append((u, n))
+            cols = new_cols
         else:  # publish
             assert cols, "evolution() keeps at least one column"
             n_publishes += 1
@@ -163,6 +202,7 @@ def test_field_ids_are_stable_column_identities(steps):
                     assert f["id"] > prev_last or not served_schemas
                     id_of_uid[uid] = f["id"]
                 ids_ever.add(f["id"])
+            pub_name_of_uid = {u: n for u, n in cols}
             served_schemas.append(aligned)
 
             # name-mapping invariants on the published schema
