@@ -355,8 +355,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
         ).alias("bg"),
     )
+    # r11: both mode-count legs hash their gram to a 64-bit key right
+    # after the explode (the same xxhash64 compression
+    # text_dup_ngram_fraction uses, and the same accepted ~1e-7
+    # collision risk — a within-doc collision merges two gram counts and
+    # would surface deterministically as an oracle hash mismatch): the
+    # counts never need the gram TEXT, so the two wide shuffles carry
+    # 8-byte longs instead of strings and the aggregation hashmaps
+    # compare longs. Measured at sf1 (interleaved A/B, min-of-4 cold):
+    # 8.83 → 6.83 s.
     wstat = (
-        docs.select("doc_id", F.explode("t").alias("tok"))
+        docs.select("doc_id", F.explode("t").alias("tok0"))
+        .select("doc_id", F.xxhash64("tok0").alias("tok"))
         .groupBy("doc_id", "tok")
         .count()
         .groupBy("doc_id")
@@ -365,7 +375,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bstat = (
-        bigr.select("doc_id", F.explode("bg").alias("g"))
+        bigr.select("doc_id", F.explode("bg").alias("g0"))
+        .select("doc_id", F.xxhash64("g0").alias("g"))
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
