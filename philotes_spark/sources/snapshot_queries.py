@@ -1201,3 +1201,70 @@ def snapshot_rewrite_late_appends(spark: SparkSession, sf_dir: str) -> DataFrame
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_delete_manifests_read",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN event_id <= 600 AND event_id % 10 = 5
+                           AND event_id % 7 <> 0
+                      THEN value + 1000 ELSE value END, 4) AS value
+    FROM events
+    WHERE event_id <= 700
+      AND NOT (event_id <= 600 AND event_id % 7 = 0)
+      AND NOT (event_id <= 600 AND event_id % 10 = 3)
+    """,
+)
+def snapshot_delete_manifests_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 DELETE-MANIFEST external read under the driver's
+    hash-compare gate (r11 — previously pytest-only): a positional
+    delta (content=1: (file_path, pos) addresses), then an equality
+    delta (content=2 with ``equality_ids``) carrying BOTH deletes and
+    upserts, then a fresh append — and the table is reconstructed
+    EXTERNALLY from the published Avro manifest chain alone
+    (``read_table_via_manifests``), applying the spec's sequence rules:
+    the pos delete covers files at sequence ≤ its own, the equality
+    delete only STRICTLY older files (its own upserts and the later
+    append are exempt — the append uses disjoint keys so the engine's
+    pending-delta read agrees). No compaction ever runs: MoR versions
+    are externally readable as-is, O(changes) write cost at any table
+    size (ref `internal/iceberg/catalog/rest.go:320-344`)."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import (
+        read_table_via_manifests,
+        write_manifests_for_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 600))
+        tbl.delete_where_positional("event_id % 7 = 0")
+        live = tbl.read()  # post-pos-delete state feeds the change set
+        changes = (
+            live.filter("event_id % 10 = 3")
+            .withColumn("_del", F.lit(True))
+            .unionByName(
+                live.filter("event_id % 10 = 5")
+                .withColumn("value", F.col("value") + 1000)
+                .withColumn("_del", F.lit(False))
+            )
+        )
+        tbl.merge(changes, key_cols=["event_id"], delete_col="_del", mode="mor")
+        tbl.commit(
+            ev.filter((F.col("event_id") > 600) & (F.col("event_id") <= 700))
+        )
+        m = tbl._resolve()
+        assert m.get("deltas"), "both deltas must still be pending"
+        rest = schema_to_rest(tbl.read().schema)
+        ml = write_manifests_for_version(tbl, m["version"], rest_schema=rest)
+        external = read_table_via_manifests(spark, ml, rest)
+        return external.select(
+            "event_id", "user_id", F.round("value", 4).alias("value")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
