@@ -66,9 +66,15 @@ _ELEMS = """
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 5 query vectors — the ANN
-    baseline (corpus scanned once, queries broadcast)."""
+    baseline. Served by the Arrow-batched numpy twin (r11,
+    ``cosine_topk_arrow``: one matmul per batch, corpus scanned once,
+    no join node — 2× the interpreted-lambda JVM fold, which stays as
+    :func:`~philotes_spark.similarity.knn.cosine_topk`, the recall
+    gates' ground truth, pinned row-identical in the suite)."""
+    from philotes_spark.similarity.knn import cosine_topk_arrow
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, QUERY_IDS, k=10)
+    return cosine_topk_arrow(emb, QUERY_IDS, k=10)
 
 
 @query(

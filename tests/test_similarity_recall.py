@@ -200,3 +200,22 @@ def test_ivfpq_index_deterministic_and_bounded(emb):
     assert a == b
     assert all(0 <= cell < 16 and len(codes) == 8 and all(0 <= x < 16 for x in codes)
                for cell, codes in a.values())
+
+
+def test_arrow_cosine_topk_row_identical_to_jvm(emb):
+    """The Arrow-batched numpy scorer (r11 — serves the registered
+    sim_cosine_topk) is row-identical to the JVM lambda-fold reference
+    on the fixture: same neighbors, same ranks, same ROUND(·,4) sims.
+    Summation-order drift between the sequential fold and numpy's
+    pairwise matmul sits ~1e-15 under the rounding."""
+    from philotes_spark.similarity.knn import cosine_topk_arrow
+
+    jvm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(emb, QUERY_IDS, k=10).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk_arrow(emb, QUERY_IDS, k=10).collect()
+    }
+    assert jvm == arrow
