@@ -2,7 +2,7 @@
 on Spark SQL and on DuckDB over the same parquet fixture, and canonical
 results must match exactly.
 
-The 127 hand-written oracles pin the registered operators; this fuzzer
+The 150 hand-written oracles pin the registered operators; this fuzzer
 sweeps the *composition space around them* — random projections,
 predicate combinations, group-bys and HAVING clauses in the shared
 ANSI dialect — so a semantics divergence between the engines (null
@@ -1050,7 +1050,7 @@ def _evo_append_rows(schema, off: int, count: int):
     return rows
 
 
-@pytest.mark.parametrize("seed", range(1100, 1112))
+@pytest.mark.parametrize("seed", range(1100, 1115))
 def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     import os
     import sys
