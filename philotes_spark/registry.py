@@ -255,12 +255,15 @@ def _tier(name: str) -> tuple[int, int]:
         # tests/test_queries_oracle.py.
         "stream_tumbling_counts",
         "cdc_latest_state",
-        # r11 addition (oracle-gated in pytest; below the window so this
+        # r11 additions (oracle-gated in pytest; below the window so this
         # round's rotation composition is exact): the v2 delete-manifest
         # external read — pos + equality deltas with upserts
         # reconstructed from the published Avro chain by the spec's
-        # sequence rules, no compaction
+        # sequence rules, no compaction — and the evolution × MoR
+        # interaction (rename/drop journal + equality delta + evolved
+        # append, read through the chain + name mapping)
         "snapshot_delete_manifests_read",
+        "snapshot_evolution_mor_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

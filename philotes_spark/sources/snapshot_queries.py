@@ -1268,3 +1268,77 @@ def snapshot_delete_manifests_read(spark: SparkSession, sf_dir: str) -> DataFram
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_evolution_mor_read",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN event_id <= 600 AND event_id % 10 = 5
+                      THEN value + 1000 ELSE value END, 4) AS reading
+    FROM events
+    WHERE event_id <= 700
+      AND NOT (event_id <= 600 AND event_id % 10 = 3)
+    """,
+)
+def snapshot_evolution_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution INTERLEAVED with merge-on-read, read externally
+    (r11 — the fuzz family-11 interaction as a hash-compared query):
+    rename + drop land as journal ops, an equality delta (deletes AND
+    upserts, its ``equality_ids`` keyed on the aligned field ids) lands
+    ON TOP of the live journal, a later append carries the evolved
+    physical names — and the table reconstructs from the Avro manifest
+    chain + ``schema.name-mapping.default`` alone: pre-rename files
+    resolve their old physical column through the mapping, the dropped
+    remnant never surfaces, the delta's upserts survive their own
+    delete keys (strictly-older sequence scoping), and the fresh append
+    is exempt. Zero rewrite, no compaction, at any table size."""
+    from philotes_spark.sources.catalog_rest import (
+        name_mapping_from_ops,
+        schema_to_rest,
+    )
+    from philotes_spark.sources.iceberg_manifest import (
+        read_table_via_manifests,
+        write_manifests_for_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("event_type").alias("junk")
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 600))
+        tbl.alter_rename_column("value", "reading")
+        tbl.alter_drop_column("junk")
+        live = tbl.read()  # evolved view feeds the change set
+        changes = (
+            live.filter("event_id % 10 = 3")
+            .withColumn("_del", F.lit(True))
+            .unionByName(
+                live.filter("event_id % 10 = 5")
+                .withColumn("reading", F.col("reading") + 1000)
+                .withColumn("_del", F.lit(False))
+            )
+        )
+        tbl.merge(changes, key_cols=["event_id"], delete_col="_del", mode="mor")
+        # post-evolution append physically carrying the NEW name
+        tbl.commit(
+            ev.filter((F.col("event_id") > 600) & (F.col("event_id") <= 700))
+            .select("event_id", "user_id", F.col("value").alias("reading"))
+        )
+        m = tbl._resolve()
+        assert m.get("deltas") and m.get("schema_ops")
+        rest = schema_to_rest(tbl.read().schema)
+        ml = write_manifests_for_version(tbl, m["version"], rest_schema=rest)
+        external = read_table_via_manifests(
+            spark,
+            ml,
+            rest,
+            name_mapping=name_mapping_from_ops(rest, m.get("schema_ops", [])),
+        )
+        return external.select(
+            "event_id", "user_id", F.round("reading", 4).alias("reading")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
