@@ -663,7 +663,57 @@ class RestCatalog:
         if status not in (200, 201):
             raise CatalogError(status, json.dumps(body).encode())
 
+    def remove_snapshots(
+        self, namespace: str, table: str, snapshot_ids: list[int]
+    ) -> None:
+        """Remove snapshots from the served table metadata (Iceberg REST
+        ``remove-snapshots`` update) — the catalog half of snapshot
+        expiry: an external reader must not be able to plan a snapshot
+        whose data files retention already deleted."""
+        if not snapshot_ids:
+            return
+        status, body = self._request(
+            "POST",
+            f"/namespaces/{namespace}/tables/{table}",
+            {
+                "requirements": [],
+                "updates": [
+                    {
+                        "action": "remove-snapshots",
+                        "snapshot-ids": sorted(snapshot_ids),
+                    }
+                ],
+            },
+        )
+        if status not in (200, 201):
+            raise CatalogError(status, json.dumps(body).encode())
+
     # -- SnapshotTable bridge ------------------------------------------------
+
+    def prune_expired_snapshots(
+        self, namespace: str, table: str, snap
+    ) -> int:
+        """Sync catalog-served history with local retention (A7's
+        external half): any served snapshot whose version
+        ``SnapshotTable.expire_snapshots`` already dropped locally is
+        removed from the table metadata, so external readers stop
+        planning chains whose data files may be gone. Without this, a
+        post-overwrite expiry strands the served old snapshot: its
+        manifest list survives but points at deleted files — a dangling
+        time-travel read for any external engine. Returns the number of
+        snapshots removed. Refs guard the catalog side: a tag/branch
+        pointing at a doomed id refuses (drop the ref first), matching
+        Iceberg's expire semantics."""
+        loaded = self.load_table(namespace, table)
+        served = {
+            s["snapshot-id"]
+            for s in loaded.get("metadata", {}).get("snapshots", [])
+        }
+        local = {int(m[1:9]) for m in snap._manifests()}
+        doomed = sorted(served - local)
+        if doomed:
+            self.remove_snapshots(namespace, table, doomed)
+        return len(doomed)
 
     def publish_snapshot(
         self, namespace: str, table: str, snap, version: int | None = None,

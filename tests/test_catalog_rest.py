@@ -162,6 +162,30 @@ class _Handler(BaseHTTPRequestHandler):
                     if sid == -1:  # spec: "the schema just added"
                         sid = len(srv.tables[key]["schemas"]) - 1
                     srv.tables[key]["current-schema-id"] = sid
+                elif upd["action"] == "remove-snapshots":
+                    # Iceberg REST snapshot expiry: the ids leave the
+                    # table metadata, so external readers can no longer
+                    # plan them (their data files may be gone). A ref
+                    # (other than the implicit main) pointing at a
+                    # removed id refuses the update — the client must
+                    # drop the ref first.
+                    doomed = set(upd["snapshot-ids"])
+                    for ref, r in srv.refs.get(key, {}).items():
+                        if r["snapshot-id"] in doomed:
+                            return self._reply(
+                                409,
+                                {"error": f"ref {ref} points at a "
+                                          "removed snapshot"},
+                            )
+                    snaps = srv.snapshots.get(key, [])
+                    if snaps and snaps[-1]["snapshot-id"] in doomed:
+                        return self._reply(
+                            409, {"error": "cannot remove the current "
+                                           "snapshot"},
+                        )
+                    srv.snapshots[key] = [
+                        s for s in snaps if s["snapshot-id"] not in doomed
+                    ]
                 else:
                     raise AssertionError(f"unexpected update {upd['action']}")
             return self._reply(200, {"metadata": srv.tables[key]})
@@ -1795,3 +1819,55 @@ def test_call_publish_snapshot_statement(mock_catalog, spark, tmp_path):
     assert out.version == divergent_head + 1  # rewrite committed + published
     cat.verify_publish("ns", "t_call", tbl)
     assert _readback_equal(spark, tbl, "ns", "t_call", cat) == 10
+
+
+def test_prune_expired_snapshots_unstrands_served_history(
+    mock_catalog, spark, tmp_path
+):
+    """Local retention + catalog sync (A7's external half): after an
+    overwrite, expire_snapshots deletes the old version's exclusive data
+    files — but the catalog still serves the old snapshot, whose
+    manifest chain now points at deleted files (a dangling external
+    time-travel read). prune_expired_snapshots removes exactly those
+    snapshots from the served metadata; the current snapshot's chain,
+    verify_publish, and the v2 validator all stay green. A served ref
+    pinning the doomed snapshot refuses the prune until dropped."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from philotes_spark.sources.iceberg_manifest import plan_entries
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "prune"))
+    tbl.commit(
+        spark.createDataFrame([(1, 1.0)], "k long, v double").coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_prune", tbl)
+    tbl.commit(
+        spark.createDataFrame([(9, 9.0)], "k long, v double").coalesce(1),
+        operation="overwrite",
+    )
+    cat.publish_snapshot("ns", "t_prune", tbl)
+    cat.verify_publish("ns", "t_prune", tbl)
+    # a tag on the doomed snapshot blocks the prune (Iceberg semantics)
+    cat.publish_ref("ns", "t_prune", "audit", 1, ref_type="tag")
+    assert tbl.expire_snapshots(keep_last=1) == 1
+    # the stranded state this fixes: served snapshot 1 plans deleted files
+    meta = cat.load_table("ns", "t_prune")["metadata"]
+    old = next(s for s in meta["snapshots"] if s["snapshot-id"] == 1)
+    data, _ = plan_entries(old["manifest-list"])
+    assert any(not _os.path.exists(f["file_path"]) for f in data)
+    with _pytest.raises(CatalogError, match="audit"):
+        cat.prune_expired_snapshots("ns", "t_prune", tbl)
+    # drop the ref, prune, and the served history is consistent again
+    cat.publish_ref("ns", "t_prune", "audit", 2, ref_type="tag")  # retarget
+    assert cat.prune_expired_snapshots("ns", "t_prune", tbl) == 1
+    meta = cat.load_table("ns", "t_prune")["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+    validate_table_metadata_v2(meta)
+    cat.verify_publish("ns", "t_prune", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_prune", cat) == 1
+    # idempotent: nothing left to prune
+    assert cat.prune_expired_snapshots("ns", "t_prune", tbl) == 0
