@@ -255,15 +255,26 @@ def _tier(name: str) -> tuple[int, int]:
         # tests/test_queries_oracle.py.
         "stream_tumbling_counts",
         "cdc_latest_state",
-        # r11 additions (oracle-gated in pytest; below the window so this
-        # round's rotation composition is exact): the v2 delete-manifest
-        # external read — pos + equality deltas with upserts
-        # reconstructed from the published Avro chain by the spec's
-        # sequence rules, no compaction — and the evolution × MoR
-        # interaction (rename/drop journal + equality delta + evolved
-        # append, read through the chain + name mapping)
-        "snapshot_delete_manifests_read",
-        "snapshot_evolution_mor_read",
+        # r12 rotation (VERDICT r11 next-round #1): the two r11 flagship
+        # queries graduate INTO the window — snapshot_delete_manifests_read
+        # (the v2 delete-manifest external read: pos + equality deltas with
+        # upserts reconstructed from the published Avro chain by the spec's
+        # sequence rules, no compaction) and snapshot_evolution_mor_read
+        # (rename/drop journal × equality delta × evolved append, read
+        # through the chain + name mapping). These two move below it —
+        # each is duplicate coverage of a shape that stays window-green:
+        # snapshot_positional_delete (pos-delete DML + readback) via the
+        # strictly-harder snapshot_delete_manifests_read (pos AND eq
+        # deltas, externally reconstructed) plus snapshot_delete_update's
+        # row-level DML; snapshot_alter_columns (rename/drop evolution)
+        # via snapshot_evolution_mor_read (the same rename/drop journal,
+        # read through the published chain), with widening, name mapping
+        # and the history table still window-verified by
+        # snapshot_widen_column + snapshot_name_mapping_read +
+        # snapshot_schema_history. Both stay oracle-gated in
+        # tests/test_queries_oracle.py.
+        "snapshot_positional_delete",
+        "snapshot_alter_columns",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -37,12 +37,15 @@ def test_families_inside_driver_window():
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r11_rotation_composition():
-    # VERDICT r10 #1: the two r10 flagship queries graduate into the
-    # driver's 50-slot window (snapshot_name_mapping_read,
-    # snapshot_rewrite_late_appends); two duplicate-coverage slots move
-    # below it, and earlier graduates/evictees hold their positions
-    # (evictees stay oracle-gated in pytest)
+def test_r12_rotation_composition():
+    # VERDICT r11 #1: the two r11 flagship queries graduate into the
+    # driver's 50-slot window (snapshot_delete_manifests_read,
+    # snapshot_evolution_mor_read); two duplicate-coverage slots move
+    # below it (snapshot_positional_delete — pos-delete shape stays
+    # window-green via the strictly-harder delete-manifests read;
+    # snapshot_alter_columns — rename/drop shape stays window-green via
+    # the evolution×MoR read), and earlier graduates/evictees hold
+    # their positions (evictees stay oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
         "snapshot_delete_update",  # r07 graduates stay in
@@ -52,17 +55,17 @@ def test_r11_rotation_composition():
         "snapshot_refs",
         "snapshot_merge_clauses",  # r08 graduates stay in
         "snapshot_schema_history",
-        "snapshot_positional_delete",
         "snapshot_meta_sql",
         "train_stratified_sample",
-        "snapshot_alter_columns",  # r09 graduates (the r08 statement tier)
-        "snapshot_insert_overwrite",
+        "snapshot_insert_overwrite",  # r09 graduates (r08 statement tier)
         "snapshot_ctas",
         "snapshot_wap_statements",
         "snapshot_widen_column",  # r10 graduate
         "snapshot_name_mapping_read",  # r11 graduates (r10 flagships)
         "snapshot_rewrite_late_appends",
-        # the shapes that keep the r11 evictees' coverage window-green
+        "snapshot_delete_manifests_read",  # r12 graduates (r11 flagships)
+        "snapshot_evolution_mor_read",
+        # the shapes that keep the r11/r12 evictees' coverage window-green
         "b7_daily_rollup",
         "metric_range_daily",
         "stream_session_counts",
@@ -89,6 +92,8 @@ def test_r11_rotation_composition():
         "snapshot_update_unfiltered",  # r10 evictee (dup DML coverage)
         "stream_tumbling_counts",  # r11 evictees (duplicate coverage)
         "cdc_latest_state",
+        "snapshot_positional_delete",  # r12 evictees (duplicate coverage)
+        "snapshot_alter_columns",
     ):
         assert n not in head, n
 
