@@ -53,9 +53,18 @@ def cosine_topk(
 
     Plan: broadcast-nested-loop of |queries| × corpus — the corpus is
     scanned once, never shuffled; per-query top-k via window on the
-    (tiny) scored set partitioned by query."""
+    (tiny) scored set partitioned by query.
+
+    Zero-norm vectors have no direction, so cosine similarity against
+    them is undefined (0/0); they are EXCLUDED from both the query set
+    and the candidate set (ADVICE r11 #2 — previously the raw NaN
+    sorted FIRST under ``desc``, silently topping every ranking, while
+    the Arrow twin mapped the same rows to sim 0.0; both twins now
+    share this explicit filter and stay row-identical on any data)."""
     v = as_double(F.col(vec_col))
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), (l2_norm(v)).alias("nrm"))
+    base = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), (l2_norm(v)).alias("nrm")
+    ).filter(F.col("nrm") > 0)
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -101,6 +110,12 @@ def cosine_topk_arrow(
     ~1e-15 against the ROUND(·, 4) the callers apply — the recall suite
     pins the two implementations row-identical on the fixtures.
 
+    Zero-norm handling matches :func:`cosine_topk` exactly (ADVICE r11
+    #2): directionless vectors are EXCLUDED from queries and candidates
+    — previously this twin clamped them to sim 0.0 while the JVM fold's
+    0/0 NaN desc-sorted FIRST, so the two diverged on any data
+    containing a zero vector.
+
     :func:`cosine_topk` stays the shuffle-free-of-Python reference
     implementation (ground truth for the ANN recall gates)."""
     import numpy as np
@@ -112,18 +127,24 @@ def cosine_topk_arrow(
         .collect()
     )  # bounded: |query_ids| rows
     qids = np.array([r.id for r in qrows], dtype=np.int64)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = np.array([r.v for r in qrows], dtype=np.float64).reshape(len(qrows), -1)
+    qn = np.linalg.norm(Q, axis=1)
+    qids, Q, qn = qids[qn > 0], Q[qn > 0], qn[qn > 0]
+    Qn = Q / qn[:, None]
     n_q = len(qids)
 
     def score(batches):
         for pdf in batches:
-            n = len(pdf)
-            if not n:
+            if not len(pdf):
                 continue
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             nrm = np.linalg.norm(M, axis=1)
-            nrm[nrm == 0] = 1.0
+            keep = nrm > 0
+            if not keep.all():
+                pdf, M, nrm = pdf[keep], M[keep], nrm[keep]
+            n = len(pdf)
+            if not n:
+                continue
             sims = (M / nrm[:, None]) @ Qn.T  # (n, n_q)
             yield pd.DataFrame(
                 {

@@ -701,18 +701,38 @@ class RestCatalog:
         post-overwrite expiry strands the served old snapshot: its
         manifest list survives but points at deleted files — a dangling
         time-travel read for any external engine. Returns the number of
-        snapshots removed. Refs guard the catalog side: a tag/branch
-        pointing at a doomed id refuses (drop the ref first), matching
-        Iceberg's expire semantics."""
+        snapshots removed.
+
+        Refs guard the removal: a tag/branch pointing at a doomed id
+        refuses (drop the ref first), matching Iceberg's expire
+        semantics. The guard runs CLIENT-SIDE against the served
+        ``refs`` before any update is sent (ADVICE r11 #3) — a
+        conforming server enforces the same rule, but the safety
+        property must not depend on server behavior: against a lax
+        endpoint the old code would have silently removed ref-pinned
+        snapshots."""
         loaded = self.load_table(namespace, table)
-        served = {
-            s["snapshot-id"]
-            for s in loaded.get("metadata", {}).get("snapshots", [])
-        }
+        meta = loaded.get("metadata", {})
+        served = {s["snapshot-id"] for s in meta.get("snapshots", [])}
         local = {int(m[1:9]) for m in snap._manifests()}
-        doomed = sorted(served - local)
-        if doomed:
-            self.remove_snapshots(namespace, table, doomed)
+        doomed = set(served - local)
+        if not doomed:
+            return 0
+        for ref, r in sorted(meta.get("refs", {}).items()):
+            if r.get("snapshot-id") in doomed:
+                raise ValueError(
+                    f"cannot prune snapshot {r['snapshot-id']}: served "
+                    f"{r.get('type', 'ref')} {ref!r} still points at it "
+                    "— drop or retarget the ref first (external readers "
+                    "resolve it to this snapshot)"
+                )
+        cur = meta.get("current-snapshot-id")
+        if cur in doomed:
+            raise ValueError(
+                f"cannot prune the served current snapshot {cur}: "
+                "publish a newer version first"
+            )
+        self.remove_snapshots(namespace, table, sorted(doomed))
         return len(doomed)
 
     def publish_snapshot(
@@ -877,18 +897,35 @@ class RestCatalog:
                 # outside int→long / float→double / same-scale precision
                 # growth. The widen stays fully usable engine-side; to
                 # publish, drop+re-add the column (a new field id).
-                served_types = {
-                    f["id"]: f["type"]
-                    for s in schemas
-                    for f in s.get("fields", [])
-                }
+                #
+                # Direction matters (ADVICE r11 #1). A HEAD publish
+                # (``is_newest``) emits a schema update, so the guard is
+                # served-type -> new-type must be a spec promotion. A
+                # BACKFILL emits no schema update at all (``new_schema``
+                # below is gated on ``is_newest``) — its files are read
+                # THROUGH the already-served schemas, so the guard flips:
+                # the file's HISTORICAL type must promote to the served
+                # type (backfilling pre-widen 'int' files under a served
+                # 'long' schema is exactly the spec's promotion read and
+                # must publish; the old last-wins check refused it).
+                # Either way, an (id, type) pair already present in SOME
+                # served schema is accepted — it is catalog-served
+                # history, reachable only via a legal chain.
+                served_types: dict[int, str] = {}
+                served_pairs: set[tuple[int, str]] = set()
+                for s in schemas:
+                    for f in s.get("fields", []):
+                        served_types[f["id"]] = f["type"]
+                        served_pairs.add((f["id"], f["type"]))
                 for f in rest_schema["fields"]:
                     prev = served_types.get(f["id"])
                     if (
-                        prev is not None
-                        and prev != f["type"]
-                        and not _legal_promotion(prev, f["type"])
+                        prev is None
+                        or prev == f["type"]
+                        or (f["id"], f["type"]) in served_pairs
                     ):
+                        continue
+                    if is_newest and not _legal_promotion(prev, f["type"]):
                         raise ValueError(
                             f"column {f['name']!r} (field id {f['id']}) "
                             f"changed type {prev!r} -> {f['type']!r}: not "
@@ -897,6 +934,20 @@ class RestCatalog:
                             "— keep the widen engine-internal, or DROP "
                             "and re-ADD the column (a new field id) "
                             "before publishing"
+                        )
+                    if not is_newest and not _legal_promotion(
+                        f["type"], prev
+                    ):
+                        raise ValueError(
+                            f"column {f['name']!r} (field id {f['id']}) "
+                            f"reads as {f['type']!r} in backfill version "
+                            f"{manifest['version']} but the catalog "
+                            f"serves it as {prev!r}, and {f['type']!r} "
+                            f"-> {prev!r} is not an Iceberg type "
+                            "promotion: external readers could not read "
+                            "the backfilled files through any served "
+                            "schema — publish the newest version first, "
+                            "or keep this version engine-internal"
                         )
                 cur_id = meta.get("current-schema-id", len(schemas) - 1)
                 cur = next(

@@ -1691,6 +1691,56 @@ def test_publish_refuses_spec_illegal_decimal_scale_widen(
     assert _readback_equal(spark, tbl2, "ns", "t_intw", cat) == 2
 
 
+def test_backfill_pre_widen_version_publishes(mock_catalog, spark, tmp_path):
+    """ADVICE r11 #1 repro: backfilling a PRE-widen version (whose files
+    read the field as 'int' while the latest served schema says 'long')
+    must publish — a backfill emits no schema update, and served-long
+    reading file-int is exactly the spec's promotion read. The old
+    last-wins promotion check refused it. Both backfill orders covered:
+    (a) both schemas served, (b) newest-first so 'int' was never served."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+
+    # (a) publish v1 (int), widen, publish v2 (long), then backfill v1:
+    # the (id, 'int') pair is served history and must republish cleanly
+    tbl = SnapshotTable(spark, str(tmp_path / "bf_widen_a"))
+    tbl.commit(spark.createDataFrame([(1, 2)], "k int, n int").coalesce(1))
+    cat.publish_snapshot("ns", "t_bfw_a", tbl)
+    tbl.alter_widen_column("n", "bigint")
+    tbl.commit(
+        spark.createDataFrame([(2, 2**40)], "k int, n long").coalesce(1)
+    )
+    cat.publish_snapshot("ns", "t_bfw_a", tbl)  # head (widen is its own
+    #                                              metadata-only version)
+    cat.publish_snapshot("ns", "t_bfw_a", tbl, version=1)  # backfill
+    cat.verify_publish("ns", "t_bfw_a", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_bfw_a", cat) == 2
+
+    # (b) newest-first: only the 'long' schema is ever served; the
+    # backfilled v1 'int' files still publish (int -> long promotion
+    # read) and the served current schema stays 'long'
+    tbl2 = SnapshotTable(spark, str(tmp_path / "bf_widen_b"))
+    tbl2.commit(spark.createDataFrame([(1, 2)], "k int, n int").coalesce(1))
+    tbl2.alter_widen_column("n", "bigint")
+    tbl2.commit(
+        spark.createDataFrame([(2, 2**40)], "k int, n long").coalesce(1)
+    )
+    cat.publish_snapshot("ns", "t_bfw_b", tbl2)  # newest first (head)
+    cat.publish_snapshot("ns", "t_bfw_b", tbl2, version=1)  # backfill
+    meta = cat.load_table("ns", "t_bfw_b")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["current-snapshot-id"] == tbl2.current_version()
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert next(
+        f["type"] for f in cur["fields"] if f["name"] == "n"
+    ) == "long"
+    assert _readback_equal(spark, tbl2, "ns", "t_bfw_b", cat) == 2
+
+
 def test_readded_column_after_drop_mints_fresh_id_e2e(
     mock_catalog, spark, tmp_path
 ):
@@ -1859,8 +1909,13 @@ def test_prune_expired_snapshots_unstrands_served_history(
     old = next(s for s in meta["snapshots"] if s["snapshot-id"] == 1)
     data, _ = plan_entries(old["manifest-list"])
     assert any(not _os.path.exists(f["file_path"]) for f in data)
-    with _pytest.raises(CatalogError, match="audit"):
+    # the ref guard is CLIENT-side (ADVICE r11 #3): the refusal happens
+    # before any update is sent, so it holds even against a lax server —
+    # and the served history is untouched by the refused attempt
+    with _pytest.raises(ValueError, match="audit"):
         cat.prune_expired_snapshots("ns", "t_prune", tbl)
+    meta = cat.load_table("ns", "t_prune")["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2]
     # drop the ref, prune, and the served history is consistent again
     cat.publish_ref("ns", "t_prune", "audit", 2, ref_type="tag")  # retarget
     assert cat.prune_expired_snapshots("ns", "t_prune", tbl) == 1

@@ -219,3 +219,38 @@ def test_arrow_cosine_topk_row_identical_to_jvm(emb):
         for r in cosine_topk_arrow(emb, QUERY_IDS, k=10).collect()
     }
     assert jvm == arrow
+
+
+def test_zero_norm_vectors_excluded_identically(spark, emb):
+    """ADVICE r11 #2: a zero vector has no direction — cosine against it
+    is 0/0. Previously the JVM fold's NaN desc-sorted FIRST (topping
+    every ranking) while the Arrow twin clamped it to 0.0, so the twins
+    diverged on any data with a zero vector. Both now EXCLUDE zero-norm
+    rows from queries and candidates: inject a zero corpus vector and a
+    zero QUERY vector and the twins stay row-identical, the zero row
+    never appears as a neighbor, and the zero query emits no rows."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.similarity.knn import cosine_topk, cosine_topk_arrow
+
+    dim = len(emb.select("embedding").first()[0])
+    zeros = spark.createDataFrame(
+        [(100001, [0.0] * dim), (100002, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding"))
+    poisoned = emb.select("vec_id", "embedding").unionByName(zeros)
+    qids = QUERY_IDS + [100002]  # one zero-norm QUERY too
+    jvm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(poisoned, qids, k=10).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk_arrow(poisoned, qids, k=10).collect()
+    }
+    assert jvm == arrow
+    assert jvm  # non-degenerate: the real queries still rank
+    assert all(q != 100002 for q, _ in jvm)  # zero query emits nothing
+    assert all(n not in (100001, 100002) for n, _ in jvm.values())
+    # and the zero rows never top a ranking (the old NaN-first bug)
+    assert all(sim == sim for _, sim in jvm.values())  # no NaN survives
