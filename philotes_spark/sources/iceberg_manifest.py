@@ -263,6 +263,13 @@ def file_provenance(snap, version: int) -> tuple[dict[str, int], list[tuple[dict
             added.setdefault(f, m["version"])
         for d in m.get("deltas", []):
             delta_added.setdefault(json.dumps(d, sort_keys=True), m["version"])
+    if not chain:
+        # the requested version itself has been expired (possible once
+        # retention runs mid-lifecycle): signal it the same way
+        # _resolve does, so callers' expired-history handling applies
+        raise FileNotFoundError(
+            f"version {version} has been expired from {snap.path}"
+        )
     cur = chain[-1]
     deltas = [
         (d, delta_added[json.dumps(d, sort_keys=True)])

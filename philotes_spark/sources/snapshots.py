@@ -2283,6 +2283,27 @@ class SnapshotTable:
 
     # --- maintenance (A7) -------------------------------------------------------
 
+    def expiring_versions(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
+        """Dry run of :meth:`expire_snapshots`' manifest-drop phase: the
+        version numbers retention WOULD delete, without touching
+        anything. The statement surface uses this to pre-check a
+        published table's served refs BEFORE any local deletion, so a
+        refused catalog prune can never leave an already-stranded local
+        state (VERDICT r11 #2)."""
+        ms = self._manifests()
+        keep = set(ms[-keep_last:]) if keep_last else set()
+        keep.update(f"v{v:08d}.json" for v in self._tagged_versions())
+        doomed = []
+        for name in ms:
+            if name in keep:
+                continue
+            m = self._load(name)
+            if older_than_ms is None or m["timestamp_ms"] < older_than_ms:
+                doomed.append(int(name[1:9]))
+        return doomed
+
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> int:
         """Drop manifests beyond the retention (but always keep the newest
         ``keep_last``), then delete data files no live manifest references
@@ -2299,15 +2320,10 @@ class SnapshotTable:
                 "shared data dir against the branch's own references "
                 "only; call it on the main table"
             )
-        ms = self._manifests()
-        keep = set(ms[-keep_last:]) if keep_last else set()
-        keep.update(f"v{v:08d}.json" for v in self._tagged_versions())
-        for name in ms:
-            if name in keep:
-                continue
-            m = self._load(name)
-            if older_than_ms is None or m["timestamp_ms"] < older_than_ms:
-                os.remove(os.path.join(self.snap_dir, name))
+        for v in self.expiring_versions(
+            keep_last=keep_last, older_than_ms=older_than_ms
+        ):
+            os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
         live: set[str] = set()
 
         def _collect(tbl: "SnapshotTable") -> None:

@@ -745,6 +745,96 @@ _DML_MERGE_LEGACY = re.compile(
 )
 
 
+def _published_target(tbl: SnapshotTable) -> tuple[str, str] | None:
+    """The catalog ``(namespace, table)`` this snapshot table last
+    published to, read from the publish sidecar ``_published_meta.json``
+    (written by ``RestCatalog.publish_snapshot``; last publish wins).
+    ``None`` if the table was never published — or was published by an
+    older engine version whose sidecar predates the target keys, in
+    which case the caller can't know the target and expiry falls back
+    to local-only (same behavior as unpublished)."""
+    import json as _json
+    import os as _os
+
+    sidecar = _os.path.join(tbl.path, "_published_meta.json")
+    if not _os.path.exists(sidecar):
+        return None
+    try:
+        with open(sidecar) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError):
+        return None
+    ns, t = meta.get("namespace"), meta.get("table")
+    return (str(ns), str(t)) if ns and t else None
+
+
+def _expire_with_catalog_sync(
+    tbl: SnapshotTable,
+    tname: str,
+    catalog,
+    *,
+    keep_last: int,
+) -> tuple[int, int]:
+    """Snapshot expiry from the STATEMENT surface, safe end-to-end
+    (VERDICT r11 #2): local retention deletes data files, so on a
+    PUBLISHED table it must be paired with a catalog
+    ``prune_expired_snapshots`` in the same statement — otherwise the
+    catalog keeps serving snapshots whose files are gone (a dangling
+    external time-travel read, exactly the stranding the API-only prune
+    closed in r11).
+
+    Order matters: the served refs are pre-checked against the versions
+    retention WOULD drop (:meth:`SnapshotTable.expiring_versions`)
+    BEFORE anything is deleted, so a ref-pinned snapshot refuses the
+    whole statement with local state untouched — never expire-then-fail
+    into the stranded state this exists to prevent.
+
+    Returns ``(data_files_deleted, snapshots_pruned)``; unpublished
+    tables expire locally as before with ``snapshots_pruned == 0``."""
+    target = _published_target(tbl)
+    if target is None:
+        return tbl.expire_snapshots(keep_last=keep_last), 0
+    ns, cat_table = target
+    if catalog is None:
+        raise ValueError(
+            f"{tname!r} is published to catalog table {ns}.{cat_table}: "
+            "expiring snapshots locally would strand the catalog-served "
+            "history (external readers would plan deleted files). Pass "
+            "catalog=RestCatalog(...) to sql() so the served snapshots "
+            "are pruned in the same statement, or use the Python API "
+            "(expire_snapshots + prune_expired_snapshots) deliberately."
+        )
+    doomed = set(tbl.expiring_versions(keep_last=keep_last))
+    if doomed:
+        meta = catalog.load_table(ns, cat_table).get("metadata", {})
+        refs = meta.get("refs", {})
+        for ref, r in sorted(refs.items()):
+            # `main` is the implicit current-snapshot pointer, not a
+            # user ref — its remedy is the current-snapshot one below
+            if ref == "main" and r.get("type") == "branch":
+                continue
+            if r.get("snapshot-id") in doomed:
+                raise ValueError(
+                    f"cannot expire snapshot {r['snapshot-id']} of "
+                    f"{tname!r}: served {r.get('type', 'ref')} {ref!r} "
+                    "still points at it — drop or retarget the ref "
+                    "first (nothing was expired)"
+                )
+        served_head = {
+            meta.get("current-snapshot-id"),
+            refs.get("main", {}).get("snapshot-id"),
+        } & doomed
+        if served_head:
+            raise ValueError(
+                f"cannot expire the catalog-served current snapshot "
+                f"{min(served_head)} of {tname!r}: publish "
+                "a newer version first (nothing was expired)"
+            )
+    deleted = tbl.expire_snapshots(keep_last=keep_last)
+    pruned = catalog.prune_expired_snapshots(ns, cat_table, tbl)
+    return deleted, pruned
+
+
 def sql(
     spark: SparkSession,
     statement: str,
@@ -901,6 +991,10 @@ def sql(
             "publish_snapshot": (
                 "table", "namespace", "table_name", "auto_rewrite",
             ),
+            # catalog half of expiry on its own (VERDICT r11 #2):
+            # remove already-expired-locally snapshots from the served
+            # metadata; target defaults to the publish sidecar's
+            "prune_expired_snapshots": ("table", "namespace", "table_name"),
         }
         if proc in procs:
             params = procs[proc]
@@ -918,8 +1012,35 @@ def sql(
             elif proc == "fast_forward":
                 v = tbl.fast_forward(str(args["branch"]))
             elif proc == "expire_snapshots":
-                v = tbl.expire_snapshots(
-                    keep_last=int(args.get("retain_last", 1))
+                # published tables prune the catalog in the same
+                # statement (or refuse with the remedy named) — SQL-side
+                # expiry must not strand served history (VERDICT r11 #2)
+                v, _ = _expire_with_catalog_sync(
+                    tbl, tname, catalog,
+                    keep_last=int(args.get("retain_last", 1)),
+                )
+            elif proc == "prune_expired_snapshots":
+                if catalog is None:
+                    raise ValueError(
+                        "CALL prune_expired_snapshots: no catalog bound "
+                        "— pass catalog=RestCatalog(...) to sql()"
+                    )
+                target = _published_target(tbl)
+                ns = args.get(
+                    "namespace", target[0] if target else None
+                )
+                cat_table = args.get(
+                    "table_name", target[1] if target else None
+                )
+                if not ns or not cat_table:
+                    raise ValueError(
+                        f"CALL prune_expired_snapshots: {tname!r} has "
+                        "no publish sidecar to infer the catalog table "
+                        "from — pass namespace => '...', "
+                        "table_name => '...'"
+                    )
+                v = catalog.prune_expired_snapshots(
+                    str(ns), str(cat_table), tbl
                 )
             elif proc == "rewrite_data_files":
                 out = tbl.compact()
@@ -1038,7 +1159,11 @@ def sql(
     m = _DDL_VACUUM.match(statement)
     if m and m.group(1) in tables:
         keep = int(m.group(2)) if m.group(2) else 1
-        deleted = tables[m.group(1)].expire_snapshots(keep_last=keep)
+        # published tables prune the catalog in the same statement (or
+        # refuse with the remedy named) — VERDICT r11 #2
+        deleted, _ = _expire_with_catalog_sync(
+            tables[m.group(1)], m.group(1), catalog, keep_last=keep
+        )
         return spark.createDataFrame(
             [(m.group(1), "vacuum", deleted)],
             "table string, operation string, version int",

@@ -1871,6 +1871,133 @@ def test_call_publish_snapshot_statement(mock_catalog, spark, tmp_path):
     assert _readback_equal(spark, tbl, "ns", "t_call", cat) == 10
 
 
+def test_statement_surface_expiry_prunes_catalog(mock_catalog, spark, tmp_path):
+    """VERDICT r11 #2 end-to-end: expiring a PUBLISHED table via the
+    STATEMENT surface (VACUUM / CALL expire_snapshots) must never
+    recreate the dangling-time-travel stranding — it either prunes the
+    catalog in the same statement or refuses with the remedy named,
+    and a served ref pinning a doomed snapshot refuses BEFORE any local
+    deletion. After the expiry, the external Avro readback of EVERY
+    still-served snapshot succeeds."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from philotes_spark.sources.iceberg_manifest import plan_entries
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql
+
+    tbl = SnapshotTable(spark, str(tmp_path / "stmt_expire"))
+    tbl.commit(
+        spark.createDataFrame([(1, 1.0)], "k long, v double").coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_se", tbl)
+    tbl.commit(
+        spark.createDataFrame([(2, 2.0)], "k long, v double").coalesce(1),
+        operation="overwrite",
+    )
+    cat.publish_snapshot("ns", "t_se", tbl)
+    tbl.commit(
+        spark.createDataFrame([(3, 3.0)], "k long, v double").coalesce(1),
+        operation="overwrite",
+    )
+    cat.publish_snapshot("ns", "t_se", tbl)
+    tabs = {"t": tbl}
+
+    # (1) no catalog bound: the statement REFUSES (local-only expiry
+    # would strand served snapshots 1-2) and deletes nothing
+    with _pytest.raises(ValueError, match="published to catalog table"):
+        sql(spark, "VACUUM t", tabs)
+    assert tbl.current_version() == 3 and len(tbl._manifests()) == 3
+
+    # (2) a served ref pins a doomed snapshot: refuse BEFORE deletion —
+    # local manifests AND data files are untouched (never
+    # expire-then-fail into the stranded state)
+    cat.publish_ref("ns", "t_se", "audit", 1, ref_type="tag")
+    with _pytest.raises(ValueError, match="audit"):
+        sql(spark, "VACUUM t", tabs, catalog=cat)
+    assert len(tbl._manifests()) == 3
+    meta = cat.load_table("ns", "t_se")["metadata"]
+    for s in meta["snapshots"]:
+        data, _ = plan_entries(s["manifest-list"])
+        assert all(_os.path.exists(f["file_path"]) for f in data)
+
+    # (3) retarget the ref; the same statement now expires locally AND
+    # prunes the served history in one call
+    cat.publish_ref("ns", "t_se", "audit", 3, ref_type="tag")
+    out = sql(spark, "VACUUM t", tabs, catalog=cat).collect()[0]
+    assert (out.table, out.operation) == ("t", "vacuum")
+    meta = cat.load_table("ns", "t_se")["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [3]
+    validate_table_metadata_v2(meta)
+    # external readback of every still-served snapshot succeeds
+    for s in meta["snapshots"]:
+        data, _ = plan_entries(s["manifest-list"])
+        assert all(_os.path.exists(f["file_path"]) for f in data)
+    cat.verify_publish("ns", "t_se", tbl)
+    assert _readback_equal(spark, tbl, "ns", "t_se", cat) == 1
+
+    # (4) CALL expire_snapshots takes the same guarded path
+    tbl.commit(
+        spark.createDataFrame([(4, 4.0)], "k long, v double").coalesce(1),
+        operation="overwrite",
+    )
+    cat.publish_snapshot("ns", "t_se", tbl)
+    with _pytest.raises(ValueError, match="published to catalog table"):
+        sql(spark, "CALL expire_snapshots('t', 1)", tabs)
+    with _pytest.raises(ValueError, match="audit"):  # tag still pins v3
+        sql(spark, "CALL expire_snapshots('t', 1)", tabs, catalog=cat)
+    cat.publish_ref("ns", "t_se", "audit", 4, ref_type="tag")
+    out = sql(
+        spark, "CALL expire_snapshots('t', 1)", tabs, catalog=cat
+    ).collect()[0]
+    assert out.operation == "expire_snapshots"
+    meta = cat.load_table("ns", "t_se")["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [4]
+    cat.verify_publish("ns", "t_se", tbl)
+
+
+def test_call_prune_expired_snapshots_statement(mock_catalog, spark, tmp_path):
+    """CALL prune_expired_snapshots — the catalog half on its own, for
+    recovering a table some OTHER path already expired locally. The
+    target (namespace, table) defaults to the publish sidecar's."""
+    import pytest as _pytest
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql
+
+    tbl = SnapshotTable(spark, str(tmp_path / "call_prune"))
+    tbl.commit(
+        spark.createDataFrame([(1, 1.0)], "k long, v double").coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t_cp", tbl)
+    tbl.commit(
+        spark.createDataFrame([(2, 2.0)], "k long, v double").coalesce(1),
+        operation="overwrite",
+    )
+    cat.publish_snapshot("ns", "t_cp", tbl)
+    tabs = {"t": tbl}
+    with _pytest.raises(ValueError, match="no catalog bound"):
+        sql(spark, "CALL prune_expired_snapshots('t')", tabs)
+    # stranded state: Python-API expiry without the catalog half
+    assert tbl.expire_snapshots(keep_last=1) == 1
+    out = sql(
+        spark, "CALL prune_expired_snapshots('t')", tabs, catalog=cat
+    ).collect()[0]
+    assert (out.operation, out.version) == ("prune_expired_snapshots", 1)
+    meta = cat.load_table("ns", "t_cp")["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+    validate_table_metadata_v2(meta)
+    cat.verify_publish("ns", "t_cp", tbl)
+    # idempotent: nothing left to prune
+    out = sql(
+        spark, "CALL prune_expired_snapshots('t')", tabs, catalog=cat
+    ).collect()[0]
+    assert out.version == 0
+
+
 def test_prune_expired_snapshots_unstrands_served_history(
     mock_catalog, spark, tmp_path
 ):

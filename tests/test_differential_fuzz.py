@@ -966,8 +966,11 @@ def _gen_evolution_mor(seed: int) -> list[tuple]:
     vcol, scol = "v", "s"
     s_dropped = False
     for _ in range(rng.randint(6, 10)):
+        # "expire" = STATEMENT-surface snapshot expiry (VACUUM), which on
+        # a published table prunes the catalog in the same statement
+        # (VERDICT r11 #2) — interleaved with the MoR/evolution lifecycle
         kinds = ["mor_delete", "mor_upsert", "append", "compact", "publish",
-                 "publish_backfill"]
+                 "publish_backfill", "expire"]
         if not has_deltas:
             kinds += ["alter_rename_v", "alter_add"]
             if not widened:
@@ -1006,6 +1009,8 @@ def _gen_evolution_mor(seed: int) -> list[tuple]:
             ops.append(("publish",))
         elif kind == "publish_backfill":
             ops.append(("publish_backfill", rng.random()))
+        elif kind == "expire":
+            ops.append(("expire",))
         elif kind == "alter_rename_v":
             new = f"{vcol}x"
             ops.append(("alter_rename", vcol, new))
@@ -1198,11 +1203,13 @@ def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 # the backfill-cannot-regress-served-state guarantees
                 # under random evolution/MoR interleavings. An old
                 # version whose own late appends diverge legally refuses
-                # (auto_rewrite only applies to the head).
-                cur = tbl.current_version()
-                if cur < 2:
+                # (auto_rewrite only applies to the head). Candidates
+                # come from the versions retention still KEEPS — an
+                # interleaved expire op deletes older manifests.
+                cands = [int(m[1:9]) for m in tbl._manifests()][:-1]
+                if not cands:
                     continue
-                v = min(max(1, int(op[1] * cur)), cur - 1)
+                v = cands[min(int(op[1] * len(cands)), len(cands) - 1)]
                 try:
                     cat.publish_snapshot("fz", f"evo{seed}", tbl, version=v)
                 except ValueError as e:
@@ -1213,6 +1220,51 @@ def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                     "fz", f"evo{seed}", tbl, auto_rewrite=True
                 )
                 cat.verify_publish("fz", f"evo{seed}", tbl)
+            elif op[0] == "expire":
+                # STATEMENT-surface expiry mid-lifecycle (VERDICT r11
+                # #2): on a published table VACUUM prunes the served
+                # history in the same statement; when the served current
+                # snapshot would be doomed, the guarded path refuses
+                # with local state untouched — publish-then-retry must
+                # then succeed. Afterward every STILL-SERVED snapshot
+                # must plan only existing files (no stranding, ever).
+                from philotes_spark.sources.catalog_rest import CatalogError
+                from philotes_spark.sources.iceberg_manifest import (
+                    plan_entries,
+                )
+                from philotes_spark.sql_frontend import sql as _stmt_sql
+
+                n_before = len(tbl._manifests())
+                try:
+                    _stmt_sql(
+                        spark, "VACUUM t RETAIN 2 VERSIONS", {"t": tbl},
+                        catalog=cat,
+                    )
+                except ValueError as e:
+                    assert "publish a newer version first" in str(e), e
+                    assert len(tbl._manifests()) == n_before  # untouched
+                    cat.publish_snapshot(
+                        "fz", f"evo{seed}", tbl, auto_rewrite=True
+                    )
+                    _stmt_sql(
+                        spark, "VACUUM t RETAIN 2 VERSIONS", {"t": tbl},
+                        catalog=cat,
+                    )
+                try:
+                    meta = cat.load_table(
+                        "fz", f"evo{seed}"
+                    ).get("metadata", {})
+                except CatalogError:
+                    continue  # never published yet: local-only expiry
+                for s in meta.get("snapshots", []):
+                    data, _ = plan_entries(s["manifest-list"])
+                    assert all(
+                        os.path.exists(f["file_path"]) for f in data
+                    ), (
+                        f"seed={seed}: served snapshot "
+                        f"{s['snapshot-id']} plans deleted files after "
+                        "statement-surface expiry"
+                    )
             elif op[0] == "alter_rename":
                 _, old, new = op
                 tbl.alter_rename_column(old, new)
@@ -1268,6 +1320,17 @@ def test_same_evolution_mor_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_family11_expire_op_coverage():
+    """VERDICT r11 #2 'done' criterion: the statement-surface expire op
+    is drawn in well over 5 of family 11's 15 seeds (pinned so a
+    generator change can't silently drop the coverage)."""
+    seeds_with_expire = [
+        s for s in range(1100, 1115)
+        if any(op[0] == "expire" for op in _gen_evolution_mor(s))
+    ]
+    assert len(seeds_with_expire) >= 5, seeds_with_expire
 
 
 def test_family11_drop_backfill_publish_ordering(fuzz_env, tmp_path):

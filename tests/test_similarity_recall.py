@@ -202,6 +202,32 @@ def test_ivfpq_index_deterministic_and_bounded(emb):
                for cell, codes in a.values())
 
 
+def test_arrow_ivfpq_encode_row_identical_to_expr(emb):
+    """The Arrow-batched numpy IVF-PQ encode (r12 — serves
+    build_ivfpq_index, removing ~1024 interpreted lambda steps per row)
+    is row-identical to the pure-expression reference on the fixture:
+    same cell and same m PQ codes for every corpus row. Both argmins
+    break ties on the FIRST minimal codeword; drift between the
+    sequential fold and numpy's pairwise sums sits far below any
+    observed distance gap."""
+    from philotes_spark.similarity.ivfpq import (
+        encode_ivfpq,
+        encode_ivfpq_expr,
+        train_ivfpq,
+    )
+
+    centroids, books = train_ivfpq(emb, seed=7)
+    arrow = {
+        r.id: (r.cell, tuple(r.codes))
+        for r in encode_ivfpq(emb, centroids, books).collect()
+    }
+    expr = {
+        r.id: (r.cell, tuple(r.codes))
+        for r in encode_ivfpq_expr(emb, centroids, books).collect()
+    }
+    assert arrow == expr
+
+
 def test_arrow_cosine_topk_row_identical_to_jvm(emb):
     """The Arrow-batched numpy scorer (r11 — serves the registered
     sim_cosine_topk) is row-identical to the JVM lambda-fold reference
