@@ -326,13 +326,13 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_word_ratio (most frequent token's share), top_bigram_ratio, and
     uniq_bigram_ratio (distinct 2-grams / total).
 
-    The mode counts are explode + count on (doc_id, gram) then a max/sum
-    per doc. Every gram of a document lives in the SAME input row, so the
-    partial aggregation collapses each (doc_id, gram) group entirely
-    map-side before the exchange — the two shuffles carry per-doc distinct
-    gram counts (bounded by doc length), not the len(t)-fold exploded
-    corpus. The distinct-bigram ratio never leaves the array — pure JVM
-    expression.
+    The mode counts are explode + count on (doc_id, kind, gram-hash)
+    then one conditional max/sum/count per doc (r12 fused single-pass
+    plan — see the inline note). Every gram of a document lives in the
+    SAME input row, so the partial aggregation collapses each group
+    entirely map-side before the exchange — the shuffles carry per-doc
+    distinct gram counts (bounded by doc length), not the len(t)-fold
+    exploded corpus.
 
     A fully narrow twin was measured in r06 (mode = longest equal-run of
     the array_sort'ed copy via an ``aggregate`` fold, zero shuffles):
@@ -348,49 +348,76 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    bigr = docs.select(
+    both = docs.select(
         "doc_id",
+        "t",
         F.expr(
             "filter(zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),"
             " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
         ).alias("bg"),
     )
-    # r11: both mode-count legs hash their gram to a 64-bit key right
-    # after the explode (the same xxhash64 compression
-    # text_dup_ngram_fraction uses, and the same accepted ~1e-7
-    # collision risk — a within-doc collision merges two gram counts and
-    # would surface deterministically as an oracle hash mismatch): the
-    # counts never need the gram TEXT, so the two wide shuffles carry
-    # 8-byte longs instead of strings and the aggregation hashmaps
-    # compare longs. Measured at sf1 (interleaved A/B, min-of-4 cold):
-    # 8.83 → 6.83 s.
-    wstat = (
-        docs.select("doc_id", F.explode("t").alias("tok0"))
-        .select("doc_id", F.xxhash64("tok0").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("count") / F.sum("count"), 4).alias("top_word_ratio")
-        )
-    )
-    bstat = (
-        bigr.select("doc_id", F.explode("bg").alias("g0"))
-        .select("doc_id", F.xxhash64("g0").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_ratio")
-        )
-    )
-    ustat = bigr.select(
+    # r11 hashed both mode-count legs to 64-bit keys right after the
+    # explode (xxhash64, same accepted ~1e-7 collision class as
+    # text_dup_ngram_fraction — a collision merges two gram counts and
+    # would surface deterministically as an oracle hash mismatch), so
+    # the wide shuffles carry 8-byte longs: sf1 8.83 → 6.83 s.
+    #
+    # r12 fuses the two legs into ONE pass: tokens and bigrams explode
+    # together as (kind, key) structs, so the corpus is read and
+    # exploded once, ONE (doc, kind, key) count replaces the two
+    # separate mode counts, and all three ratios fall out of a single
+    # per-doc conditional aggregate — 2 exchanges instead of 5, no
+    # 3-way self-join, 7 → 3 AQE jobs (the sf0.1 floor ask, VERDICT
+    # r11 #5). A fusion was measured and REJECTED in r11 (sf0.3
+    # 2.34 → 2.56 s); what flips it now is folding uniq_bigram_ratio
+    # INTO the same aggregate as distinct-groups/total (hash-distinct,
+    # the accepted collision class) — the rejected variant kept the
+    # per-row array_distinct leg and the join that carries it.
+    # Interleaved A/B min-cold r12: sf0.1 0.81-0.99 → 0.79-0.88 s,
+    # sf1 6.1-7.1 → 6.7-6.9 s (a wash at data scale, a win at the
+    # floor); steady 0.04 → 0.08 s (one reusable shuffle pair instead
+    # of two parallel ones). Docs with no bigram (< 2 tokens) were
+    # excluded by the old inner joins; the final filter keeps that
+    # contract. Per-doc partial aggregation still collapses map-side —
+    # every gram of a doc lives in the same input row. The r11
+    # plan-shape traps still apply: the tag-transforms live INSIDE the
+    # explode argument (once per input row, below the Generate), and
+    # the bigram filter stays post-aggregation so nothing
+    # predicate-pushes the tokenizer chain into a Filter.
+    grams = both.select(
         "doc_id",
-        F.round(
-            F.size(F.array_distinct("bg")).cast("double") / F.size("bg"), 4
-        ).alias("uniq_bigram_ratio"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    "t",
+                    lambda x: F.struct(
+                        F.lit(0).alias("kind"), F.xxhash64(x).alias("key")
+                    ),
+                ),
+                F.transform(
+                    "bg",
+                    lambda x: F.struct(
+                        F.lit(1).alias("kind"), F.xxhash64(x).alias("key")
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.key").alias("key"))
+    tok = F.when(F.col("kind") == 0, F.col("count"))
+    bg = F.when(F.col("kind") == 1, F.col("count"))
+    return (
+        grams.groupBy("doc_id", "kind", "key")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max(tok) / F.sum(tok), 4).alias("top_word_ratio"),
+            F.round(F.max(bg) / F.sum(bg), 4).alias("top_bigram_ratio"),
+            F.round(
+                F.count(bg).cast("double") / F.sum(bg), 4
+            ).alias("uniq_bigram_ratio"),
+        )
+        .filter(F.col("top_bigram_ratio").isNotNull())
     )
-    return wstat.join(bstat, "doc_id").join(ustat, "doc_id")
 
 
 @query(

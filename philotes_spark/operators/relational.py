@@ -108,7 +108,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-    )
+    # merge for the orders join, same reasoning as q18 (r12): per-order
+    # revenue is one row per order — O(fact), never broadcastable at
+    # 100 TB, so SMJ is the at-scale plan; at fixture scale the A/B is
+    # within noise both cold and steady (sf1 0.61-0.82 s both ways), so
+    # scale-consistency decides.
+    ).hint("merge")
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(dim(cust, "customer"), orders.o_custkey == cust.c_custkey, "left_semi")
@@ -163,6 +168,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+        # n_name-keyed aggregate is ≤ 25 rows at any SF: one partition
+        # makes the final sort exchange-free (bounded result, r12)
+        .coalesce(1)
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -830,6 +838,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
+        # merge (not broadcast) for the orders join: the HAVING aggregate
+        # is one row per qualifying ORDER — it grows linearly with the
+        # fact table, so at 100 TB it is far past any broadcast threshold
+        # and AQE would pick SMJ anyway; the hint makes the fixture plan
+        # the same as the at-scale plan. It also measures better: AQE's
+        # fixture-scale broadcast SERIALIZED agg → driver-collect →
+        # broadcast → probe, while SMJ runs the lineitem-agg and orders
+        # map stages concurrently. sf1 interleaved A/B min-of-2 cold:
+        # 1.46 → 0.77 s; sf0.1 steady 0.131 → 0.109 s (r12).
+        .hint("merge")
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -1416,7 +1434,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
     )
-    agg = vol.groupBy("o_year", "supp_nation").agg(F.sum("volume").alias("vol"))
+    # the aggregate is BOUNDED by key cardinality (years × nations ≤ a
+    # few hundred rows at ANY scale factor), so collapse it to one
+    # partition before the window/sort: SinglePartition satisfies both
+    # the window's ClusteredDistribution(o_year) and the final ordering,
+    # removing two post-agg exchanges (and their AQE stages — 12 → 9
+    # jobs; sf1 interleaved A/B cold 1.58 → 1.45 s, r12). The same
+    # pattern as broadcasting nation: bounded-cardinality data earns a
+    # bounded plan.
+    agg = vol.groupBy("o_year", "supp_nation").agg(
+        F.sum("volume").alias("vol")
+    ).coalesce(1)
     w = Window.partitionBy("o_year")
     return agg.select(
         "o_year",
@@ -1519,6 +1547,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
+        # the distribution has one row per DISTINCT order count — a few
+        # dozen at any SF: one partition makes the final sort
+        # exchange-free (bounded result, r12)
+        .coalesce(1)
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
