@@ -45,29 +45,12 @@ def _coeffs(k: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**31 - 1)) for _ in range(k)]
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    k: int = 128,
-    seed: int = 42,
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(doc, sig: array<long> of length k) as a PURE PROJECTION — zero
-    shuffle. MinHash over a multiset equals MinHash over the set
-    (duplicates never change a min), so no explode → distinct → groupBy
-    round-trip is needed: shingle hashes are built per row and folded in
-    one ``aggregate`` pass that keeps a running k-vector of minima
-    (``zip_with``/``least``). The hash array is evaluated exactly once per
-    document — the nested ``transform(coeffs, …)`` alternative re-evaluates
-    the shingle pipeline once per coefficient after Catalyst collapses the
-    projections."""
-    coeffs = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _coeffs(k, seed)
-        ]
-    )
+    """(doc, hs: array<long>) — 31-bit shingle hashes, one xxhash64 pass
+    per gram, still a pure projection. Shared by both signature forms so
+    their inputs are bit-identical (xxhash64 exists only JVM-side)."""
     t = tokens(F.col(text_col))
     src = df.select(F.col(id_col).alias("doc"), t.alias("t")).filter(
         F.size("t") >= n
@@ -77,15 +60,106 @@ def minhash_signatures(
         lambda i: F.array_join(F.slice("t", i + 1, n), " "),
     )
     hs = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(2**31)))
+    return src.select("doc", hs.alias("hs"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, sig: array<long> of length k) — zero shuffle. MinHash over
+    a multiset equals MinHash over the set (duplicates never change a
+    min), so no explode → distinct → groupBy round-trip is needed.
+
+    Two halves (r12): the shingle hashes stay a JVM projection
+    (xxhash64 has no Python equivalent here), and the k-vector-of-minima
+    fold runs as an Arrow-batched numpy pass — per batch, one flat
+    (a·h + b) mod P sweep per coefficient with a segmented
+    ``minimum.reduceat`` per document. The arithmetic is EXACTLY the
+    expression form's (int64 throughout, a·h+b < 2^62, same P), so
+    signatures are bit-identical — pinned in test_minhash_quality.
+    The pure-expression fold (kept as
+    :func:`minhash_signatures_expr`) evaluates k×|shingles| interpreted
+    lambda steps per document — higher-order functions run outside
+    whole-stage codegen — which made the signature build the dominant
+    cost of dedup_minhash_lsh (~2.3 s of sf0.1 cold). An earlier
+    pandas_udf variant was rejected in r05 for dragging an Arrow
+    boundary into every recomputed plan branch; that objection died
+    when lsh_candidate_pairs started PERSISTING the signatures (the
+    boundary now evaluates once)."""
+    import numpy as np
+    import pandas as pd
+
+    ab = _coeffs(k, seed)
+    A = np.array([a for a, _ in ab], dtype=np.int64)
+    B = np.array([b for _, b in ab], dtype=np.int64)
+
+    def fold(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            lens = pdf["hs"].map(len).to_numpy(np.int64)
+            keep = lens > 0
+            pdf, lens = pdf[keep], lens[keep]
+            if not len(pdf):
+                continue
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+            )
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.empty((len(pdf), len(A)), dtype=np.int64)
+            for j in range(len(A)):
+                vals = (A[j] * flat + B[j]) % _P
+                sigs[:, j] = np.minimum.reduceat(vals, starts)
+            yield pd.DataFrame(
+                {"doc": pdf["doc"].to_numpy(np.int64), "sig": list(sigs)}
+            )
+
+    return _shingle_hashes(df, id_col, text_col, n).mapInPandas(
+        fold, "doc long, sig array<long>"
+    )
+
+
+def minhash_signatures_expr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-expression reference fold (no Python anywhere): one
+    ``aggregate`` pass keeping a running k-vector of minima
+    (``zip_with``/``least`` against the coefficient array). The hash
+    array is evaluated exactly once per document — the nested
+    ``transform(coeffs, …)`` alternative re-evaluates the shingle
+    pipeline once per coefficient after Catalyst collapses the
+    projections; k separate min-columns unroll into megabytes of
+    generated Java. Kept as ground truth for the Arrow twin's
+    bit-identical pin and for contexts that must stay Python-free."""
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _coeffs(k, seed)
+        ]
+    )
     init = F.array_repeat(F.lit(_P).cast("long"), k)
     sig = F.aggregate(
-        hs,
+        F.col("hs"),
         init,
         lambda acc, h: F.zip_with(
             acc, coeffs, lambda mn, c: F.least(mn, (c["a"] * h + c["b"]) % F.lit(_P))
         ),
     )
-    return src.select("doc", sig.alias("sig"))
+    return _shingle_hashes(df, id_col, text_col, n).select(
+        "doc", sig.alias("sig")
+    )
 
 
 def lsh_candidate_pairs(

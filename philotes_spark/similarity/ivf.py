@@ -146,10 +146,35 @@ def ivf_topk(
             centroids=centroids,
         )
     centroids, cells = index
-    q = cells.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    # driver-side probe prep (r12, same pattern as ivfpq_topk): the
+    # query set is a BOUNDED collect either way, so the n_probe nearest
+    # cells per query are picked in numpy and the broadcast side becomes
+    # plain data — probe_cells' array_sort-over-structs tree (and its
+    # analysis/codegen cost on every cold build) drops out of the plan.
+    # Tie rule matches probe_cells exactly (desc sim, higher cell index
+    # first); zero-norm queries are directionless and excluded, the
+    # cosine_topk convention.
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    qrows = cells.filter(F.col("id").isin(query_ids)).select(
+        "id", "v", "nrm"
+    ).collect()  # bounded: |query_ids| rows
+    q_out = []
+    for r in qrows:
+        qn = float(r.nrm)
+        if qn == 0:
+            continue
+        qv = np.asarray(r.v, dtype=np.float64)
+        sims = (qv / qn) @ C.T
+        order = np.lexsort((-np.arange(len(C)), -sims))[:n_probe]
+        q_out.extend(
+            (int(r.id), [float(x) for x in qv], qn, int(cell))
+            for cell in order
+        )
+    probed = emb.sparkSession.createDataFrame(
+        q_out, "query_id long, qv array<double>, qn double, cell int"
     )
-    probed = probe_cells(q, centroids, n_probe)
     cand = cells.select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("cv"),

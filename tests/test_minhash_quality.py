@@ -50,3 +50,24 @@ def test_estimate_tracks_exact_jaccard(docs, exact_pairs):
     for p in common:
         # k=128 signature ⇒ σ ≈ sqrt(j(1-j)/128) ≤ 0.045; allow 4σ
         assert abs(got[p] - float(exact_pairs[p])) < 0.2, (p, got[p], exact_pairs[p])
+
+
+def test_arrow_signatures_bit_identical_to_expr(docs):
+    """r12: the Arrow-batched numpy k-min fold serves minhash_signatures;
+    the pure-expression fold stays as the reference. Same shingle hashes
+    (shared JVM projection), same int64 (a*h+b) % P arithmetic — the
+    signatures must be BIT-identical, not merely close."""
+    from philotes_spark.dedup.minhash import (
+        minhash_signatures,
+        minhash_signatures_expr,
+    )
+
+    arrow = {
+        r.doc: tuple(r.sig)
+        for r in minhash_signatures(docs, "doc_id", "text", k=32).collect()
+    }
+    expr = {
+        r.doc: tuple(r.sig)
+        for r in minhash_signatures_expr(docs, "doc_id", "text", k=32).collect()
+    }
+    assert arrow == expr and arrow
