@@ -65,6 +65,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # the aggregate has ≤ 6 rows (returnflag × linestatus) at any
+        # SF: one partition makes the final sort exchange-free
+        # (bounded result, r12)
+        .coalesce(1)
         .orderBy("l_returnflag", "l_linestatus")
     )
 

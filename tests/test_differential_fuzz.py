@@ -1419,3 +1419,255 @@ def test_family11_drop_backfill_publish_ordering(fuzz_env, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Family 12 (r12): the expiry × refs × publish lifecycle through the
+# STATEMENT surface. Random interleavings of appends/overwrites, head
+# publishes, local tags, catalog refs (tags + retargets), VACUUM (the
+# guarded expire-and-prune path) and CALL prune_expired_snapshots.
+# Invariants, checked after EVERY expiry-class op and at the end:
+#   (a) no stranding, ever: every catalog-served snapshot plans only
+#       files that exist on disk;
+#   (b) ref safety: a served ref (or the served current) pinning a
+#       doomed version refuses the WHOLE statement with local state
+#       untouched — never expire-then-fail;
+#   (c) the engine's own read always equals the python-side expected
+#       state, and the final published chain reads back equal through
+#       the external Avro reader (+ independent planner).
+
+
+def _gen_expiry_lifecycle(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    ops: list[tuple] = [("append", 0)]
+    n_ref = 0
+    for _ in range(rng.randint(8, 14)):
+        kind = rng.choice(
+            ["append", "overwrite", "publish", "tag_and_publish_ref",
+             "retarget_refs", "vacuum", "call_prune", "vacuum"]
+        )
+        if kind in ("append", "overwrite"):
+            ops.append((kind, rng.randint(1, 5)))
+        elif kind == "tag_and_publish_ref":
+            n_ref += 1
+            ops.append(("tag_and_publish_ref", f"audit{n_ref}", rng.random()))
+        elif kind == "vacuum":
+            ops.append(("vacuum", rng.randint(1, 3)))
+        else:
+            ops.append((kind,))
+    # deterministic branch-coverage tail: every seed must drive BOTH
+    # refusal guards and the recovery path, whatever the random middle
+    # produced — (1) a catalog-only ref on the oldest served snapshot +
+    # commits past the served head force the ref guard, (2) retargeting
+    # exposes the served-current guard, (3) republish + vacuum prunes,
+    # (4) call_prune is then a no-op. The executor VERIFIES each
+    # outcome against an independently computed expectation either way.
+    ops += [
+        ("publish",),
+        ("ref_old_no_tag",),
+        ("append", 6),
+        ("append", 7),
+        ("vacuum", 1),
+        ("retarget_refs",),
+        ("vacuum", 1),
+        ("publish",),
+        ("vacuum", 1),
+        ("call_prune",),
+    ]
+    return ops
+
+
+@pytest.mark.parametrize("seed", range(1200, 1210))
+def test_same_expiry_lifecycle_same_final_state(fuzz_env, tmp_path, seed):
+    import os
+    import sys
+    import threading
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from philotes_spark.sources.iceberg_manifest import plan_entries
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql as stmt_sql
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_catalog_rest import MockCatalog, _readback_equal
+
+    from philotes_spark.sources.catalog_rest import (
+        CatalogError,
+        RestCatalog,
+    )
+
+    spark, _ = fuzz_env
+    tbl = SnapshotTable(spark, str(tmp_path / "exp_life"))
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+    tabs = {"t": tbl}
+    expected: list[tuple] = []  # python mirror of the CURRENT version
+    published = False
+    refs: dict[str, int] = {}  # served catalog refs -> snapshot id
+
+    def served_meta():
+        return cat.load_table("fz", f"exp{seed}").get("metadata", {})
+
+    def assert_no_stranding():
+        if not published:
+            return
+        meta = served_meta()
+        for s in meta.get("snapshots", []):
+            data, _ = plan_entries(s["manifest-list"])
+            missing = [
+                f["file_path"] for f in data
+                if not os.path.exists(f["file_path"])
+            ]
+            assert not missing, (
+                f"seed={seed}: served snapshot {s['snapshot-id']} plans "
+                f"deleted files {missing}"
+            )
+
+    try:
+        for op in _gen_expiry_lifecycle(seed):
+            if op[0] in ("append", "overwrite"):
+                off = op[1] * 100 + tbl_version(tbl) * 10
+                rows = [(off + i, float(off + i) / 2) for i in range(3)]
+                tbl.commit(
+                    spark.createDataFrame(rows, "k long, v double")
+                    .coalesce(1),
+                    operation="append" if op[0] == "append" else "overwrite",
+                )
+                if op[0] == "append":
+                    expected.extend(rows)
+                else:
+                    expected = list(rows)
+            elif op[0] == "publish":
+                cat.publish_snapshot("fz", f"exp{seed}", tbl)
+                cat.verify_publish("fz", f"exp{seed}", tbl)
+                published = True
+            elif op[0] == "tag_and_publish_ref":
+                _, name, frac = op
+                if not published:
+                    continue
+                served = sorted(
+                    s["snapshot-id"]
+                    for s in served_meta().get("snapshots", [])
+                )
+                v = served[min(int(frac * len(served)), len(served) - 1)]
+                # ~half the refs are ALSO tagged locally (retention then
+                # keeps the version on both sides); the other half exist
+                # only catalog-side — the case where VACUUM's pre-check
+                # must refuse BEFORE deleting anything
+                if frac < 0.5 and v in {
+                    int(m[1:9]) for m in tbl._manifests()
+                }:
+                    tbl.tag(f"{name}_{v}", version=v)
+                cat.publish_ref("fz", f"exp{seed}", name, v, ref_type="tag")
+                refs[name] = v
+            elif op[0] == "ref_old_no_tag":
+                if not published:
+                    continue
+                oldest = min(
+                    s["snapshot-id"]
+                    for s in served_meta().get("snapshots", [])
+                )
+                cat.publish_ref(
+                    "fz", f"exp{seed}", "pin_oldest", oldest, ref_type="tag"
+                )
+                refs["pin_oldest"] = oldest
+            elif op[0] == "retarget_refs":
+                if not published or not refs:
+                    continue
+                head = max(
+                    s["snapshot-id"]
+                    for s in served_meta().get("snapshots", [])
+                )
+                for name in list(refs):
+                    cat.publish_ref(
+                        "fz", f"exp{seed}", name, head, ref_type="tag"
+                    )
+                    refs[name] = head
+            elif op[0] == "vacuum":
+                keep = op[1]
+                n_before = len(tbl._manifests())
+                # independently computed guard oracle: what SHOULD this
+                # statement do, from the dry run + the served metadata?
+                doomed = set(tbl.expiring_versions(keep_last=keep))
+                expect_ref = expect_head = False
+                if published and doomed:
+                    meta = served_meta()
+                    served_refs = meta.get("refs", {})
+                    expect_ref = any(
+                        name != "main" and r.get("snapshot-id") in doomed
+                        for name, r in served_refs.items()
+                    )
+                    expect_head = (
+                        meta.get("current-snapshot-id") in doomed
+                        or served_refs.get("main", {}).get("snapshot-id")
+                        in doomed
+                    )
+                try:
+                    stmt_sql(
+                        spark,
+                        f"VACUUM t RETAIN {keep} VERSIONS",
+                        tabs,
+                        catalog=cat if published else None,
+                    )
+                    assert not (expect_ref or expect_head), (
+                        f"seed={seed}: VACUUM succeeded but the guard "
+                        f"oracle expected a refusal (ref={expect_ref}, "
+                        f"head={expect_head}, doomed={sorted(doomed)})"
+                    )
+                except ValueError as e:
+                    msg = str(e)
+                    if "still points at it" in msg:
+                        assert expect_ref, f"seed={seed}: {msg}"
+                    elif "publish a newer version first" in msg:
+                        assert expect_head and not expect_ref, (
+                            f"seed={seed}: {msg}"
+                        )
+                    else:
+                        raise
+                    # refusal is all-or-nothing: local state untouched
+                    assert len(tbl._manifests()) == n_before
+                assert_no_stranding()
+            elif op[0] == "call_prune":
+                if not published:
+                    continue
+                try:
+                    stmt_sql(
+                        spark,
+                        "CALL prune_expired_snapshots('t')",
+                        tabs,
+                        catalog=cat,
+                    )
+                except ValueError as e:
+                    msg = str(e)
+                    assert (
+                        "still points at it" in msg
+                        or "publish a newer version first" in msg
+                    ), msg
+                assert_no_stranding()
+
+        # (c) engine read == python mirror, always
+        got = sorted(
+            (r.k, r.v) for r in tbl.read().select("k", "v").collect()
+        )
+        assert got == sorted(expected), f"seed={seed}"
+        # final publish happened; external readback equals the engine
+        assert_no_stranding()
+        assert _readback_equal(
+            spark, tbl, "fz", f"exp{seed}", cat
+        ) == len(expected)
+        # every surviving local tag still resolves (ref-aware expiry)
+        for v in tbl._tagged_versions():
+            tbl.read(version=v)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def tbl_version(tbl) -> int:
+    try:
+        return tbl.current_version()
+    except FileNotFoundError:
+        return 0

@@ -72,6 +72,26 @@ def test_expire_snapshots_removes_unreferenced_files(spark, table):
         table.read(version=1)
 
 
+def test_expiring_versions_dry_run_matches_expiry(spark, table):
+    """r12: expiring_versions is the side-effect-free half of
+    expire_snapshots — the statement surface pre-checks published refs
+    against it BEFORE deleting anything, so the two must agree exactly.
+    Tag-pinned versions are retained by both."""
+    table.commit(_df(spark, 0, 10))
+    table.commit(_df(spark, 10, 15))
+    table.commit(_df(spark, 20, 23), operation="overwrite")
+    table.tag("audit", version=2)
+    # dry run: v1 is doomed, v2 is tag-pinned, v3 is the kept head
+    assert table.expiring_versions(keep_last=1) == [1]
+    assert table.current_version() == 3  # nothing was touched
+    table.read(version=1)  # still readable — truly a dry run
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown version"):
+        table.read(version=1)
+    table.read(version=2)  # the tag-pinned version survived
+    assert table.expiring_versions(keep_last=1) == []  # idempotent
+
+
 def test_empty_table_read_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read()
