@@ -275,6 +275,12 @@ def _tier(name: str) -> tuple[int, int]:
         # tests/test_queries_oracle.py.
         "snapshot_positional_delete",
         "snapshot_alter_columns",
+        # r12 addition (oracle-gated in pytest; below the window so this
+        # round's rotation composition is exact): the expiry lifecycle
+        # as an external read — retention deletes the overwritten
+        # version's files, the surviving chain still publishes and
+        # reads back through the Avro manifests
+        "snapshot_expired_chain_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

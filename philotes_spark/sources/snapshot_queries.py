@@ -1342,3 +1342,65 @@ def snapshot_evolution_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_expired_chain_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE (event_id <= 500 AND event_id % 5 <> 0)
+       OR (event_id > 500 AND event_id <= 600)
+    """,
+)
+def snapshot_expired_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry under the oracle gate (r12): retention really
+    deletes the overwritten version's exclusive data files, the expired
+    version refuses time travel, and the SURVIVING chain still
+    publishes and reads back externally — ``file_provenance`` walks the
+    history to the expiry boundary and attributes conservatively
+    instead of failing (the family-11 IndexError fixed this round).
+    This is the query-surface half of the statement-surface lifecycle
+    the fuzz family 12 drives with a catalog attached (A7's two halves,
+    ref `internal/iceberg/catalog/rest.go:186-217`)."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import (
+        read_table_via_manifests,
+        write_manifests_for_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 500))
+        # the "cleaned" overwrite makes v1's files exclusive to v1
+        tbl.commit(
+            ev.filter(
+                (F.col("event_id") <= 500) & (F.col("event_id") % 5 != 0)
+            ),
+            operation="overwrite",
+        )
+        tbl.commit(
+            ev.filter((F.col("event_id") > 500) & (F.col("event_id") <= 600))
+        )
+        doomed = tbl.expiring_versions(keep_last=2)
+        assert doomed == [1], doomed  # the dry run names exactly v1
+        deleted = tbl.expire_snapshots(keep_last=2)
+        assert deleted > 0, "v1's exclusive files must actually be deleted"
+        try:
+            tbl.read(version=1)
+            raise AssertionError("expired version must refuse time travel")
+        except ValueError:
+            pass
+        m = tbl._resolve()
+        rest = schema_to_rest(tbl.read().schema)
+        ml = write_manifests_for_version(tbl, m["version"], rest_schema=rest)
+        external = read_table_via_manifests(spark, ml, rest)
+        return external.select(
+            "event_id", "user_id", F.round("value", 4).alias("value")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
