@@ -176,12 +176,21 @@ def lsh_candidate_pairs(
     - band hashes come from ONE ``transform(sequence, slice)`` expression,
       not ``bands × rows`` inlined element extracts — the inlined form
       generates MB-scale codegen that dominates wall clock;
-    - the self-join carries postings ``(doc, band, bh)`` only (24 bytes),
-      never the 1 KB signature arrays; signatures are joined back onto the
-      *deduplicated pairs* (orders of magnitude fewer rows than raw bucket
-      candidates);
-    - signatures are persisted because three branches (bucket-size filter,
-      both join sides, estimate join-back) would otherwise recompute the
+    - pair generation is ``collect_list`` per surviving bucket + an
+      in-array i<j explosion, NOT a postings self-join (r12): the
+      semi-join's output is already hash-partitioned on (band, bh), so
+      the groupBy adds NO exchange — the self-join's two probe-side
+      shuffles and the join stage itself disappear. Same pair set
+      (sorted array, x<y slices ≡ doc_a<doc_b), measured row-identical;
+      sf1 13.1 → 9.9 s, 17 → 12 jobs. The collect buffer is bounded:
+      only buckets the count-filter kept (2..max_bucket_size rows) are
+      ever collected — degenerate boilerplate buckets are dropped by the
+      COUNT aggregate, whose partial-agg buffer is one long per key;
+    - pairs carry 16 bytes each into the dedup shuffle; signatures are
+      joined back onto the *deduplicated pairs* (orders of magnitude
+      fewer rows than raw bucket candidates);
+    - signatures are persisted because three branches (bucket postings,
+      both estimate join-backs) would otherwise recompute the
       shingle→minhash pipeline per branch.
     """
     rows = k // bands
@@ -192,21 +201,35 @@ def lsh_candidate_pairs(
     )
     banded = sigs.select("doc", F.posexplode(band_hashes).alias("band", "bh"))
 
+    # The count-filter always runs (even with max_bucket_size=None):
+    # size-1 buckets yield no pairs, and dropping them BEFORE collect_list
+    # keeps the collect buffer bounded to buckets that can produce output.
+    sz_ok = F.col("sz") > 1
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket_size))
-            .select("band", "bh")
-        )
-        banded = banded.join(ok, ["band", "bh"], "left_semi")
+        sz_ok = sz_ok & (F.col("sz") <= max_bucket_size)
+    ok = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(sz_ok)
+        .select("band", "bh")
+    )
+    banded = banded.join(ok, ["band", "bh"], "left_semi")
 
-    a = banded.select(F.col("doc").alias("doc_a"), "band", "bh")
-    b = banded.select(F.col("doc").alias("doc_b"), "band", "bh")
+    buckets = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("doc")).alias("ds")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds")) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sig_a = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
