@@ -151,9 +151,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≈ 0.33 → per-table collision ≈ 0.13 for true neighbors). At
     larger corpora raise n_planes ~ log2(n) to keep buckets bounded."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, QUERY_IDS, k=10, n_planes=4, n_tables=8).orderBy(
-        "query_id", "rank"
-    )
+    return lsh_topk(emb, QUERY_IDS, k=10, n_planes=4, n_tables=8).coalesce(
+        1
+    ).orderBy("query_id", "rank")
 
 
 # IVF index cache: one (centroids, persisted cells) per corpus dir —
@@ -172,9 +172,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_INDEX:
         _IVF_INDEX[sf_dir] = build_index(emb, n_centroids=16)
-    return ivf_topk(emb, QUERY_IDS, k=10, n_probe=6, index=_IVF_INDEX[sf_dir]).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_topk(
+        emb, QUERY_IDS, k=10, n_probe=6, index=_IVF_INDEX[sf_dir]
+    ).coalesce(1).orderBy("query_id", "rank")
 
 
 @query(
@@ -280,7 +280,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from philotes_spark.similarity.knn import quantized_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_cosine_topk(emb, QUERY_IDS, k=10).orderBy("query_id", "rank")
+    return quantized_cosine_topk(emb, QUERY_IDS, k=10).coalesce(1).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query(
@@ -412,9 +414,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = train_pq_codebooks(emb, m=16, ks=16)
         _PQ_INDEX[sf_dir] = (books, encode_pq(emb, books).persist())
     books, codes = _PQ_INDEX[sf_dir]
-    return pq_topk(emb, QUERY_IDS, books, k=10, rerank=100, codes=codes).orderBy(
-        "query_id", "rank"
-    )
+    return pq_topk(
+        emb, QUERY_IDS, books, k=10, rerank=100, codes=codes
+    ).coalesce(1).orderBy("query_id", "rank")
 
 
 @query(
@@ -484,4 +486,4 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb, QUERY_IDS, k=10, n_centroids=16, n_probe=4, rerank=50
-    ).orderBy("query_id", "rank")
+    ).coalesce(1).orderBy("query_id", "rank")
