@@ -281,6 +281,11 @@ def _tier(name: str) -> tuple[int, int]:
         # version's files, the surviving chain still publishes and
         # reads back through the Avro manifests
         "snapshot_expired_chain_read",
+        # r12 addition (oracle-gated in pytest; below the window): the
+        # partition-spec-evolution lifecycle — two metadata-only layout
+        # changes with appends under every spec, read across mixed
+        # hive/plain roots with zero rewrites
+        "snapshot_partition_evolution_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1404,3 +1404,63 @@ def snapshot_expired_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_partition_evolution_read",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 4) AS value
+    FROM events WHERE event_id <= 900
+    """,
+)
+def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution under the oracle gate (r12): the layout
+    changes TWICE as metadata-only commits (``ALTER TABLE ... ADD/DROP
+    PARTITION FIELD`` → ``SnapshotTable.evolve_partition_spec``) with an
+    append under every spec, so the final file list spans three specs —
+    unpartitioned, [event_type], unpartitioned again — and the read
+    unions per staged root, surfacing ``event_type`` from DATA in
+    spec-0/2 roots and from the hive PATH in spec-1 roots. The oracle is
+    layout-independent by construction: the same rows from the source
+    table. No file is rewritten at any point (Iceberg's spec-evolution
+    contract; ref ``TableMetadata.PartitionSpecs[]/DefaultSpecID``,
+    `internal/iceberg/types.go:136-140`)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_spec_evo_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 300))
+        tabs = {"t": tbl}
+        sql_stmt(spark, "ALTER TABLE t ADD PARTITION FIELD event_type", tabs)
+        ev.filter(
+            (F.col("event_id") > 300) & (F.col("event_id") <= 600)
+        ).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            f"INSERT INTO t SELECT event_id, event_type, value FROM {view}",
+            tabs,
+        )
+        sql_stmt(spark, "ALTER TABLE t DROP PARTITION FIELD event_type", tabs)
+        ev.filter(
+            (F.col("event_id") > 600) & (F.col("event_id") <= 900)
+        ).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            f"INSERT INTO t SELECT event_id, event_type, value FROM {view}",
+            tabs,
+        )
+        # three live specs, none rewritten — pin it in the query itself
+        specs = {r.spec_id for r in tbl.partition_specs().collect()
+                 if r.live_file_count > 0}
+        assert len(specs) >= 2, specs
+        return tbl.read().select(
+            "event_id", "event_type", "value"
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

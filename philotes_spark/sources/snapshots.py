@@ -334,21 +334,24 @@ class SnapshotTable:
         parent = self.current_version()
         parent_manifest = self._load(f"v{parent:08d}.json") if parent else {}
 
-        # A snapshot's file list must have ONE layout: appends inherit the
-        # parent's partition spec (so their files land hive-partitioned
-        # too); changing the spec requires an overwrite. Without this, a
-        # mixed file list makes the partitioned read un-unionable.
+        # Appends write under the table's DEFAULT partition spec; earlier
+        # files keep the spec they were written under (root_specs) and
+        # the read unions per-root — Iceberg partition-spec evolution:
+        # changing the layout is a metadata-only commit
+        # (:meth:`evolve_partition_spec`), never a rewrite. An EXPLICIT
+        # partition_by that disagrees with the default still refuses:
+        # silently honoring it would fork the layout without recording an
+        # evolution.
         parent_spec = parent_manifest.get("partition_by") or []
         if operation == "append" and parent_manifest.get("files"):
-            # symmetric: a partitioned append onto an unpartitioned parent
-            # mixes layouts in one file list just as badly as the reverse
             if partition_by is None:
                 partition_by = list(parent_spec)
             elif list(partition_by) != list(parent_spec):
                 raise ValueError(
                     f"append partition spec {partition_by} conflicts with the "
-                    f"table's spec {parent_spec}; use operation='overwrite' "
-                    "to change the layout"
+                    f"table's default spec {parent_spec}; evolve the layout "
+                    "first (evolve_partition_spec / ALTER TABLE ... ADD "
+                    "PARTITION FIELD), then append"
                 )
 
         if sort_by is None and operation == "append":
@@ -466,6 +469,13 @@ class SnapshotTable:
                 "pending merge-on-read deltas; run compact_deltas() before "
                 "a partition overwrite"
             )
+        if self._mixed_specs(m):
+            raise ValueError(
+                "data files are not under the current default partition "
+                "spec (the layout was evolved); a partition overwrite keys "
+                "files by the default spec and would misclassify old-spec "
+                "files — run compact() or OPTIMIZE first"
+            )
         for item in clear or []:
             bad = sorted(set(item) - set(spec))
             if bad:
@@ -513,6 +523,60 @@ class SnapshotTable:
             schema_ops=list(m.get("schema_ops", [])),
         )
 
+    def _spec_meta(self, parent: int, partition_by: list[str],
+                   files) -> dict:
+        """Partition-spec bookkeeping (Iceberg spec evolution, B19/A16):
+        derive ``partition_specs`` (every layout this table ever
+        defaulted, with stable spec ids), ``default_spec_id`` (the layout
+        FUTURE writes use) and ``root_specs`` (staged-root → spec id: the
+        layout each file was actually written under — files are never
+        rewritten by an evolution, exactly Iceberg's rule) from the
+        parent manifest + this commit's layout + its file list. Runs on
+        every commit so any path that changes the layout (an explicit
+        ``evolve_partition_spec`` or an overwrite with a new
+        ``partition_by``) records the evolution, and every other path
+        carries it forward. Reference interop shape:
+        ``TableMetadata.PartitionSpecs[]/DefaultSpecID``
+        (internal/iceberg/types.go:136-140)."""
+        pm = self._load(f"v{parent:08d}.json") if parent else {}
+        specs = [
+            {"spec_id": int(s["spec_id"]), "fields": list(s["fields"])}
+            for s in pm.get("partition_specs")
+            or [{"spec_id": 0, "fields": pm.get("partition_by") or []}]
+        ]
+        fields = list(partition_by or [])
+        match = next((s for s in specs if s["fields"] == fields), None)
+        if match is None:
+            match = {
+                "spec_id": max(s["spec_id"] for s in specs) + 1,
+                "fields": fields,
+            }
+            specs.append(match)
+        default_id = match["spec_id"]
+        parent_roots = pm.get("root_specs") or {}
+        parent_default = int(pm.get("default_spec_id", 0))
+        root_specs: dict[str, int] = {}
+        for root in _group_files_by_root(self.data_dir, list(files)):
+            rel = os.path.relpath(root, self.data_dir)
+            # carried-over roots keep the spec they were written under;
+            # pre-feature manifests lack root_specs — their single spec
+            # is the parent default. New roots were staged by THIS
+            # commit's writer, i.e. under this commit's layout.
+            if rel in parent_roots:
+                root_specs[rel] = int(parent_roots[rel])
+            elif parent and any(
+                f.startswith(root + os.sep) or f == root
+                for f in pm.get("files", [])
+            ):
+                root_specs[rel] = parent_default
+            else:
+                root_specs[rel] = default_id
+        return {
+            "partition_specs": specs,
+            "default_spec_id": default_id,
+            "root_specs": root_specs,
+        }
+
     def _write_manifest(self, *, parent: int, operation: str, files, added_files,
                         added_rows, partition_by, properties, file_stats,
                         stats_cols, sort_by: list[str] | None = None,
@@ -521,6 +585,7 @@ class SnapshotTable:
                         schema_ops: list[dict] | None = None) -> int:
         version = parent + 1
         manifest = {
+            **self._spec_meta(parent, partition_by, files),
             "version": version,
             "parent": parent,
             "timestamp_ms": int(time.time() * 1000),
@@ -893,6 +958,102 @@ class SnapshotTable:
             m, "drop-column", {"op": "drop", "name": name}
         )
 
+    # --- partition-spec evolution (B19/A16) -----------------------------------
+
+    def evolve_partition_spec(self, fields: list[str]) -> int:
+        """``ALTER TABLE t ADD/DROP PARTITION FIELD`` — set the layout
+        FUTURE writes use, as a metadata-only commit. No file is read or
+        rewritten at any table size: existing files keep the spec they
+        were written under (``root_specs``) and the read unions per
+        staged root — exactly Iceberg's partition evolution contract
+        (specs are append-only history, ``default-spec-id`` moves;
+        ref `internal/iceberg/types.go:136-140`). A column leaves the
+        data file and moves into the path (or back) only for files
+        written AFTER the evolution; either way every reader surfaces
+        it, so results are layout-independent.
+
+        Identity transforms only — the engine's hive layout partitions
+        on column values (the reference's default ``day(ts)`` spec is
+        served by partitioning on an explicit date column instead).
+        Returns the new version (or the current one when ``fields``
+        already is the default spec)."""
+        fields = list(fields)
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if fields == (m.get("partition_by") or []):
+            return parent  # already the default spec: no-op, no version
+        if len(set(fields)) != len(fields):
+            raise ValueError(f"duplicate partition fields in {fields}")
+        cols = {f.name for f in self.read().schema.fields}
+        missing = [c for c in fields if c not in cols]
+        if missing:
+            raise ValueError(
+                f"partition fields {missing} are not columns of the table"
+            )
+        clustered = set(m.get("sort_by") or []) | set(m.get("zorder_by") or [])
+        overlap = sorted(set(fields) & clustered)
+        if overlap:
+            raise ValueError(
+                f"columns {overlap} are part of the table's sort/z-order "
+                "clustering; a partition field would make every in-file "
+                "range degenerate — drop the clustering first"
+            )
+        return self._write_manifest(
+            parent=parent,
+            operation="evolve-partition-spec",
+            files=m["files"],
+            added_files=0,
+            added_rows=0,
+            partition_by=fields,
+            properties=dict(m.get("properties", {})),
+            file_stats=dict(m.get("file_stats", {})),
+            stats_cols=list(m.get("stats_cols") or []),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
+        )
+
+    def _spec_fields_by_id(self, m: dict) -> dict[int, list[str]]:
+        specs = m.get("partition_specs") or [
+            {"spec_id": 0, "fields": m.get("partition_by") or []}
+        ]
+        return {int(s["spec_id"]): list(s["fields"]) for s in specs}
+
+    def _root_fields(self, m: dict) -> dict[str, list[str]]:
+        """Staged root → the partition fields its files were written
+        under (pre-feature manifests: every root carries the manifest's
+        single spec)."""
+        by_id = self._spec_fields_by_id(m)
+        default = int(m.get("default_spec_id", 0))
+        root_specs = m.get("root_specs") or {}
+        out: dict[str, list[str]] = {}
+        for root in _group_files_by_root(self.data_dir, m["files"]):
+            rel = os.path.relpath(root, self.data_dir)
+            out[root] = by_id.get(
+                int(root_specs.get(rel, default)),
+                m.get("partition_by") or [],
+            )
+        return out
+
+    def _mixed_specs(self, m: dict) -> bool:
+        """True when any live file was written under a spec OTHER than
+        the current default (files span multiple specs, or one spec that
+        the default moved away from) — the state partition-KEYED
+        rewrites (partition overwrite, partition-pruned CoW merge)
+        refuse: a file written under another spec has no value for the
+        default spec's fields in its path, so keying it by the current
+        spec silently misclassifies it as untouched (caught by fuzz
+        family 13, seed 1307: one old-spec root, zero rewrites applied).
+        ``compact()`` rewrites everything under the default spec and
+        clears the state."""
+        default = m.get("partition_by") or []
+        return any(
+            fs != default for fs in self._root_fields(m).values()
+        )
+
     def _dml_mode(self, kind: str, mode: str | None) -> str:
         """Resolve a row-level operation's write mode: an explicit
         argument wins; otherwise the table property
@@ -1005,7 +1166,15 @@ class SnapshotTable:
             # so it unions with the (read()-shaped) change set (per-root
             # unions when a widen op left mixed physical widths)
             current = self._apply_schema_ops(
-                self._read_file_list(affected, [], widen=_has_widen(m)),
+                self._read_file_list(
+                    affected,
+                    [],
+                    widen=_has_widen(m),
+                    # old-spec roots surface their path-derived partition
+                    # columns (spec evolution): without the map the rewrite
+                    # would silently drop them from the rewritten rows
+                    spec_map=self._root_fields(m),
+                ),
                 m,
             )
             kept = current.join(change_keys, key_cols, "left_anti")
@@ -1203,7 +1372,10 @@ class SnapshotTable:
         base = self._apply_deltas(
             self._apply_schema_ops(
                 self._read_file_list(
-                    m["files"], m.get("partition_by") or [], with_pos=True
+                    m["files"],
+                    m.get("partition_by") or [],
+                    with_pos=True,
+                    spec_map=self._root_fields(m),
                 ),
                 m,
             ),
@@ -1317,6 +1489,7 @@ class SnapshotTable:
                 m.get("partition_by") or [],
                 with_pos=has_pos,
                 widen=_has_widen(m),
+                spec_map=self._root_fields(m),
             ),
             m,
         )
@@ -1625,6 +1798,7 @@ class SnapshotTable:
                     m.get("partition_by") or [],
                     with_pos=has_pos,
                     widen=_has_widen(m),
+                    spec_map=self._root_fields(m),
                 ),
                 m,
             ),
@@ -1638,6 +1812,7 @@ class SnapshotTable:
         partition_by: list[str],
         with_pos: bool = False,
         widen: bool = False,
+        spec_map: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Read an explicit data-file list under the snapshot's layout
         (shared by :meth:`read` and :meth:`read_incremental`).
@@ -1665,28 +1840,50 @@ class SnapshotTable:
                 F.col("_metadata.row_index").alias("_pos_index"),
             )
 
-        if partition_by:
-            # hive-layout files: give Spark the staged root as basePath so the
-            # key=value path segments come back as partition columns
-            parts = [
-                pos(
-                    self.spark.read.option("basePath", root)
-                    .option("mergeSchema", "true")
-                    .parquet(*fs)
-                )
-                for root, fs in sorted(
-                    _group_files_by_root(self.data_dir, files).items()
-                )
-            ]
+        if spec_map is None and partition_by:
+            # pre-spec-evolution callers: one layout for every root
+            spec_map = {
+                root: list(partition_by)
+                for root in _group_files_by_root(self.data_dir, files)
+            }
+        if spec_map and any(spec_map.values()):
+            # hive-layout roots: give Spark each staged root as basePath so
+            # its key=value path segments come back as partition columns;
+            # roots written under an unpartitioned spec read plain — after
+            # an evolution the same column surfaces from DATA in old roots
+            # and from the PATH in new ones, and unionByName aligns them
+            parts, path_cols = [], []
+            for root, fs in sorted(
+                _group_files_by_root(self.data_dir, files).items()
+            ):
+                fields = spec_map.get(root) or []
+                rd = self.spark.read.option("mergeSchema", "true")
+                if fields:
+                    rd = rd.option("basePath", root)
+                parts.append(pos(rd.parquet(*fs)))
+                path_cols.append(set(fields))
             # partition-column types are inferred independently per staged
-            # root; if two appends infer differently (one all-numeric, one
-            # not) the union would fail or silently widen — normalize to
-            # string when the inferred types disagree
-            for col in partition_by:
-                types = {dict(p.dtypes)[col] for p in parts}
-                if len(types) > 1:
+            # root; where the column is a DATA column in some root, that
+            # file schema is authoritative — cast the path-inferred twins
+            # to it; if it is path-derived everywhere and inference
+            # disagrees, normalize to string (never fail the union)
+            for col in sorted(set().union(*path_cols)):
+                seen: set[str] = set()
+                data_dt: str | None = None
+                for p, src in zip(parts, path_cols):
+                    dt = dict(p.dtypes).get(col)
+                    if dt is None:
+                        continue
+                    seen.add(dt)
+                    if col not in src and data_dt is None:
+                        data_dt = dt
+                if len(seen) > 1:
+                    target = data_dt or "string"
                     parts = [
-                        p.withColumn(col, p[col].cast("string")) for p in parts
+                        p.withColumn(col, p[col].cast(target))
+                        if col in p.columns
+                        else p
+                        for p in parts
                     ]
             out = parts[0]
             for p in parts[1:]:
@@ -1782,8 +1979,11 @@ class SnapshotTable:
             if not new_files:
                 continue
             parts.append(
-                self._read_file_list(new_files, m.get("partition_by") or [])
-                .withColumn("commit_version", F.lit(v).cast("int"))
+                self._read_file_list(
+                    new_files,
+                    m.get("partition_by") or [],
+                    spec_map=self._root_fields(m),
+                ).withColumn("commit_version", F.lit(v).cast("int"))
             )
         if not parts:
             return _empty()
@@ -1891,7 +2091,11 @@ class SnapshotTable:
             # unions for widen-mixed widths, _metadata address columns
             # for positional deltas
             return self._read_file_list(
-                fs, [], with_pos=has_pos, widen=_has_widen(m)
+                fs,
+                [],
+                with_pos=has_pos,
+                widen=_has_widen(m),
+                spec_map=self._root_fields(m),
             )
 
         files = [f for f in m["files"] if may_match(f)]
@@ -2007,6 +2211,36 @@ class SnapshotTable:
             rows, "partition string, file_count int, size_bytes long"
         )
 
+    def partition_specs(self, version: int | None = None) -> DataFrame:
+        """≙ Iceberg's spec history (`t$partition_specs`): every layout
+        the table ever defaulted, with its stable spec id, the current
+        default flagged, and how many live data files were written under
+        it (0 once a compaction migrated them)."""
+        m = self._resolve(version)
+        default = int(m.get("default_spec_id", 0))
+        root_specs = m.get("root_specs") or {}
+        live: dict[int, int] = {}
+        for f in m["files"]:
+            rel = os.path.relpath(f, self.data_dir).split(os.sep)[0]
+            live[int(root_specs.get(rel, default))] = (
+                live.get(int(root_specs.get(rel, default)), 0) + 1
+            )
+        rows = [
+            (
+                int(s["spec_id"]),
+                ",".join(s["fields"]) or "<unpartitioned>",
+                int(s["spec_id"]) == default,
+                live.get(int(s["spec_id"]), 0),
+            )
+            for s in m.get("partition_specs")
+            or [{"spec_id": 0, "fields": m.get("partition_by") or []}]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "spec_id int, fields string, is_default boolean, "
+            "live_file_count int",
+        )
+
     def properties(self, version: int | None = None) -> DataFrame:
         """≙ `t$properties`: the table-property key/value pairs of a
         snapshot (sample-queries.sql:55-61)."""
@@ -2099,6 +2333,14 @@ class SnapshotTable:
             raise ValueError(
                 f"merge changes must carry the partition columns {missing}"
             )
+        if self._mixed_specs(m):
+            raise ValueError(
+                "data files are not under the current default partition "
+                "spec (the layout was evolved); the partition-pruned merge "
+                "keys files by the default spec and would treat old-spec "
+                "files as untouched — run compact() or OPTIMIZE first, or "
+                "use mode='mor'"
+            )
         if not changes.take(1):
             return m["version"]  # empty change set: no-op
         upserts = changes
@@ -2179,6 +2421,8 @@ class SnapshotTable:
         if not parent:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
+        if self._mixed_specs(m):
+            return self._compact_migrate_specs(m)
         if m.get("partition_by"):
             return self._compact_partitioned(m, small_file_bytes)
         small = [f for f in m["files"] if os.path.getsize(f) < small_file_bytes]
@@ -2190,7 +2434,9 @@ class SnapshotTable:
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         # per-root unions when a widen op left mixed physical widths; the
         # journal itself is carried, so the rewrite stays raw-physical
-        src = self._read_file_list(small, [], widen=_has_widen(m))
+        src = self._read_file_list(
+            small, [], widen=_has_widen(m), spec_map=self._root_fields(m)
+        )
         sort_by = m.get("sort_by") or []
         if sort_by:
             # sort-compaction (Iceberg rewrite_data_files with sort
@@ -2219,6 +2465,39 @@ class SnapshotTable:
             zorder_by=list(m.get("zorder_by") or []),
             deltas=list(m.get("deltas", [])),
             schema_ops=list(m.get("schema_ops", [])),
+        )
+
+    def _compact_migrate_specs(self, m: dict) -> int | None:
+        """OPTIMIZE on a table whose files span multiple partition specs
+        (the layout was evolved): a FULL rewrite that lands every row
+        under the current default spec — Iceberg's rewrite_data_files
+        spec-migration. This is the documented unblock for the
+        partition-keyed operations that refuse mixed specs
+        (partition overwrite, partition-pruned CoW merge). Materializes
+        the applied read (journal + deltas included), so the schema-op
+        journal and delta stack reset like any full rewrite."""
+        applied = self._recluster(self.read(), m)
+        part_cols = m.get("partition_by") or []
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        writer = applied.write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staged)
+        new_files = _staged_parquet_files(staged)
+        cols = m.get("stats_cols") or []
+        stats = _footer_stats(new_files, cols) if cols else {}
+        return self._write_manifest(
+            parent=m["version"],
+            operation="compact",
+            files=new_files,
+            added_files=len(new_files),
+            added_rows=0,  # logical rows unchanged — a rewrite
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
         )
 
     def _compact_partitioned(self, m: dict, small_file_bytes: int) -> int | None:

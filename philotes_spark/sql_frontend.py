@@ -53,8 +53,8 @@ _TT_RE = re.compile(
 # (sample-queries.sql:55-61: SELECT * FROM "events$snapshots"), with or
 # without the double quotes Trino requires around the $-name
 _META_TABLES = (
-    "snapshots", "files", "delete_files", "partitions", "properties",
-    "metadata", "refs", "schema_history", "history",
+    "snapshots", "files", "delete_files", "partition_specs", "partitions",
+    "properties", "metadata", "refs", "schema_history", "history",
 )
 _META_RE = re.compile(
     r'"?\b([A-Za-z_][A-Za-z0-9_]*)\$(' + "|".join(_META_TABLES) + r')\b"?',
@@ -238,6 +238,13 @@ _DDL_DROP_COL = re.compile(
 _DDL_ALTER_TYPE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+(\w+)\s+"
     r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Iceberg partition-spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD c
+# (identity transforms — the hive layout partitions on column values)
+_DDL_PARTITION_FIELD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+"
+    r"(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_LEAD = re.compile(
@@ -1265,13 +1272,39 @@ def sql(
                 [(name, "widen-column", version)],
                 "table string, operation string, version int",
             )
+        m = _DDL_PARTITION_FIELD.match(statement)
+        if m:
+            tbl = tables[name]
+            action, col = m.group(2).upper(), m.group(3)
+            cur = tbl._load(
+                f"v{tbl.current_version():08d}.json"
+            ).get("partition_by") or []
+            if action == "ADD":
+                if col in cur:
+                    raise ValueError(
+                        f"{col!r} is already a partition field of {name!r}"
+                    )
+                fields = [*cur, col]
+            else:
+                if col not in cur:
+                    raise ValueError(
+                        f"{col!r} is not a partition field of {name!r} "
+                        f"(current spec: {cur})"
+                    )
+                fields = [c for c in cur if c != col]
+            version = tbl.evolve_partition_spec(fields)
+            return spark.createDataFrame(
+                [(name, f"{action.lower()}-partition-field", version)],
+                "table string, operation string, version int",
+            )
         raise ValueError(
             f"unsupported ALTER shape for snapshot table {name!r}: "
             "SET/UNSET TBLPROPERTIES, ADD COLUMN(S) (name type, ...), "
             "RENAME COLUMN a TO b, DROP COLUMN name, ALTER COLUMN c "
-            "[SET DATA] TYPE t (widening only), and CREATE/DROP "
-            "TAG|BRANCH name [AS OF VERSION n] are served; other ALTERs "
-            "(layout changes) need an overwrite commit"
+            "[SET DATA] TYPE t (widening only), ADD/DROP PARTITION "
+            "FIELD c (spec evolution — metadata-only, files keep their "
+            "layout), and CREATE/DROP TAG|BRANCH name [AS OF VERSION n] "
+            "are served"
         )
 
     lead = _DML_LEAD.match(statement)

@@ -1671,3 +1671,175 @@ def tbl_version(tbl) -> int:
         return tbl.current_version()
     except FileNotFoundError:
         return 0
+
+
+# --- family 13: partition-spec evolution × DML (r12) --------------------------
+# The differential property IS layout independence: the DuckDB mirror has
+# no notion of partition layout, so if the engine's read ever depends on
+# which spec a file was written under (path-derived vs data columns,
+# mixed-root unions, spec-keyed rewrites), the mirror diverges. Ops:
+# appends under the current default spec, random evolve_partition_spec
+# (metadata-only — the mirror no-ops), MoR delete/upsert (layout-blind by
+# design), CoW merges (REFUSE on mixed specs when partitioned — the fuzzer
+# asserts the guard, migrates via compact(), retries), and compaction
+# (the spec-migration rewrite). Final state must be row-identical, and the
+# $partition_specs accounting must cover every live file.
+
+
+def _gen_spec_evolution(seed: int) -> list[tuple]:
+    rng = random.Random(seed)
+    ops: list[tuple] = []
+    specs = [[], ["s"], ["n"], ["n", "s"]]
+    cur: list = []
+    n_appends = 0
+    for _ in range(rng.randint(6, 10)):
+        kind = rng.choice(
+            ["append", "append", "evolve", "evolve", "mor_delete",
+             "mor_upsert", "cow_merge", "compact"]
+        )
+        if kind == "append":
+            ops.append(("append", 3_000_000 + n_appends * 100_000,
+                        3 + rng.randint(0, 6)))
+            n_appends += 1
+        elif kind == "evolve":
+            target = rng.choice([s for s in specs if s != cur])
+            ops.append(("evolve", list(target)))
+            cur = target
+        elif kind == "mor_delete":
+            ops.append(("mor_delete", rng.choice([5, 7, 9]),
+                        rng.randint(0, 4)))
+        elif kind == "mor_upsert":
+            ops.append(("mor_upsert", rng.choice([4, 6, 8]),
+                        rng.randint(0, 3), rng.choice([1.5, -2.0, 100.0])))
+        elif kind == "cow_merge":
+            ops.append(("cow_merge", rng.choice([11, 13]),
+                        rng.randint(0, 5), rng.choice([0.25, 10.0])))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+@pytest.mark.parametrize("seed", range(1300, 1310))
+def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+    init_sql = (
+        "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s, "
+        "CAST(c_nationkey AS INT) AS n "
+        "FROM customer WHERE c_custkey % 3 = 1"
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "spec_evo"))
+    tbl.commit(spark.sql(init_sql), stats_cols=["k"])
+    own_duck = duckdb.connect()
+    own_duck.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    own_duck.sql(f"CREATE TABLE evo_spec AS {init_sql}")
+
+    def run_cow(m, r, dv):
+        if not tbl.read().filter(f"k % {m} = {r}").take(1):
+            return
+        for _attempt in range(3):
+            changes = (
+                tbl.read().filter(f"k % {m} = {r}")
+                .withColumn("v", F.col("v") + dv)
+            )
+            try:
+                tbl.merge(changes, key_cols=["k"])
+                break
+            except ValueError as e:
+                # both CoW guards are expected states here, each with its
+                # named remedy: pending MoR deltas → compact_deltas();
+                # mixed specs (partitioned default) → compact() migration
+                if "pending MoR deltas" in str(e):
+                    tbl.compact_deltas()
+                elif "not under the current default" in str(e):
+                    tbl.compact()
+                else:
+                    raise
+        else:
+            raise AssertionError(f"seed={seed}: CoW never unblocked")
+        own_duck.sql(
+            f"UPDATE evo_spec SET v = v + {dv} WHERE k % {m} = {r}"
+        )
+
+    for op in _gen_spec_evolution(seed):
+        if op[0] == "append":
+            _, off, count = op
+            schema = tbl.read().schema
+            rows = _evo_append_rows(schema, off, count)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in schema.fields
+            )
+            tbl.commit(spark.createDataFrame(rows, ddl).coalesce(1))
+            vals = ", ".join(
+                "(" + ", ".join(
+                    f"'{v}'" if isinstance(v, str) else str(v) for v in row
+                ) + ")"
+                for row in rows
+            )
+            names = ", ".join(f.name for f in schema.fields)
+            own_duck.sql(
+                f"INSERT INTO evo_spec ({names}) VALUES {vals}"
+            )
+        elif op[0] == "evolve":
+            tbl.evolve_partition_spec(op[1])  # mirror: layout-invisible
+        elif op[0] == "mor_delete":
+            _, m, r = op
+            changes = (
+                tbl.read().filter(f"k % {m} = {r}")
+                .withColumn("_del", F.lit(True))
+            )
+            if changes.take(1):
+                tbl.merge(changes, key_cols=["k"], delete_col="_del",
+                          mode="mor")
+            own_duck.sql(f"DELETE FROM evo_spec WHERE k % {m} = {r}")
+        elif op[0] == "mor_upsert":
+            _, m, r, dv = op
+            changes = (
+                tbl.read().filter(f"k % {m} = {r}")
+                .withColumn("v", F.col("v") + dv)
+            )
+            if changes.take(1):
+                tbl.merge(changes, key_cols=["k"], mode="mor")
+            own_duck.sql(
+                f"UPDATE evo_spec SET v = v + {dv} WHERE k % {m} = {r}"
+            )
+        elif op[0] == "cow_merge":
+            run_cow(op[1], op[2], op[3])
+        else:  # compact: migrates mixed specs, else folds deltas
+            if tbl._mixed_specs(
+                tbl._load(f"v{tbl.current_version():08d}.json")
+            ):
+                tbl.compact()
+            else:
+                tbl.compact_deltas()
+
+    # engine read == layout-blind mirror, row for row
+    cols = sorted(tbl.read().columns)
+    s_rows = {r["k"]: tuple(r[c] for c in cols)
+              for r in (row.asDict() for row in tbl.read().collect())}
+    sel = ", ".join(cols)
+    d_rows = {row[cols.index("k")]: row for row in own_duck.sql(
+        f"SELECT {sel} FROM evo_spec"
+    ).fetchall()}
+    own_duck.close()
+    assert sorted(s_rows) == sorted(d_rows), f"seed={seed}: key sets"
+    for k in s_rows:
+        for c, a, b in zip(cols, s_rows[k], d_rows[k]):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                    f"seed={seed} k={k} {c}: {a} != {b}"
+                )
+            else:
+                assert a == b, f"seed={seed} k={k} {c}: {a!r} != {b!r}"
+    # $partition_specs accounting covers every live file exactly once
+    m = tbl._load(f"v{tbl.current_version():08d}.json")
+    spec_rows = tbl.partition_specs().collect()
+    assert sum(r.live_file_count for r in spec_rows) == len(m["files"])
+    assert sum(1 for r in spec_rows if r.is_default) == 1

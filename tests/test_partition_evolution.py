@@ -1,0 +1,253 @@
+"""Partition-spec evolution (B19/A16 — Iceberg spec evolution).
+
+Contract under test (`SnapshotTable.evolve_partition_spec`,
+`ALTER TABLE ... ADD/DROP PARTITION FIELD`): changing the layout is a
+METADATA-ONLY commit — no file is read or rewritten; existing files keep
+the spec they were written under (``root_specs``) and the read unions
+per staged root, so results are layout-independent. Reference interop
+shape: ``TableMetadata.PartitionSpecs[]/DefaultSpecID``
+(internal/iceberg/types.go:136-140).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.sources.snapshots import SnapshotTable
+from philotes_spark.sql_frontend import sql
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, cat string, reg string, v int"
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("id", "cat", "reg", "v").collect()
+    )
+
+
+def test_evolve_unpartitioned_to_partitioned(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]))
+    v = table.evolve_partition_spec(["cat"])
+    assert v == 2  # a real (metadata-only) version
+    table.commit(_df(spark, [(3, "a", "z", 30), (4, "c", "x", 40)]))
+    got = _rows(table.read())
+    assert got == [
+        (1, "a", "x", 10), (2, "b", "y", 20),
+        (3, "a", "z", 30), (4, "c", "x", 40),
+    ]
+    # spec history: append-only, default moved, old files keep spec 0
+    specs = {
+        r.spec_id: r for r in table.partition_specs().collect()
+    }
+    assert specs[0].fields == "<unpartitioned>" and not specs[0].is_default
+    assert specs[1].fields == "cat" and specs[1].is_default
+    assert specs[0].live_file_count > 0  # old files NOT rewritten
+    assert specs[1].live_file_count > 0
+
+
+def test_evolution_is_metadata_only(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10)]))
+    m1 = table._load(f"v{table.current_version():08d}.json")
+    table.evolve_partition_spec(["reg"])
+    m2 = table._load(f"v{table.current_version():08d}.json")
+    assert m2["files"] == m1["files"]  # zero rewrites
+    assert m2["operation"] == "evolve-partition-spec"
+    assert m2["added_files"] == 0
+
+
+def test_evolve_between_partition_columns(spark, table):
+    table.commit(
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
+    )
+    table.evolve_partition_spec(["reg"])
+    table.commit(_df(spark, [(3, "a", "z", 30)]))
+    # drop back to unpartitioned
+    table.evolve_partition_spec([])
+    table.commit(_df(spark, [(4, "c", "x", 40)]))
+    got = _rows(table.read())
+    assert [r[0] for r in got] == [1, 2, 3, 4]
+    # three roots, three specs live at once
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert len({int(s) for s in m["root_specs"].values()}) == 3
+
+
+def test_time_travel_across_evolution(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10)]), partition_by=["cat"])
+    v1 = table.current_version()
+    table.evolve_partition_spec([])
+    table.commit(_df(spark, [(2, "b", "y", 20)]))
+    assert _rows(table.read(version=v1)) == [(1, "a", "x", 10)]
+    assert len(_rows(table.read())) == 2
+
+
+def test_partition_value_roundtrip_types(spark, table):
+    """A column moved into the path and back must keep its values AND a
+    usable type: old roots carry it as DATA (authoritative), new roots
+    re-derive it from path segments."""
+    df = spark.createDataFrame(
+        [(1, 7, "x"), (2, 9, "y")], "id int, bucket int, s string"
+    )
+    table.commit(df)
+    table.evolve_partition_spec(["bucket"])
+    table.commit(
+        spark.createDataFrame([(3, 7, "z")], "id int, bucket int, s string")
+    )
+    got = table.read()
+    assert dict(got.dtypes)["bucket"] == "int"  # data-root type wins
+    assert got.filter(F.col("bucket") == 7).count() == 2
+
+
+def test_guards(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10)]))
+    with pytest.raises(ValueError, match="not columns of the table"):
+        table.evolve_partition_spec(["nope"])
+    with pytest.raises(ValueError, match="duplicate partition fields"):
+        table.evolve_partition_spec(["cat", "cat"])
+    # no-op evolution returns the current version without a commit
+    v = table.current_version()
+    assert table.evolve_partition_spec([]) == v
+    # explicit conflicting spec on append still refuses, naming the remedy
+    table.evolve_partition_spec(["cat"])
+    with pytest.raises(ValueError, match="evolve the layout"):
+        table.commit(
+            _df(spark, [(9, "z", "q", 90)]), partition_by=["reg"]
+        )
+
+
+def test_clustering_overlap_refused(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10)]), sort_by=["v"])
+    with pytest.raises(ValueError, match="sort/z-order"):
+        table.evolve_partition_spec(["v"])
+
+
+def test_partition_keyed_rewrites_refuse_mixed_then_compact_unblocks(
+    spark, table
+):
+    table.commit(
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
+    )
+    table.evolve_partition_spec(["reg"])
+    table.commit(_df(spark, [(3, "a", "z", 30)]))
+    changes = _df(spark, [(1, "a", "x", 11)])
+    with pytest.raises(ValueError, match="not under the current default"):
+        table.merge(changes, key_cols=["id"])
+    with pytest.raises(ValueError, match="not under the current default"):
+        table.overwrite_partitions(changes)
+    # OPTIMIZE migrates every file to the default spec and unblocks
+    table.compact()
+    specs = {r.spec_id: r for r in table.partition_specs().collect()}
+    assert specs[0].live_file_count == 0
+    assert sum(r.live_file_count for r in specs.values()) > 0
+    table.merge(changes, key_cols=["id"])
+    got = _rows(table.read())
+    assert (1, "a", "x", 11) in got and len(got) == 3
+
+
+def test_mor_merge_allowed_on_mixed_specs(spark, table):
+    """MoR deltas key rows, not files — the layout never matters."""
+    table.commit(
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
+    )
+    table.evolve_partition_spec([])
+    table.commit(_df(spark, [(3, "c", "z", 30)]))
+    table.merge(
+        _df(spark, [(2, "b", "y", 99)]), key_cols=["id"], mode="mor"
+    )
+    got = _rows(table.read())
+    assert (2, "b", "y", 99) in got and len(got) == 3
+    # compact_deltas folds deltas AND the root_specs bookkeeping follows
+    table.compact_deltas()
+    assert _rows(table.read()) == got
+
+
+def test_statement_surface(spark, table):
+    table.commit(_df(spark, [(1, "a", "x", 10)]))
+    tables = {"t": table}
+    out = sql(
+        spark, "ALTER TABLE t ADD PARTITION FIELD cat", snapshot_tables=tables
+    ).collect()[0]
+    assert out.operation == "add-partition-field"
+    table.commit(_df(spark, [(2, "b", "y", 20)]))
+    assert len(_rows(table.read())) == 2
+    with pytest.raises(ValueError, match="already a partition field"):
+        sql(
+            spark,
+            "ALTER TABLE t ADD PARTITION FIELD cat",
+            snapshot_tables=tables,
+        )
+    out = sql(
+        spark, "ALTER TABLE t DROP PARTITION FIELD cat", snapshot_tables=tables
+    ).collect()[0]
+    assert out.operation == "drop-partition-field"
+    with pytest.raises(ValueError, match="not a partition field"):
+        sql(
+            spark,
+            "ALTER TABLE t DROP PARTITION FIELD reg",
+            snapshot_tables=tables,
+        )
+    # $partition_specs metadata table through SQL text
+    specs = sql(
+        spark,
+        "SELECT spec_id, fields, is_default FROM t$partition_specs "
+        "ORDER BY spec_id",
+        snapshot_tables=tables,
+    ).collect()
+    assert [r.fields for r in specs] == ["<unpartitioned>", "cat"]
+    assert [r.is_default for r in specs] == [True, False]
+
+
+def test_publish_refuses_mixed_and_moved_specs(spark, table, tmp_path):
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.test_catalog_rest import MockCatalog
+
+    table.commit(
+        _df(spark, [(1, "a", "x", 10)]), partition_by=["cat"]
+    )
+    srv = MockCatalog()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("ns", "t", table)
+        # evolve + append → mixed specs → publish refuses with the remedy
+        table.evolve_partition_spec(["reg"])
+        table.commit(_df(spark, [(2, "b", "y", 20)]))
+        with pytest.raises(ValueError, match="not under its default"):
+            cat.publish_snapshot("ns", "t", table)
+        # compact migrates to ONE spec, but it differs from the served
+        # one — still refused until add-spec publish is wire-supported
+        table.compact()
+        with pytest.raises(ValueError, match="catalog serves"):
+            cat.publish_snapshot("ns", "t", table)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_schema_ops_compose_with_evolution(spark, table):
+    """Rename journal over a path-derived column: pre-rename roots
+    surface the OLD name from their paths, and the journal's coalesce
+    lands the new name for every root."""
+    table.commit(
+        _df(spark, [(1, "a", "x", 10)]), partition_by=["cat"]
+    )
+    table.evolve_partition_spec([])
+    table.commit(_df(spark, [(2, "b", "y", 20)]))
+    table.alter_rename_column("cat", "category")
+    got = table.read()
+    assert "category" in got.columns and "cat" not in got.columns
+    vals = {r.category for r in got.collect()}
+    assert vals == {"a", "b"}

@@ -167,8 +167,10 @@ def test_append_inherits_partition_spec(spark, table):
     got = table.read()
     assert got.count() == 30
     assert got.filter(F.col("bucket") == 1).count() == 15  # readable union
-    # conflicting spec on append is rejected; overwrite may change layout
-    with pytest.raises(ValueError, match="conflicts with the table's spec"):
+    # conflicting EXPLICIT spec on append is rejected (silently honoring it
+    # would fork the layout without recording an evolution); changing the
+    # layout is evolve_partition_spec / ALTER ... ADD PARTITION FIELD
+    with pytest.raises(ValueError, match="conflicts with the table's default"):
         table.commit(df(30, 40), partition_by=["v"])
     table.commit(df(0, 6), operation="overwrite")  # back to unpartitioned
     assert table.read().count() == 6
