@@ -253,12 +253,13 @@ def snapshot_entry(
 def assemble_table_metadata_v2(
     location: str,
     schema_rest: dict | list[dict],
-    partition_spec: dict,
+    partition_spec: dict | list[dict],
     snapshots: list[dict],
     properties: dict | None = None,
     current_schema_id: int | None = None,
     sort_order: dict | None = None,
     refs: dict | None = None,
+    default_spec_id: int | None = None,
 ) -> dict:
     """Assemble a spec-compliant Iceberg **format-version 2** table
     metadata document (types.go:44-93 ``TableMetadata``) from its parts.
@@ -282,8 +283,20 @@ def assemble_table_metadata_v2(
         current_schema_id if current_schema_id is not None else len(schemas) - 1
     )
     cur_schema = schemas[cur_id]
-    spec = {"spec-id": partition_spec.get("spec-id", 0),
-            "fields": partition_spec.get("fields", [])}
+    # partition-spec evolution (r12): the caller may pass the table's
+    # whole spec history plus the default (write) spec's id; a single
+    # spec (or no explicit default) keeps the pre-evolution behavior
+    raw_specs = (
+        partition_spec if isinstance(partition_spec, list) else [partition_spec]
+    )
+    specs = [
+        {"spec-id": sp.get("spec-id", 0), "fields": sp.get("fields", [])}
+        for sp in raw_specs
+    ]
+    spec = next(
+        (sp for sp in specs if sp["spec-id"] == default_spec_id),
+        specs[-1],
+    )
     current = snapshots[-1]["snapshot-id"] if snapshots else -1
     return {
         "format-version": 2,
@@ -299,9 +312,10 @@ def assemble_table_metadata_v2(
         "current-schema-id": cur_id,
         "schemas": schemas,
         "default-spec-id": spec["spec-id"],
-        "partition-specs": [spec],
+        "partition-specs": specs,
         "last-partition-id": max(
-            (f["field-id"] for f in spec["fields"]), default=999
+            (f["field-id"] for sp in specs for f in sp["fields"]),
+            default=999,
         ),
         "default-sort-order-id": (
             sort_order["order-id"] if sort_order else 0
@@ -376,6 +390,9 @@ def validate_table_metadata_v2(meta: dict) -> None:
         fail(f"current-schema-id {meta['current-schema-id']} not in schemas")
     cur_schema = schemas[meta["current-schema-id"]]
     field_ids = [f["id"] for f in cur_schema["fields"]]
+    all_schema_ids = {
+        f["id"] for s in meta["schemas"] for f in s["fields"]
+    }
     if meta["last-column-id"] < max(field_ids, default=0):
         fail("last-column-id below max assigned field id")
     # every schema in the history (not just the current one) must carry
@@ -407,14 +424,36 @@ def validate_table_metadata_v2(meta: dict) -> None:
                 )
             by_id_type[f["id"]] = f["type"]
     specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if len(specs) != len(meta["partition-specs"]):
+        fail("duplicate spec-id in partition-specs")
     if meta["default-spec-id"] not in specs:
         fail(f"default-spec-id {meta['default-spec-id']} not in partition-specs")
-    for pf in specs[meta["default-spec-id"]]["fields"]:
-        for k in ("source-id", "field-id", "name", "transform"):
-            if k not in pf:
-                fail(f"partition field missing {k!r}: {pf}")
-        if pf["source-id"] not in field_ids:
-            fail(f"partition source-id {pf['source-id']} not a schema field id")
+    # EVERY spec validates (spec evolution keeps full history), and a
+    # partition field id identifies one (name, transform, source) across
+    # the whole history — reuse across specs corrupts partition-record
+    # decoding (Iceberg: partition field ids are never reused)
+    pfid_owner: dict[int, tuple] = {}
+    for sid, sp in specs.items():
+        for pf in sp["fields"]:
+            for k in ("source-id", "field-id", "name", "transform"):
+                if k not in pf:
+                    fail(f"spec {sid}: partition field missing {k!r}: {pf}")
+            if pf["source-id"] not in all_schema_ids:
+                # resolve against the whole SCHEMA history: an old spec
+                # may source a column since dropped from the current
+                # schema — still a valid published spec (Iceberg resolves
+                # partition sources by field id across schema history)
+                fail(
+                    f"spec {sid}: partition source-id {pf['source-id']} "
+                    "not a schema field id"
+                )
+            ident = (pf["name"], pf["transform"], pf["source-id"])
+            prev = pfid_owner.setdefault(pf["field-id"], ident)
+            if prev != ident:
+                fail(
+                    f"partition field id {pf['field-id']} reused across "
+                    f"specs for different fields: {prev} vs {ident}"
+                )
     orders = {o["order-id"]: o for o in meta.get("sort-orders", [])}
     if meta.get("default-sort-order-id", 0) not in orders:
         fail(
@@ -532,25 +571,35 @@ class RestCatalog:
         partition_by: list[str] | None = None,
         location: str | None = None,
         sort_by: list[str] | None = None,
+        partition_spec: dict | None = None,
     ) -> None:
+        # partition_spec (a full REST spec dict with its spec-id)
+        # overrides the positional computation: a table that evolved its
+        # layout BEFORE first publish must create with its actual default
+        # spec id and registry-stable partition field ids, not a fresh
+        # spec 0.
         self.create_namespace(namespace)
         if self.table_exists(namespace, table):
             return
         rest_schema = schema_to_rest(schema)
         field_id = {f["name"]: f["id"] for f in rest_schema["fields"]}
-        spec_fields = [
-            {
-                "source-id": field_id[c],
-                "field-id": 1000 + i,
-                "name": c,
-                "transform": "identity",
+        if partition_spec is None:
+            partition_spec = {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": field_id[c],
+                        "field-id": 1000 + i,
+                        "name": c,
+                        "transform": "identity",
+                    }
+                    for i, c in enumerate(partition_by or [])
+                ],
             }
-            for i, c in enumerate(partition_by or [])
-        ]
         req = {
             "name": table,
             "schema": rest_schema,
-            "partition-spec": {"spec-id": 0, "fields": spec_fields},
+            "partition-spec": partition_spec,
             "stage-create": False,
             "properties": {},
         }
@@ -594,6 +643,7 @@ class RestCatalog:
         snapshot: dict | None = None,
         new_schema: dict | None = None,
         properties: dict[str, str] | None = None,
+        spec_updates: list[dict] | None = None,
     ) -> None:
         """Commit an append snapshot (rest.go:188-217: a single
         append-files update with empty requirements). When ``snapshot``
@@ -610,7 +660,7 @@ class RestCatalog:
         updates, so a rewrite's removals travel solely as the snapshot's
         status=2 manifest entries and the catalog derives its served
         file list from the manifest chain (ADVICE r08)."""
-        updates: list[dict] = []
+        updates: list[dict] = list(spec_updates or [])
         if new_schema is not None:
             updates.append({"action": "add-schema", "schema": new_schema})
             updates.append({"action": "set-current-schema", "schema-id": -1})
@@ -765,44 +815,6 @@ class RestCatalog:
         from philotes_spark.sources.iceberg_manifest import file_provenance
 
         manifest = snap._resolve(version=version)
-        # Partition-spec evolution (engine-side: evolve_partition_spec)
-        # is not yet wire-published: the Avro manifests declare ONE
-        # partition-spec-id=0 and per-entry partition values under it,
-        # and the REST metadata freezes the create-time spec — so a
-        # mixed-spec file list, or a default spec that moved after the
-        # table was served, would make external readers mis-parse
-        # partition values. Refuse both proactively with the remedy
-        # named (same phased gate rename/drop publish used in r8→r10;
-        # full add-spec/set-default-spec publish is the follow-up).
-        if snap._mixed_specs(manifest):
-            raise ValueError(
-                f"version {manifest['version']} has data files not under "
-                "its default partition spec (the layout was evolved); run "
-                "compact() / OPTIMIZE to migrate every file to the default "
-                "spec before publishing"
-            )
-        if self.table_exists(namespace, table):
-            served_meta = self.load_table(namespace, table).get(
-                "metadata", {}
-            )
-            served_specs = {
-                s["spec-id"]: s for s in served_meta.get("partition-specs", [])
-            }
-            served_default = served_specs.get(
-                served_meta.get("default-spec-id", 0), {}
-            )
-            served_fields = [
-                f["name"] for f in served_default.get("fields", [])
-            ]
-            if served_fields != list(manifest.get("partition_by") or []):
-                raise ValueError(
-                    f"version {manifest['version']} uses partition spec "
-                    f"{manifest.get('partition_by') or []} but the catalog "
-                    f"serves {served_fields}; publishing a spec evolution "
-                    "(add-spec / set-default-spec) is not wire-supported "
-                    "yet — keep the published layout, or publish to a new "
-                    "table"
-                )
         added_at, deltas = file_provenance(snap, manifest["version"])
         # MoR deltas publish as REAL v2 delete manifests (content=1
         # positional / content=2 equality files — r08, VERDICT r07 #1), so
@@ -906,6 +918,18 @@ class RestCatalog:
                 for s in loaded.get("metadata", {}).get("snapshots", [])
             }
         new_files = [f for f in effective_files if f not in already_served]
+        from philotes_spark.sources.iceberg_manifest import (
+            partition_spec_registry,
+            spec_fields_rest,
+        )
+
+        default_sid = int(manifest.get("default_spec_id", 0))
+        # fresh-table create carries the ACTUAL default spec (its id and
+        # registry-stable partition field ids) — a table that evolved its
+        # layout before first publish is not spec 0 (r12)
+        create_registry, _ = partition_spec_registry(
+            manifest, schema_to_rest(snap.read(version=version).schema)
+        )
         self.create_table(
             namespace,
             table,
@@ -913,6 +937,10 @@ class RestCatalog:
             partition_by=manifest.get("partition_by"),
             location=snap.path,
             sort_by=manifest.get("sort_by") or None,
+            partition_spec={
+                "spec-id": default_sid,
+                "fields": spec_fields_rest(create_registry[default_sid]),
+            },
         )
         # additive schema evolution (A12): when the published version's
         # schema differs from what the catalog currently serves, the
@@ -1042,6 +1070,56 @@ class RestCatalog:
                     )
                 )
             }
+        # partition-spec evolution rides the commit (r12): add-spec for
+        # every spec this version's manifests reference that the catalog
+        # does not serve yet (current + parent roots — DELETED entries
+        # land in their own spec's manifest), and set-default-spec when
+        # the write spec moved. A BACKFILL may add historical specs but
+        # never moves the served default (same direction rule as the
+        # schema updates above). Field ids come from the same registry
+        # write_manifests_for_version uses, so metadata and manifests
+        # agree byte-for-byte.
+        registry, _last_pid = partition_spec_registry(manifest, rest_schema)
+        root_specs = dict(manifest.get("root_specs") or {})
+        if manifest.get("parent"):
+            try:
+                pm = snap._resolve(version=manifest["parent"])
+                for k, v in (pm.get("root_specs") or {}).items():
+                    root_specs.setdefault(k, int(v))
+            except (FileNotFoundError, ValueError):
+                pass
+        used_sids = {int(v) for v in root_specs.values()} | {default_sid}
+        spec_updates: list[dict] = []
+        if created:
+            # create_table just registered exactly the default spec
+            served_sids = {default_sid}
+            served_default = default_sid
+        else:
+            meta_now = self.load_table(namespace, table).get("metadata", {})
+            served_sids = {
+                sp["spec-id"] for sp in meta_now.get("partition-specs", [])
+            }
+            served_default = meta_now.get("default-spec-id")
+        for sid in sorted(used_sids - served_sids):
+            if any(p["source-id"] is None for p in registry[sid]):
+                # a spec sourcing a dropped column: if any live file
+                # still uses it, write_manifests_for_version raises
+                # with the compact() remedy; a spec with no live
+                # entries is simply not published
+                continue
+            spec_updates.append(
+                {
+                    "action": "add-spec",
+                    "spec": {
+                        "spec-id": sid,
+                        "fields": spec_fields_rest(registry[sid]),
+                    },
+                }
+            )
+        if is_newest and served_default != default_sid:
+            spec_updates.append(
+                {"action": "set-default-spec", "spec-id": default_sid}
+            )
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot
@@ -1061,6 +1139,7 @@ class RestCatalog:
                 ),
                 new_schema=new_schema,
                 properties=props,
+                spec_updates=spec_updates,
             )
         # persist the served schema state next to the snapshot log so
         # offline introspection (SHOW TBLPROPERTIES) can align its

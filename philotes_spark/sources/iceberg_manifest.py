@@ -138,23 +138,63 @@ _AVRO_BY_REST_TYPE = {
 }
 
 
-def partition_fields_for(
-    partition_by: list[str], rest_schema: dict | None
-) -> list[dict]:
-    """Typed partition-record fields for identity partitions, ids 1000+
-    (the Iceberg partition field id space). Types resolve through the
-    published REST schema; anything exotic stores its path value as
-    string (hive directory segments are strings on disk anyway)."""
-    types = {}
+def partition_spec_registry(
+    m: dict, rest_schema: dict | None
+) -> tuple[dict[int, list[dict]], int]:
+    """Per-spec partition-field metadata for a manifest's whole spec
+    history: ``{spec_id: [{name, avro_type, field-id, source-id}]}`` plus
+    the table's ``last-partition-id``. Field ids are stable and UNIQUE
+    across specs (Iceberg: a partition field id is never reused; a
+    column reused by a later spec keeps its id, a genuinely new field
+    gets the next id) — manifests and table metadata key partition
+    records on these ids, so id reuse across specs would make one
+    spec's values decode as another's. Single-spec tables get exactly
+    the ids pre-evolution publishes always assigned (1000+i).
+
+    A spec whose source column left the CURRENT schema gets
+    ``source-id: None`` — the id space still advances (ids are history,
+    never re-minted), and the PUBLISHER refuses only when live files
+    actually use such a spec (the engine's layout guard protects only
+    the default spec's columns, so an OLD spec's column can be
+    dropped)."""
+    types, src_ids = {}, {}
     for f in (rest_schema or {}).get("fields", []):
         types[f["name"]] = _AVRO_BY_REST_TYPE.get(f["type"], "string")
+        src_ids[f["name"]] = f["id"]
+    specs = m.get("partition_specs") or [
+        {"spec_id": 0, "fields": m.get("partition_by") or []}
+    ]
+    by_col: dict[str, int] = {}
+    next_id = 1000
+    out: dict[int, list[dict]] = {}
+    for s in sorted(specs, key=lambda s: int(s["spec_id"])):
+        fields = []
+        for c in s["fields"]:
+            if c not in by_col:
+                by_col[c] = next_id
+                next_id += 1
+            fields.append(
+                {
+                    "name": c,
+                    "avro_type": types.get(c, "string"),
+                    "field-id": by_col[c],
+                    "source-id": src_ids.get(c),
+                }
+            )
+        out[int(s["spec_id"])] = fields
+    return out, next_id - 1
+
+
+def spec_fields_rest(part_fields: list[dict]) -> list[dict]:
+    """Registry entries → the Iceberg REST partition-field JSON shape."""
     return [
         {
-            "name": c,
-            "avro_type": types.get(c, "string"),
-            "field-id": 1000 + i,
+            "source-id": p["source-id"],
+            "field-id": p["field-id"],
+            "name": p["name"],
+            "transform": "identity",
         }
-        for i, c in enumerate(partition_by)
+        for p in part_fields
     ]
 
 
@@ -311,10 +351,28 @@ def write_manifests_for_version(
     """
     m = snap._resolve(version=version)
     added_at, deltas = file_provenance(snap, m["version"])
-    part_fields = partition_fields_for(
-        list(m.get("partition_by") or []), rest_schema
-    )
-    entry_schema = manifest_entry_schema(part_fields)
+    # per-spec partition metadata (spec evolution, r12): each staged root
+    # was written under ONE spec, each data manifest declares ONE spec,
+    # so entries group by their file's spec and the partition record is
+    # decoded with that manifest's own field set — exactly how Iceberg
+    # reads mixed-spec tables (the manifest-list row names the spec id)
+    registry, _last_pid = partition_spec_registry(m, rest_schema)
+    default_spec = int(m.get("default_spec_id", 0))
+    root_specs = {k: int(v) for k, v in (m.get("root_specs") or {}).items()}
+    if m.get("parent"):
+        # DELETED entries reference roots only the parent still maps
+        try:
+            pm = snap._resolve(version=m["parent"])
+            for k, v in (pm.get("root_specs") or {}).items():
+                root_specs.setdefault(k, int(v))
+        except (FileNotFoundError, ValueError):
+            pass
+
+    def spec_of(path: str) -> int:
+        rel = os.path.relpath(path, snap.data_dir)
+        if rel.startswith(".."):
+            return default_spec  # delta/key files live outside data roots
+        return root_specs.get(rel.split(os.sep)[0], default_spec)
 
     import pyarrow.parquet as pq
 
@@ -325,7 +383,10 @@ def write_manifests_for_version(
     }
 
     def entry(path: str, content: int, seq: int, *, bounds_src: str | None = None,
-              equality_ids: list[int] | None = None, rows: int | None = None) -> dict:
+              equality_ids: list[int] | None = None, rows: int | None = None,
+              part_fields: list[dict] | None = None) -> dict:
+        if part_fields is None:
+            part_fields = registry[default_spec]
         if rows is None:
             rows = pq.ParquetFile(path).metadata.num_rows
         lower, upper = [], []
@@ -363,10 +424,16 @@ def write_manifests_for_version(
             },
         }
 
-    data_entries = [
-        entry(f, 0, added_at.get(f, m["version"]), bounds_src=f)
-        for f in m["files"]
-    ]
+    data_by_spec: dict[int, list[dict]] = {}
+
+    def add_data(path: str, e_seq: int, **kw) -> dict:
+        sid = spec_of(path)
+        e = entry(path, 0, e_seq, part_fields=registry[sid], **kw)
+        data_by_spec.setdefault(sid, []).append(e)
+        return e
+
+    for f in m["files"]:
+        add_data(f, added_at.get(f, m["version"]), bounds_src=f)
     # files the PARENT referenced that this version no longer does get
     # status=2 (DELETED) entries — the v2 bookkeeping changelog and
     # incremental readers use to see removals (a scan skips them:
@@ -387,7 +454,7 @@ def write_manifests_for_version(
         for f in sorted(parent_effective - current_effective):
             if not os.path.exists(f):
                 continue
-            e = entry(f, 0, added_at.get(f, m["version"] - 1), bounds_src=f)
+            e = add_data(f, added_at.get(f, m["version"] - 1), bounds_src=f)
             e["status"] = 2
             # a DELETED entry names the deleting snapshot but keeps the
             # file's own data sequence (spec: sequence inheritance only
@@ -396,7 +463,6 @@ def write_manifests_for_version(
             e["sequence_number"] = added_at.get(f, m["version"] - 1)
             e["file_sequence_number"] = added_at.get(f, m["version"] - 1)
             deleted_entries.append(e)
-    data_entries.extend(deleted_entries)
     delete_entries = []
     for d, d_seq in deltas:
         if d.get("type") == "pos":
@@ -411,7 +477,7 @@ def write_manifests_for_version(
             # upsert rows are DATA at the delta's sequence — strictly newer
             # than the equality delete applies to, so they survive it
             for f in d.get("upsert_files", []):
-                data_entries.append(entry(f, 0, d_seq))
+                add_data(f, d_seq)
 
     def stats(entries: list[dict]) -> dict:
         out = {"added": 0, "existing": 0, "deleted": 0, "added_rows": 0,
@@ -432,36 +498,57 @@ def write_manifests_for_version(
             )
         return out
 
-    spec_fields = [
-        {
-            "source-id": i + 1,
-            "field-id": p["field-id"],
-            "name": p["name"],
-            "transform": "identity",
-        }
-        for i, p in enumerate(part_fields)
-    ]
-
-    def write_manifest(entries: list[dict], kind: str, idx: int) -> tuple[str, int]:
+    def write_manifest(
+        entries: list[dict], kind: str, idx: int, sid: int
+    ) -> tuple[str, int]:
+        pf = registry[sid]
+        dangling = [p["name"] for p in pf if p["source-id"] is None]
+        if dangling:
+            raise ValueError(
+                f"partition spec {sid} sources dropped column(s) "
+                f"{dangling} but live files still use it — external "
+                "metadata would carry a dangling source-id; compact() "
+                "to migrate those files to the default spec first"
+            )
         path = os.path.join(snap.snap_dir, f"mf-{m['version']:08d}-{idx}.avro")
         length = write_ocf(
             path,
-            entry_schema,
+            manifest_entry_schema(pf),
             entries,
             metadata={
                 "format-version": "2",
                 "content": kind,
-                "partition-spec-id": "0",
-                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(sid),
+                "partition-spec": json.dumps(spec_fields_rest(pf)),
                 **({"schema": json.dumps(rest_schema)} if rest_schema else {}),
             },
         )
         return path, length
 
-    manifests = [(write_manifest(data_entries, "data", 0), 0, stats(data_entries))]
+    # one data manifest per partition spec (sorted for deterministic
+    # names), then the delete manifest under the default spec — the
+    # manifest-list row's partition_spec_id tells a reader which spec
+    # decodes each manifest's partition records
+    manifests = []
+    for idx, sid in enumerate(sorted(data_by_spec) or [default_spec]):
+        manifests.append(
+            (
+                write_manifest(data_by_spec.get(sid, []), "data", idx, sid),
+                0,
+                stats(data_by_spec.get(sid, [])),
+                sid,
+            )
+        )
     if delete_entries:
         manifests.append(
-            (write_manifest(delete_entries, "deletes", 1), 1, stats(delete_entries))
+            (
+                write_manifest(
+                    delete_entries, "deletes", len(manifests), default_spec
+                ),
+                1,
+                stats(delete_entries),
+                default_spec,
+            )
         )
 
     list_path = os.path.join(snap.snap_dir, f"ml-{m['version']:08d}.avro")
@@ -472,7 +559,7 @@ def write_manifests_for_version(
             {
                 "manifest_path": path,
                 "manifest_length": length,
-                "partition_spec_id": 0,
+                "partition_spec_id": sid,
                 "content": content,
                 "sequence_number": m["version"],
                 "min_sequence_number": st["min_seq"],
@@ -484,7 +571,7 @@ def write_manifests_for_version(
                 "existing_rows_count": st["existing_rows"],
                 "deleted_rows_count": st["deleted_rows"],
             }
-            for (path, length), content, st in manifests
+            for (path, length), content, st, sid in manifests
         ],
         metadata={"format-version": "2"},
     )

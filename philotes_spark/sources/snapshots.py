@@ -539,12 +539,23 @@ class SnapshotTable:
         ``TableMetadata.PartitionSpecs[]/DefaultSpecID``
         (internal/iceberg/types.go:136-140)."""
         pm = self._load(f"v{parent:08d}.json") if parent else {}
+        fields = list(partition_by or [])
+        if not parent:
+            # a brand-new table's FIRST layout is spec 0 — no phantom
+            # unpartitioned spec precedes it
+            return {
+                "partition_specs": [{"spec_id": 0, "fields": fields}],
+                "default_spec_id": 0,
+                "root_specs": {
+                    os.path.relpath(root, self.data_dir): 0
+                    for root in _group_files_by_root(self.data_dir, list(files))
+                },
+            }
         specs = [
             {"spec_id": int(s["spec_id"]), "fields": list(s["fields"])}
             for s in pm.get("partition_specs")
             or [{"spec_id": 0, "fields": pm.get("partition_by") or []}]
         ]
-        fields = list(partition_by or [])
         match = next((s for s in specs if s["fields"] == fields), None)
         if match is None:
             match = {

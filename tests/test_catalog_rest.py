@@ -71,12 +71,13 @@ class _Handler(BaseHTTPRequestHandler):
                 meta = assemble_table_metadata_v2(
                     t["location"],
                     t["schemas"],
-                    t["partition-spec"],
+                    t["partition-specs"],
                     srv.snapshots.get(key, []),
                     properties=t.get("properties", {}),
                     current_schema_id=t["current-schema-id"],
                     sort_order=t.get("write-order"),
                     refs=srv.refs.get(key, {}),
+                    default_spec_id=t.get("default-spec-id"),
                 )
                 return self._reply(
                     200,
@@ -110,7 +111,11 @@ class _Handler(BaseHTTPRequestHandler):
                 "schema": body["schema"],
                 "schemas": [body["schema"]],
                 "current-schema-id": 0,
-                "partition-spec": body["partition-spec"],
+                # spec history (partition evolution): create seeds it with
+                # the initial spec; add-spec appends, set-default-spec
+                # moves the default id
+                "partition-specs": [body["partition-spec"]],
+                "default-spec-id": body["partition-spec"].get("spec-id", 0),
                 "write-order": body.get("write-order"),
                 "location": body.get("location") or f"mock://{key[0]}/{key[1]}",
             }
@@ -152,6 +157,28 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 elif upd["action"] == "add-schema":
                     srv.tables[key]["schemas"].append(upd["schema"])
+                elif upd["action"] == "add-spec":
+                    specs = srv.tables[key]["partition-specs"]
+                    if any(
+                        sp["spec-id"] == upd["spec"]["spec-id"]
+                        for sp in specs
+                    ):
+                        return self._reply(
+                            409,
+                            {"error": f"spec {upd['spec']['spec-id']} "
+                                      "already exists"},
+                        )
+                    specs.append(upd["spec"])
+                elif upd["action"] == "set-default-spec":
+                    sid = upd["spec-id"]
+                    specs = srv.tables[key]["partition-specs"]
+                    if sid == -1:  # spec: "the spec just added"
+                        sid = specs[-1]["spec-id"]
+                    if not any(sp["spec-id"] == sid for sp in specs):
+                        return self._reply(
+                            409, {"error": f"no spec {sid} to default"}
+                        )
+                    srv.tables[key]["default-spec-id"] = sid
                 elif upd["action"] == "set-snapshot-ref":
                     srv.refs.setdefault(key, {})[upd["ref-name"]] = {
                         "snapshot-id": upd["snapshot-id"],

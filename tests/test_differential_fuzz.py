@@ -1843,3 +1843,26 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     spec_rows = tbl.partition_specs().collect()
     assert sum(r.live_file_count for r in spec_rows) == len(m["files"])
     assert sum(1 for r in spec_rows if r.is_default) == 1
+    # external leg (r12 wire support): the mixed-spec end state publishes
+    # (add-spec/set-default-spec ride the commit, one data manifest per
+    # spec) and BOTH external readers reconstruct it row-identically
+    import os
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_catalog_rest import MockCatalog, _readback_equal
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("fz", f"spec{seed}", tbl)
+        assert _readback_equal(
+            spark, tbl, "fz", f"spec{seed}", cat
+        ) == len(s_rows)
+    finally:
+        srv.shutdown()
+        srv.server_close()

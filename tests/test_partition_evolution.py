@@ -207,14 +207,22 @@ def test_statement_surface(spark, table):
     assert [r.is_default for r in specs] == [True, False]
 
 
-def test_publish_refuses_mixed_and_moved_specs(spark, table, tmp_path):
+def test_publish_spec_evolution_external_readback(spark, table, tmp_path):
+    """Full wire support (r12): an evolved-layout publish rides
+    add-spec / set-default-spec updates, writes one data manifest PER
+    spec (the manifest-list row's partition_spec_id names which), and
+    both external readers (the engine's Avro reader and the independent
+    pandas planner inside _readback_equal) reconstruct the mixed-spec
+    table row-identically — no compaction, zero rewrites."""
     import threading
 
     from philotes_spark.sources.catalog_rest import RestCatalog
-    from tests.test_catalog_rest import MockCatalog
+    from philotes_spark.sources.iceberg_manifest import read_manifest_list
+    from tests.test_catalog_rest import MockCatalog, _readback_equal
 
     table.commit(
-        _df(spark, [(1, "a", "x", 10)]), partition_by=["cat"]
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
     )
     srv = MockCatalog()
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -222,16 +230,67 @@ def test_publish_refuses_mixed_and_moved_specs(spark, table, tmp_path):
     try:
         cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
         cat.publish_snapshot("ns", "t", table)
-        # evolve + append → mixed specs → publish refuses with the remedy
+        # evolve + append under the new spec, publish WITHOUT compacting
         table.evolve_partition_spec(["reg"])
-        table.commit(_df(spark, [(2, "b", "y", 20)]))
-        with pytest.raises(ValueError, match="not under its default"):
-            cat.publish_snapshot("ns", "t", table)
-        # compact migrates to ONE spec, but it differs from the served
-        # one — still refused until add-spec publish is wire-supported
-        table.compact()
-        with pytest.raises(ValueError, match="catalog serves"):
-            cat.publish_snapshot("ns", "t", table)
+        table.commit(_df(spark, [(3, "a", "z", 30), (4, "c", "x", 40)]))
+        cat.publish_snapshot("ns", "t", table)
+        assert _readback_equal(spark, table, "ns", "t", cat) == 4
+        meta = cat.load_table("ns", "t")["metadata"]
+        by_id = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+        assert [f["name"] for f in by_id[0]["fields"]] == ["cat"]
+        assert [f["name"] for f in by_id[1]["fields"]] == ["reg"]
+        assert meta["default-spec-id"] == 1
+        # partition field ids are unique across specs (never reused)
+        pfids = [
+            f["field-id"] for sp in meta["partition-specs"]
+            for f in sp["fields"]
+        ]
+        assert len(set(pfids)) == len(pfids)
+        assert meta["last-partition-id"] == max(pfids)
+        # the manifest list names each manifest's spec
+        cur = meta["current-snapshot-id"]
+        ml = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )["manifest-list"]
+        spec_ids = {mf["partition_spec_id"] for mf in read_manifest_list(ml)}
+        assert spec_ids == {0, 1}
+        # evolve BACK to the original spec: the id is reused, not re-minted
+        table.evolve_partition_spec(["cat"])
+        table.commit(_df(spark, [(5, "d", "q", 50)]))
+        cat.publish_snapshot("ns", "t", table)
+        assert _readback_equal(spark, table, "ns", "t", cat) == 5
+        meta = cat.load_table("ns", "t")["metadata"]
+        assert meta["default-spec-id"] == 0
+        assert len(meta["partition-specs"]) == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_publish_unpublished_evolution_creates_with_real_default(
+    spark, table, tmp_path
+):
+    """A table that evolved BEFORE first publish creates with its actual
+    default spec id (not a fresh spec 0) and the registry's stable
+    partition field ids."""
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.test_catalog_rest import MockCatalog, _readback_equal
+
+    table.commit(_df(spark, [(1, "a", "x", 10)]), partition_by=["cat"])
+    table.evolve_partition_spec(["reg"])
+    table.commit(_df(spark, [(2, "b", "y", 20)]))
+    srv = MockCatalog()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("ns", "t", table)
+        assert _readback_equal(spark, table, "ns", "t", cat) == 2
+        meta = cat.load_table("ns", "t")["metadata"]
+        assert meta["default-spec-id"] == 1
+        assert {sp["spec-id"] for sp in meta["partition-specs"]} == {0, 1}
     finally:
         srv.shutdown()
         srv.server_close()
