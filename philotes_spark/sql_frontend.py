@@ -241,10 +241,16 @@ _DDL_ALTER_TYPE = re.compile(
     re.IGNORECASE,
 )
 # Iceberg partition-spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD c
-# (identity transforms — the hive layout partitions on column values)
+# and REPLACE PARTITION FIELD a WITH b (identity transforms — the hive
+# layout partitions on column values)
 _DDL_PARTITION_FIELD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+"
     r"(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_PARTITION_REPLACE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+REPLACE\s+PARTITION\s+FIELD\s+"
+    r"(\w+)\s+WITH\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_LEAD = re.compile(
@@ -1297,14 +1303,37 @@ def sql(
                 [(name, f"{action.lower()}-partition-field", version)],
                 "table string, operation string, version int",
             )
+        m = _DDL_PARTITION_REPLACE.match(statement)
+        if m:
+            tbl = tables[name]
+            old, new = m.group(2), m.group(3)
+            cur = tbl._load(
+                f"v{tbl.current_version():08d}.json"
+            ).get("partition_by") or []
+            if old not in cur:
+                raise ValueError(
+                    f"{old!r} is not a partition field of {name!r} "
+                    f"(current spec: {cur})"
+                )
+            if new in cur:
+                raise ValueError(
+                    f"{new!r} is already a partition field of {name!r}"
+                )
+            version = tbl.evolve_partition_spec(
+                [new if c == old else c for c in cur]
+            )
+            return spark.createDataFrame(
+                [(name, "replace-partition-field", version)],
+                "table string, operation string, version int",
+            )
         raise ValueError(
             f"unsupported ALTER shape for snapshot table {name!r}: "
             "SET/UNSET TBLPROPERTIES, ADD COLUMN(S) (name type, ...), "
             "RENAME COLUMN a TO b, DROP COLUMN name, ALTER COLUMN c "
             "[SET DATA] TYPE t (widening only), ADD/DROP PARTITION "
-            "FIELD c (spec evolution — metadata-only, files keep their "
-            "layout), and CREATE/DROP TAG|BRANCH name [AS OF VERSION n] "
-            "are served"
+            "FIELD c / REPLACE PARTITION FIELD a WITH b (spec evolution "
+            "— metadata-only, files keep their layout), and CREATE/DROP "
+            "TAG|BRANCH name [AS OF VERSION n] are served"
         )
 
     lead = _DML_LEAD.match(statement)

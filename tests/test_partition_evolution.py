@@ -205,6 +205,22 @@ def test_statement_surface(spark, table):
     ).collect()
     assert [r.fields for r in specs] == ["<unpartitioned>", "cat"]
     assert [r.is_default for r in specs] == [True, False]
+    # REPLACE PARTITION FIELD a WITH b: one evolution, fields swapped
+    sql(spark, "ALTER TABLE t ADD PARTITION FIELD cat", snapshot_tables=tables)
+    out = sql(
+        spark,
+        "ALTER TABLE t REPLACE PARTITION FIELD cat WITH reg",
+        snapshot_tables=tables,
+    ).collect()[0]
+    assert out.operation == "replace-partition-field"
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert m["partition_by"] == ["reg"]
+    with pytest.raises(ValueError, match="not a partition field"):
+        sql(
+            spark,
+            "ALTER TABLE t REPLACE PARTITION FIELD cat WITH v",
+            snapshot_tables=tables,
+        )
 
 
 def test_publish_spec_evolution_external_readback(spark, table, tmp_path):
