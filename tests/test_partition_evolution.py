@@ -326,3 +326,22 @@ def test_schema_ops_compose_with_evolution(spark, table):
     assert "category" in got.columns and "cat" not in got.columns
     vals = {r.category for r in got.collect()}
     assert vals == {"a", "b"}
+
+
+def test_read_where_parity_on_partitioned_and_evolved(spark, table):
+    """read_where's contract — results equal read().filter(...) exactly —
+    must hold when partition columns live in the PATH (hive roots) and
+    across a spec evolution (some roots path-derived, some data): the
+    spec_map-aware scan surfaces every column either way."""
+    table.commit(
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
+        stats_cols=["id"],
+    )
+    table.evolve_partition_spec([])
+    table.commit(
+        _df(spark, [(3, "c", "z", 30)]), stats_cols=["id"]
+    )
+    got = _rows(table.read_where("id", lo=2))
+    want = _rows(table.read().filter(F.col("id") >= 2))
+    assert got == want and len(got) == 2
