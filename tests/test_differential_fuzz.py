@@ -1788,7 +1788,50 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 f"INSERT INTO evo_spec ({names}) VALUES {vals}"
             )
         elif op[0] == "evolve":
-            tbl.evolve_partition_spec(op[1])  # mirror: layout-invisible
+            # mirror: layout-invisible. Route through the STATEMENT
+            # surface whenever the shape allows (single add / drop /
+            # swap — the ALTER spellings), so the SQL path is fuzzed
+            # differentially too; other shapes use the API directly.
+            from philotes_spark.sql_frontend import sql as _stmt_sql
+
+            cur_fields = tbl._load(
+                f"v{tbl.current_version():08d}.json"
+            ).get("partition_by") or []
+            target = list(op[1])
+            added = [c for c in target if c not in cur_fields]
+            dropped = [c for c in cur_fields if c not in target]
+            if len(added) == 1 and not dropped and target == cur_fields + added:
+                _stmt_sql(
+                    spark,
+                    f"ALTER TABLE t ADD PARTITION FIELD {added[0]}",
+                    {"t": tbl},
+                )
+            elif len(dropped) == 1 and not added:
+                _stmt_sql(
+                    spark,
+                    f"ALTER TABLE t DROP PARTITION FIELD {dropped[0]}",
+                    {"t": tbl},
+                )
+            elif (
+                len(added) == 1
+                and len(dropped) == 1
+                and target
+                == [added[0] if c == dropped[0] else c for c in cur_fields]
+            ):
+                _stmt_sql(
+                    spark,
+                    f"ALTER TABLE t REPLACE PARTITION FIELD "
+                    f"{dropped[0]} WITH {added[0]}",
+                    {"t": tbl},
+                )
+            else:
+                tbl.evolve_partition_spec(target)
+            assert (
+                tbl._load(f"v{tbl.current_version():08d}.json").get(
+                    "partition_by"
+                )
+                or []
+            ) == target
         elif op[0] == "mor_delete":
             _, m, r = op
             changes = (
