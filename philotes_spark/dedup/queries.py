@@ -176,3 +176,141 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not. Same inverted-index join shape as the Jaccard tier."""
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
+
+
+# Portable MinHash twin (r12): the SAME md5-derived shingle hash and the
+# SAME 16 literal hash functions on both engines, so the LSH family gains
+# a HASH-COMPARED member next to the rows-only production path
+# (dedup/minhash.py, which keeps xxhash64 + the Arrow k-min fold — faster,
+# but engine-local). Arithmetic stays inside 63 bits: 31-bit shingle
+# hashes, multipliers < 2^31.
+_MH_P = 4294967311
+_MH_COEFFS = [(1009512132, 390210743), (1563935663, 1242003230), (652301076, 429929954), (1905458516, 1553736335), (880658540, 1626111328), (1538917682, 1629136661), (569558051, 1144996352), (526491372, 1366117076), (1745005757, 1578920875), (1070094068, 760579355), (893078532, 1132431089), (1562850844, 1322101141), (2068562873, 468424485), (664708926, 1167870002), (1511956877, 709182034), (1115297190, 160357132)]
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + 2], ' ') AS g
+        FROM toks,
+             (SELECT UNNEST(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i) i
+        WHERE i.i <= len(t) - 2
+    ),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483648 AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+           MIN((1009512132 * h + 390210743) % 4294967311) AS m0,
+           MIN((1563935663 * h + 1242003230) % 4294967311) AS m1,
+           MIN((652301076 * h + 429929954) % 4294967311) AS m2,
+           MIN((1905458516 * h + 1553736335) % 4294967311) AS m3,
+           MIN((880658540 * h + 1626111328) % 4294967311) AS m4,
+           MIN((1538917682 * h + 1629136661) % 4294967311) AS m5,
+           MIN((569558051 * h + 1144996352) % 4294967311) AS m6,
+           MIN((526491372 * h + 1366117076) % 4294967311) AS m7,
+           MIN((1745005757 * h + 1578920875) % 4294967311) AS m8,
+           MIN((1070094068 * h + 760579355) % 4294967311) AS m9,
+           MIN((893078532 * h + 1132431089) % 4294967311) AS m10,
+           MIN((1562850844 * h + 1322101141) % 4294967311) AS m11,
+           MIN((2068562873 * h + 468424485) % 4294967311) AS m12,
+           MIN((664708926 * h + 1167870002) % 4294967311) AS m13,
+           MIN((1511956877 * h + 709182034) % 4294967311) AS m14,
+           MIN((1115297190 * h + 160357132) % 4294967311) AS m15
+        FROM hs GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(concat_ws('|', m0, m1, m2, m3)) AS bh, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15 FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(concat_ws('|', m4, m5, m6, m7)) AS bh, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15 FROM sig
+        UNION ALL
+        SELECT doc_id, 2 AS band, md5(concat_ws('|', m8, m9, m10, m11)) AS bh, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15 FROM sig
+        UNION ALL
+        SELECT doc_id, 3 AS band, md5(concat_ws('|', m12, m13, m14, m15)) AS bh, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END) + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END) + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END) + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END) + (CASE WHEN a.m12 = b.m12 THEN 1 ELSE 0 END) + (CASE WHEN a.m13 = b.m13 THEN 1 ELSE 0 END) + (CASE WHEN a.m14 = b.m14 THEN 1 ELSE 0 END) + (CASE WHEN a.m15 = b.m15 THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE ((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END) + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END) + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END) + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END) + (CASE WHEN a.m12 = b.m12 THEN 1 ELSE 0 END) + (CASE WHEN a.m13 = b.m13 THEN 1 ELSE 0 END) + (CASE WHEN a.m14 = b.m14 THEN 1 ELSE 0 END) + (CASE WHEN a.m15 = b.m15 THEN 1 ELSE 0 END)) >= 8
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs with every
+    primitive PORTABLE (md5 shingle hash → 31 bits, literal (a·h+b) mod P
+    minima, md5 band hashes), hash-compared against DuckDB running the
+    identical algorithm — the differential proof that the LSH construction
+    itself (banding, bucket join, signature-overlap estimate) is correct,
+    complementing the recall-gated production path. Pairs report the
+    signature-estimated Jaccard (≥ 8/16 minima equal). Scale shape matches
+    minhash.py: shingles/signatures are a pure projection + one bounded
+    aggregate; the self-join carries (band, bh) buckets only at
+    production k (here the 16-col signature rides for the estimate —
+    verification-sized, k=16)."""
+    from philotes_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.array_join(F.slice("t", i + 1, 3), " "),
+    )
+    sh = (
+        docs.select(F.col("doc_id").alias("doc"), t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+        F.lit(2147483648),
+    )
+    sig = (
+        sh.select("doc", h.alias("h"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(_MH_COEFFS)
+            ]
+        )
+    )
+    m = [f"m{i}" for i in range(16)]
+    banded = None
+    for j in range(4):
+        part = sig.select(
+            "doc",
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws("|", *m[4 * j : 4 * j + 4])).alias("bh"),
+            *m,
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(
+        F.col("doc").alias("doc_a"), "band", "bh",
+        *[F.col(c).alias(f"a_{c}") for c in m],
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), "band", "bh",
+        *[F.col(c).alias(f"b_{c}") for c in m],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in m
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("n_eq", n_eq)
+        .filter(F.col("n_eq") >= 8)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_eq") / 16.0, 4).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -286,6 +286,12 @@ def _tier(name: str) -> tuple[int, int]:
         # changes with appends under every spec, read across mixed
         # hive/plain roots with zero rewrites
         "snapshot_partition_evolution_read",
+        # r12 addition (oracle-gated in pytest; below the window): the
+        # portable-hash MinHash+LSH twin — md5-derived shingle hashes and
+        # literal hash functions shared with the DuckDB oracle, so the
+        # LSH construction itself is hash-compared (the production
+        # xxhash64 path stays rows-only + recall-gated)
+        "dedup_minhash_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
