@@ -1719,7 +1719,7 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
     return ops
 
 
-@pytest.mark.parametrize("seed", range(1300, 1310))
+@pytest.mark.parametrize("seed", range(1300, 1315))
 def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     import duckdb
     from pyspark.sql import functions as F
