@@ -1,8 +1,12 @@
 """Registered dedup queries over the `documents` table (SURVEY §2C).
 
 Oracle-checked where SQL-expressible (exact, fingerprint-normalized,
-n-gram Jaccard); rows-only for the hash-family approximations (MinHash-LSH,
-SimHash) whose xxhash64 primitives DuckDB does not share.
+n-gram Jaccard); the production hash-family approximations (MinHash-LSH,
+SimHash) stay rows-only — their xxhash64 primitives are engine-local —
+but each has a PORTABLE twin (r12: dedup_minhash_portable /
+dedup_simhash_portable) that shares its md5-derived hashes verbatim with
+the DuckDB oracle, so the LSH banding and the simhash bit-vote
+constructions themselves are hash-compared.
 """
 
 from __future__ import annotations
@@ -313,4 +317,104 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_eq") / 16.0, 4).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + 2], ' ') AS g
+        FROM toks,
+             (SELECT UNNEST(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i) i
+        WHERE i.i <= len(t) - 2
+    ),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483648 AS h
+        FROM sh
+    ),
+    votes AS (
+        SELECT doc_id,
+           SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+           SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+           SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+           SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+           SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+           SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+           SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+           SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+           SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+           SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+           SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+           SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+           SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+           SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+           SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+           SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15
+        FROM hs GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, (CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) AS fingerprint FROM votes)
+    SELECT fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS survivor_id
+    FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup buckets with every primitive PORTABLE
+    (the same md5-derived 31-bit shingle hashes as dedup_minhash_portable;
+    per-bit +1/-1 votes; fingerprint = the sign bits) — hash-compared
+    against DuckDB running the identical algorithm, proving the bit-vote
+    construction next to the minhash twin's banding proof. Integer-only
+    arithmetic end to end is what makes it comparable; the production
+    path (dedup/simhash.py, 64-bit xxhash64) stays rows-only. Buckets at
+    hamming distance 0 with >= 2 members report (fingerprint, size,
+    survivor) — the keep/drop assignment of a simhash dedup pass."""
+    from philotes_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.array_join(F.slice("t", i + 1, 3), " "),
+    )
+    sh = (
+        docs.select(F.col("doc_id").alias("doc"), t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+        F.lit(2147483648),
+    )
+    votes = (
+        sh.select("doc", h.alias("h"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{j}")
+                for j in range(16)
+            ]
+        )
+    )
+    fp = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(16)
+    )
+    return (
+        votes.select("doc", fp.cast("long").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc").alias("survivor_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )

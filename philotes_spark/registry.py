@@ -292,6 +292,8 @@ def _tier(name: str) -> tuple[int, int]:
         # LSH construction itself is hash-compared (the production
         # xxhash64 path stays rows-only + recall-gated)
         "dedup_minhash_portable",
+        # same treatment for SimHash (bit-vote construction, integer-only)
+        "dedup_simhash_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):
