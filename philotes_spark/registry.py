@@ -275,25 +275,35 @@ def _tier(name: str) -> tuple[int, int]:
         # tests/test_queries_oracle.py.
         "snapshot_positional_delete",
         "snapshot_alter_columns",
-        # r12 addition (oracle-gated in pytest; below the window so this
-        # round's rotation composition is exact): the expiry lifecycle
-        # as an external read — retention deletes the overwritten
-        # version's files, the surviving chain still publishes and
-        # reads back through the Avro manifests
-        "snapshot_expired_chain_read",
-        # r12 addition (oracle-gated in pytest; below the window): the
-        # partition-spec-evolution lifecycle — two metadata-only layout
-        # changes with appends under every spec, read across mixed
-        # hive/plain roots with zero rewrites
-        "snapshot_partition_evolution_read",
-        # r12 addition (oracle-gated in pytest; below the window): the
-        # portable-hash MinHash+LSH twin — md5-derived shingle hashes and
-        # literal hash functions shared with the DuckDB oracle, so the
-        # LSH construction itself is hash-compared (the production
-        # xxhash64 path stays rows-only + recall-gated)
-        "dedup_minhash_portable",
-        # same treatment for SimHash (bit-vote construction, integer-only)
-        "dedup_simhash_portable",
+        # r13 rotation (VERDICT r12 next-round #1): the four r12 tier-8
+        # additions graduate INTO the window — snapshot_expired_chain_read
+        # (the expiry lifecycle as an external read),
+        # snapshot_partition_evolution_read (metadata-only layout changes
+        # read across mixed-spec roots), and the two portable-hash dedup
+        # twins dedup_minhash_portable / dedup_simhash_portable (the LSH
+        # banding/bucket-join and bit-vote constructions get their first
+        # in-window rows+schema+hash signal; the production xxhash64 paths
+        # stay rows-only + recall-gated in pytest). These four move below
+        # the window — each is duplicate coverage of a shape that stays
+        # window-green:
+        # show_create_events (B1/A33 catalog browsing) via
+        # b1_describe_columns, the other half of the same B1 row;
+        # snapshot_delete_update (row-level DELETE+UPDATE DML) via the
+        # strictly-richer snapshot_merge_clauses (matched UPDATE/DELETE +
+        # insert clauses) plus snapshot_delete_manifests_read (the delete
+        # deltas externally reconstructed);
+        # snapshot_refs ($refs + branch/tag lifecycle) via
+        # snapshot_wap_statements (branch create/write/publish from the
+        # statement surface) with the $-table shape window-green via
+        # snapshot_meta_sql + snapshot_schema_history;
+        # text_pii_redact (pure per-document JVM regexp projection) via
+        # text_quality_stats (the same per-doc JVM expression shape) +
+        # scalar_functions (the regexp scalar surface). All four stay
+        # oracle-gated in tests/test_queries_oracle.py.
+        "show_create_events",
+        "snapshot_delete_update",
+        "snapshot_refs",
+        "text_pii_redact",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

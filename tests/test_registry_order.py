@@ -31,28 +31,33 @@ def test_families_inside_driver_window():
         "scaling_",
         "funnel_",
         # pivot_daily_event_matrix rotated below the window r08 — its
-        # conditional-aggregation shape stays window-green via funnel_
-        "text_pii",
+        # conditional-aggregation shape stays window-green via funnel_;
+        # text_pii_redact rotated below the window r13 — its per-doc JVM
+        # regexp-projection shape stays window-green via text_quality_stats
+        # + scalar_functions
     ):
         assert any(n.startswith(family) for n in head), family
 
 
-def test_r12_rotation_composition():
-    # VERDICT r11 #1: the two r11 flagship queries graduate into the
-    # driver's 50-slot window (snapshot_delete_manifests_read,
-    # snapshot_evolution_mor_read); two duplicate-coverage slots move
-    # below it (snapshot_positional_delete — pos-delete shape stays
-    # window-green via the strictly-harder delete-manifests read;
-    # snapshot_alter_columns — rename/drop shape stays window-green via
-    # the evolution×MoR read), and earlier graduates/evictees hold
-    # their positions (evictees stay oracle-gated in pytest)
+def test_r13_rotation_composition():
+    # VERDICT r12 #1: the four r12 tier-8 additions graduate into the
+    # driver's 50-slot window (snapshot_expired_chain_read,
+    # snapshot_partition_evolution_read, dedup_minhash_portable,
+    # dedup_simhash_portable); four duplicate-coverage slots move below
+    # it (show_create_events — B1/A33 stay window-green via
+    # b1_describe_columns; snapshot_delete_update — row-level DML via the
+    # strictly-richer snapshot_merge_clauses + the externally-read
+    # snapshot_delete_manifests_read; snapshot_refs — branch/tag
+    # lifecycle via snapshot_wap_statements, $-tables via
+    # snapshot_meta_sql + snapshot_schema_history; text_pii_redact —
+    # per-doc JVM regexp projection via text_quality_stats +
+    # scalar_functions), and earlier graduates/evictees hold their
+    # positions (evictees stay oracle-gated in pytest)
     head = set(list(entry.queries())[:50])
     for n in (
-        "snapshot_delete_update",  # r07 graduates stay in
-        "w_rank_family",
+        "w_rank_family",  # r07 graduates stay in
         "q_recursive_hierarchy",
         "dq_constraint_report",
-        "snapshot_refs",
         "snapshot_merge_clauses",  # r08 graduates stay in
         "snapshot_schema_history",
         "snapshot_meta_sql",
@@ -65,12 +70,19 @@ def test_r12_rotation_composition():
         "snapshot_rewrite_late_appends",
         "snapshot_delete_manifests_read",  # r12 graduates (r11 flagships)
         "snapshot_evolution_mor_read",
-        # the shapes that keep the r11/r12 evictees' coverage window-green
+        "snapshot_expired_chain_read",  # r13 graduates (r12 flagships)
+        "snapshot_partition_evolution_read",
+        "dedup_minhash_portable",  # r13 graduates (portable dedup twins)
+        "dedup_simhash_portable",
+        # the shapes that keep the evictees' coverage window-green
+        "b1_describe_columns",
         "b7_daily_rollup",
         "metric_range_daily",
         "stream_session_counts",
         "b10_latest_by_key",
         "cdc_normalize",
+        "text_quality_stats",
+        "scalar_functions",
     ):
         assert n in head, n
     for n in (
@@ -94,6 +106,10 @@ def test_r12_rotation_composition():
         "cdc_latest_state",
         "snapshot_positional_delete",  # r12 evictees (duplicate coverage)
         "snapshot_alter_columns",
+        "show_create_events",  # r13 evictees (duplicate coverage)
+        "snapshot_delete_update",
+        "snapshot_refs",
+        "text_pii_redact",
     ):
         assert n not in head, n
 
