@@ -117,13 +117,14 @@ def minhash_signatures(
             for j in range(len(A)):
                 vals = (A[j] * flat + B[j]) % _P
                 sigs[:, j] = np.minimum.reduceat(vals, starts)
-            yield pd.DataFrame(
-                {"doc": pdf["doc"].to_numpy(np.int64), "sig": list(sigs)}
-            )
+            # doc ids pass through untyped (string/decimal ids keep their
+            # type; ADVICE r12) — .to_numpy() without a dtype so the
+            # boolean-mask selection aligns positionally with sigs
+            yield pd.DataFrame({"doc": pdf["doc"].to_numpy(), "sig": list(sigs)})
 
-    return _shingle_hashes(df, id_col, text_col, n).mapInPandas(
-        fold, "doc long, sig array<long>"
-    )
+    src = _shingle_hashes(df, id_col, text_col, n)
+    doc_type = src.schema["doc"].dataType.simpleString()
+    return src.mapInPandas(fold, f"doc {doc_type}, sig array<long>")
 
 
 def minhash_signatures_expr(
@@ -215,23 +216,38 @@ def lsh_candidate_pairs(
     )
     banded = banded.join(ok, ["band", "bh"], "left_semi")
 
-    buckets = banded.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("doc")).alias("ds")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds")) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    if max_bucket_size is None:
+        # Uncapped buckets: a degenerate corpus (one huge band bucket,
+        # e.g. shared boilerplate) would concentrate the whole bucket in
+        # one collect_list row and one task (ADVICE r12), so fall back
+        # to the distributed postings self-join — two probe shuffles,
+        # but every bucket's pair generation spreads across tasks.
+        a = banded.select("band", "bh", F.col("doc").alias("doc_a"))
+        b = banded.select("band", "bh", F.col("doc").alias("doc_b"))
+        pairs = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    else:
+        buckets = banded.groupBy("band", "bh").agg(
+            F.array_sort(F.collect_list("doc")).alias("ds")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds")) - i - 1),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        pairs = (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     sig_a = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(

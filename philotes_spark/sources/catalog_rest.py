@@ -660,10 +660,15 @@ class RestCatalog:
         updates, so a rewrite's removals travel solely as the snapshot's
         status=2 manifest entries and the catalog derives its served
         file list from the manifest chain (ADVICE r08)."""
-        updates: list[dict] = list(spec_updates or [])
+        updates: list[dict] = []
         if new_schema is not None:
             updates.append({"action": "add-schema", "schema": new_schema})
             updates.append({"action": "set-current-schema", "schema-id": -1})
+        # spec updates AFTER the schema updates: a conforming catalog
+        # validates add-spec source-ids against the current schema, so a
+        # commit that both adds a column and evolves the spec onto it must
+        # let add-spec resolve against the just-added schema (ADVICE r12)
+        updates.extend(spec_updates or [])
         if properties:
             updates.append(
                 {"action": "set-properties", "updates": dict(properties)}

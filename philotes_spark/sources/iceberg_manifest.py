@@ -525,6 +525,34 @@ def write_manifests_for_version(
         )
         return path, length
 
+    # A dangling spec (source column dropped from the current schema)
+    # whose manifest holds ONLY status=2 DELETED entries must not trip
+    # the guard below: that is exactly the state compact() produces —
+    # old-spec files rewritten but surviving on disk for time travel —
+    # so refusing it would make the guard's own documented remedy fail
+    # to unblock (ADVICE r12). Re-home those tombstones under the
+    # default spec (partition values re-derived from the path; fields
+    # the path doesn't carry decode as null, which v2 readers accept),
+    # keeping the removal changelog intact; the ValueError stays
+    # reserved for manifests with live (status 0/1) entries.
+    for sid in sorted(data_by_spec):
+        if sid == default_spec:
+            continue
+        if not any(p["source-id"] is None for p in registry[sid]):
+            continue
+        homeless = data_by_spec[sid]
+        if any(e["status"] != 2 for e in homeless):
+            continue  # live files under a dangling spec: guard applies
+        for e in homeless:
+            e["data_file"]["partition"] = {
+                p["name"]: _partition_value(
+                    e["data_file"]["file_path"], p["name"], p["avro_type"]
+                )
+                for p in registry[default_spec]
+            }
+        data_by_spec.setdefault(default_spec, []).extend(homeless)
+        del data_by_spec[sid]
+
     # one data manifest per partition spec (sorted for deterministic
     # names), then the delete manifest under the default spec — the
     # manifest-list row's partition_spec_id tells a reader which spec

@@ -168,6 +168,25 @@ class _Handler(BaseHTTPRequestHandler):
                             {"error": f"spec {upd['spec']['spec-id']} "
                                       "already exists"},
                         )
+                    # conforming-catalog validation (ADVICE r12): add-spec
+                    # source-ids must resolve against the CURRENT schema —
+                    # updates apply in order, so a commit that adds a
+                    # column and evolves the spec onto it must place its
+                    # schema updates BEFORE the spec updates
+                    t = srv.tables[key]
+                    cur = t["schemas"][t["current-schema-id"]]
+                    known = {f["id"] for f in cur["fields"]}
+                    bad = [
+                        f["source-id"]
+                        for f in upd["spec"]["fields"]
+                        if f["source-id"] not in known
+                    ]
+                    if bad:
+                        return self._reply(
+                            409,
+                            {"error": f"add-spec source-ids {bad} not in "
+                                      "current schema"},
+                        )
                     specs.append(upd["spec"])
                 elif upd["action"] == "set-default-spec":
                     sid = upd["spec-id"]
@@ -2080,3 +2099,31 @@ def test_prune_expired_snapshots_unstrands_served_history(
     assert _readback_equal(spark, tbl, "ns", "t_prune", cat) == 1
     # idempotent: nothing left to prune
     assert cat.prune_expired_snapshots("ns", "t_prune", tbl) == 0
+
+
+def test_publish_spec_evolved_onto_just_added_column(mock_catalog, spark, tmp_path):
+    """ADVICE r12: a single commit that both adds a column (add-schema +
+    set-current-schema) and evolves the partition spec onto it (add-spec)
+    must order the schema updates FIRST — a conforming catalog (the mock
+    now validates) resolves add-spec source-ids against the current
+    schema, so the spec must see the just-added column."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(spark.createDataFrame([(1, "a")], "id int, v string"))
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("ns", "t", snap)
+    snap.alter_add_columns([("cat", "string")])
+    snap.evolve_partition_spec(["cat"])
+    snap.commit(spark.createDataFrame([(2, "b", "x")], "id int, v string, cat string"))
+    cat.publish_snapshot("ns", "t", snap)  # 409s if spec precedes schema
+    assert _readback_equal(spark, snap, "ns", "t", cat) == 2
+    meta = cat.load_table("ns", "t")["metadata"]
+    assert meta["default-spec-id"] == 1
+    new_id = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "cat"
+    )
+    by_id = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    assert [f["source-id"] for f in by_id[1]["fields"]] == [new_id]

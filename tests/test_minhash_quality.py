@@ -71,3 +71,45 @@ def test_arrow_signatures_bit_identical_to_expr(docs):
         for r in minhash_signatures_expr(docs, "doc_id", "text", k=32).collect()
     }
     assert arrow == expr and arrow
+
+
+def test_uncapped_fallback_matches_capped_pairs(docs):
+    """ADVICE r12: max_bucket_size=None switches pair generation to the
+    distributed postings self-join (no single-task collect_list of a
+    degenerate bucket). Same pair set and estimates as the capped path
+    when no bucket exceeds the cap."""
+    from philotes_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs, "doc_id", "text", k=32)
+    kw = dict(bands=8, k=32, min_est_jaccard=0.35)
+    capped = {
+        (r.doc_a, r.doc_b): float(r.est_jaccard)
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=10**6, **kw).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): float(r.est_jaccard)
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=None, **kw).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_signatures_preserve_string_doc_ids(spark):
+    """ADVICE r12: the Arrow fold must not coerce doc ids to int64 —
+    string ids pass through with their type and values intact."""
+    from philotes_spark.dedup.minhash import (
+        minhash_signatures,
+        minhash_signatures_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps"), ("doc-b", "pack my box with jugs")],
+        "doc_id string, text string",
+    )
+    arrow = minhash_signatures(df, "doc_id", "text", k=16)
+    assert dict(arrow.dtypes)["doc"] == "string"
+    a = {r.doc: tuple(r.sig) for r in arrow.collect()}
+    e = {
+        r.doc: tuple(r.sig)
+        for r in minhash_signatures_expr(df, "doc_id", "text", k=16).collect()
+    }
+    assert a == e and set(a) == {"doc-a", "doc-b"}

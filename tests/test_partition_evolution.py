@@ -345,3 +345,39 @@ def test_read_where_parity_on_partitioned_and_evolved(spark, table):
     got = _rows(table.read_where("id", lo=2))
     want = _rows(table.read().filter(F.col("id") >= 2))
     assert got == want and len(got) == 2
+
+
+def test_publish_after_drop_old_spec_column_and_compact(spark, table):
+    """ADVICE r12: evolve → drop the OLD spec's source column → publish
+    refuses (live files under a dangling spec) → compact() — the error's
+    own remedy — must actually unblock. The compact version's manifest
+    carries the pre-compact files only as status=2 DELETED entries (they
+    survive on disk for time travel); those tombstones re-home under the
+    default spec instead of re-tripping the dangling-spec guard."""
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.test_catalog_rest import MockCatalog, _readback_equal
+
+    table.commit(
+        _df(spark, [(1, "a", "x", 10), (2, "b", "y", 20)]),
+        partition_by=["cat"],
+    )
+    table.evolve_partition_spec(["reg"])
+    table.commit(_df(spark, [(3, "c", "z", 30)]))
+    table.alter_drop_column("cat")  # old spec's source column: allowed
+    srv = MockCatalog()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        with pytest.raises(ValueError, match="compact"):
+            cat.publish_snapshot("ns", "t", table)
+        table.compact()
+        cat.publish_snapshot("ns", "t", table)  # must not re-raise
+        assert _readback_equal(spark, table, "ns", "t", cat) == 3
+        meta = cat.load_table("ns", "t")["metadata"]
+        assert meta["default-spec-id"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
