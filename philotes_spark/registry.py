@@ -304,6 +304,11 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_delete_update",
         "snapshot_refs",
         "text_pii_redact",
+        # r13 addition (oracle-gated in pytest; below the window so this
+        # round's rotation composition is exact): non-identity partition
+        # transforms — days(ts)/bucket(8,event_id) spec evolutions via the
+        # ALTER surface with a transform-pruned read_where on top
+        "snapshot_partition_transforms_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -156,7 +156,18 @@ def partition_spec_registry(
     never re-minted), and the PUBLISHER refuses only when live files
     actually use such a spec (the engine's layout guard protects only
     the default spec's columns, so an OLD spec's column can be
-    dropped)."""
+    dropped).
+
+    Transform fields (r13, ``days(col)``/``bucket(N,col)`` — the
+    reference's own default spec is ``day(_cdc_timestamp)``,
+    `internal/iceberg/schema/schema.go:104-135`) carry the Iceberg
+    transform string (``day`` / ``bucket[N]``) and an ``int`` result
+    type; their partition-record value is the derived integer the hive
+    path already holds, and the FIELD identity is the whole raw spec
+    string — ``days(ts)`` and ``ts`` are different partition fields
+    with different ids, per the spec's never-reuse rule."""
+    from philotes_spark.sources.transforms import parse_part_field, rest_transform
+
     types, src_ids = {}, {}
     for f in (rest_schema or {}).get("fields", []):
         types[f["name"]] = _AVRO_BY_REST_TYPE.get(f["type"], "string")
@@ -170,15 +181,19 @@ def partition_spec_registry(
     for s in sorted(specs, key=lambda s: int(s["spec_id"])):
         fields = []
         for c in s["fields"]:
+            pf = parse_part_field(c)
             if c not in by_col:
                 by_col[c] = next_id
                 next_id += 1
             fields.append(
                 {
-                    "name": c,
-                    "avro_type": types.get(c, "string"),
+                    "name": pf.name,
+                    "avro_type": "int"
+                    if pf.transform != "identity"
+                    else types.get(c, "string"),
                     "field-id": by_col[c],
-                    "source-id": src_ids.get(c),
+                    "source-id": src_ids.get(pf.source),
+                    "transform": rest_transform(pf),
                 }
             )
         out[int(s["spec_id"])] = fields
@@ -192,7 +207,7 @@ def spec_fields_rest(part_fields: list[dict]) -> list[dict]:
             "source-id": p["source-id"],
             "field-id": p["field-id"],
             "name": p["name"],
-            "transform": "identity",
+            "transform": p.get("transform", "identity"),
         }
         for p in part_fields
     ]
@@ -200,11 +215,13 @@ def spec_fields_rest(part_fields: list[dict]) -> list[dict]:
 
 def _partition_value(path: str, name: str, avro_type: str):
     """Identity partition value for ``name`` from a hive-laid-out file
-    path (…/name=value/…); None when the segment is absent."""
+    path (…/name=value/…); None when the segment is absent. Transform
+    fields reuse this parse unchanged: the path segment already holds
+    the derived integer (``ts_day=19728``) under ``avro_type`` int."""
     for seg in path.split(os.sep):
         if seg.startswith(f"{name}="):
             raw = seg.split("=", 1)[1]
-            if avro_type == "long":
+            if avro_type in ("long", "int"):
                 try:
                     return int(raw)
                 except ValueError:
@@ -729,12 +746,14 @@ def read_table_via_manifests(
                 ]
             )
         for name, val in (d.get("partition") or {}).items():
-            if name not in df.columns:
-                # a real reader takes partition values from the manifest
-                # record; typed null for an absent value so unions stay
-                # schema-stable
+            if name in spark_type and name not in df.columns:
+                # a real reader takes IDENTITY partition values from the
+                # manifest record (typed null for an absent value so
+                # unions stay schema-stable); transform values (ts_day /
+                # id_bucket) are scan-planning data, not table columns —
+                # the source column is in the data files
                 df = df.withColumn(
-                    name, F.lit(val).cast(spark_type.get(name, "string"))
+                    name, F.lit(val).cast(spark_type[name])
                 )
         frames.append(df.withColumn("_ice_seq", F.lit(d["sequence"])))
     out = frames[0]

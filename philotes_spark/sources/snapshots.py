@@ -39,8 +39,37 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from philotes_spark.sources.transforms import (
+    bucket_value,
+    day_value,
+    derived_field_names,
+    parse_part_field,
+    parse_spec,
+    path_field_names,
+    with_partition_cols,
+)
+
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+
+
+def _partitioned_writer(df: DataFrame, part_cols: list[str]):
+    """``df.write`` honoring the spec's transforms: for ``days()``/
+    ``bucket()`` fields the derived column attaches (JVM day arithmetic /
+    Arrow-batched Iceberg murmur3 — transforms.py) and lands in the PATH
+    via partitionBy, never in the data files; identity specs are the
+    pre-transform write path byte-for-byte."""
+    if not part_cols:
+        return df.write
+    out, names = with_partition_cols(df, part_cols)
+    return out.write.partitionBy(*names)
+
+
+def _drop_derived(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Drop transform-result path columns (``ts_day``/``id_bucket``) a
+    basePath scan surfaces — they are layout, not table columns."""
+    derived = [c for c in derived_field_names(part_cols) if c in df.columns]
+    return df.drop(*derived) if derived else df
 
 
 def _json_safe(v):
@@ -330,6 +359,10 @@ class SnapshotTable:
         Returns the version."""
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
+        if partition_by is not None:
+            # canonical transform spelling ("bucket(16, id)" ≡
+            # "bucket(16,id)") so spec-equality checks are textual
+            partition_by = [parse_part_field(s).raw for s in partition_by]
         os.makedirs(self.snap_dir, exist_ok=True)
         parent = self.current_version()
         parent_manifest = self._load(f"v{parent:08d}.json") if parent else {}
@@ -381,10 +414,7 @@ class SnapshotTable:
             out = df.repartitionByRange(nparts, *sort_by).sortWithinPartitions(
                 *sort_by
             )
-        writer = out.write
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staged)
+        _partitioned_writer(out, partition_by or []).parquet(staged)
         new_files = _staged_parquet_files(staged)
         files = new_files if operation == "overwrite" else (
             parent_manifest.get("files", []) + new_files
@@ -476,20 +506,24 @@ class SnapshotTable:
                 "files by the default spec and would misclassify old-spec "
                 "files — run compact() or OPTIMIZE first"
             )
+        # partition classification is by hive PATH field (identity: the
+        # column; transforms: the derived ts_day/id_bucket value) — the
+        # staged write derives the same fields, so both sides agree
+        pnames = path_field_names(spec)
         for item in clear or []:
-            bad = sorted(set(item) - set(spec))
+            bad = sorted(set(item) - set(pnames))
             if bad:
                 raise ValueError(
                     f"clear spec names non-partition columns {bad}; "
-                    f"partition columns are {list(spec)}"
+                    f"partition columns are {pnames}"
                 )
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        self._recluster(df, m).write.partitionBy(*spec).parquet(staged)
+        _partitioned_writer(self._recluster(df, m), spec).parquet(staged)
         new_files = _staged_parquet_files(staged)
-        incoming = {_file_partition(f, self.data_dir, spec) for f in new_files}
+        incoming = {_file_partition(f, self.data_dir, pnames) for f in new_files}
 
         def _cleared(part: tuple) -> bool:
-            by_col = dict(zip(spec, part))
+            by_col = dict(zip(pnames, part))
             return any(
                 all(by_col.get(c) == v for c, v in item.items())
                 for item in (clear or [])
@@ -498,7 +532,7 @@ class SnapshotTable:
         kept = [
             f
             for f in m["files"]
-            if (p := _file_partition(f, self.data_dir, spec)) not in incoming
+            if (p := _file_partition(f, self.data_dir, pnames)) not in incoming
             and not _cleared(p)
         ]
         files = kept + new_files
@@ -841,7 +875,8 @@ class SnapshotTable:
                 "exists in old data files; compact or overwrite first"
             )
         layout = (
-            set(m.get("partition_by") or [])
+            # transform fields guard their SOURCE column (days(ts) → ts)
+            {pf.source for pf in parse_spec(m.get("partition_by") or [])}
             | set(m.get("sort_by") or [])
             | set(m.get("zorder_by") or [])
         )
@@ -876,11 +911,8 @@ class SnapshotTable:
             )
         applied = self._recluster(self.read(), m)
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        writer = applied.write
         part_cols = m.get("partition_by") or []
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(staged)
+        _partitioned_writer(applied, part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = _footer_stats(new_files, cols) if cols else {}
@@ -917,7 +949,8 @@ class SnapshotTable:
         if name not in fields:
             raise ValueError(f"no such column {name!r}")
         layout = (
-            set(m.get("partition_by") or [])
+            # transform fields guard their SOURCE column (days(ts) → ts)
+            {pf.source for pf in parse_spec(m.get("partition_by") or [])}
             | set(m.get("sort_by") or [])
             | set(m.get("zorder_by") or [])
         )
@@ -956,7 +989,8 @@ class SnapshotTable:
         if name not in {f.name for f in self.read().schema.fields}:
             raise ValueError(f"no such column {name!r}")
         layout = (
-            set(m.get("partition_by") or [])
+            # transform fields guard their SOURCE column (days(ts) → ts)
+            {pf.source for pf in parse_spec(m.get("partition_by") or [])}
             | set(m.get("sort_by") or [])
             | set(m.get("zorder_by") or [])
         )
@@ -983,28 +1017,61 @@ class SnapshotTable:
         written AFTER the evolution; either way every reader surfaces
         it, so results are layout-independent.
 
-        Identity transforms only — the engine's hive layout partitions
-        on column values (the reference's default ``day(ts)`` spec is
-        served by partitioning on an explicit date column instead).
+        Fields are identity columns or the transforms the reference's
+        own default spec uses (``day(_cdc_timestamp)``,
+        `internal/iceberg/schema/schema.go:104-135`): ``days(col)`` and
+        ``bucket(N, col)`` — see :mod:`philotes_spark.sources.transforms`.
         Returns the new version (or the current one when ``fields``
         already is the default spec)."""
-        fields = list(fields)
+        spec = parse_spec(list(fields))  # raises on unsupported transforms
+        fields = [pf.raw for pf in spec]
         parent = self.current_version()
         if not parent:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
         if fields == (m.get("partition_by") or []):
             return parent  # already the default spec: no-op, no version
-        if len(set(fields)) != len(fields):
+        if len(set(fields)) != len(fields) or len(
+            {pf.name for pf in spec}
+        ) != len(spec):
             raise ValueError(f"duplicate partition fields in {fields}")
-        cols = {f.name for f in self.read().schema.fields}
-        missing = [c for c in fields if c not in cols]
+        schema = self.read().schema
+        cols = {f.name for f in schema.fields}
+        missing = [pf.source for pf in spec if pf.source not in cols]
         if missing:
             raise ValueError(
                 f"partition fields {missing} are not columns of the table"
             )
+        # fail at EVOLUTION time, not first write: a transform over an
+        # incompatible column type would otherwise poison every commit
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for pf in spec:
+            t = types[pf.source]
+            if pf.transform == "day" and not (
+                t == "date" or t.startswith("timestamp")
+            ):
+                raise ValueError(
+                    f"days({pf.source}) needs a date/timestamp column, got {t}"
+                )
+            if pf.transform == "bucket" and t not in (
+                "tinyint", "smallint", "int", "bigint", "string", "date",
+            ) and not t.startswith("timestamp"):
+                raise ValueError(
+                    f"bucket({pf.n},{pf.source}) unsupported for column type {t}"
+                )
+        shadowed = [
+            pf.name for pf in spec if pf.transform != "identity" and pf.name in cols
+        ]
+        if shadowed:
+            raise ValueError(
+                f"transform partition field name(s) {shadowed} collide "
+                "with existing table columns; rename the column or pick "
+                "an identity spec"
+            )
         clustered = set(m.get("sort_by") or []) | set(m.get("zorder_by") or [])
-        overlap = sorted(set(fields) & clustered)
+        overlap = sorted(
+            {pf.source for pf in spec if pf.transform == "identity"} & clustered
+        )
         if overlap:
             raise ValueError(
                 f"columns {overlap} are part of the table's sort/z-order "
@@ -1439,11 +1506,8 @@ class SnapshotTable:
         applied = self._recluster(self.read(), m)
         sort_by = m.get("sort_by") or []
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        writer = applied.write
         part_cols = m.get("partition_by") or []
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(staged)
+        _partitioned_writer(applied, part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = _footer_stats(new_files, cols) if cols else {}
@@ -1517,11 +1581,8 @@ class SnapshotTable:
         if has_pos:
             base = base.drop("_pos_file", "_pos_index")
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        writer = self._recluster(base, m).write
         part_cols = m.get("partition_by") or []
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(staged)
+        _partitioned_writer(self._recluster(base, m), part_cols).parquet(staged)
         new_files = [
             f for f in _staged_parquet_files(staged)
             if _footer_row_count([f]) > 0
@@ -1871,8 +1932,15 @@ class SnapshotTable:
                 rd = self.spark.read.option("mergeSchema", "true")
                 if fields:
                     rd = rd.option("basePath", root)
-                parts.append(pos(rd.parquet(*fs)))
-                path_cols.append(set(fields))
+                p = pos(rd.parquet(*fs))
+                # transform-result path columns (ts_day/id_bucket) are
+                # layout, not table columns — the SOURCE column is in the
+                # data files; drop them before the union
+                p = _drop_derived(p, fields)
+                parts.append(p)
+                path_cols.append(
+                    {pf.name for pf in parse_spec(fields) if pf.transform == "identity"}
+                )
             # partition-column types are inferred independently per staged
             # root; where the column is a DATA column in some root, that
             # file schema is authoritative — cast the path-inferred twins
@@ -2085,15 +2153,20 @@ class SnapshotTable:
         level above parquet's own row-group skipping (which still applies
         inside the surviving files). Falls back to the full file list for
         files without stats (unknown ⇒ must read). The residual filter is
-        applied too, so results equal ``read().filter(...)`` exactly."""
+        applied too, so results equal ``read().filter(...)`` exactly.
+
+        Transform partition pruning (r13): when a file's root spec has
+        ``days(col)``/``bucket(N,col)``, the hive path's derived value
+        bounds the SOURCE column — a day outside [day(lo), day(hi)]
+        (day is monotonic) or a bucket that isn't ``bucket(lo)`` on an
+        equality probe proves no row can match, with or without column
+        stats. This is the same scan-planning an external Iceberg engine
+        does against the published transform spec."""
         m = self._resolve(version)
-        stats = m.get("file_stats", {})
+        root_fields = self._root_fields(m)
 
         def may_match(f: str) -> bool:
-            rng = stats.get(f, {}).get(col)
-            if rng is None:
-                return True  # no stats ⇒ cannot prune
-            return _range_overlaps(rng, lo, hi)
+            return self._file_may_match(m, root_fields, f, col, lo, hi)
 
         has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
 
@@ -2127,14 +2200,55 @@ class SnapshotTable:
         """(files_scanned, files_total) for a range — the scan-planning
         observability hook the pruning tests assert on."""
         m = self._resolve()
-        stats = m.get("file_stats", {})
+        root_fields = self._root_fields(m)
         total = len(m["files"])
-        scanned = 0
-        for f in m["files"]:
-            rng = stats.get(f, {}).get(col)
-            if rng is None or _range_overlaps(rng, lo, hi):
-                scanned += 1
+        scanned = sum(
+            1
+            for f in m["files"]
+            if self._file_may_match(m, root_fields, f, col, lo, hi)
+        )
         return scanned, total
+
+    def _file_may_match(
+        self, m: dict, root_fields: dict[str, list[str]], f: str, col, lo, hi
+    ) -> bool:
+        """Manifest-level file pruning for one [lo, hi] probe on ``col``:
+        column stats first, then the root spec's TRANSFORM path values
+        (identity path fields prune via Spark's own partition pushdown
+        after the scan lists files; transform fields need engine help
+        because the path carries ``day(col)``, not ``col``). Unknown ⇒
+        True — never prune on uncertainty."""
+        rng = m.get("file_stats", {}).get(f, {}).get(col)
+        if rng is not None and not _range_overlaps(rng, lo, hi):
+            return False
+        rel = os.path.relpath(f, self.data_dir)
+        root = os.path.join(self.data_dir, rel.split(os.sep)[0])
+        for pf in parse_spec(root_fields.get(root) or []):
+            if pf.source != col or pf.transform == "identity":
+                continue
+            raw = _file_partition(f, self.data_dir, [pf.name])[0]
+            if raw is None:
+                continue  # null partition / absent segment: keep
+            try:
+                v = int(raw)
+            except ValueError:
+                continue
+            try:
+                if pf.transform == "day":
+                    if lo is not None and v < day_value(lo):
+                        return False
+                    if hi is not None and v > day_value(hi):
+                        return False
+                elif (
+                    pf.transform == "bucket"
+                    and lo is not None
+                    and lo == hi
+                    and bucket_value(lo, pf.n) != v
+                ):
+                    return False
+            except TypeError:
+                continue  # probe type incomparable: keep
+        return True
 
     # --- metadata tables (B6) -------------------------------------------------
 
@@ -2339,7 +2453,8 @@ class SnapshotTable:
         partition list collects to the driver — bounded by the partition
         grain (days/types), never by rows."""
         part_cols = m["partition_by"]
-        missing = [c for c in part_cols if c not in changes.columns]
+        sources = [pf.source for pf in parse_spec(part_cols)]
+        missing = [c for c in sources if c not in changes.columns]
         if missing:
             raise ValueError(
                 f"merge changes must carry the partition columns {missing}"
@@ -2359,15 +2474,19 @@ class SnapshotTable:
             upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
         change_keys = changes.select(*key_cols).distinct()
 
+        # touched partitions key on the hive PATH fields: for transform
+        # specs the change rows get the same derived ts_day/id_bucket
+        # values the writer lands in paths, so classification agrees
+        ch, pnames = with_partition_cols(changes, part_cols)
         touched = {
-            _partition_key(r, part_cols)
-            for r in changes.select(*part_cols).distinct().collect()
+            _partition_key(r, pnames)
+            for r in ch.select(*pnames).distinct().collect()
         }
 
         affected = [
             f
             for f in m["files"]
-            if _file_partition(f, self.data_dir, part_cols) in touched
+            if _file_partition(f, self.data_dir, pnames) in touched
         ]
         untouched = [f for f in m["files"] if f not in set(affected)]
 
@@ -2376,7 +2495,10 @@ class SnapshotTable:
         if affected:
             # group by staged root so basePath recovers the partition cols
             parts = [
-                self.spark.read.option("basePath", root).parquet(*fs)
+                _drop_derived(
+                    self.spark.read.option("basePath", root).parquet(*fs),
+                    part_cols,
+                )
                 for root, fs in sorted(
                     _group_files_by_root(self.data_dir, affected).items()
                 )
@@ -2397,7 +2519,7 @@ class SnapshotTable:
         if sort_by:
             # preserve in-file clustering through the partitioned rewrite
             new_data = new_data.sortWithinPartitions(*sort_by)
-        new_data.write.partitionBy(*part_cols).parquet(staged)
+        _partitioned_writer(new_data, part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         file_stats = {
@@ -2490,10 +2612,7 @@ class SnapshotTable:
         applied = self._recluster(self.read(), m)
         part_cols = m.get("partition_by") or []
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        writer = applied.write
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(staged)
+        _partitioned_writer(applied, part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = _footer_stats(new_files, cols) if cols else {}
@@ -2517,12 +2636,13 @@ class SnapshotTable:
         aware read via basePath, re-written with the same partitionBy);
         every other file carries forward by reference."""
         part_cols = m["partition_by"]
+        pnames = path_field_names(part_cols)
 
         by_part: dict[tuple, list[str]] = {}
         for f in m["files"]:
             if os.path.getsize(f) < small_file_bytes:
                 by_part.setdefault(
-                    _file_partition(f, self.data_dir, part_cols), []
+                    _file_partition(f, self.data_dir, pnames), []
                 ).append(f)
         rewrite = [f for fs in by_part.values() if len(fs) >= 2 for f in fs]
         if not rewrite:
@@ -2530,7 +2650,10 @@ class SnapshotTable:
         keep = [f for f in m["files"] if f not in set(rewrite)]
 
         parts = [
-            self.spark.read.option("basePath", root).parquet(*fs)
+            _drop_derived(
+                self.spark.read.option("basePath", root).parquet(*fs),
+                part_cols,
+            )
             for root, fs in sorted(
                 _group_files_by_root(self.data_dir, rewrite).items()
             )
@@ -2539,17 +2662,19 @@ class SnapshotTable:
         for p in parts[1:]:
             cur = cur.unionByName(p)
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-        # repartition BY the partition columns: each partition value lands
-        # in one task, so the write emits one compacted file per partition
-        # (coalesce would leave every task writing a sliver of every value)
+        # repartition BY the partition (path) fields — derived transform
+        # columns attach first so each partition VALUE lands in one task
+        # and the write emits one compacted file per partition (coalesce
+        # would leave every task writing a sliver of every value)
+        cur, _names = with_partition_cols(cur, part_cols)
         out = cur.repartition(
-            max(1, len(by_part)), *[F.col(c) for c in part_cols]
+            max(1, len(by_part)), *[F.col(c) for c in pnames]
         )
         sort_by = m.get("sort_by") or []
         if sort_by:
             # each compacted per-partition file regains its in-file order
             out = out.sortWithinPartitions(*sort_by)
-        out.write.partitionBy(*part_cols).parquet(staged)
+        out.write.partitionBy(*pnames).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
         stats = {f: s for f, s in m.get("file_stats", {}).items() if f in set(keep)}

@@ -240,17 +240,19 @@ _DDL_ALTER_TYPE = re.compile(
     r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
-# Iceberg partition-spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD c
-# and REPLACE PARTITION FIELD a WITH b (identity transforms — the hive
-# layout partitions on column values)
+# Iceberg partition-spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD f
+# and REPLACE PARTITION FIELD a WITH b, where f is a column name or a
+# transform — days(col) / bucket(N, col) (r13; the reference's own default
+# spec is day(_cdc_timestamp), internal/iceberg/schema/schema.go:104-135)
+_PFIELD = r"(?:\w+|days?\s*\(\s*\w+\s*\)|bucket\s*\(\s*\d+\s*,\s*\w+\s*\))"
 _DDL_PARTITION_FIELD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+"
-    r"(\w+)\s*;?\s*$",
+    rf"({_PFIELD})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DDL_PARTITION_REPLACE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+REPLACE\s+PARTITION\s+FIELD\s+"
-    r"(\w+)\s+WITH\s+(\w+)\s*;?\s*$",
+    rf"({_PFIELD})\s+WITH\s+({_PFIELD})\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_LEAD = re.compile(
@@ -300,10 +302,12 @@ _DDL_REF = re.compile(
     re.IGNORECASE,
 )
 
-# CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col, ...)] AS <query>
+# CREATE [OR REPLACE] TABLE t [PARTITIONED BY (col | days(col) |
+# bucket(N, col), ...)] AS <query> — one paren-nesting level for the
+# transform arguments
 _DDL_CTAS = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s+"
-    r"(?:PARTITIONED\s+BY\s*\(\s*([^()]+?)\s*\)\s+)?"  # +?: `BY ()` errors
+    r"(?:PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s+)?"
     r"AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -945,11 +949,17 @@ def sql(
                 "TABLE to rewrite it"
             )
         rows = sql(spark, body.rstrip().rstrip(";"), snapshot_tables=tables)
-        part_by = (
-            _parse_col_list(part_list, "PARTITIONED BY list")
-            if part_list
-            else None
-        )
+        part_by = None
+        if part_list:
+            # entries are column names OR transforms (days(ts),
+            # bucket(16, id)); parse_part_field canonicalizes and raises
+            # on anything else, naming the offending entry
+            from philotes_spark.sources.transforms import parse_part_field
+
+            part_by = [
+                parse_part_field(item.strip().strip('`"')).raw
+                for item in _split_top(part_list)
+            ]
         if name in tables:
             tbl = tables[name]
         else:
@@ -1280,8 +1290,12 @@ def sql(
             )
         m = _DDL_PARTITION_FIELD.match(statement)
         if m:
+            from philotes_spark.sources.transforms import parse_part_field
+
             tbl = tables[name]
-            action, col = m.group(2).upper(), m.group(3)
+            # canonical spelling ("bucket(4, id)" ≡ "bucket(4,id)") so
+            # the membership checks match the stored spec textually
+            action, col = m.group(2).upper(), parse_part_field(m.group(3)).raw
             cur = tbl._load(
                 f"v{tbl.current_version():08d}.json"
             ).get("partition_by") or []
@@ -1305,8 +1319,11 @@ def sql(
             )
         m = _DDL_PARTITION_REPLACE.match(statement)
         if m:
+            from philotes_spark.sources.transforms import parse_part_field
+
             tbl = tables[name]
-            old, new = m.group(2), m.group(3)
+            old = parse_part_field(m.group(2)).raw
+            new = parse_part_field(m.group(3)).raw
             cur = tbl._load(
                 f"v{tbl.current_version():08d}.json"
             ).get("partition_by") or []

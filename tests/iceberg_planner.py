@@ -183,3 +183,135 @@ def assert_tables_equal(
                 )
             else:
                 assert va == vb, f"{c}: {va!r} != {vb!r} (rows {ra} vs {rb})"
+
+
+# --- transform-aware scan planning (r13: days()/bucket() pruning) -------------
+#
+# Independent re-implementation of the spec's partition-transform
+# evaluation — murmur3_x86_32(seed 0) written from the public algorithm
+# (not imported from the engine), day() as epoch-micros floor-division —
+# so a published transform spec is prunable by this planner exactly as a
+# foreign engine would prune it.
+
+
+def _mm3_32(data: bytes) -> int:
+    """murmur3_x86_32, seed 0, signed result (public algorithm)."""
+    length = len(data)
+    h = 0
+    i = 0
+    while i + 4 <= length:
+        k = (
+            data[i]
+            | (data[i + 1] << 8)
+            | (data[i + 2] << 16)
+            | (data[i + 3] << 24)
+        )
+        k = (k * 0xCC9E2D51) % 2**32
+        k = ((k << 15) % 2**32) | (k >> 17)
+        k = (k * 0x1B873593) % 2**32
+        h ^= k
+        h = ((h << 13) % 2**32) | (h >> 19)
+        h = (h * 5 + 0xE6546B64) % 2**32
+        i += 4
+    if i < length:
+        k = 0
+        for j, b in enumerate(data[i:]):
+            k |= b << (8 * j)
+        k = (k * 0xCC9E2D51) % 2**32
+        k = ((k << 15) % 2**32) | (k >> 17)
+        k = (k * 0x1B873593) % 2**32
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) % 2**32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) % 2**32
+    h ^= h >> 16
+    return h - 2**32 if h >= 2**31 else h
+
+
+def _epoch_micros(v) -> int:
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return round(v.timestamp() * 1_000_000)
+    raise TypeError(type(v).__name__)
+
+
+def _transform_value(transform: str, v):
+    """Apply a published transform string to a literal, spec byte forms."""
+    import datetime as dt
+    import re as _re
+    import struct
+
+    if transform == "identity":
+        return v
+    if transform == "day":
+        return _epoch_micros(v) // 86_400_000_000
+    m = _re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+        if isinstance(v, int):
+            h = _mm3_32(struct.pack("<q", v))
+        elif isinstance(v, str):
+            h = _mm3_32(v.encode("utf-8"))
+        elif isinstance(v, dt.datetime):
+            h = _mm3_32(struct.pack("<q", _epoch_micros(v)))
+        else:
+            raise TypeError(type(v).__name__)
+        return (h & 0x7FFFFFFF) % n
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def plan_files_pruned(
+    manifest_list_path: str,
+    meta: dict,
+    predicate: tuple,
+) -> tuple[list[dict], int]:
+    """(data files an external engine scans after partition-transform
+    pruning, total live data files). ``predicate`` = (column, op, value)
+    with op in ('==', '>=', '<='); pruning uses ONLY the published
+    metadata: the manifest-list row's ``partition_spec_id`` selects the
+    spec, each entry's partition record is compared through the spec's
+    transform (day is order-preserving so ranges prune; bucket prunes
+    equality only). Unknown ⇒ keep."""
+    col, op, val = predicate
+    specs = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    src_id = next(f["id"] for f in cur_schema["fields"] if f["name"] == col)
+    _, _, ml = independent_read_ocf(manifest_list_path)
+    kept, total = [], 0
+    for mf in ml:
+        sp = specs[mf["partition_spec_id"]]
+        _, _, entries = independent_read_ocf(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2 or e["data_file"]["content"] != 0:
+                continue
+            total += 1
+            d = e["data_file"]
+            keep = True
+            for pf in sp["fields"]:
+                if pf["source-id"] != src_id:
+                    continue
+                pv = (d.get("partition") or {}).get(pf["name"])
+                if pv is None:
+                    continue
+                t = pf["transform"]
+                if t.startswith("bucket"):
+                    if op == "==" and pv != _transform_value(t, val):
+                        keep = False
+                    continue  # bucket cannot prune ranges
+                tv = _transform_value(t, val)
+                if op == "==" and pv != tv:
+                    keep = False
+                elif op == ">=" and pv < tv:
+                    keep = False  # day/identity are order-preserving
+                elif op == "<=" and pv > tv:
+                    keep = False
+            if keep:
+                kept.append(d)
+    return kept, total

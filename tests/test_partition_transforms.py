@@ -1,0 +1,302 @@
+"""Non-identity partition transforms end-to-end (B19/A16 — VERDICT r12 #2).
+
+The reference's DEFAULT spec is a transform — ``day(_cdc_timestamp)``
+named ``_cdc_date`` (`internal/iceberg/schema/schema.go:104-135`) — so
+``days(col)`` / ``bucket(N, col)`` must work as first-class layout fields:
+hive paths carry the DERIVED integer value (the source column stays in
+the data files), reads are layout-independent, day/bucket filters prune
+files at plan time, and every rewrite path (merge, overwrite-partitions,
+compaction, spec migration) keys partitions by the derived values.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.sources.snapshots import SnapshotTable
+from philotes_spark.sources.transforms import bucket_value, day_value
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "id long, ts timestamp, v string")
+
+
+_D0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+_D1 = dt.datetime(2024, 1, 6, 11, 0, 0)
+_D2 = dt.datetime(2024, 1, 7, 12, 0, 0)
+
+
+def _rows(df):
+    return sorted((r.id, r.ts, r.v) for r in df.select("id", "ts", "v").collect())
+
+
+def test_day_partition_round_trip(spark, table):
+    src = [(1, _D0, "a"), (2, _D1, "b"), (3, _D1, "c")]
+    table.commit(_events(spark, src), partition_by=["days(ts)"])
+    got = table.read()
+    # the derived path field is layout, not a table column
+    assert set(got.columns) == {"id", "ts", "v"}
+    assert _rows(got) == sorted(src)
+    # paths carry ts_day=<days-since-epoch> with the scalar-pinned value
+    m = table._load(f"v{table.current_version():08d}.json")
+    days = {
+        seg.split("=", 1)[1]
+        for f in m["files"]
+        for seg in f.split(os.sep)
+        if seg.startswith("ts_day=")
+    }
+    assert days == {str(day_value(_D0)), str(day_value(_D1))}
+
+
+def test_bucket_partition_round_trip(spark, table):
+    src = [(i, _D0, f"v{i}") for i in range(20)]
+    table.commit(_events(spark, src), partition_by=["bucket(4,id)"])
+    assert _rows(table.read()) == sorted(src)
+    m = table._load(f"v{table.current_version():08d}.json")
+    for f in m["files"]:
+        seg = next(s for s in f.split(os.sep) if s.startswith("id_bucket="))
+        b = int(seg.split("=", 1)[1])
+        ids = {r.id for r in table.spark.read.parquet(f).collect()}
+        assert all(bucket_value(i, 4) == b for i in ids)
+
+
+def test_day_filter_prunes_files(spark, table):
+    table.commit(
+        _events(spark, [(1, _D0, "a"), (2, _D1, "b"), (3, _D2, "c")]),
+        partition_by=["days(ts)"],
+    )
+    scanned, total = table.pruned_file_count("ts", lo=_D2)
+    assert total >= 3 and scanned < total
+    got = _rows(table.read_where("ts", lo=_D2))
+    want = _rows(table.read().filter(F.col("ts") >= _D2))
+    assert got == want == [(3, _D2, "c")]
+
+
+def test_bucket_equality_prunes_files(spark, table):
+    table.commit(
+        _events(spark, [(i, _D0, f"v{i}") for i in range(32)]),
+        partition_by=["bucket(4,id)"],
+    )
+    scanned, total = table.pruned_file_count("id", lo=7, hi=7)
+    assert scanned < total
+    got = _rows(table.read_where("id", lo=7, hi=7))
+    assert got == [(7, _D0, "v7")]
+    # a RANGE probe cannot prune on bucket (hash scatters order): all kept
+    scanned, total = table.pruned_file_count("id", lo=0, hi=5)
+    assert scanned == total
+
+
+def test_evolve_identity_to_transform_mixed_read(spark, table):
+    table.commit(_events(spark, [(1, _D0, "a")]), partition_by=["v"])
+    table.evolve_partition_spec(["days(ts)"])
+    table.commit(_events(spark, [(2, _D1, "b")]))
+    assert _rows(table.read()) == [(1, _D0, "a"), (2, _D1, "b")]
+    specs = {r.spec_id: r for r in table.partition_specs().collect()}
+    assert specs[1].fields == "days(ts)" and specs[1].is_default
+    # canonical spelling: a differently-spaced respec is a no-op
+    v = table.current_version()
+    assert table.evolve_partition_spec(["day( ts )"]) == v
+    # compact() migrates the identity root under the transform spec
+    table.compact()
+    specs = {r.spec_id: r for r in table.partition_specs().collect()}
+    assert specs[0].live_file_count == 0
+    assert _rows(table.read()) == [(1, _D0, "a"), (2, _D1, "b")]
+
+
+def test_partitioned_cow_merge_on_day_spec(spark, table):
+    table.commit(
+        _events(spark, [(1, _D0, "a"), (2, _D1, "b"), (3, _D2, "c")]),
+        partition_by=["days(ts)"],
+    )
+    table.merge(_events(spark, [(2, _D1, "B")]), key_cols=["id"])
+    assert _rows(table.read()) == [(1, _D0, "a"), (2, _D1, "B"), (3, _D2, "c")]
+    # only the touched day partition was rewritten
+    m = table._load(f"v{table.current_version():08d}.json")
+    days = sorted(
+        seg.split("=", 1)[1]
+        for f in m["files"]
+        for seg in f.split(os.sep)
+        if seg.startswith("ts_day=")
+    )
+    assert str(day_value(_D0)) in days and str(day_value(_D2)) in days
+
+
+def test_overwrite_partitions_on_day_spec(spark, table):
+    table.commit(
+        _events(spark, [(1, _D0, "a"), (2, _D1, "b")]),
+        partition_by=["days(ts)"],
+    )
+    table.overwrite_partitions(_events(spark, [(9, _D1, "B9")]))
+    assert _rows(table.read()) == [(1, _D0, "a"), (9, _D1, "B9")]
+
+
+def test_guards(spark, table):
+    table.commit(
+        _events(spark, [(1, _D0, "a")]), partition_by=["days(ts)"]
+    )
+    # the transform's SOURCE column is a layout column: drop refuses
+    with pytest.raises(ValueError, match="layout column"):
+        table.alter_drop_column("ts")
+    with pytest.raises(ValueError, match="not columns"):
+        table.evolve_partition_spec(["days(nope)"])
+    with pytest.raises(ValueError, match="unsupported partition field"):
+        table.evolve_partition_spec(["md5(ts)"])
+    with pytest.raises(ValueError, match="duplicate"):
+        table.evolve_partition_spec(["days(ts)", "day(ts)"])
+    with pytest.raises(ValueError, match="needs a date/timestamp"):
+        table.evolve_partition_spec(["days(v)"])
+        table.commit(_events(spark, [(2, _D1, "b")]))
+
+
+def test_transform_name_shadow_refused(spark, table):
+    df = spark.createDataFrame(
+        [(1, _D0, 5)], "id long, ts timestamp, ts_day int"
+    )
+    table.commit(df)
+    with pytest.raises(ValueError, match="collide"):
+        table.evolve_partition_spec(["days(ts)"])
+
+
+def test_publish_transform_spec_and_planner_prunes(spark, table):
+    """The wire half (VERDICT r12 #2): a transform-partitioned publish
+    serves the real transform strings (``day`` / ``bucket[N]``), the
+    manifests carry the derived integer partition values, both external
+    readers reconstruct the table row-identically, and the INDEPENDENT
+    planner prunes with them — a time filter reads only the matching day
+    partitions, a bucket-equality filter only the matching bucket — using
+    its own murmur3, not the engine's."""
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.iceberg_planner import plan_files_pruned
+    from tests.test_catalog_rest import MockCatalog, _readback_equal
+
+    table.commit(
+        _events(spark, [(1, _D0, "a"), (2, _D1, "b"), (3, _D2, "c")]),
+        partition_by=["days(ts)"],
+    )
+    table.evolve_partition_spec(["bucket(4,id)"])
+    table.commit(_events(spark, [(i, _D2, f"n{i}") for i in range(10, 26)]))
+    srv = MockCatalog()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("ns", "t", table)
+        assert _readback_equal(spark, table, "ns", "t", cat) == 19
+        meta = cat.load_table("ns", "t")["metadata"]
+        by_id = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+        assert [
+            (f["name"], f["transform"]) for f in by_id[0]["fields"]
+        ] == [("ts_day", "day")]
+        assert [
+            (f["name"], f["transform"]) for f in by_id[1]["fields"]
+        ] == [("id_bucket", "bucket[4]")]
+        assert meta["default-spec-id"] == 1
+        cur = meta["current-snapshot-id"]
+        ml = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )["manifest-list"]
+        # day-range prune: ts >= _D2 keeps the D2 day file and every
+        # bucket file (other spec: no day field -> kept), drops D0/D1
+        kept, total = plan_files_pruned(ml, meta, ("ts", ">=", _D2))
+        assert len(kept) < total
+        days = {
+            (d.get("partition") or {}).get("ts_day")
+            for d in kept
+            if "ts_day" in (d.get("partition") or {})
+        }
+        assert days == {day_value(_D2)}
+        # the pruned scan is still CORRECT: re-reading kept files and
+        # filtering equals the engine's filtered read
+        import pyarrow.parquet as pq
+
+        got_ids = sorted(
+            i
+            for d in kept
+            for i in pq.read_table(d["file_path"]).to_pandas()["id"]
+            if True
+        )
+        want = sorted(
+            r.id for r in table.read().filter(F.col("ts") >= _D2).collect()
+        )
+        # kept is a superset per file grain; the residual filter lands it
+        assert set(want) <= set(got_ids)
+        # bucket-equality prune: id == 17 reads only bucket(17)'s files
+        # in the bucketed spec (day-spec files keep: no id field there)
+        kept_b, total_b = plan_files_pruned(ml, meta, ("id", "==", 17))
+        assert len(kept_b) < total_b
+        buckets = {
+            (d.get("partition") or {}).get("id_bucket")
+            for d in kept_b
+            if "id_bucket" in (d.get("partition") or {})
+        }
+        assert buckets == {bucket_value(17, 4)}
+        ids_b = {
+            i
+            for d in kept_b
+            for i in pq.read_table(d["file_path"]).to_pandas()["id"]
+        }
+        assert 17 in ids_b
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_statement_surface_transforms(spark, table, tmp_path):
+    """ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD and CTAS PARTITIONED
+    BY accept transform fields with canonical spelling."""
+    from philotes_spark.sql_frontend import sql
+
+    table.commit(_events(spark, [(1, _D0, "a")]))
+    tables = {"t": table}
+    out = sql(
+        spark,
+        "ALTER TABLE t ADD PARTITION FIELD days(ts)",
+        snapshot_tables=tables,
+    ).collect()[0]
+    assert out.operation == "add-partition-field"
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert m["partition_by"] == ["days(ts)"]
+    table.commit(_events(spark, [(2, _D1, "b")]))
+    assert len(_rows(table.read())) == 2
+    with pytest.raises(ValueError, match="already a partition field"):
+        sql(
+            spark,
+            "ALTER TABLE t ADD PARTITION FIELD day( ts )",  # canonical ==
+            snapshot_tables=tables,
+        )
+    out = sql(
+        spark,
+        "ALTER TABLE t REPLACE PARTITION FIELD days(ts) WITH bucket(4, id)",
+        snapshot_tables=tables,
+    ).collect()[0]
+    assert out.operation == "replace-partition-field"
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert m["partition_by"] == ["bucket(4,id)"]
+    out = sql(
+        spark,
+        "ALTER TABLE t DROP PARTITION FIELD bucket(4,id)",
+        snapshot_tables=tables,
+    ).collect()[0]
+    assert out.operation == "drop-partition-field"
+    # CTAS with a transform spec
+    tables2 = {}
+    sql(
+        spark,
+        "CREATE TABLE t2 PARTITIONED BY (days(ts)) AS "
+        "SELECT id, timestamp'2024-01-05 10:00:00' AS ts FROM range(4)",
+        snapshot_tables=tables2,
+        table_root=str(tmp_path),
+    )
+    t2 = tables2["t2"]
+    assert t2._resolve().get("partition_by") == ["days(ts)"]
+    assert t2.read().count() == 4
+    assert set(t2.read().columns) == {"id", "ts"}

@@ -1,0 +1,104 @@
+"""Partition-transform unit pins.
+
+The bucket transform is only interop-correct if the hash matches
+Iceberg's spec exactly (murmur3_x86_32, seed 0, the spec's byte forms) —
+an external engine prunes published bucket partitions by computing the
+same hash, so a seed or byte-form mismatch silently reads the WRONG
+partition. Pin against the Iceberg table-spec Appendix-B test vectors.
+"""
+
+import datetime as dt
+import struct
+
+import numpy as np
+import pytest
+
+from philotes_spark.sources.transforms import (
+    PartField,
+    bucket_value,
+    day_value,
+    derived_field_names,
+    murmur3_32,
+    murmur3_long_vec,
+    parse_part_field,
+    parse_spec,
+    rest_transform,
+)
+
+
+def test_murmur3_spec_vectors():
+    # Iceberg table spec, Appendix B "32-bit Hash Requirements"
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379  # int/long 34
+    assert murmur3_32("iceberg".encode()) == 1210000089  # string
+    d = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert murmur3_32(struct.pack("<q", d)) == -653330422  # date
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc)
+    micros = int(ts.timestamp() * 1_000_000)
+    assert murmur3_32(struct.pack("<q", micros)) == -2047944441  # timestamptz
+
+
+def test_vectorized_long_hash_matches_scalar():
+    vals = np.array(
+        [34, 0, -1, 1, 2**62, -(2**62), 86400000000, 17298], dtype=np.int64
+    )
+    got = murmur3_long_vec(vals)
+    want = [murmur3_32(struct.pack("<q", int(v))) for v in vals]
+    assert got.tolist() == want
+
+
+def test_bucket_and_day_scalars():
+    assert bucket_value(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert bucket_value("iceberg", 16) == (1210000089 & 0x7FFFFFFF) % 16
+    assert bucket_value(None, 16) is None
+    assert day_value(dt.datetime(1970, 1, 2, 0, 0, 1)) == 1
+    assert day_value(dt.date(2017, 11, 16)) == 17486
+    assert day_value(None) is None
+
+
+def test_parse_spec_strings():
+    assert parse_part_field("cat") == PartField("cat", "identity", "cat", None, "cat")
+    assert parse_part_field("days(ts)") == PartField(
+        "days(ts)", "day", "ts", None, "ts_day"
+    )
+    assert parse_part_field("day( ts )").raw == "days(ts)"  # canonicalized
+    assert parse_part_field("bucket(16, id)") == PartField(
+        "bucket(16,id)", "bucket", "id", 16, "id_bucket"
+    )
+    assert derived_field_names(["cat", "days(ts)", "bucket(4,id)"]) == [
+        "ts_day",
+        "id_bucket",
+    ]
+    assert [rest_transform(pf) for pf in parse_spec(["cat", "days(ts)", "bucket(4,id)"])] == [
+        "identity",
+        "day",
+        "bucket[4]",
+    ]
+    for bad in ("bucket(0,id)", "days(1x)", "md5(col)", "a b"):
+        with pytest.raises(ValueError):
+            parse_part_field(bad)
+
+
+def test_transform_columns_match_driver_scalars(spark):
+    """The JVM day expression and the Arrow bucket UDF must agree with
+    the driver-side scalar forms (which the planner/test oracles use)."""
+    from philotes_spark.sources.transforms import with_partition_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", dt.datetime(2024, 1, 5, 23, 59, 59)),
+            (2, "beta", dt.datetime(1969, 12, 31, 23, 0, 0)),
+            (3, None, None),
+        ],
+        "id long, s string, ts timestamp",
+    )
+    out, names = with_partition_cols(
+        df, ["bucket(8,id)", "bucket(8,s)", "days(ts)"]
+    )
+    assert names == ["id_bucket", "s_bucket", "ts_day"]
+    rows = {r.id: r for r in out.collect()}
+    for r in df.collect():
+        assert rows[r.id].id_bucket == bucket_value(r.id, 8)
+        assert rows[r.id].s_bucket == bucket_value(r.s, 8)
+        assert rows[r.id].ts_day == day_value(r.ts)
+    # negative pre-epoch timestamp floors DOWN (UTC day -1), not toward 0
+    assert rows[2].ts_day == -1
