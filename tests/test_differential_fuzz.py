@@ -1689,7 +1689,16 @@ def tbl_version(tbl) -> int:
 def _gen_spec_evolution(seed: int) -> list[tuple]:
     rng = random.Random(seed)
     ops: list[tuple] = []
-    specs = [[], ["s"], ["n"], ["n", "s"]]
+    # r13: transform specs join the pool — bucket over a long source
+    # (vectorized murmur3 path) and over a string source (scalar path),
+    # alone and mixed with an identity field. Evolutions to/from them
+    # route through the ALTER statement spellings when the shape allows,
+    # so the transform grammar is fuzzed differentially too; the mirror
+    # stays layout-blind either way.
+    specs = [
+        [], ["s"], ["n"], ["n", "s"],
+        ["bucket(4,k)"], ["bucket(2,s)", "n"],
+    ]
     cur: list = []
     n_appends = 0
     for _ in range(rng.randint(6, 10)):
