@@ -397,6 +397,10 @@ def sweep() -> None:
             {
                 "sf": sf,
                 "spark_total": round(s, 3),
+                # the roster this row's spark_total sums — the r12→r13
+                # floor "drift" was three queries JOINING the roster, so
+                # composition is now explicit per row (PERF.md r13)
+                "n_timed": len(per_query[sf]),
                 "oracle_total": round(d, 3),
                 "ratio": round(s / d, 2) if d > 0 else None,
             }

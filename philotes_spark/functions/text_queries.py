@@ -326,79 +326,137 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_word_ratio (most frequent token's share), top_bigram_ratio, and
     uniq_bigram_ratio (distinct 2-grams / total).
 
-    The mode counts are explode + count on (doc_id, kind, gram-hash)
-    then one conditional max/sum/count per doc (r12 fused single-pass
-    plan — see the inline note). Every gram of a document lives in the
-    SAME input row, so the partial aggregation collapses each group
-    entirely map-side before the exchange — the shuffles carry per-doc
-    distinct gram counts (bounded by doc length), not the len(t)-fold
-    exploded corpus.
+    Plan (r13): ZERO shuffles. Every gram of a document lives in the
+    SAME input row, so no exchange is ever needed — tokenize, build
+    bigram windows and xxhash64 both gram families JVM-side (arrays,
+    never exploded), then one Arrow-batched ``mapInPandas`` computes
+    per-doc mode/total/distinct with a single ``lexsort`` +
+    boundary-diff + ``maximum.at``/``bincount`` sweep over the whole
+    batch (no per-document Python loop). The corpus is scanned once,
+    narrow, and the hot counting is C-speed numpy — the same
+    interpreted-HOF → Arrow move that fixed minhash/ivfpq in r12.
+    ROUNDING STAYS JVM-SIDE (``F.round`` after the fold): numpy rounds
+    half-to-even while Spark/DuckDB round the decimal repr half-up, and
+    the fixture data does hit exact .xxxx5 halves.
 
-    A fully narrow twin was measured in r06 (mode = longest equal-run of
-    the array_sort'ed copy via an ``aggregate`` fold, zero shuffles):
-    cold-equal at sf0.1 but 17× worse steady — higher-order-function
-    lambdas are interpreted per element, and a shuffle-free lineage gives
-    the DAG scheduler nothing to reuse across invocations. The exploded
-    plan with map-side combine is the keeper at both ends of the scale.
+    Settling the r12 sf1 reading (VERDICT r12 #4) — three plans
+    interleaved on one host, min-of-3 cold at sf1 (.fixtures), all
+    row-identical: r11 3-leg 8.55 s, r12 fused 9.71 s (the sweep's
+    2.24× was real — the fusion lost at data scale), THIS plan 2.52 s
+    (−70%, 0.70× vs the 3.58 s oracle — the last >2× sf1 entry gone);
+    sf0.1 cold 0.79-0.88 → 0.58 s, jobs 3 → 1. The priced cost: steady
+    ≈ cold (~0.58 s at sf0.1, was 0.057) — a shuffle-free lineage gives
+    the DAG scheduler no map stages to reuse, exactly the
+    train_chunk_documents trade PERF.md already accepts: at 100 TB zero
+    exchanges beats repeat-same-plan stage reuse, and result caching
+    was rejected there for good reasons that apply here too.
 
+    The r06 rejection of a narrow plan does NOT apply: that twin
+    computed the mode with interpreted per-element HOF lambdas (17×
+    worse steady); this one hashes JVM-side and counts in numpy.
     zip_with-against-slice (not element_at per index) builds the bigram
     windows: Catalyst's projection collapse would inline the tokenizer
-    into every per-index probe, re-running the regex O(len) times per row
-    (measured 19 s vs 0.4 s at sf0.1, PERF.md)."""
+    into every per-index probe, re-running the regex O(len) times per
+    row (measured 19 s vs 0.4 s at sf0.1, PERF.md). The r12 fused
+    explode+aggregate form is kept below as the pure-expression ground
+    truth (``text_repetition_stats_expr``), pinned row-identical in
+    tests/test_pipeline_ops.py."""
+    both = _repetition_hashed_grams(spark, sf_dir)
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+
+            def seg_stats(col):
+                lens = col.map(len).to_numpy(np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    z = np.zeros(n, dtype=np.int64)
+                    return lens, z, z
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in col]
+                )
+                doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+                order = np.lexsort((flat, doc))
+                fd, fv = doc[order], flat[order]
+                nb = np.empty(total, dtype=bool)
+                nb[0] = True
+                nb[1:] = (fd[1:] != fd[:-1]) | (fv[1:] != fv[:-1])
+                starts = np.flatnonzero(nb)
+                counts = np.diff(np.append(starts, total))
+                gdoc = fd[starts]
+                maxc = np.zeros(n, dtype=np.int64)
+                np.maximum.at(maxc, gdoc, counts)  # per-doc mode count
+                ng = np.bincount(gdoc, minlength=n)  # per-doc distincts
+                return lens, maxc, ng
+
+            tl, tmax, _ = seg_stats(pdf["th"])
+            bl, bmax, bng = seg_stats(pdf["bh"])
+            keep = bl > 0  # docs with no bigram (<2 tokens) are excluded
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "twr": tmax[keep] / tl[keep],
+                    "tbr": bmax[keep] / bl[keep],
+                    "ubr": bng[keep] / bl[keep],
+                }
+            )
+
+    raw = both.mapInPandas(
+        fold, "doc_id long, twr double, tbr double, ubr double"
+    )
+    return raw.select(
+        "doc_id",
+        F.round("twr", 4).alias("top_word_ratio"),
+        F.round("tbr", 4).alias("top_bigram_ratio"),
+        F.round("ubr", 4).alias("uniq_bigram_ratio"),
+    )
+
+
+def _repetition_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared JVM front half: (doc_id, token-hash array, bigram-hash
+    array) — both repetition plans count the same xxhash64 keys (the
+    accepted ~1e-7 collision class of text_dup_ngram_fraction; a
+    collision merges two gram counts and would surface as a
+    deterministic oracle hash mismatch)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    both = docs.select(
+    return docs.select(
         "doc_id",
-        "t",
+        F.transform("t", lambda x: F.xxhash64(x)).alias("th"),
         F.expr(
-            "filter(zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),"
-            " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
-        ).alias("bg"),
+            "transform(filter(zip_with(t, slice(t, 2, greatest(size(t) - 1,"
+            " 0)), (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL),"
+            " x -> xxhash64(x))"
+        ).alias("bh"),
     )
-    # r11 hashed both mode-count legs to 64-bit keys right after the
-    # explode (xxhash64, same accepted ~1e-7 collision class as
-    # text_dup_ngram_fraction — a collision merges two gram counts and
-    # would surface deterministically as an oracle hash mismatch), so
-    # the wide shuffles carry 8-byte longs: sf1 8.83 → 6.83 s.
-    #
-    # r12 fuses the two legs into ONE pass: tokens and bigrams explode
-    # together as (kind, key) structs, so the corpus is read and
-    # exploded once, ONE (doc, kind, key) count replaces the two
-    # separate mode counts, and all three ratios fall out of a single
-    # per-doc conditional aggregate — 2 exchanges instead of 5, no
-    # 3-way self-join, 7 → 3 AQE jobs (the sf0.1 floor ask, VERDICT
-    # r11 #5). A fusion was measured and REJECTED in r11 (sf0.3
-    # 2.34 → 2.56 s); what flips it now is folding uniq_bigram_ratio
-    # INTO the same aggregate as distinct-groups/total (hash-distinct,
-    # the accepted collision class) — the rejected variant kept the
-    # per-row array_distinct leg and the join that carries it.
-    # Interleaved A/B min-cold r12: sf0.1 0.81-0.99 → 0.79-0.88 s,
-    # sf1 6.1-7.1 → 6.7-6.9 s (a wash at data scale, a win at the
-    # floor); steady 0.04 → 0.08 s (one reusable shuffle pair instead
-    # of two parallel ones). Docs with no bigram (< 2 tokens) were
-    # excluded by the old inner joins; the final filter keeps that
-    # contract. Per-doc partial aggregation still collapses map-side —
-    # every gram of a doc lives in the same input row. The r11
-    # plan-shape traps still apply: the tag-transforms live INSIDE the
-    # explode argument (once per input row, below the Generate), and
-    # the bigram filter stays post-aggregation so nothing
-    # predicate-pushes the tokenizer chain into a Filter.
+
+
+def text_repetition_stats_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression ground truth for :func:`text_repetition_stats`
+    (the r12 fused single-pass plan: one (doc, kind, key) explode +
+    count, then one per-doc conditional aggregate — 2 exchanges,
+    map-side partial aggregation). Kept for the row-identity pin and
+    for contexts that must stay Python-free; the Arrow fold above is
+    the serving plan (sf1 9.71 → 2.52 s, see its docstring)."""
+    both = _repetition_hashed_grams(spark, sf_dir)
     grams = both.select(
         "doc_id",
         F.explode(
             F.concat(
                 F.transform(
-                    "t",
-                    lambda x: F.struct(
-                        F.lit(0).alias("kind"), F.xxhash64(x).alias("key")
-                    ),
+                    "th",
+                    lambda k: F.struct(F.lit(0).alias("kind"), k.alias("key")),
                 ),
                 F.transform(
-                    "bg",
-                    lambda x: F.struct(
-                        F.lit(1).alias("kind"), F.xxhash64(x).alias("key")
-                    ),
+                    "bh",
+                    lambda k: F.struct(F.lit(1).alias("kind"), k.alias("key")),
                 ),
             )
         ).alias("g"),

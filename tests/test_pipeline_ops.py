@@ -165,3 +165,18 @@ def test_compression_signal_separates_repetition(spark):
         for r in compression_signals(docs.repartition(3)).collect()
     }
     assert again == {d: r.compression_ratio for d, r in got.items()}
+
+
+def test_repetition_arrow_fold_row_identical_to_expr(spark, sf_dir):
+    """r13: the Arrow-batched numpy repetition fold serves
+    text_repetition_stats; the fused explode+aggregate expression form
+    stays as ground truth. Same JVM xxhash64 gram keys, integer counts,
+    JVM-side ROUND on both — rows must be IDENTICAL, not merely close."""
+    from philotes_spark.functions.text_queries import (
+        text_repetition_stats,
+        text_repetition_stats_expr,
+    )
+
+    a = sorted(map(tuple, text_repetition_stats(spark, sf_dir).collect()))
+    b = sorted(map(tuple, text_repetition_stats_expr(spark, sf_dir).collect()))
+    assert a == b and a

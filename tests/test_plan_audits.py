@@ -137,13 +137,15 @@ def test_label_inertia_broadcasts_centroids(plan_of):
     assert "SortMergeJoin" not in a.plan, "corpus-side shuffle join crept in"
 
 
-def test_text_repetition_stats_partial_aggregates_mapside(plan_of):
-    # the exploded gram counts must collapse map-side (partial_count per
-    # (doc_id, gram)) before any exchange — the shuffle carries bounded
-    # per-doc distinct-gram counts, not the len(t)-fold exploded corpus
+def test_text_repetition_stats_zero_shuffle_arrow(plan_of):
+    # r13: every gram of a doc lives in one row, so the serving plan is
+    # a single narrow scan → JVM hash arrays → Arrow fold; any Exchange
+    # or Generate creeping in means the fold regressed to the exploded
+    # shape (kept separately as text_repetition_stats_expr)
     a = plan_of("text_repetition_stats")
-    assert "partial_count" in a.plan, "map-side combine missing"
-    assert "Generate" in a.plan, "expected the explode plan (see docstring)"
+    assert a.shuffles == 0, f"repetition stats grew a shuffle: {a.shuffles}"
+    assert "MapInPandas" in a.plan, "expected the Arrow fold plan"
+    assert "Generate" not in a.plan, "explode crept into the serving plan"
 
 
 def test_dedup_exact_single_shuffle(plan_of):
@@ -349,13 +351,13 @@ def test_threshold_pairs_no_cartesian(plan_of):
 
 
 def test_repetition_stats_shuffle_budget(plan_of):
-    """Gopher repetition stats (r05): mode counts are two agg shuffles
-    (doc_id+gram then doc_id) per gram family + the final doc_id joins —
-    no cartesian, no forced broadcast of the corpus."""
+    """Gopher repetition stats: the r13 Arrow serving plan is
+    shuffle-free; the kept expression ground truth stays within its
+    fused 2-exchange budget — no cartesian, no forced broadcast."""
     a = plan_of("text_repetition_stats")
     assert "CartesianProduct" not in a.plan
     assert "BroadcastNestedLoopJoin" not in a.plan
-    assert a.shuffles <= 6, f"repetition stats grew shuffles: {a.shuffles}"
+    assert a.shuffles == 0, f"repetition stats grew shuffles: {a.shuffles}"
 
 
 def test_dup_ngram_fraction_shape(plan_of):
