@@ -185,12 +185,17 @@ def partition_spec_registry(
             if c not in by_col:
                 by_col[c] = next_id
                 next_id += 1
+            if pf.transform == "identity":
+                avro = types.get(c, "string")
+            elif pf.transform == "truncate":
+                # truncate's result type is the SOURCE type (spec)
+                avro = types.get(pf.source, "string")
+            else:
+                avro = "int"  # day/month/year/bucket: int result type
             fields.append(
                 {
                     "name": pf.name,
-                    "avro_type": "int"
-                    if pf.transform != "identity"
-                    else types.get(c, "string"),
+                    "avro_type": avro,
                     "field-id": by_col[c],
                     "source-id": src_ids.get(pf.source),
                     "transform": rest_transform(pf),

@@ -41,11 +41,11 @@ from pyspark.sql import functions as F
 
 from philotes_spark.sources.transforms import (
     bucket_value,
-    day_value,
     derived_field_names,
     parse_part_field,
     parse_spec,
     path_field_names,
+    transform_value,
     with_partition_cols,
 )
 
@@ -1047,17 +1047,28 @@ class SnapshotTable:
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
         for pf in spec:
             t = types[pf.source]
-            if pf.transform == "day" and not (
+            if pf.transform in ("day", "month", "year") and not (
                 t == "date" or t.startswith("timestamp")
             ):
                 raise ValueError(
-                    f"days({pf.source}) needs a date/timestamp column, got {t}"
+                    f"{pf.raw} needs a date/timestamp column, got {t}"
+                )
+            if pf.transform == "hour" and not t.startswith("timestamp"):
+                raise ValueError(
+                    f"{pf.raw} needs a timestamp column, got {t}"
                 )
             if pf.transform == "bucket" and t not in (
                 "tinyint", "smallint", "int", "bigint", "string", "date",
             ) and not t.startswith("timestamp"):
                 raise ValueError(
                     f"bucket({pf.n},{pf.source}) unsupported for column type {t}"
+                )
+            if pf.transform == "truncate" and t not in (
+                "tinyint", "smallint", "int", "bigint", "string",
+            ):
+                raise ValueError(
+                    f"truncate({pf.n},{pf.source}) unsupported for column "
+                    f"type {t}"
                 )
         shadowed = [
             pf.name for pf in spec if pf.transform != "identity" and pf.name in cols
@@ -2230,24 +2241,27 @@ class SnapshotTable:
             if raw is None:
                 continue  # null partition / absent segment: keep
             try:
-                v = int(raw)
-            except ValueError:
-                continue
-            try:
-                if pf.transform == "day":
-                    if lo is not None and v < day_value(lo):
+                if pf.transform == "bucket":
+                    # hash scatters order: equality probes only
+                    if (
+                        lo is not None
+                        and lo == hi
+                        and bucket_value(lo, pf.n) != int(raw)
+                    ):
                         return False
-                    if hi is not None and v > day_value(hi):
-                        return False
-                elif (
-                    pf.transform == "bucket"
-                    and lo is not None
-                    and lo == hi
-                    and bucket_value(lo, pf.n) != v
-                ):
+                    continue
+                # day/month/year/truncate are monotonic non-decreasing:
+                # path value outside [T(lo), T(hi)] proves no row matches
+                tlo = transform_value(pf, lo) if lo is not None else None
+                thi = transform_value(pf, hi) if hi is not None else None
+                probe = tlo if tlo is not None else thi
+                v = int(raw) if isinstance(probe, int) else raw
+                if tlo is not None and v < tlo:
                     return False
-            except TypeError:
-                continue  # probe type incomparable: keep
+                if thi is not None and v > thi:
+                    return False
+            except (TypeError, ValueError):
+                continue  # probe type incomparable / unparsable: keep
         return True
 
     # --- metadata tables (B6) -------------------------------------------------

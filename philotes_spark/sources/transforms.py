@@ -41,8 +41,14 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 _DAY_RE = re.compile(r"^days?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_HOUR_RE = re.compile(r"^hours?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_MONTH_RE = re.compile(r"^months?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_YEAR_RE = re.compile(r"^years?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
 _BUCKET_RE = re.compile(
     r"^bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+)
+_TRUNCATE_RE = re.compile(
+    r"^truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -65,6 +71,18 @@ def parse_part_field(s: str) -> PartField:
     if m:
         col = m.group(1)
         return PartField(f"days({col})", "day", col, None, f"{col}_day")
+    m = _HOUR_RE.match(s)
+    if m:
+        col = m.group(1)
+        return PartField(f"hours({col})", "hour", col, None, f"{col}_hour")
+    m = _MONTH_RE.match(s)
+    if m:
+        col = m.group(1)
+        return PartField(f"months({col})", "month", col, None, f"{col}_month")
+    m = _YEAR_RE.match(s)
+    if m:
+        col = m.group(1)
+        return PartField(f"years({col})", "year", col, None, f"{col}_year")
     m = _BUCKET_RE.match(s)
     if m:
         n, col = int(m.group(1)), m.group(2)
@@ -73,11 +91,20 @@ def parse_part_field(s: str) -> PartField:
         return PartField(
             f"bucket({n},{col})", "bucket", col, n, f"{col}_bucket"
         )
+    m = _TRUNCATE_RE.match(s)
+    if m:
+        n, col = int(m.group(1)), m.group(2)
+        if n <= 0:
+            raise ValueError(f"truncate width must be positive in {s!r}")
+        return PartField(
+            f"truncate({n},{col})", "truncate", col, n, f"{col}_trunc"
+        )
     if _IDENT_RE.match(s):
         return PartField(s, "identity", s, None, s)
     raise ValueError(
         f"unsupported partition field {s!r}; supported: a column name, "
-        "days(col), bucket(N, col)"
+        "hours(col), days(col), months(col), years(col), bucket(N, col), "
+        "truncate(W, col)"
     )
 
 
@@ -202,6 +229,85 @@ def day_value(v) -> int | None:
     raise TypeError(f"day transform unsupported for {type(v).__name__}")
 
 
+def hour_value(v) -> int | None:
+    """UTC hours since epoch (Iceberg hour transform — timestamps only)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return round(v.timestamp() * 1_000_000) // 3_600_000_000
+    raise TypeError(f"hour transform unsupported for {type(v).__name__}")
+
+
+def month_value(v) -> int | None:
+    """UTC months from 1970-01 (Iceberg month transform, result int)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return (v.year - 1970) * 12 + v.month - 1
+    raise TypeError(f"month transform unsupported for {type(v).__name__}")
+
+
+def year_value(v) -> int | None:
+    """UTC years from 1970 (Iceberg year transform, result int)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.year - 1970
+    raise TypeError(f"year transform unsupported for {type(v).__name__}")
+
+
+def truncate_value(v, w: int):
+    """Iceberg truncate transform: numerics floor to the width
+    (``v - (((v % W) + W) % W)`` — python ``%`` already floors), strings
+    keep the first W codepoints. Order-preserving on both domains."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        raise TypeError("truncate transform on boolean is not in the spec")
+    if isinstance(v, int):
+        return v - (v % w)
+    if isinstance(v, str):
+        return v[:w]
+    raise TypeError(f"truncate transform unsupported for {type(v).__name__}")
+
+
+#: transforms whose value function is monotonic non-decreasing on the
+#: source domain — a range probe [lo, hi] prunes any file whose path
+#: value falls outside [T(lo), T(hi)]; bucket scatters order and prunes
+#: equality probes only
+ORDER_PRESERVING = ("identity", "hour", "day", "month", "year", "truncate")
+
+
+def transform_value(pf: PartField, v):
+    """Apply one spec field's transform to a driver-side literal —
+    the scalar the pruning paths compare path values against."""
+    if pf.transform == "identity":
+        return v
+    if pf.transform == "hour":
+        return hour_value(v)
+    if pf.transform == "day":
+        return day_value(v)
+    if pf.transform == "month":
+        return month_value(v)
+    if pf.transform == "year":
+        return year_value(v)
+    if pf.transform == "bucket":
+        return bucket_value(v, pf.n)
+    return truncate_value(v, pf.n)
+
+
 def transform_column(df: DataFrame, pf: PartField) -> Column:
     """The derived partition column for one transform field, computed on
     ``df``'s column types. JVM expressions for day; an Arrow-batched
@@ -219,6 +325,33 @@ def transform_column(df: DataFrame, pf: PartField) -> Column:
             return F.floor(F.unix_micros(col) / _MICROS_PER_DAY).cast("int")
         raise ValueError(
             f"days({pf.source}) needs a date/timestamp column, got {dt}"
+        )
+    if pf.transform == "hour":
+        if dt.startswith("timestamp"):
+            return F.floor(F.unix_micros(col) / 3_600_000_000).cast("int")
+        raise ValueError(
+            f"hours({pf.source}) needs a timestamp column, got {dt}"
+        )
+    if pf.transform in ("month", "year"):
+        # session timezone is pinned UTC (session.py), so year()/month()
+        # on a LTZ timestamp are the spec's UTC calendar fields
+        if not (dt == "date" or dt.startswith("timestamp")):
+            raise ValueError(
+                f"{pf.transform}s({pf.source}) needs a date/timestamp "
+                f"column, got {dt}"
+            )
+        years = (F.year(col) - F.lit(1970)).cast("int")
+        if pf.transform == "year":
+            return years
+        return (years * F.lit(12) + F.month(col) - F.lit(1)).cast("int")
+    if pf.transform == "truncate":
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            longs = col.cast("long")
+            return longs - F.pmod(longs, F.lit(pf.n))
+        if dt == "string":
+            return F.substring(col, 1, pf.n)
+        raise ValueError(
+            f"truncate({pf.n},{pf.source}) unsupported for column type {dt}"
         )
     # bucket: normalize to the spec's long byte-form JVM-side, hash in a
     # vectorized Arrow batch; strings keep their bytes and take the
@@ -287,8 +420,8 @@ def with_partition_cols(
 
 def rest_transform(pf: PartField) -> str:
     """Iceberg REST/metadata transform string."""
-    if pf.transform == "identity":
-        return "identity"
-    if pf.transform == "day":
-        return "day"
-    return f"bucket[{pf.n}]"
+    if pf.transform in ("identity", "hour", "day", "month", "year"):
+        return pf.transform
+    if pf.transform == "bucket":
+        return f"bucket[{pf.n}]"
+    return f"truncate[{pf.n}]"

@@ -244,7 +244,10 @@ _DDL_ALTER_TYPE = re.compile(
 # and REPLACE PARTITION FIELD a WITH b, where f is a column name or a
 # transform — days(col) / bucket(N, col) (r13; the reference's own default
 # spec is day(_cdc_timestamp), internal/iceberg/schema/schema.go:104-135)
-_PFIELD = r"(?:\w+|days?\s*\(\s*\w+\s*\)|bucket\s*\(\s*\d+\s*,\s*\w+\s*\))"
+_PFIELD = (
+    r"(?:\w+|(?:hours?|days?|months?|years?)\s*\(\s*\w+\s*\)"
+    r"|(?:bucket|truncate)\s*\(\s*\d+\s*,\s*\w+\s*\))"
+)
 _DDL_PARTITION_FIELD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+"
     rf"({_PFIELD})\s*;?\s*$",

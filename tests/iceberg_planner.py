@@ -250,6 +250,17 @@ def _transform_value(transform: str, v):
         return v
     if transform == "day":
         return _epoch_micros(v) // 86_400_000_000
+    if transform == "hour":
+        return _epoch_micros(v) // 3_600_000_000
+    if transform in ("month", "year"):
+        u = v.astimezone(dt.timezone.utc) if isinstance(v, dt.datetime) and v.tzinfo else v
+        if transform == "year":
+            return u.year - 1970
+        return (u.year - 1970) * 12 + u.month - 1
+    m = _re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        return v - (v % w) if isinstance(v, int) else str(v)[:w]
     m = _re.fullmatch(r"bucket\[(\d+)\]", transform)
     if m:
         n = int(m.group(1))
@@ -309,9 +320,9 @@ def plan_files_pruned(
                 if op == "==" and pv != tv:
                     keep = False
                 elif op == ">=" and pv < tv:
-                    keep = False  # day/identity are order-preserving
+                    keep = False  # day/month/year/truncate/identity:
                 elif op == "<=" and pv > tv:
-                    keep = False
+                    keep = False  # monotonic non-decreasing transforms
             if keep:
                 kept.append(d)
     return kept, total

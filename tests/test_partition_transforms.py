@@ -300,3 +300,123 @@ def test_statement_surface_transforms(spark, table, tmp_path):
     assert t2._resolve().get("partition_by") == ["days(ts)"]
     assert t2.read().count() == 4
     assert set(t2.read().columns) == {"id", "ts"}
+
+
+def test_month_year_truncate_round_trip_and_prune(spark, table):
+    """r13 follow-through: the rest of the reference's transform set
+    (internal/iceberg/types.go:136-140) — months()/years() (calendar
+    ints from 1970) and truncate(W) (numeric floor / string prefix).
+    All order-preserving, so range probes prune."""
+    from philotes_spark.sources.transforms import (
+        month_value,
+        truncate_value,
+        year_value,
+    )
+
+    rows = [
+        (1, dt.datetime(2023, 12, 30, 8), "alpha"),
+        (2, dt.datetime(2024, 1, 2, 9), "beta"),
+        (3, dt.datetime(2024, 3, 15, 10), "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, s string")
+    table.commit(df, partition_by=["months(ts)"])
+    got = table.read()
+    assert set(got.columns) == {"id", "ts", "s"}
+    assert got.count() == 3
+    m = table._load(f"v{table.current_version():08d}.json")
+    months = {
+        int(seg.split("=", 1)[1])
+        for f in m["files"]
+        for seg in f.split(os.sep)
+        if seg.startswith("ts_month=")
+    }
+    assert months == {month_value(r[1]) for r in rows} == {647, 648, 650}
+    # range prune on the month layout
+    scanned, total = table.pruned_file_count(
+        "ts", lo=dt.datetime(2024, 2, 1)
+    )
+    assert scanned < total
+    got = table.read_where("ts", lo=dt.datetime(2024, 2, 1))
+    assert [r.id for r in got.collect()] == [3]
+    # evolve to years(): both transforms over the SAME source coexist
+    table.evolve_partition_spec(["years(ts)"])
+    table.commit(
+        spark.createDataFrame(
+            [(4, dt.datetime(2025, 6, 1, 12), "delta")],
+            "id long, ts timestamp, s string",
+        )
+    )
+    assert year_value(dt.datetime(2025, 6, 1, 12)) == 55
+    assert table.read().count() == 4
+    got = table.read_where("ts", lo=dt.datetime(2025, 1, 1))
+    assert [r.id for r in got.collect()] == [4]
+
+
+def test_truncate_numeric_and_string(spark, table):
+    from philotes_spark.sources.transforms import truncate_value
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 4}x{i}") for i in range(-10, 10)], "id long, s string"
+    )
+    table.commit(df, partition_by=["truncate(5,id)"])
+    m = table._load(f"v{table.current_version():08d}.json")
+    for f in m["files"]:
+        seg = next(s for s in f.split(os.sep) if s.startswith("id_trunc="))
+        t = int(seg.split("=", 1)[1])
+        assert t % 5 == 0  # floors, including negatives
+        ids = {r.id for r in spark.read.parquet(f).collect()}
+        assert all(truncate_value(i, 5) == t for i in ids)
+    # range prune: id >= 5 drops the negative-floor partitions
+    scanned, total = table.pruned_file_count("id", lo=5)
+    assert scanned < total
+    got = sorted(r.id for r in table.read_where("id", lo=5).collect())
+    assert got == list(range(5, 10))
+    # string prefix truncation via evolution
+    table.evolve_partition_spec(["truncate(2,s)"])
+    table.commit(
+        spark.createDataFrame([(99, "zzTOP")], "id long, s string")
+    )
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert any("s_trunc=zz" in f for f in m["files"])
+    assert table.read().count() == 21
+
+
+def test_publish_month_truncate_spec_and_planner(spark, table):
+    """Wire + independent-planner leg for the r13 transform additions."""
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.iceberg_planner import plan_files_pruned
+    from tests.test_catalog_rest import MockCatalog, _readback_equal
+
+    table.commit(
+        _events(spark, [(1, _D0, "aa1"), (2, _D1, "ab2"), (3, _D2, "zz3")]),
+        partition_by=["months(ts)", "truncate(1,v)"],
+    )
+    srv = MockCatalog()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("ns", "t", table)
+        assert _readback_equal(spark, table, "ns", "t", cat) == 3
+        meta = cat.load_table("ns", "t")["metadata"]
+        sp = next(s for s in meta["partition-specs"] if s["spec-id"] == 0)
+        assert [(f["name"], f["transform"]) for f in sp["fields"]] == [
+            ("ts_month", "month"),
+            ("v_trunc", "truncate[1]"),
+        ]
+        cur = meta["current-snapshot-id"]
+        ml = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )["manifest-list"]
+        # truncate-prefix equality prune: v == 'zz3' reads only the
+        # v_trunc='z' partition
+        kept, total = plan_files_pruned(ml, meta, ("v", "==", "zz3"))
+        assert len(kept) < total
+        assert {
+            (d.get("partition") or {}).get("v_trunc") for d in kept
+        } == {"z"}
+    finally:
+        srv.shutdown()
+        srv.server_close()

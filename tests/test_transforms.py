@@ -102,3 +102,41 @@ def test_transform_columns_match_driver_scalars(spark):
         assert rows[r.id].ts_day == day_value(r.ts)
     # negative pre-epoch timestamp floors DOWN (UTC day -1), not toward 0
     assert rows[2].ts_day == -1
+
+
+def test_hour_month_year_truncate_scalars():
+    from philotes_spark.sources.transforms import (
+        hour_value,
+        month_value,
+        parse_part_field,
+        rest_transform,
+        truncate_value,
+        year_value,
+    )
+
+    assert hour_value(dt.datetime(1970, 1, 2, 3, 30)) == 27
+    assert month_value(dt.datetime(2024, 3, 15)) == (2024 - 1970) * 12 + 2
+    assert year_value(dt.date(2017, 11, 16)) == 47
+    assert truncate_value(-7, 5) == -10  # floors, not toward zero
+    assert truncate_value(13, 5) == 10
+    assert truncate_value("iceberg", 3) == "ice"
+    pf = parse_part_field("hours(ts)")
+    assert (pf.transform, pf.name) == ("hour", "ts_hour")
+    assert rest_transform(pf) == "hour"
+    assert rest_transform(parse_part_field("truncate(5, id)")) == "truncate[5]"
+    assert rest_transform(parse_part_field("months(ts)")) == "month"
+
+
+def test_hour_column_matches_scalar(spark):
+    from philotes_spark.sources.transforms import hour_value, with_partition_cols
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5, 23, 59)), (2, dt.datetime(1969, 12, 31, 22, 30))],
+        "id long, ts timestamp",
+    )
+    out, names = with_partition_cols(df, ["hours(ts)"])
+    assert names == ["ts_hour"]
+    rows = {r.id: r.ts_hour for r in out.collect()}
+    for r in df.collect():
+        assert rows[r.id] == hour_value(r.ts)
+    assert rows[2] == -2  # pre-epoch floors down
