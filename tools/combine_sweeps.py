@@ -31,6 +31,10 @@ def main() -> None:
             cur = by_sf.setdefault(
                 sf, {"sf": sf, "spark_total": None, "oracle_total": None}
             )
+            # roster size rides along (r13: a composition change must
+            # never read as a performance drift)
+            if row.get("n_timed") is not None:
+                cur["n_timed"] = row["n_timed"]
             for key in ("spark_total", "oracle_total"):
                 v = row.get(key)
                 if v is not None and (
@@ -75,7 +79,7 @@ def main() -> None:
             "n_runs": len(runs),
             "rows": rows,
             "method": (
-                f"{len(runs)} full sweep runs of the FINAL r12 code "
+                f"{len(runs)} full sweep runs of the round's FINAL code "
                 "(best-of-%d cold per query per engine per run); spark "
                 "and oracle totals take the per-SF MIN across the runs "
                 "(identical SQL on the oracle side every run, so its "
