@@ -1036,6 +1036,8 @@ def _evo_append_rows(schema, off: int, count: int):
     """Deterministic rows for the CURRENT schema — same literals feed
     the engine and the DuckDB mirror, so appends stay differential
     across any evolution state."""
+    import datetime as _dt
+
     rows = []
     for i in range(count):
         row = []
@@ -1049,6 +1051,8 @@ def _evo_append_rows(schema, off: int, count: int):
                 row.append((i % 7) + 1)
             elif t == "double":
                 row.append(float(i) + 0.5)
+            elif t == "date":
+                row.append(_dt.date(2024, 1, 1) + _dt.timedelta(days=i % 40))
             else:
                 row.append(f"s{i % 3}")
         rows.append(tuple(row))
@@ -1691,13 +1695,15 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
     ops: list[tuple] = []
     # r13: transform specs join the pool — bucket over a long source
     # (vectorized murmur3 path) and over a string source (scalar path),
-    # alone and mixed with an identity field. Evolutions to/from them
-    # route through the ALTER statement spellings when the shape allows,
-    # so the transform grammar is fuzzed differentially too; the mirror
+    # the calendar transforms over the date column, and truncate, alone
+    # and mixed with identity fields. Evolutions to/from them route
+    # through the ALTER statement spellings when the shape allows, so
+    # the transform grammar is fuzzed differentially too; the mirror
     # stays layout-blind either way.
     specs = [
         [], ["s"], ["n"], ["n", "s"],
         ["bucket(4,k)"], ["bucket(2,s)", "n"],
+        ["days(d)"], ["months(d)", "s"], ["truncate(100,k)"],
     ]
     cur: list = []
     n_appends = 0
@@ -1736,9 +1742,13 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     from philotes_spark.sources.snapshots import SnapshotTable
 
     spark, _ = fuzz_env
+    # the `d` date column (portable `DATE + int-days` in both dialects)
+    # exists so CALENDAR transforms (days/months) join the spec pool —
+    # the mirror stays layout-blind, `d` is just data to it
     init_sql = (
         "SELECT c_custkey AS k, c_acctbal AS v, c_mktsegment AS s, "
-        "CAST(c_nationkey AS INT) AS n "
+        "CAST(c_nationkey AS INT) AS n, "
+        "DATE '2024-01-01' + CAST(c_custkey % 40 AS INT) AS d "
         "FROM customer WHERE c_custkey % 3 = 1"
     )
     tbl = SnapshotTable(spark, str(tmp_path / "spec_evo"))
@@ -1786,11 +1796,15 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 for f in schema.fields
             )
             tbl.commit(spark.createDataFrame(rows, ddl).coalesce(1))
+            import datetime as _dt
+
+            def lit(v):
+                if isinstance(v, _dt.date):
+                    return f"DATE '{v}'"
+                return f"'{v}'" if isinstance(v, str) else str(v)
+
             vals = ", ".join(
-                "(" + ", ".join(
-                    f"'{v}'" if isinstance(v, str) else str(v) for v in row
-                ) + ")"
-                for row in rows
+                "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
             )
             names = ", ".join(f.name for f in schema.fields)
             own_duck.sql(
