@@ -140,3 +140,73 @@ def test_hour_column_matches_scalar(spark):
     for r in df.collect():
         assert rows[r.id] == hour_value(r.ts)
     assert rows[2] == -2  # pre-epoch floors down
+
+
+# --- property-based pins (hypothesis) -----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=50))
+def test_vectorized_murmur3_matches_scalar_property(vals):
+    """The numpy uint32-wraparound pipeline must equal the scalar
+    reference for ANY int64 — overflow corners included."""
+    got = murmur3_long_vec(np.array(vals, dtype=np.int64)).tolist()
+    want = [murmur3_32(struct.pack("<q", v)) for v in vals]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**40), max_value=2**40),
+       st.integers(min_value=-(2**40), max_value=2**40),
+       st.integers(min_value=1, max_value=10**6))
+def test_truncate_monotonic_and_idempotent(a, b, w):
+    from philotes_spark.sources.transforms import truncate_value
+
+    ta, tb = truncate_value(a, w), truncate_value(b, w)
+    if a <= b:
+        assert ta <= tb  # order-preserving: range pruning is sound
+    assert ta % w == 0 and ta <= a < ta + w  # floors into the bucket
+    assert truncate_value(ta, w) == ta  # idempotent
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.datetimes(min_value=dt.datetime(1901, 1, 1),
+                    max_value=dt.datetime(2200, 1, 1)),
+       st.datetimes(min_value=dt.datetime(1901, 1, 1),
+                    max_value=dt.datetime(2200, 1, 1)))
+def test_time_transforms_monotonic(x, y):
+    """hour/day/month/year are monotonic non-decreasing and nested
+    (coarser never orders differently than finer) — the property both
+    pruning implementations rely on."""
+    from philotes_spark.sources.transforms import (
+        hour_value,
+        month_value,
+        year_value,
+    )
+
+    if x > y:
+        x, y = y, x
+    assert hour_value(x) <= hour_value(y)
+    assert day_value(x) <= day_value(y)
+    assert month_value(x) <= month_value(y)
+    assert year_value(x) <= year_value(y)
+    # nesting: equal days ⇒ equal months ⇒ equal years
+    if day_value(x) == day_value(y):
+        assert month_value(x) == month_value(y)
+    if month_value(x) == month_value(y):
+        assert year_value(x) == year_value(y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=30), st.integers(min_value=1, max_value=10))
+def test_string_truncate_prefix_property(s, w):
+    from philotes_spark.sources.transforms import truncate_value
+
+    t = truncate_value(s, w)
+    assert s.startswith(t) and len(t) <= w
+    # order-preserving on the string domain
+    assert truncate_value(s + "x", w) >= t
