@@ -427,7 +427,10 @@ def _repetition_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    return docs.select(
+    # NULL/empty text drops here (tokens(NULL) is NULL): the fold would
+    # see None arrays (len() crashes), and the explode twin/oracle both
+    # exclude such docs anyway — same exclusion, decided once, pre-fold
+    return docs.filter(F.size("t") > 0).select(
         "doc_id",
         F.transform("t", lambda x: F.xxhash64(x)).alias("th"),
         F.expr(

@@ -832,6 +832,15 @@ class SnapshotTable:
         self._alter_guard(m)
         existing = {f.name for f in self.read().schema.fields}
         reserved = self._reserved_names(m)
+        # a transform spec's derived path fields (ts_day/id_bucket/…) are
+        # reserved across the WHOLE spec history: a real column with that
+        # name would collide with the hive path segment on old roots and
+        # be silently destroyed by the next partitioned write
+        derived = {
+            d
+            for s in (m.get("partition_specs") or [{"fields": m.get("partition_by") or []}])
+            for d in derived_field_names(list(s["fields"]))
+        }
         version = parent
         for name, dtype in cols:
             if name in existing:
@@ -841,6 +850,11 @@ class SnapshotTable:
                     f"column name {name!r} was renamed away or dropped and "
                     "still exists in old data files; compact or overwrite "
                     "before reusing the name"
+                )
+            if name in derived:
+                raise ValueError(
+                    f"column name {name!r} is a transform partition field "
+                    "of this table's spec history; pick another name"
                 )
             try:  # validate the type string before committing metadata
                 self.spark.createDataFrame([], f"`{name}` {dtype}")
@@ -2174,10 +2188,10 @@ class SnapshotTable:
         stats. This is the same scan-planning an external Iceberg engine
         does against the published transform spec."""
         m = self._resolve(version)
-        root_fields = self._root_fields(m)
+        plan = self._transform_prune_plan(self._root_fields(m), col, lo, hi)
 
         def may_match(f: str) -> bool:
-            return self._file_may_match(m, root_fields, f, col, lo, hi)
+            return self._file_may_match(m, plan, f, col, lo, hi)
 
         has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
 
@@ -2211,17 +2225,49 @@ class SnapshotTable:
         """(files_scanned, files_total) for a range — the scan-planning
         observability hook the pruning tests assert on."""
         m = self._resolve()
-        root_fields = self._root_fields(m)
+        plan = self._transform_prune_plan(self._root_fields(m), col, lo, hi)
         total = len(m["files"])
         scanned = sum(
             1
             for f in m["files"]
-            if self._file_may_match(m, root_fields, f, col, lo, hi)
+            if self._file_may_match(m, plan, f, col, lo, hi)
         )
         return scanned, total
 
+    def _transform_prune_plan(
+        self, root_fields: dict[str, list[str]], col, lo, hi
+    ) -> dict[str, list[tuple]]:
+        """Per-root prune checks for one [lo, hi] probe on ``col``,
+        computed ONCE per probe (parsing spec strings and hashing the
+        probe literal per FILE would be O(files) redundant driver work):
+        ``{root: [(path_field, kind, a, b)]}`` with kind ``bucket``
+        (a = the probe's bucket, equality only) or ``range``
+        (a/b = T(lo)/T(hi) under a monotonic transform)."""
+        plan: dict[str, list[tuple]] = {}
+        for root, fields in root_fields.items():
+            checks: list[tuple] = []
+            for pf in parse_spec(fields or []):
+                if pf.source != col or pf.transform == "identity":
+                    continue
+                try:
+                    if pf.transform == "bucket":
+                        if lo is not None and lo == hi:
+                            checks.append(
+                                (pf.name, "bucket", bucket_value(lo, pf.n), None)
+                            )
+                    else:
+                        tlo = transform_value(pf, lo) if lo is not None else None
+                        thi = transform_value(pf, hi) if hi is not None else None
+                        if tlo is not None or thi is not None:
+                            checks.append((pf.name, "range", tlo, thi))
+                except TypeError:
+                    continue  # probe type incomparable: no check
+            if checks:
+                plan[root] = checks
+        return plan
+
     def _file_may_match(
-        self, m: dict, root_fields: dict[str, list[str]], f: str, col, lo, hi
+        self, m: dict, plan: dict[str, list[tuple]], f: str, col, lo, hi
     ) -> bool:
         """Manifest-level file pruning for one [lo, hi] probe on ``col``:
         column stats first, then the root spec's TRANSFORM path values
@@ -2234,34 +2280,24 @@ class SnapshotTable:
             return False
         rel = os.path.relpath(f, self.data_dir)
         root = os.path.join(self.data_dir, rel.split(os.sep)[0])
-        for pf in parse_spec(root_fields.get(root) or []):
-            if pf.source != col or pf.transform == "identity":
-                continue
-            raw = _file_partition(f, self.data_dir, [pf.name])[0]
+        for name, kind, a, b in plan.get(root, ()):
+            raw = _file_partition(f, self.data_dir, [name])[0]
             if raw is None:
                 continue  # null partition / absent segment: keep
             try:
-                if pf.transform == "bucket":
-                    # hash scatters order: equality probes only
-                    if (
-                        lo is not None
-                        and lo == hi
-                        and bucket_value(lo, pf.n) != int(raw)
-                    ):
+                if kind == "bucket":
+                    if int(raw) != a:
                         return False
-                    continue
-                # day/month/year/truncate are monotonic non-decreasing:
-                # path value outside [T(lo), T(hi)] proves no row matches
-                tlo = transform_value(pf, lo) if lo is not None else None
-                thi = transform_value(pf, hi) if hi is not None else None
-                probe = tlo if tlo is not None else thi
-                v = int(raw) if isinstance(probe, int) else raw
-                if tlo is not None and v < tlo:
-                    return False
-                if thi is not None and v > thi:
-                    return False
+                else:
+                    # monotonic transform: path value outside [T(lo),
+                    # T(hi)] proves no row can match
+                    v = int(raw) if isinstance(a if a is not None else b, int) else raw
+                    if a is not None and v < a:
+                        return False
+                    if b is not None and v > b:
+                        return False
             except (TypeError, ValueError):
-                continue  # probe type incomparable / unparsable: keep
+                continue  # unparsable path value: keep
         return True
 
     # --- metadata tables (B6) -------------------------------------------------

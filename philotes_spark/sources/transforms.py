@@ -40,15 +40,18 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_DAY_RE = re.compile(r"^days?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
-_HOUR_RE = re.compile(r"^hours?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
-_MONTH_RE = re.compile(r"^months?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
-_YEAR_RE = re.compile(r"^years?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+# whitespace before the paren is legal everywhere the SQL grammar
+# (sql_frontend._PFIELD) matches it — the parser must accept every
+# spelling the statement surface deliberately lets through
+_DAY_RE = re.compile(r"^days?\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_HOUR_RE = re.compile(r"^hours?\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_MONTH_RE = re.compile(r"^months?\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_YEAR_RE = re.compile(r"^years?\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
 _BUCKET_RE = re.compile(
-    r"^bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+    r"^bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
 _TRUNCATE_RE = re.compile(
-    r"^truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+    r"^truncate\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -409,9 +412,25 @@ def with_partition_cols(
 ) -> tuple[DataFrame, list[str]]:
     """Attach the derived columns a transform spec partitions by and
     return (df', hive path column names). Identity specs return the df
-    unchanged — the pre-transform write path byte-for-byte."""
+    unchanged — the pre-transform write path byte-for-byte.
+
+    Refuses when a derived field name shadows a REAL column of ``df``:
+    ``withColumn`` would silently REPLACE it and ``partitionBy`` would
+    move the replacement into the path, destroying the original values
+    (evolve_partition_spec has the same guard, but a direct
+    ``commit(partition_by=[...])`` — or a column added after the
+    evolution — must refuse at write time too)."""
     spec = parse_spec(fields)
     names = [pf.name for pf in spec]
+    cols = set(df.columns)
+    shadowed = [
+        pf.name for pf in spec if pf.transform != "identity" and pf.name in cols
+    ]
+    if shadowed:
+        raise ValueError(
+            f"transform partition field name(s) {shadowed} collide with "
+            "existing columns; rename the column or pick an identity spec"
+        )
     for pf in spec:
         if pf.transform != "identity":
             df = df.withColumn(pf.name, transform_column(df, pf))

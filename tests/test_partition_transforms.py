@@ -152,7 +152,9 @@ def test_guards(spark, table):
         table.evolve_partition_spec(["days(ts)", "day(ts)"])
     with pytest.raises(ValueError, match="needs a date/timestamp"):
         table.evolve_partition_spec(["days(v)"])
-        table.commit(_events(spark, [(2, _D1, "b")]))
+    # a rejected evolution must not poison the table: writes still land
+    table.commit(_events(spark, [(2, _D1, "b")]))
+    assert len(_rows(table.read())) == 2
 
 
 def test_transform_name_shadow_refused(spark, table):
@@ -420,3 +422,40 @@ def test_publish_month_truncate_spec_and_planner(spark, table):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_commit_time_shadow_refused(spark, table):
+    """Review r13: a DIRECT commit(partition_by=[transform]) over a df
+    that already has a column named like the derived field must refuse —
+    withColumn would silently replace it and partitionBy would move the
+    replacement into the path, destroying the original values."""
+    df = spark.createDataFrame(
+        [(1, _D0, 5)], "id long, ts timestamp, ts_day int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        table.commit(df, partition_by=["days(ts)"])
+    # and a later ADD COLUMN cannot sneak the collision in either
+    t2 = SnapshotTable(spark, table.path + "_2")
+    t2.commit(_events(spark, [(1, _D0, "a")]), partition_by=["days(ts)"])
+    with pytest.raises(ValueError, match="transform partition field"):
+        t2.alter_add_columns([("ts_day", "int")])
+
+
+def test_space_before_paren_spellings(spark, table):
+    """Review r13: every spelling the SQL grammar matches must parse —
+    'days (ts)' and 'bucket (4, id)' canonicalize like the tight forms."""
+    from philotes_spark.sources.transforms import parse_part_field
+    from philotes_spark.sql_frontend import sql
+
+    assert parse_part_field("days (ts)").raw == "days(ts)"
+    assert parse_part_field("bucket (4, id)").raw == "bucket(4,id)"
+    assert parse_part_field("truncate (3, s)").raw == "truncate(3,s)"
+    table.commit(_events(spark, [(1, _D0, "a")]))
+    out = sql(
+        spark,
+        "ALTER TABLE t ADD PARTITION FIELD days (ts)",
+        snapshot_tables={"t": table},
+    ).collect()[0]
+    assert out.operation == "add-partition-field"
+    m = table._load(f"v{table.current_version():08d}.json")
+    assert m["partition_by"] == ["days(ts)"]

@@ -180,3 +180,30 @@ def test_repetition_arrow_fold_row_identical_to_expr(spark, sf_dir):
     a = sorted(map(tuple, text_repetition_stats(spark, sf_dir).collect()))
     b = sorted(map(tuple, text_repetition_stats_expr(spark, sf_dir).collect()))
     assert a == b and a
+
+
+def test_repetition_stats_null_and_empty_text(spark, tmp_path):
+    """Review r13: NULL/empty text must be EXCLUDED (as the expression
+    twin and the DuckDB oracle do), not crash the Arrow fold's len()."""
+    import pyspark.sql.functions as F
+
+    from philotes_spark.functions.text_queries import (
+        text_repetition_stats,
+        text_repetition_stats_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat on the mat"),
+            (2, None),
+            (3, ""),
+            (4, "one"),  # tokens but no bigram: excluded by contract
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    a = sorted(map(tuple, text_repetition_stats(spark, path).collect()))
+    b = sorted(map(tuple, text_repetition_stats_expr(spark, path).collect()))
+    assert a == b
+    assert [r[0] for r in a] == [1]

@@ -32,8 +32,18 @@ def main() -> None:
                 sf, {"sf": sf, "spark_total": None, "oracle_total": None}
             )
             # roster size rides along (r13: a composition change must
-            # never read as a performance drift)
+            # never read as a performance drift) — and MIXED rosters
+            # must never be min-paired silently, that is the exact
+            # failure this field exists to expose
             if row.get("n_timed") is not None:
+                prior = cur.get("n_timed")
+                if prior is not None and prior != row["n_timed"]:
+                    raise SystemExit(
+                        f"refusing to combine: {sf} rosters differ "
+                        f"({prior} vs {row['n_timed']} timed queries) — "
+                        "per-SF MIN across different rosters is not a "
+                        "comparable reading"
+                    )
                 cur["n_timed"] = row["n_timed"]
             for key in ("spark_total", "oracle_total"):
                 v = row.get(key)
