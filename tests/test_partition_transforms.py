@@ -459,3 +459,43 @@ def test_space_before_paren_spellings(spark, table):
     assert out.operation == "add-partition-field"
     m = table._load(f"v{table.current_version():08d}.json")
     assert m["partition_by"] == ["days(ts)"]
+
+
+def test_expiry_and_time_travel_across_transform_evolution(spark, table):
+    """Lifecycle composition: transform evolutions x snapshot expiry x
+    time travel. Retention drops pre-evolution versions and their
+    exclusive files; the surviving mixed-spec chain still reads, and
+    time travel inside the retained window sees each layout's rows."""
+    table.commit(_events(spark, [(1, _D0, "a")]), partition_by=["days(ts)"])
+    table.evolve_partition_spec(["bucket(4,id)"])
+    table.commit(_events(spark, [(2, _D1, "b")]))
+    v_mid = table.current_version()
+    table.evolve_partition_spec(["months(ts)"])
+    table.commit(_events(spark, [(3, _D2, "c")]))
+    assert len(_rows(table.read(version=v_mid))) == 2
+    deleted = table.expire_snapshots(keep_last=2)
+    assert deleted >= 0
+    got = _rows(table.read())
+    assert [r[0] for r in got] == [1, 2, 3]  # rows survive expiry
+    with pytest.raises(ValueError):
+        table.read(version=1)  # expired version refuses time travel
+    # spec accounting still covers every live file exactly once
+    m = table._load(f"v{table.current_version():08d}.json")
+    spec_rows = table.partition_specs().collect()
+    assert sum(r.live_file_count for r in spec_rows) == len(m["files"])
+
+
+def test_incremental_read_across_transform_roots(spark, table):
+    """read_incremental diffs file lists across transform evolutions:
+    each appended batch surfaces once, tagged with its commit version,
+    regardless of which spec its root was written under."""
+    table.commit(_events(spark, [(1, _D0, "a")]), partition_by=["days(ts)"])
+    v1 = table.current_version()
+    table.evolve_partition_spec(["truncate(2,v)"])
+    table.commit(_events(spark, [(2, _D1, "bx")]))
+    table.commit(_events(spark, [(3, _D2, "cy")]))
+    inc = table.read_incremental(v1)
+    rows = {(r.id, r.commit_version) for r in inc.collect()}
+    assert {i for i, _ in rows} == {2, 3}
+    assert len({v for _, v in rows}) == 2  # two distinct commits
+    assert "v_trunc" not in inc.columns  # derived fields never surface
