@@ -309,6 +309,16 @@ def _tier(name: str) -> tuple[int, int]:
         # transforms — days(ts)/bucket(8,event_id) spec evolutions via the
         # ALTER surface with a transform-pruned read_where on top
         "snapshot_partition_transforms_read",
+        # r13 addition (oracle-gated in pytest; below the window): the
+        # write-order-evolution lifecycle — ALTER TABLE ... WRITE ORDERED
+        # BY (metadata-only), clustered inherit on append, CALL
+        # rewrite_data_files(strategy => 'sort') reclustering history,
+        # with a pruned read_where on top
+        "snapshot_write_order_read",
+        # r13 addition (oracle-gated in pytest; below the window):
+        # filtered ANN — exact cosine top-k over a label-predicated
+        # corpus, the predicate pushed beneath the Arrow scorer
+        "sim_filtered_topk",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -47,6 +47,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query id (excluding self):
     (query_id, neighbor_id, cosine_sim, rank).
@@ -54,6 +55,12 @@ def cosine_topk(
     Plan: broadcast-nested-loop of |queries| × corpus — the corpus is
     scanned once, never shuffled; per-query top-k via window on the
     (tiny) scored set partitioned by query.
+
+    ``corpus`` (r13, filtered ANN): when given, candidates come from it
+    instead of ``emb`` — the FILTERED search ("nearest neighbors among
+    label=1 vectors"), with the predicate already applied on the corpus
+    DataFrame so it pushes to the scan; queries still resolve from the
+    full ``emb``.
 
     Zero-norm vectors have no direction, so cosine similarity against
     them is undefined (0/0); they are EXCLUDED from both the query set
@@ -68,7 +75,12 @@ def cosine_topk(
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cand = base.select(
+    cand_src = base if corpus is None else (
+        corpus.select(
+            F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
+        ).filter(F.col("nrm") > 0)
+    )
+    cand = cand_src.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     scored = (
@@ -95,6 +107,7 @@ def cosine_topk_arrow(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`cosine_topk` — identical results,
     vectorized scoring. The JVM version's per-element lambda fold
@@ -115,6 +128,13 @@ def cosine_topk_arrow(
     — previously this twin clamped them to sim 0.0 while the JVM fold's
     0/0 NaN desc-sorted FIRST, so the two diverged on any data
     containing a zero vector.
+
+    ``corpus`` (r13, filtered ANN): when given, the scoring scan runs
+    over it instead of ``emb`` — the filter predicate is applied on the
+    corpus DataFrame BEFORE this call, so it pushes down to the parquet
+    scan and the matmul only ever sees qualifying vectors (pre-filter
+    search, the correct plan when the predicate is selective); queries
+    still resolve from the full ``emb``.
 
     :func:`cosine_topk` stays the shuffle-free-of-Python reference
     implementation (ground truth for the ANN recall gates)."""
@@ -157,7 +177,8 @@ def cosine_topk_arrow(
             )
 
     scored = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        (emb if corpus is None else corpus)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .mapInPandas(score, "query_id long, neighbor_id long, sim double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

@@ -502,3 +502,68 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=50,
         index=_IVFPQ_INDEX[sf_dir],
     ).coalesce(1).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_filtered_topk",
+    oracle="""
+    WITH q_idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    q_elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM q_idx
+    ),
+    q_norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM q_elems GROUP BY vec_id
+    ),
+    c_idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE label = 1
+    ),
+    c_elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM c_idx
+    ),
+    c_norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM c_elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               SUM(a.x * b.x) AS dp
+        FROM q_elems a JOIN c_elems b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM dots
+        JOIN q_norms nq ON nq.vec_id = query_id
+        JOIN c_norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (r13): exact cosine top-10 restricted to corpus
+    vectors with ``label = 1`` — the "nearest neighbors matching a
+    metadata predicate" query every retrieval pipeline needs. PRE-filter
+    search: the predicate is applied on the corpus DataFrame before the
+    Arrow scorer, so it pushes down to the parquet scan and the matmul
+    only ever sees qualifying vectors — the correct plan when the
+    predicate is selective (a post-filter over an unfiltered top-k
+    silently returns < k rows; an unfiltered scan wastes the predicate's
+    entire selectivity at 100 TB). The sub-quadratic scale path composes
+    the same way: filter the IVF/LSH posting lists before probing
+    (over-fetch + post-filter only when the predicate is weak)."""
+    from philotes_spark.similarity.knn import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(
+        emb, QUERY_IDS, k=10, corpus=emb.filter(F.col("label") == 1)
+    )

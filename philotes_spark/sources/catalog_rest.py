@@ -257,9 +257,10 @@ def assemble_table_metadata_v2(
     snapshots: list[dict],
     properties: dict | None = None,
     current_schema_id: int | None = None,
-    sort_order: dict | None = None,
+    sort_order: dict | list[dict] | None = None,
     refs: dict | None = None,
     default_spec_id: int | None = None,
+    default_sort_order_id: int | None = None,
 ) -> dict:
     """Assemble a spec-compliant Iceberg **format-version 2** table
     metadata document (types.go:44-93 ``TableMetadata``) from its parts.
@@ -270,9 +271,11 @@ def assemble_table_metadata_v2(
     ``schema_rest`` may be a single schema or the table's full schema
     history (additive evolution, A12/schema.go:147-174) — ids assigned
     by list position; ``current_schema_id`` defaults to the newest.
-    ``sort_order`` (a spec-shaped order with ``order-id`` >= 1), when
-    given, becomes the default write sort order next to the mandatory
-    unsorted order 0. ``refs`` adds named refs (Iceberg branches/tags:
+    ``sort_order`` (a spec-shaped order with ``order-id`` >= 1, or the
+    table's full order history after write-order evolution), when
+    given, lands next to the mandatory unsorted order 0;
+    ``default_sort_order_id`` picks the current write order (defaults
+    to the newest given order — the pre-evolution behavior). ``refs`` adds named refs (Iceberg branches/tags:
     ``{name: {"snapshot-id": id, "type": "tag"|"branch"}}``) beside the
     implicit ``main`` branch at the current snapshot."""
     import uuid as _uuid
@@ -297,6 +300,19 @@ def assemble_table_metadata_v2(
         (sp for sp in specs if sp["spec-id"] == default_spec_id),
         specs[-1],
     )
+    raw_orders = (
+        (sort_order if isinstance(sort_order, list) else [sort_order])
+        if sort_order
+        else []
+    )
+    _orders = [{"order-id": 0, "fields": []}] + [
+        o for o in raw_orders if o.get("order-id") != 0
+    ]
+    _default_order_id = (
+        default_sort_order_id
+        if default_sort_order_id is not None
+        else (raw_orders[-1]["order-id"] if raw_orders else 0)
+    )
     current = snapshots[-1]["snapshot-id"] if snapshots else -1
     return {
         "format-version": 2,
@@ -317,14 +333,8 @@ def assemble_table_metadata_v2(
             (f["field-id"] for sp in specs for f in sp["fields"]),
             default=999,
         ),
-        "default-sort-order-id": (
-            sort_order["order-id"] if sort_order else 0
-        ),
-        "sort-orders": (
-            [{"order-id": 0, "fields": []}, sort_order]
-            if sort_order
-            else [{"order-id": 0, "fields": []}]
-        ),
+        "default-sort-order-id": _default_order_id,
+        "sort-orders": _orders,
         "properties": properties or {},
         "current-snapshot-id": current,
         "snapshots": snapshots,
@@ -1125,6 +1135,79 @@ class RestCatalog:
             spec_updates.append(
                 {"action": "set-default-spec", "spec-id": default_sid}
             )
+        # write-order evolution rides the commit (r13): Iceberg sort
+        # orders are append-only history with default-sort-order-id
+        # tracking the current write order — the exact sort-order
+        # analogue of the spec updates above. Only the manifest's
+        # ``sort_by`` (identity asc, nulls-first — what the clustered
+        # write produces) is representable; a ``zorder_by`` is a rewrite
+        # strategy, not an Iceberg sort order, so it never publishes
+        # (the data files still carry the clustering). A BACKFILL never
+        # touches the served write order: unlike historical partition
+        # specs, which readers need to plan old files, a sort order is
+        # advisory for WRITERS — only the newest version may move it.
+        # Updates ride after the schema updates so a just-added sort
+        # column's source-id resolves (same rule as add-spec).
+        if not created and is_newest:
+            desired = list(manifest.get("sort_by") or [])
+            orders = meta_now.get("sort-orders") or [
+                {"order-id": 0, "fields": []}
+            ]
+            served_order = meta_now.get("default-sort-order-id", 0)
+            fid = {f["name"]: f["id"] for f in rest_schema["fields"]}
+            want = [
+                {
+                    "transform": "identity",
+                    "source-id": fid[c],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in desired
+                if c in fid
+            ]
+            if len(want) == len(desired):  # every sort column publishable
+
+                def _order_sig(o: dict) -> list[tuple]:
+                    return [
+                        (
+                            f["source-id"],
+                            f["transform"],
+                            f["direction"],
+                            f["null-order"],
+                        )
+                        for f in o.get("fields", [])
+                    ]
+
+                want_sig = _order_sig({"fields": want})
+                match = next(
+                    (o for o in orders if _order_sig(o) == want_sig), None
+                )
+                if match is None and desired:
+                    next_id = (
+                        max((o["order-id"] for o in orders), default=0) + 1
+                    )
+                    spec_updates.append(
+                        {
+                            "action": "add-sort-order",
+                            "sort-order": {
+                                "order-id": next_id,
+                                "fields": want,
+                            },
+                        }
+                    )
+                    spec_updates.append(
+                        {
+                            "action": "set-default-sort-order",
+                            "sort-order-id": -1,
+                        }
+                    )
+                elif match is not None and match["order-id"] != served_order:
+                    spec_updates.append(
+                        {
+                            "action": "set-default-sort-order",
+                            "sort-order-id": match["order-id"],
+                        }
+                    )
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot

@@ -1536,3 +1536,64 @@ def snapshot_partition_transforms_read(
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_write_order_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE user_id >= 250 AND user_id <= 450
+    """,
+)
+def snapshot_write_order_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-order evolution under the oracle gate (r13): the table
+    starts UNCLUSTERED, evolves its write order through the statement
+    surface (``ALTER TABLE t WRITE ORDERED BY user_id`` — metadata-only,
+    Iceberg's SetDefaultSortOrder; no file touched), appends the second
+    half (which inherits the order and range-clusters), then reclusters
+    HISTORY with ``CALL rewrite_data_files(strategy => 'sort')`` —
+    Iceberg's sort-strategy rewrite. The read is a ``read_where`` range
+    predicate: after the rewrite EVERY file carries a narrow user_id
+    range, so the in-query assert pins that the scan pruned (over-pruning
+    would change the rows and fail the hash compare). The oracle is the
+    plain filter over all rows — layout independence end-to-end. At
+    100 TB this is the lifecycle that keeps file-skipping alive on a
+    table that started life unclustered: declare the order (metadata),
+    new writes cluster immediately, recluster old data once."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_write_order_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") % 2 == 0).repartition(4)
+        )  # unclustered half
+        tabs = {"t": tbl}
+        sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY user_id", tabs)
+        ev.filter(F.col("event_id") % 2 == 1).createOrReplaceTempView(view)
+        sql_stmt(
+            spark,
+            f"INSERT INTO t SELECT event_id, user_id, value FROM {view}",
+            tabs,
+        )
+        sql_stmt(
+            spark,
+            "CALL rewrite_data_files(table => 't', strategy => 'sort')",
+            tabs,
+        )
+        kept, total = tbl.pruned_file_count("user_id", lo=250, hi=450)
+        assert kept < total, (kept, total)  # reclustered history prunes
+        return (
+            tbl.read_where("user_id", lo=250, hi=450)
+            .filter((F.col("user_id") >= 250) & (F.col("user_id") <= 450))
+            .select("event_id", "user_id", "value")
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -2746,6 +2746,106 @@ class SnapshotTable:
             schema_ops=list(m.get("schema_ops", [])),
         )
 
+    # --- write-order evolution --------------------------------------------------
+
+    def set_write_order(
+        self,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """``ALTER TABLE t WRITE ORDERED BY (…)`` / ``WRITE UNORDERED`` —
+        set the clustering FUTURE writes apply, as a metadata-only
+        commit (Iceberg's SetDefaultSortOrder: ``sort-orders`` is
+        append-only history and ``default-sort-order-id`` moves, the
+        exact sort-order analogue of :meth:`evolve_partition_spec`).
+        No file is read or rewritten at any table size: existing files
+        keep whatever order they were written with — their footer
+        min/max stats still describe them truthfully, so file-skipping
+        stays CORRECT; it just doesn't get narrower until data is
+        rewritten. Appends cluster immediately (commit() inherits the
+        manifest order); :meth:`rewrite_clustered` / ``OPTIMIZE …
+        ZORDER BY`` reclusters history. Passing neither argument clears
+        the order (``WRITE UNORDERED`` — back to sort-order 0).
+
+        The order's columns are unioned into ``stats_cols`` so
+        subsequent commits record the footer stats file-skipping needs
+        — an order whose columns carry no stats prunes nothing.
+        Returns the new version (or the current one when the requested
+        order is already in effect)."""
+        if sort_by and zorder_by:
+            raise ValueError("zorder_by and sort_by are exclusive")
+        sort_by = list(sort_by or [])
+        zorder_by = list(zorder_by or [])
+        want = sort_by or zorder_by
+        if len(set(want)) != len(want):
+            raise ValueError(f"duplicate columns in write order {want}")
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        if sort_by == (m.get("sort_by") or []) and zorder_by == (
+            m.get("zorder_by") or []
+        ):
+            return parent  # already in effect: no-op, no version
+        cols = {f.name for f in self.read().schema.fields}
+        missing = [c for c in want if c not in cols]
+        if missing:
+            raise ValueError(
+                f"write-order columns {missing} are not columns of the table"
+            )
+        # mirror of evolve_partition_spec's guard: ordering by an
+        # identity partition field is degenerate — every in-file range
+        # within a partition directory is a single value
+        identity = {
+            pf.source
+            for pf in parse_spec(list(m.get("partition_by") or []))
+            if pf.transform == "identity"
+        }
+        overlap = sorted(set(want) & identity)
+        if overlap:
+            raise ValueError(
+                f"columns {overlap} are identity partition fields; "
+                "ordering by them is degenerate — drop them from the "
+                "write order or evolve the partition spec first"
+            )
+        stats_cols = sorted(set(m.get("stats_cols") or []) | set(want))
+        return self._write_manifest(
+            parent=parent,
+            operation="set-write-order",
+            files=m["files"],
+            added_files=0,
+            added_rows=0,
+            partition_by=list(m.get("partition_by") or []),
+            properties=dict(m.get("properties", {})),
+            file_stats=dict(m.get("file_stats", {})),
+            stats_cols=stats_cols,
+            sort_by=sort_by,
+            zorder_by=zorder_by,
+            deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
+        )
+
+    def rewrite_clustered(self) -> int:
+        """Full clustered rewrite of the data files by the table's
+        CURRENT write order (Iceberg ``rewrite_data_files`` with the
+        sort strategy; Delta ``OPTIMIZE … ZORDER BY``): every logical
+        row lands in files whose per-file value ranges are narrow under
+        the order :meth:`set_write_order` declared, so file-skipping
+        covers HISTORY, not just post-evolution appends. Row-identical
+        by construction. Like any full rewrite it materializes the
+        applied read — pending MoR deltas and the schema-op journal
+        fold in and reset, and every file lands under the current
+        default partition spec (mixed-spec history migrates, same
+        contract as OPTIMIZE after a layout evolution). O(table)
+        write — the deliberate cost of reclustering history; the
+        metadata-only :meth:`set_write_order` is the no-rewrite path."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        v = self._compact_migrate_specs(m)
+        return parent if v is None else v
+
     # --- maintenance (A7) -------------------------------------------------------
 
     def expiring_versions(

@@ -258,6 +258,22 @@ _DDL_PARTITION_REPLACE = re.compile(
     rf"({_PFIELD})\s+WITH\s+({_PFIELD})\s*;?\s*$",
     re.IGNORECASE,
 )
+# Iceberg write-order DDL (SetDefaultSortOrder — the sort-order analogue
+# of partition-spec evolution, metadata-only):
+#   ALTER TABLE t WRITE ORDERED BY [(]a [ASC] [NULLS FIRST][, b ...][)]
+#   ALTER TABLE t WRITE UNORDERED
+# ASC/NULLS FIRST only: the engine's clustered write and the published
+# order are ascending/nulls-first; DESC / NULLS LAST are refused with a
+# clear error rather than silently published wrong.
+_DDL_WRITE_ORDER = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+ORDERED\s+BY\s+"
+    r"\(?\s*([\w\s,]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_WRITE_UNORDERED = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+UNORDERED\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_LEAD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})", re.IGNORECASE
 )
@@ -284,6 +300,14 @@ _DDL_SHOW_PROPS = re.compile(
 #   VACUUM t [RETAIN <n> VERSIONS]  -> snapshot expiry
 _DDL_OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+# Delta's multi-dimensional-clustering rewrite spelling:
+#   OPTIMIZE t ZORDER BY (a, b)  -> set the z-order write order
+#   (metadata) AND fully rewrite the data files clustered by it
+_DDL_OPTIMIZE_ZORDER = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})\s+ZORDER\s+BY\s*"
+    r"\(\s*([\w\s,]+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DDL_VACUUM = re.compile(
     rf"^\s*VACUUM\s+({_IDENT})\s*"
@@ -314,6 +338,37 @@ _DDL_CTAS = re.compile(
     r"AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+def _parse_write_order_cols(body: str, ctx: str) -> list[str]:
+    """Parse a write-order column list: bare names, optional ASC /
+    NULLS FIRST noise words. DESC / NULLS LAST refuse loudly — the
+    engine's clustered write and the published Iceberg order are
+    ascending nulls-first, and silently flipping direction would
+    publish metadata external writers then violate."""
+    cols = []
+    for item in _split_top(body):
+        mm = re.fullmatch(
+            r"\s*(\w+)(?:\s+ASC)?(?:\s+NULLS\s+FIRST)?\s*",
+            item,
+            re.IGNORECASE,
+        )
+        if mm:
+            cols.append(mm.group(1))
+            continue
+        if re.search(r"\bDESC\b|\bNULLS\s+LAST\b", item, re.IGNORECASE):
+            raise ValueError(
+                f"{ctx}: {item.strip()!r} — only ASC NULLS FIRST write "
+                "orders are served (file-range pruning is direction-"
+                "agnostic; use ORDER BY ... DESC on reads)"
+            )
+        raise ValueError(
+            f"bad {ctx} item {item.strip()!r}: use <column> [ASC] "
+            "[NULLS FIRST]"
+        )
+    if not cols:
+        raise ValueError(f"{ctx}: empty column list")
+    return cols
+
 
 _DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
   INSERT INTO t [(col, ...)] SELECT ... | VALUES ...   (column names may
@@ -1004,7 +1059,12 @@ def sql(
             "rollback_to_snapshot": ("table", "snapshot_id"),
             "fast_forward": ("table", "branch"),
             "expire_snapshots": ("table", "retain_last"),
-            "rewrite_data_files": ("table",),
+            # binpack (no args, Iceberg's default strategy) = small-file
+            # compaction; strategy => 'sort' = full clustered rewrite by
+            # the table's write order, optionally setting it first via
+            # sort_order => 'a, b' or 'zorder(a, b)' (Iceberg's own
+            # rewrite_data_files sort_order spelling)
+            "rewrite_data_files": ("table", "strategy", "sort_order"),
             "compact_deltas": ("table",),
             "materialize_schema": ("table",),
             # targeted alternative to compact_deltas for the one
@@ -1069,8 +1129,36 @@ def sql(
                     str(ns), str(cat_table), tbl
                 )
             elif proc == "rewrite_data_files":
-                out = tbl.compact()
-                v = out if out is not None else tbl.current_version()
+                strategy = str(args.get("strategy", "binpack")).lower()
+                order = args.get("sort_order")
+                if strategy == "binpack" and order is None:
+                    out = tbl.compact()
+                    v = out if out is not None else tbl.current_version()
+                elif strategy in ("sort", "binpack"):
+                    if order is not None:
+                        zm = re.fullmatch(
+                            r"\s*zorder\s*\(\s*([\w\s,]+?)\s*\)\s*",
+                            str(order),
+                            re.IGNORECASE,
+                        )
+                        if zm:
+                            tbl.set_write_order(
+                                zorder_by=_parse_write_order_cols(
+                                    zm.group(1), "sort_order zorder"
+                                )
+                            )
+                        else:
+                            tbl.set_write_order(
+                                sort_by=_parse_write_order_cols(
+                                    str(order), "sort_order"
+                                )
+                            )
+                    v = tbl.rewrite_clustered()
+                else:
+                    raise ValueError(
+                        f"CALL rewrite_data_files: unknown strategy "
+                        f"{strategy!r} (binpack | sort)"
+                    )
             elif proc == "compact_deltas":
                 out = tbl.compact_deltas()
                 v = out if out is not None else tbl.current_version()
@@ -1173,6 +1261,17 @@ def sql(
             "key string, value string",
         )
 
+    m = _DDL_OPTIMIZE_ZORDER.match(statement)
+    if m and m.group(1) in tables:
+        tbl = tables[m.group(1)]
+        tbl.set_write_order(
+            zorder_by=_parse_write_order_cols(m.group(2), "ZORDER BY")
+        )
+        version = tbl.rewrite_clustered()
+        return spark.createDataFrame(
+            [(m.group(1), "optimize-zorder", version)],
+            "table string, operation string, version int",
+        )
     m = _DDL_OPTIMIZE.match(statement)
     if m and m.group(1) in tables:
         version = tables[m.group(1)].compact()
@@ -1291,6 +1390,24 @@ def sql(
                 [(name, "widen-column", version)],
                 "table string, operation string, version int",
             )
+        m = _DDL_WRITE_ORDER.match(statement)
+        if m:
+            version = tables[name].set_write_order(
+                sort_by=_parse_write_order_cols(
+                    m.group(2), "WRITE ORDERED BY"
+                )
+            )
+            return spark.createDataFrame(
+                [(name, "set-write-order", version)],
+                "table string, operation string, version int",
+            )
+        m = _DDL_WRITE_UNORDERED.match(statement)
+        if m:
+            version = tables[name].set_write_order()
+            return spark.createDataFrame(
+                [(name, "set-write-order", version)],
+                "table string, operation string, version int",
+            )
         m = _DDL_PARTITION_FIELD.match(statement)
         if m:
             from philotes_spark.sources.transforms import parse_part_field
@@ -1352,8 +1469,11 @@ def sql(
             "RENAME COLUMN a TO b, DROP COLUMN name, ALTER COLUMN c "
             "[SET DATA] TYPE t (widening only), ADD/DROP PARTITION "
             "FIELD c / REPLACE PARTITION FIELD a WITH b (spec evolution "
-            "— metadata-only, files keep their layout), and CREATE/DROP "
-            "TAG|BRANCH name [AS OF VERSION n] are served"
+            "— metadata-only, files keep their layout), WRITE ORDERED "
+            "BY (a, b) / WRITE UNORDERED (write-order evolution — "
+            "metadata-only; OPTIMIZE t ZORDER BY (...) reclusters "
+            "history), and CREATE/DROP TAG|BRANCH name [AS OF VERSION "
+            "n] are served"
         )
 
     lead = _DML_LEAD.match(statement)

@@ -75,7 +75,8 @@ class _Handler(BaseHTTPRequestHandler):
                     srv.snapshots.get(key, []),
                     properties=t.get("properties", {}),
                     current_schema_id=t["current-schema-id"],
-                    sort_order=t.get("write-order"),
+                    sort_order=t.get("sort-orders") or None,
+                    default_sort_order_id=t.get("default-sort-order-id"),
                     refs=srv.refs.get(key, {}),
                     default_spec_id=t.get("default-spec-id"),
                 )
@@ -116,7 +117,17 @@ class _Handler(BaseHTTPRequestHandler):
                 # moves the default id
                 "partition-specs": [body["partition-spec"]],
                 "default-spec-id": body["partition-spec"].get("spec-id", 0),
-                "write-order": body.get("write-order"),
+                # sort-order history (write-order evolution): create seeds
+                # it with the initial write order (if any); add-sort-order
+                # appends, set-default-sort-order moves the default id
+                "sort-orders": (
+                    [body["write-order"]] if body.get("write-order") else []
+                ),
+                "default-sort-order-id": (
+                    body["write-order"]["order-id"]
+                    if body.get("write-order")
+                    else 0
+                ),
                 "location": body.get("location") or f"mock://{key[0]}/{key[1]}",
             }
             return self._reply(200, {"metadata": srv.tables[key]})
@@ -198,6 +209,55 @@ class _Handler(BaseHTTPRequestHandler):
                             409, {"error": f"no spec {sid} to default"}
                         )
                     srv.tables[key]["default-spec-id"] = sid
+                elif upd["action"] == "add-sort-order":
+                    t = srv.tables[key]
+                    orders = t.setdefault("sort-orders", [])
+                    new_order = upd["sort-order"]
+                    if any(
+                        o["order-id"] == new_order["order-id"]
+                        for o in orders
+                    ) or new_order["order-id"] == 0:
+                        return self._reply(
+                            409,
+                            {"error": f"sort order "
+                                      f"{new_order['order-id']} already "
+                                      "exists"},
+                        )
+                    # conforming-catalog validation (same rule as
+                    # add-spec): sort-order source-ids must resolve
+                    # against the CURRENT schema, so schema updates must
+                    # precede sort-order updates in the commit
+                    cur = t["schemas"][t["current-schema-id"]]
+                    known = {f["id"] for f in cur["fields"]}
+                    bad = [
+                        f["source-id"]
+                        for f in new_order["fields"]
+                        if f["source-id"] not in known
+                    ]
+                    if bad:
+                        return self._reply(
+                            409,
+                            {"error": f"add-sort-order source-ids {bad} "
+                                      "not in current schema"},
+                        )
+                    orders.append(new_order)
+                elif upd["action"] == "set-default-sort-order":
+                    oid = upd["sort-order-id"]
+                    t = srv.tables[key]
+                    orders = t.get("sort-orders", [])
+                    if oid == -1:  # spec: "the order just added"
+                        if not orders:
+                            return self._reply(
+                                409, {"error": "no sort order to default"}
+                            )
+                        oid = orders[-1]["order-id"]
+                    if oid != 0 and not any(
+                        o["order-id"] == oid for o in orders
+                    ):
+                        return self._reply(
+                            409, {"error": f"no sort order {oid} to default"}
+                        )
+                    t["default-sort-order-id"] = oid
                 elif upd["action"] == "set-snapshot-ref":
                     srv.refs.setdefault(key, {})[upd["ref-name"]] = {
                         "snapshot-id": upd["snapshot-id"],
@@ -2127,3 +2187,141 @@ def test_publish_spec_evolved_onto_just_added_column(mock_catalog, spark, tmp_pa
     )
     by_id = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
     assert [f["source-id"] for f in by_id[1]["fields"]] == [new_id]
+
+
+def test_write_order_evolution_publishes(mock_catalog, spark, tmp_path):
+    """Write-order evolution over the wire (r13): set_write_order on a
+    published table rides the next publish as add-sort-order +
+    set-default-sort-order — sort-orders are append-only history with
+    default-sort-order-id tracking the current write order, the exact
+    sort-order analogue of partition-spec evolution. Clearing the order
+    (WRITE UNORDERED) moves the default back to order 0 and keeps the
+    history."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame(
+            [(i, i % 5, f"r{i}") for i in range(100)],
+            "k long, g long, v string",
+        ).repartition(4)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("wo", "t", snap)
+    meta = cat.load_table("wo", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 0  # created unsorted
+
+    # evolve: ORDER BY k, append (clusters), publish
+    snap.set_write_order(sort_by=["k"])
+    snap.commit(
+        spark.createDataFrame(
+            [(i, i % 5, f"r{i}") for i in range(100, 200)],
+            "k long, g long, v string",
+        ).repartition(4)
+    )
+    cat.publish_snapshot("wo", "t", snap)
+    meta = cat.load_table("wo", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    k_id = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "k"
+    )
+    by_id = {o["order-id"]: o for o in meta["sort-orders"]}
+    assert meta["default-sort-order-id"] == 1
+    assert by_id[1]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": k_id,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]
+
+    # evolve again: ORDER BY g — history appends, default moves
+    snap.set_write_order(sort_by=["g"])
+    snap.commit(
+        spark.createDataFrame([(200, 0, "x")], "k long, g long, v string")
+    )
+    cat.publish_snapshot("wo", "t", snap)
+    meta = cat.load_table("wo", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["default-sort-order-id"] == 2
+    assert {o["order-id"] for o in meta["sort-orders"]} == {0, 1, 2}
+
+    # back to ORDER BY k: the EXISTING order 1 is reused, not re-added
+    snap.set_write_order(sort_by=["k"])
+    snap.commit(
+        spark.createDataFrame([(201, 1, "y")], "k long, g long, v string")
+    )
+    cat.publish_snapshot("wo", "t", snap)
+    meta = cat.load_table("wo", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 1
+    assert {o["order-id"] for o in meta["sort-orders"]} == {0, 1, 2}
+
+    # WRITE UNORDERED: default returns to 0, history intact
+    snap.set_write_order()
+    snap.commit(
+        spark.createDataFrame([(202, 2, "z")], "k long, g long, v string")
+    )
+    cat.publish_snapshot("wo", "t", snap)
+    meta = cat.load_table("wo", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["default-sort-order-id"] == 0
+    assert {o["order-id"] for o in meta["sort-orders"]} == {0, 1, 2}
+    assert _readback_equal(spark, snap, "wo", "t", cat) == 203
+
+
+def test_backfill_does_not_move_sort_order(mock_catalog, spark, tmp_path):
+    """A BACKFILL publish (older version than the served head) never
+    touches the served write order — same direction rule as schema and
+    default-spec updates: only the newest version evolves what external
+    WRITERS follow."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string")
+    )  # v1: unordered
+    snap.set_write_order(sort_by=["k"])  # v2
+    snap.commit(spark.createDataFrame([(2, "b")], "k long, v string"))  # v3
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("bf", "t", snap)  # head: ordered by k
+    meta = cat.load_table("bf", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 1
+
+    cat.publish_snapshot("bf", "t", snap, version=1)  # backfill: unordered
+    meta = cat.load_table("bf", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 1  # unchanged
+
+
+def test_sort_order_on_added_column_publishes(mock_catalog, spark, tmp_path):
+    """A commit that both adds a column and sets the write order onto it
+    must publish: the sort-order update rides AFTER the schema updates,
+    so a conforming catalog resolves its source-id against the just-added
+    schema (same ordering rule the mock validates for add-spec)."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("soc", "t", snap)
+    snap.alter_add_columns([("w", "long")])
+    snap.set_write_order(sort_by=["w"])
+    snap.commit(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, w long")
+    )
+    cat.publish_snapshot("soc", "t", snap)  # 409s if order precedes schema
+    meta = cat.load_table("soc", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    w_id = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "w"
+    )
+    order = next(
+        o
+        for o in meta["sort-orders"]
+        if o["order-id"] == meta["default-sort-order-id"]
+    )
+    assert [f["source-id"] for f in order["fields"]] == [w_id]

@@ -1705,12 +1705,20 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
         ["bucket(4,k)"], ["bucket(2,s)", "n"],
         ["days(d)"], ["months(d)", "s"], ["truncate(100,k)"],
     ]
+    # r13: write-order evolution joins the pool — set/clear the write
+    # order (metadata-only; the mirror is order-blind the same way it is
+    # layout-blind) and the full clustered rewrite. The executor resolves
+    # the two directional guards deterministically: an order drawn onto
+    # an identity partition field drops that column; an evolve blocked by
+    # a clustered column clears the order first (asserting the guard
+    # fired) and retries.
+    orders = [[], ["k"], ["v"], ["k", "n"]]
     cur: list = []
     n_appends = 0
     for _ in range(rng.randint(6, 10)):
         kind = rng.choice(
             ["append", "append", "evolve", "evolve", "mor_delete",
-             "mor_upsert", "cow_merge", "compact"]
+             "mor_upsert", "cow_merge", "compact", "order", "recluster"]
         )
         if kind == "append":
             ops.append(("append", 3_000_000 + n_appends * 100_000,
@@ -1720,6 +1728,10 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
             target = rng.choice([s for s in specs if s != cur])
             ops.append(("evolve", list(target)))
             cur = target
+        elif kind == "order":
+            ops.append(("order", list(rng.choice(orders))))
+        elif kind == "recluster":
+            ops.append(("recluster", rng.random() < 0.5))
         elif kind == "mor_delete":
             ops.append(("mor_delete", rng.choice([5, 7, 9]),
                         rng.randint(0, 4)))
@@ -1823,38 +1835,120 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
             target = list(op[1])
             added = [c for c in target if c not in cur_fields]
             dropped = [c for c in cur_fields if c not in target]
-            if len(added) == 1 and not dropped and target == cur_fields + added:
-                _stmt_sql(
-                    spark,
-                    f"ALTER TABLE t ADD PARTITION FIELD {added[0]}",
-                    {"t": tbl},
-                )
-            elif len(dropped) == 1 and not added:
-                _stmt_sql(
-                    spark,
-                    f"ALTER TABLE t DROP PARTITION FIELD {dropped[0]}",
-                    {"t": tbl},
-                )
-            elif (
-                len(added) == 1
-                and len(dropped) == 1
-                and target
-                == [added[0] if c == dropped[0] else c for c in cur_fields]
-            ):
-                _stmt_sql(
-                    spark,
-                    f"ALTER TABLE t REPLACE PARTITION FIELD "
-                    f"{dropped[0]} WITH {added[0]}",
-                    {"t": tbl},
-                )
-            else:
-                tbl.evolve_partition_spec(target)
+
+            def _dispatch_evolve():
+                if (
+                    len(added) == 1
+                    and not dropped
+                    and target == cur_fields + added
+                ):
+                    _stmt_sql(
+                        spark,
+                        f"ALTER TABLE t ADD PARTITION FIELD {added[0]}",
+                        {"t": tbl},
+                    )
+                elif len(dropped) == 1 and not added:
+                    _stmt_sql(
+                        spark,
+                        f"ALTER TABLE t DROP PARTITION FIELD {dropped[0]}",
+                        {"t": tbl},
+                    )
+                elif (
+                    len(added) == 1
+                    and len(dropped) == 1
+                    and target
+                    == [
+                        added[0] if c == dropped[0] else c
+                        for c in cur_fields
+                    ]
+                ):
+                    _stmt_sql(
+                        spark,
+                        f"ALTER TABLE t REPLACE PARTITION FIELD "
+                        f"{dropped[0]} WITH {added[0]}",
+                        {"t": tbl},
+                    )
+                else:
+                    tbl.evolve_partition_spec(target)
+
+            try:
+                _dispatch_evolve()
+            except ValueError as e:
+                # r13 guard interplay: an identity field landing on a
+                # clustered column refuses with the named remedy — clear
+                # the write order (WRITE UNORDERED) and retry
+                if "sort/z-order clustering" not in str(e):
+                    raise
+                _stmt_sql(spark, "ALTER TABLE t WRITE UNORDERED", {"t": tbl})
+                _dispatch_evolve()
             assert (
                 tbl._load(f"v{tbl.current_version():08d}.json").get(
                     "partition_by"
                 )
                 or []
             ) == target
+        elif op[0] == "order":
+            # mirror: order-invisible, exactly like layout. An order
+            # drawn onto a current identity partition field drops that
+            # column (the engine refuses it; real users pick another) —
+            # deterministic given the seed's op sequence.
+            from philotes_spark.sql_frontend import sql as _stmt_sql
+
+            identity = {
+                c
+                for c in (
+                    tbl._load(
+                        f"v{tbl.current_version():08d}.json"
+                    ).get("partition_by")
+                    or []
+                )
+                if "(" not in c
+            }
+            cols = [c for c in op[1] if c not in identity]
+            if cols:
+                _stmt_sql(
+                    spark,
+                    f"ALTER TABLE t WRITE ORDERED BY ({', '.join(cols)})",
+                    {"t": tbl},
+                )
+            else:
+                _stmt_sql(spark, "ALTER TABLE t WRITE UNORDERED", {"t": tbl})
+            assert (
+                tbl._load(f"v{tbl.current_version():08d}.json").get(
+                    "sort_by"
+                )
+                or []
+            ) == cols
+        elif op[0] == "recluster":
+            # full clustered rewrite: OPTIMIZE ZORDER BY sets a z-order
+            # and rewrites; the bare CALL reclusters by the current
+            # order (both row-invisible to the mirror)
+            from philotes_spark.sql_frontend import sql as _stmt_sql
+
+            identity = {
+                c
+                for c in (
+                    tbl._load(
+                        f"v{tbl.current_version():08d}.json"
+                    ).get("partition_by")
+                    or []
+                )
+                if "(" not in c
+            }
+            zcols = [c for c in ("k", "v") if c not in identity]
+            if op[1] and zcols:
+                _stmt_sql(
+                    spark,
+                    f"OPTIMIZE t ZORDER BY ({', '.join(zcols)})",
+                    {"t": tbl},
+                )
+            else:
+                _stmt_sql(
+                    spark,
+                    "CALL rewrite_data_files(table => 't', "
+                    "strategy => 'sort')",
+                    {"t": tbl},
+                )
         elif op[0] == "mor_delete":
             _, m, r = op
             changes = (

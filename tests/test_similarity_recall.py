@@ -280,3 +280,37 @@ def test_zero_norm_vectors_excluded_identically(spark, emb):
     assert all(n not in (100001, 100002) for n, _ in jvm.values())
     # and the zero rows never top a ranking (the old NaN-first bug)
     assert all(sim == sim for _, sim in jvm.values())  # no NaN survives
+
+
+def test_filtered_topk_twins_row_identical_and_filtered(emb):
+    """Filtered ANN (r13): the pre-filtered Arrow scorer and the JVM
+    fold are row-identical under a corpus predicate, every returned
+    neighbor satisfies it, and the ranking differs from the unfiltered
+    one (the filter is load-bearing on the fixture). Queries resolve
+    from the FULL table even when they don't satisfy the predicate."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.similarity.knn import cosine_topk, cosine_topk_arrow
+
+    corpus = emb.filter(F.col("label") == 1)
+    allowed = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert allowed and len(allowed) < emb.count()  # predicate selective
+
+    jvm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(emb, QUERY_IDS, k=10, corpus=corpus).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk_arrow(
+            emb, QUERY_IDS, k=10, corpus=corpus
+        ).collect()
+    }
+    assert jvm == arrow
+    assert {n for n, _ in jvm.values()} <= allowed
+    assert {q for q, _ in jvm} == set(QUERY_IDS)  # queries from full emb
+    unfiltered = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk_arrow(emb, QUERY_IDS, k=10).collect()
+    }
+    assert jvm != unfiltered

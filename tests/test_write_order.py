@@ -1,0 +1,188 @@
+"""Write-order evolution (r13): ``set_write_order`` metadata-only
+commits, ``rewrite_clustered`` history reclustering, and the statement
+spellings (``ALTER TABLE … WRITE ORDERED BY`` / ``WRITE UNORDERED``,
+``OPTIMIZE … ZORDER BY``, ``CALL rewrite_data_files(strategy =>
+'sort')``) — the sort-order analogue of partition-spec evolution
+(Iceberg SetDefaultSortOrder; sort-orders / default-sort-order-id in the
+published v2 metadata are covered in test_catalog_rest.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.sources.snapshots import SnapshotTable
+from philotes_spark.sql_frontend import sql as sql_stmt
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(4)
+    )
+
+
+def _m(table):
+    return table._load(f"v{table.current_version():08d}.json")
+
+
+def test_set_write_order_is_metadata_only(spark, table):
+    v1 = table.commit(_df(spark, 0, 500))
+    files_before = _m(table)["files"]
+    v2 = table.set_write_order(sort_by=["k"])
+    assert v2 == v1 + 1
+    m = _m(table)
+    assert m["operation"] == "set-write-order"
+    assert m["sort_by"] == ["k"]
+    assert m["files"] == files_before  # no file read or rewritten
+    assert m["added_files"] == 0 and m["added_rows"] == 0
+    # the order's columns join stats_cols so future appends can prune
+    assert "k" in m["stats_cols"]
+    # idempotent: the same order again is a no-op, no new version
+    assert table.set_write_order(sort_by=["k"]) == v2
+
+
+def test_appends_inherit_and_cluster(spark, table):
+    table.commit(_df(spark, 0, 1000))
+    table.set_write_order(sort_by=["k"])
+    table.commit(_df(spark, 1000, 2000))
+    m = _m(table)
+    assert m["sort_by"] == ["k"]  # inherited without restating
+    # the appended files are range-clustered: a narrow k-range prunes
+    # some of them, while the pre-order files (no stats) are all kept
+    kept, total = table.pruned_file_count("k", lo=1100, hi=1200)
+    assert kept < total
+    assert table.read().count() == 2000
+
+
+def test_rewrite_clustered_covers_history(spark, table):
+    table.commit(_df(spark, 0, 2000))
+    table.set_write_order(sort_by=["k"])
+    before = sorted(r.k for r in table.read().collect())
+    v = table.rewrite_clustered()
+    assert v == table.current_version()
+    assert sorted(r.k for r in table.read().collect()) == before
+    kept, total = table.pruned_file_count("k", lo=100, hi=200)
+    assert kept < total  # pre-order files now prune too
+
+
+def test_write_unordered_clears(spark, table):
+    table.commit(_df(spark, 0, 100))
+    table.set_write_order(sort_by=["k"])
+    v = table.set_write_order()
+    m = _m(table)
+    assert m["sort_by"] == [] and m["zorder_by"] == []
+    assert v == table.current_version()
+    # clearing again is a no-op
+    assert table.set_write_order() == v
+
+
+def test_set_write_order_guards(spark, table):
+    table.commit(_df(spark, 0, 100))
+    with pytest.raises(ValueError, match="exclusive"):
+        table.set_write_order(sort_by=["k"], zorder_by=["g"])
+    with pytest.raises(ValueError, match="not columns of the table"):
+        table.set_write_order(sort_by=["nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        table.set_write_order(sort_by=["k", "k"])
+
+
+def test_identity_partition_overlap_refused(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.commit(_df(spark, 0, 100), partition_by=["g"])
+    with pytest.raises(ValueError, match="identity partition fields"):
+        t.set_write_order(sort_by=["g"])
+    # a transform field's SOURCE column is fine: in-file ranges within a
+    # day/bucket directory are still narrow
+    t.evolve_partition_spec(["bucket(4, g)"])
+    t.set_write_order(sort_by=["k"])
+
+
+def test_time_travel_unaffected(spark, table):
+    table.commit(_df(spark, 0, 300))
+    v1 = table.current_version()
+    n1 = table.read(version=v1).count()
+    table.set_write_order(sort_by=["k"])
+    table.rewrite_clustered()
+    assert table.read(version=v1).count() == n1
+
+
+def test_statement_write_ordered_by(spark, table):
+    table.commit(_df(spark, 0, 200))
+    out = sql_stmt(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY (k ASC NULLS FIRST, g)",
+        {"t": table},
+    ).collect()
+    assert out[0].operation == "set-write-order"
+    assert _m(table)["sort_by"] == ["k", "g"]
+    # parens optional (Iceberg spells it without)
+    sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY v", {"t": table})
+    assert _m(table)["sort_by"] == ["v"]
+    sql_stmt(spark, "ALTER TABLE t WRITE UNORDERED", {"t": table})
+    assert _m(table)["sort_by"] == []
+
+
+def test_statement_desc_refused(spark, table):
+    table.commit(_df(spark, 0, 100))
+    with pytest.raises(ValueError, match="ASC NULLS FIRST"):
+        sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY (k DESC)", {"t": table})
+    with pytest.raises(ValueError, match="ASC NULLS FIRST"):
+        sql_stmt(
+            spark,
+            "ALTER TABLE t WRITE ORDERED BY (k NULLS LAST)",
+            {"t": table},
+        )
+
+
+def test_statement_optimize_zorder(spark, table):
+    table.commit(_df(spark, 0, 1000))
+    before = sorted((r.k, r.g, r.v) for r in table.read().collect())
+    out = sql_stmt(
+        spark, "OPTIMIZE t ZORDER BY (k, g)", {"t": table}
+    ).collect()
+    assert out[0].operation == "optimize-zorder"
+    m = _m(table)
+    assert m["zorder_by"] == ["k", "g"]
+    assert sorted((r.k, r.g, r.v) for r in table.read().collect()) == before
+    # both z-ordered dimensions prune
+    for col, lo, hi in (("k", 100, 200), ("g", 0, 1)):
+        kept, total = table.pruned_file_count(col, lo=lo, hi=hi)
+        assert kept < total, f"{col}: kept {kept}/{total}"
+
+
+def test_call_rewrite_data_files_sort(spark, table):
+    table.commit(_df(spark, 0, 500))
+    sql_stmt(
+        spark,
+        "CALL system.rewrite_data_files(table => 't', strategy => 'sort', "
+        "sort_order => 'k')",
+        {"t": table},
+    )
+    assert _m(table)["sort_by"] == ["k"]
+    # Iceberg's zorder(...) sort_order spelling
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files('t', 'sort', 'zorder(k, g)')",
+        {"t": table},
+    )
+    m = _m(table)
+    assert m["zorder_by"] == ["k", "g"] and m["sort_by"] == []
+    assert table.read().count() == 500
+    # no-arg call stays the binpack compaction (may no-op on big files)
+    sql_stmt(spark, "CALL rewrite_data_files('t')", {"t": table})
+    with pytest.raises(ValueError, match="binpack | sort"):
+        sql_stmt(
+            spark,
+            "CALL rewrite_data_files('t', 'shuffle')",
+            {"t": table},
+        )
