@@ -2069,7 +2069,8 @@ class SnapshotTable:
             # appended under pre-rename names inside the range could no
             # longer be normalized to the final shape
             if op in ("set-properties", "add-column", "rename-column",
-                      "drop-column", "evolve-partition-spec"):
+                      "drop-column", "evolve-partition-spec",
+                      "set-write-order"):
                 continue  # metadata-only: the file list is unchanged
             if op != "append":
                 raise ValueError(

@@ -186,3 +186,24 @@ def test_call_rewrite_data_files_sort(spark, table):
             "CALL rewrite_data_files('t', 'shuffle')",
             {"t": table},
         )
+
+
+def test_incremental_read_crosses_write_order_commits(spark, table):
+    """read_incremental treats set-write-order like the other
+    metadata-only commits (file list unchanged — skip, never refuse):
+    appends on either side of an order change each surface once, tagged
+    with their commit version, and the changelog delegate keeps its
+    all-insert fast path."""
+    table.commit(_df(spark, 0, 10))
+    v1 = table.current_version()
+    table.set_write_order(sort_by=["k"])
+    table.commit(_df(spark, 10, 20))
+    table.set_write_order()  # WRITE UNORDERED crosses too
+    table.commit(_df(spark, 20, 30))
+    inc = table.read_incremental(v1)
+    rows = {(r.k, r.commit_version) for r in inc.collect()}
+    assert {k for k, _ in rows} == set(range(10, 30))
+    assert len({v for _, v in rows}) == 2  # two appends, two versions
+    ch = table.read_changes(v1)
+    assert {r.change_type for r in ch.collect()} == {"insert"}
+    assert ch.count() == 20
