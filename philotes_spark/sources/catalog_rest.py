@@ -470,13 +470,26 @@ def validate_table_metadata_v2(meta: dict) -> None:
             f"default-sort-order-id {meta.get('default-sort-order-id')}"
             " not in sort-orders"
         )
-    for o in orders.values():
+    default_oid = meta.get("default-sort-order-id", 0)
+    for oid, o in orders.items():
         for sf in o.get("fields", []):
             for k in ("transform", "source-id", "direction", "null-order"):
                 if k not in sf:
                     fail(f"sort field missing {k!r}: {sf}")
-            if sf["source-id"] not in field_ids:
-                fail(f"sort source-id {sf['source-id']} not a schema field id")
+            # the DEFAULT order guides future writes, so its sources must
+            # live in the CURRENT schema; a historical order may source a
+            # since-dropped column (resolved by field id across schema
+            # history, same rule as old partition specs)
+            pool = field_ids if oid == default_oid else all_schema_ids
+            if sf["source-id"] not in pool:
+                fail(
+                    f"sort order {oid}: source-id {sf['source-id']} not "
+                    + (
+                        "a current-schema field id (default write order)"
+                        if oid == default_oid
+                        else "a schema field id"
+                    )
+                )
     snap_ids = set()
     last_seq = 0
     for s in meta["snapshots"]:

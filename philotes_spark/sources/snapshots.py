@@ -1011,7 +1011,9 @@ class SnapshotTable:
         if name in layout:
             raise ValueError(
                 f"cannot drop layout column {name!r} (partition/sort/"
-                "z-order); rewrite the table with a new layout instead"
+                "z-order); evolve the layout off it first (ALTER TABLE "
+                "... DROP PARTITION FIELD / WRITE UNORDERED), or rewrite "
+                "the table with a new layout"
             )
         return self._commit_schema_op(
             m, "drop-column", {"op": "drop", "name": name}
@@ -2415,6 +2417,51 @@ class SnapshotTable:
             rows,
             "spec_id int, fields string, is_default boolean, "
             "live_file_count int",
+        )
+
+    def sort_orders(self, version: int | None = None) -> DataFrame:
+        """≙ Iceberg's sort-order history (`t$sort_orders`): every write
+        order the table ever defaulted up to ``version``, in first-
+        appearance order with an engine-side order id (0 = unsorted),
+        its kind (``sort`` publishes as an Iceberg sort order; ``zorder``
+        is engine clustering, visible externally only as data layout),
+        and the current default flagged. Reconstructed from the manifest
+        chain — bounded metadata reads, no data scan. Ids are
+        engine-side history positions; the PUBLISHED order ids are
+        assigned by the catalog commit sequence and may differ."""
+        m = self._resolve(version)
+        orders: list[tuple[str, str]] = [("", "")]  # id 0 = unsorted
+        seen = {("", ""): 0}
+        for v in range(1, m["version"] + 1):
+            try:
+                mv = self._load(f"v{v:08d}.json")
+            except FileNotFoundError:
+                continue  # expired versions keep later ids stable-ish
+            key = (
+                ",".join(mv.get("sort_by") or []),
+                ",".join(mv.get("zorder_by") or []),
+            )
+            if key not in seen:
+                seen[key] = len(orders)
+                orders.append(key)
+        cur = (
+            ",".join(m.get("sort_by") or []),
+            ",".join(m.get("zorder_by") or []),
+        )
+        rows = [
+            (
+                i,
+                s or None,
+                z or None,
+                "unsorted" if not (s or z) else ("zorder" if z else "sort"),
+                (s, z) == cur,
+            )
+            for i, (s, z) in enumerate(orders)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "order_id int, sort_by string, zorder_by string, kind string, "
+            "is_default boolean",
         )
 
     def properties(self, version: int | None = None) -> DataFrame:

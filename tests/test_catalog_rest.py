@@ -2325,3 +2325,43 @@ def test_sort_order_on_added_column_publishes(mock_catalog, spark, tmp_path):
         if o["order-id"] == meta["default-sort-order-id"]
     )
     assert [f["source-id"] for f in order["fields"]] == [w_id]
+
+
+def test_historical_order_on_dropped_column_still_validates(
+    mock_catalog, spark, tmp_path
+):
+    """Sort-order history may reference a since-dropped column (resolved
+    by field id across schema history, like old partition specs); only
+    the DEFAULT order must live in the current schema. Lifecycle: order
+    on c → publish → WRITE UNORDERED → DROP COLUMN c → publish — the
+    served metadata keeps the historical order, defaults to 0, and stays
+    spec-valid."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a", 10)], "k long, v string, c long")
+    )
+    snap.set_write_order(sort_by=["c"])
+    snap.commit(
+        spark.createDataFrame([(2, "b", 20)], "k long, v string, c long")
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("hist", "t", snap)
+    meta = cat.load_table("hist", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 1
+
+    snap.set_write_order()  # clear first: drop refuses layout columns
+    snap.alter_drop_column("c")
+    snap.commit(spark.createDataFrame([(3, "d")], "k long, v string"))
+    cat.publish_snapshot("hist", "t", snap)
+    meta = cat.load_table("hist", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["default-sort-order-id"] == 0
+    assert {o["order-id"] for o in meta["sort-orders"]} == {0, 1}
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert "c" not in {f["name"] for f in cur["fields"]}
+    assert _readback_equal(spark, snap, "hist", "t", cat) == 3

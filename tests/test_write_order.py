@@ -207,3 +207,40 @@ def test_incremental_read_crosses_write_order_commits(spark, table):
     ch = table.read_changes(v1)
     assert {r.change_type for r in ch.collect()} == {"insert"}
     assert ch.count() == 20
+
+
+def test_sort_orders_metadata_table(spark, table):
+    """`t$sort_orders` serves the write-order history: first-appearance
+    engine ids, kind, and the current default flagged — through both the
+    method and the SQL metadata-table spelling."""
+    table.commit(_df(spark, 0, 50))
+    table.set_write_order(sort_by=["k"])
+    table.set_write_order(zorder_by=["k", "g"])
+    table.set_write_order(sort_by=["k"])  # re-activate: no new id
+    rows = {r.order_id: r for r in table.sort_orders().collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].kind == "unsorted" and not rows[0].is_default
+    assert rows[1].kind == "sort" and rows[1].sort_by == "k"
+    assert rows[1].is_default  # re-activated order is the default again
+    assert rows[2].kind == "zorder" and rows[2].zorder_by == "k,g"
+    # SQL text: SELECT * FROM "t$sort_orders"
+    out = sql_stmt(
+        spark,
+        'SELECT order_id, kind FROM "t$sort_orders" ORDER BY order_id',
+        {"t": table},
+    ).collect()
+    assert [(r.order_id, r.kind) for r in out] == [
+        (0, "unsorted"), (1, "sort"), (2, "zorder"),
+    ]
+    # historical view: at v1 only the unsorted order existed
+    v1 = {r.order_id for r in table.sort_orders(version=1).collect()}
+    assert v1 == {0}
+
+
+def test_drop_clustered_column_refused(spark, table):
+    table.commit(_df(spark, 0, 50))
+    table.set_write_order(sort_by=["v"])
+    with pytest.raises(ValueError, match="WRITE UNORDERED"):
+        table.alter_drop_column("v")
+    table.set_write_order()  # the named remedy unblocks
+    assert table.alter_drop_column("v") == table.current_version()
