@@ -317,8 +317,11 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_write_order_read",
         # r13 addition (oracle-gated in pytest; below the window):
         # filtered ANN — exact cosine top-k over a label-predicated
-        # corpus, the predicate pushed beneath the Arrow scorer
+        # corpus, the predicate pushed beneath the Arrow scorer; the
+        # IVF scale path (recall-gated) semi-joins the predicate onto
+        # the posting lists of the shared full-corpus index
         "sim_filtered_topk",
+        "sim_filtered_ivf_topk",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -131,11 +131,24 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     index: tuple[list[list[float]], DataFrame] | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: (query_id, neighbor_id,
     cosine_sim, rank). Pass ``index`` from build_index to skip both
     training and the corpus assignment scan (the production shape:
-    build once, query many)."""
+    build once, query many).
+
+    ``corpus`` (r13, filtered ANN at scale): when given, only vectors
+    present in it are candidates — the index stays built on the FULL
+    corpus (one index serves every predicate; rebuilding per filter
+    would defeat the amortization), and the filter lands as a semi-join
+    on the posting lists BEFORE scoring, so a probed cell contributes
+    only qualifying vectors. This is pre-filter search over an
+    unfiltered index; for very selective predicates raise ``n_probe``
+    (fewer qualifying candidates per cell ⇒ recall needs more cells) —
+    the brute-force pre-filter twin (``cosine_topk_arrow(corpus=...)``)
+    is the exact fallback when the predicate leaves little behind.
+    Queries still resolve from the full index."""
     if index is None:
         index = build_index(
             emb,
@@ -181,6 +194,12 @@ def ivf_topk(
         F.col("nrm").alias("cn"),
         "cell",
     )
+    if corpus is not None:
+        cand = cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     scored = (
         cand.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -567,3 +567,29 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(
         emb, QUERY_IDS, k=10, corpus=emb.filter(F.col("label") == 1)
     )
+
+
+@query("sim_filtered_ivf_topk")  # rows-only: centroid index is engine-local
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at scale (r13): IVF top-10 restricted to ``label = 1``
+    corpus vectors. The index is the SAME full-corpus cached index
+    sim_ivf_topk serves (one index, every predicate — the amortization
+    that makes filtered ANN affordable at 100 TB); the predicate lands
+    as a semi-join on the posting lists before scoring, with n_probe
+    raised to cover the thinner qualifying population per cell. Recall
+    vs the exact filtered ground truth is gated in
+    test_similarity_recall.py; the exact twin (sim_filtered_topk) is
+    oracle-backed."""
+    from philotes_spark.similarity.ivf import build_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_INDEX:
+        _IVF_INDEX[sf_dir] = build_index(emb, n_centroids=16)
+    return ivf_topk(
+        emb,
+        QUERY_IDS,
+        k=10,
+        n_probe=8,
+        index=_IVF_INDEX[sf_dir],
+        corpus=emb.filter(F.col("label") == 1),
+    ).coalesce(1).orderBy("query_id", "rank")

@@ -314,3 +314,43 @@ def test_filtered_topk_twins_row_identical_and_filtered(emb):
         for r in cosine_topk_arrow(emb, QUERY_IDS, k=10).collect()
     }
     assert jvm != unfiltered
+
+
+def test_filtered_ivf_recall_and_full_probe_exact(emb):
+    """Filtered IVF (r13): candidates are posting-list semi-joined to
+    the predicate before scoring — every hit satisfies it — and probing
+    ALL cells recovers the exact filtered ranking (the filter prunes
+    candidates, never reorders them). Partial probe keeps useful recall
+    against the filtered exact ground truth."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.similarity.ivf import build_index, ivf_topk
+    from philotes_spark.similarity.knn import cosine_topk
+
+    corpus = emb.filter(F.col("label") == 1)
+    allowed = {r.vec_id for r in corpus.select("vec_id").collect()}
+    index = build_index(emb, n_centroids=16)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(emb, QUERY_IDS, k=10, corpus=corpus).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in ivf_topk(
+            emb, QUERY_IDS, k=10, n_probe=16, index=index, corpus=corpus
+        ).collect()
+    }
+    assert full == exact  # all cells probed == exact filtered
+    part = ivf_topk(
+        emb, QUERY_IDS, k=10, n_probe=8, index=index, corpus=corpus
+    ).collect()
+    assert {r.neighbor_id for r in part} <= allowed
+    got = {q: {r.neighbor_id for r in part if r.query_id == q}
+           for q in QUERY_IDS}
+    want = {q: {n for (qq, _), (n, _) in exact.items() if qq == q}
+            for q in QUERY_IDS}
+    recall = sum(len(got[q] & want[q]) for q in QUERY_IDS) / sum(
+        len(want[q]) for q in QUERY_IDS
+    )
+    assert recall >= 0.6, recall
+    index[1].unpersist()
