@@ -2979,3 +2979,18 @@ class SnapshotTable:
                     os.remove(os.path.join(root, x))
                 os.rmdir(root)
         return deleted
+
+    def remove_orphan_files(self) -> int:
+        """Iceberg's ``remove_orphan_files``: delete data-dir files no
+        manifest (any retained version, any branch) references — the
+        leftovers of failed or conflicted commits whose staged data lost
+        the manifest race, plus dead staged dirs. Never touches a
+        referenced file and drops NO manifest, so time travel is fully
+        preserved — this is the orphan half of maintenance on its own
+        (:meth:`expire_snapshots` is the retention half and runs the
+        same sweep after dropping manifests). Returns the number of
+        files deleted. Like expiry, must run on the MAIN table: a
+        branch's own references don't see main's."""
+        return self.expire_snapshots(
+            keep_last=max(len(self._manifests()), 1)
+        )

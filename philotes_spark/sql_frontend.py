@@ -267,8 +267,8 @@ _DDL_PARTITION_REPLACE = re.compile(
 # order are ascending/nulls-first; DESC / NULLS LAST are refused with a
 # clear error rather than silently published wrong.
 _DDL_WRITE_ORDER = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+ORDERED\s+BY\s+"
-    r"\(?\s*([\w\s,]+?)\s*\)?\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+ORDERED\s+BY"
+    r"(?:\s*\(|\s+)\s*([\w\s,]+?)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DDL_WRITE_UNORDERED = re.compile(
@@ -1067,6 +1067,10 @@ def sql(
             # rewrite_data_files sort_order spelling)
             "rewrite_data_files": ("table", "strategy", "sort_order"),
             "compact_deltas": ("table",),
+            # orphan sweep alone — drops no manifest, so published
+            # history is untouched and no catalog sync is needed
+            # (expire_snapshots / VACUUM is the retention half)
+            "remove_orphan_files": ("table",),
             "materialize_schema": ("table",),
             # targeted alternative to compact_deltas for the one
             # publish-blocking MoR state (late appends containing pending
@@ -1163,6 +1167,8 @@ def sql(
             elif proc == "compact_deltas":
                 out = tbl.compact_deltas()
                 v = out if out is not None else tbl.current_version()
+            elif proc == "remove_orphan_files":
+                v = tbl.remove_orphan_files()  # files deleted, not a version
             elif proc == "rewrite_late_appends":
                 out = tbl.rewrite_late_appends()
                 v = out if out is not None else tbl.current_version()

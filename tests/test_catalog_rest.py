@@ -2365,3 +2365,38 @@ def test_historical_order_on_dropped_column_still_validates(
     )
     assert "c" not in {f["name"] for f in cur["fields"]}
     assert _readback_equal(spark, snap, "hist", "t", cat) == 3
+
+
+def test_zordered_table_publishes_unsorted(mock_catalog, spark, tmp_path):
+    """A z-ordered table publishes with sort order 0: zorder_by is a
+    rewrite/clustering strategy, not an Iceberg sort order — external
+    readers see the clustering only as data layout. The rewrite's file
+    replacement travels through the manifest chain (status=2 entries)
+    and the readback stays row-identical."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame(
+            [(i, i % 7, f"r{i}") for i in range(200)],
+            "k long, g long, v string",
+        ).repartition(4)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("zo", "t", snap)
+    sql_stmt(spark, "OPTIMIZE t ZORDER BY (k, g)", {"t": snap})
+    cat.publish_snapshot("zo", "t", snap)
+    meta = cat.load_table("zo", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    assert meta["default-sort-order-id"] == 0
+    assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+    assert _readback_equal(spark, snap, "zo", "t", cat) == 200
+
+    # switching BACK to a publishable sort order after the zorder
+    snap.set_write_order(sort_by=["k"])
+    snap.commit(spark.createDataFrame([(200, 4, "x")], "k long, g long, v string"))
+    cat.publish_snapshot("zo", "t", snap)
+    meta = cat.load_table("zo", "t")["metadata"]
+    assert meta["default-sort-order-id"] == 1
+    assert _readback_equal(spark, snap, "zo", "t", cat) == 201

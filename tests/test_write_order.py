@@ -244,3 +244,35 @@ def test_drop_clustered_column_refused(spark, table):
         table.alter_drop_column("v")
     table.set_write_order()  # the named remedy unblocks
     assert table.alter_drop_column("v") == table.current_version()
+
+
+def test_remove_orphan_files(spark, table, tmp_path):
+    """CALL remove_orphan_files: unreferenced parquet (a failed commit's
+    staged leftovers) is swept; every referenced file, every manifest,
+    and time travel survive — the orphan half of maintenance without the
+    retention half."""
+    import os
+
+    table.commit(_df(spark, 0, 100))
+    table.commit(_df(spark, 100, 200))
+    m = _m(table)
+    live_before = list(m["files"])
+    # fake a lost-race staged write: data landed, manifest never did
+    stray_dir = os.path.join(table.data_dir, "deadbeefcafe")
+    _df(spark, 900, 950).write.parquet(stray_dir)
+    n_stray = sum(
+        1 for f in os.listdir(stray_dir) if f.endswith(".parquet")
+    )
+    assert n_stray > 0
+    out = sql_stmt(
+        spark, "CALL remove_orphan_files(table => 't')", {"t": table}
+    ).collect()
+    assert out[0].version == n_stray  # files deleted
+    assert not os.path.isdir(stray_dir)  # dead staged dir swept
+    m = _m(table)
+    assert m["files"] == live_before  # manifests untouched
+    assert all(os.path.exists(f) for f in live_before)
+    assert table.read().count() == 200
+    assert table.read(version=1).count() == 100  # time travel intact
+    # idempotent: nothing left to sweep
+    assert table.remove_orphan_files() == 0
