@@ -1746,7 +1746,24 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
     return ops
 
 
-@pytest.mark.parametrize("seed", range(1300, 1315))
+def test_family13_op_coverage():
+    """The r13 write-order ops are genuinely exercised: across the 20
+    family-13 seeds, order evolutions and clustered rewrites are each
+    drawn in well over 5 sequences, and every other op kind stays in
+    the pool (pinned so a generator edit can't silently starve a
+    family of its coverage)."""
+    kinds: dict[str, int] = {}
+    for seed in range(1300, 1320):
+        for op in _gen_spec_evolution(seed):
+            kinds[op[0]] = kinds.get(op[0], 0) + 1
+    assert kinds.get("order", 0) >= 5, kinds
+    assert kinds.get("recluster", 0) >= 5, kinds
+    for k in ("append", "evolve", "mor_delete", "mor_upsert",
+              "cow_merge", "compact"):
+        assert kinds.get(k, 0) >= 3, (k, kinds)
+
+
+@pytest.mark.parametrize("seed", range(1300, 1320))
 def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     import duckdb
     from pyspark.sql import functions as F
