@@ -322,6 +322,12 @@ def _tier(name: str) -> tuple[int, int]:
         # the posting lists of the shared full-corpus index
         "sim_filtered_topk",
         "sim_filtered_ivf_topk",
+        # r13 addition (oracle-gated in pytest; below the window): the
+        # portable-hash LSH twin — md5-derived hyperplane signs +
+        # integer-quantized projections shared verbatim with DuckDB, so
+        # the hyperplane-bucket construction itself is hash-compared
+        # (production lsh_topk stays recall-gated)
+        "sim_lsh_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -593,3 +593,174 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=_IVF_INDEX[sf_dir],
         corpus=emb.filter(F.col("label") == 1),
     ).coalesce(1).orderBy("query_id", "rank")
+
+
+# Portable hyperplane signs for the LSH twin: s(t, p, d) = +1 iff the
+# first hex digit of md5("t:p:d") < 8 — derivable verbatim in any engine,
+# embedded as literals on BOTH sides (2 tables x 4 planes x 64 dims).
+def _lsh_portable_signs() -> dict[tuple[int, int], list[int]]:
+    import hashlib
+
+    return {
+        (t, p): [
+            1
+            if int(
+                hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[0], 16
+            ) < 8
+            else -1
+            for d in range(1, 65)
+        ]
+        for t in range(2)
+        for p in range(4)
+    }
+
+
+_LSH_PORTABLE = _lsh_portable_signs()
+_LSH_SIGN_VALUES = ", ".join(
+    f"({t}, {p}, {d}, {s})"
+    for (t, p), row in sorted(_LSH_PORTABLE.items())
+    for d, s in enumerate(row, start=1)
+)
+
+
+@query(
+    "sim_lsh_portable",
+    oracle=f"""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    qelems AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM idx
+    ),
+    signs(t, p, d, s) AS (VALUES {_LSH_SIGN_VALUES}),
+    proj AS (
+        SELECT e.vec_id, s.t, s.p, SUM(e.xq * s.s) AS pr
+        FROM qelems e JOIN signs s ON s.d = e.i
+        GROUP BY e.vec_id, s.t, s.p
+    ),
+    bucket AS (
+        SELECT vec_id, t,
+               STRING_AGG(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS bk
+        FROM proj GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT DISTINCT b1.vec_id AS query_id, b2.vec_id AS neighbor_id
+        FROM bucket b1
+        JOIN bucket b2 ON b1.t = b2.t AND b1.bk = b2.bk
+        WHERE b1.vec_id IN (0, 1, 2, 3, 4) AND b1.vec_id <> b2.vec_id
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+        FROM cand c
+        JOIN elems a ON a.vec_id = c.query_id
+        JOIN elems b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with every primitive PORTABLE (r13, the
+    sim-tier sibling of dedup_minhash_portable): md5-derived ±1
+    hyperplane signs shared verbatim with DuckDB, projections in INTEGER
+    arithmetic (elements quantized ×1e6 → BIGINT, so the sign bit is
+    order-independent — float summation order could flip a
+    projection-at-zero), sign-bit buckets over 2 tables × 4 planes,
+    bucket equi-join, exact double-cosine re-rank. The driver hash-compare
+    proves the LSH construction itself — hyperplane bucketing, multi-table
+    candidate union, re-rank — is correct; the production ``lsh_topk``
+    (engine-local random hyperplanes at production plane counts) stays
+    recall-gated. Scale shape is lsh_topk's: bucket ids are one
+    projection, the join is equi on (table, bucket), no cross join."""
+    from pyspark.sql import Window
+
+    from philotes_spark.similarity.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        v.alias("v"),
+        vq.alias("vq"),
+        l2_norm(v).alias("nrm"),
+    )
+
+    def proj(signs: list[int]):
+        sarr = F.array(*[F.lit(s) for s in signs])
+        return F.aggregate(
+            F.zip_with(F.col("vq"), sarr, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = F.array(
+        *[
+            F.concat(
+                *[
+                    F.when(proj(_LSH_PORTABLE[(t, p)]) >= 0, F.lit("1"))
+                    .otherwise(F.lit("0"))
+                    for p in range(4)
+                ]
+            )
+            for t in range(2)
+        ]
+    )
+    b = base.select("id", "v", "nrm", F.posexplode(buckets).alias("t", "bk"))
+    q = b.filter(F.col("id").isin(QUERY_IDS)).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "t",
+        "bk",
+    )
+    c = b.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "t",
+        "bk",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["t", "bk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "sim",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
