@@ -2654,11 +2654,27 @@ class SnapshotTable:
         m = self._load(f"v{parent:08d}.json")
         if self._mixed_specs(m):
             return self._compact_migrate_specs(m)
+        if any(
+            d.get("type") == "pos" or d.get("pos_files")
+            for d in m.get("deltas", [])
+        ):
+            # a pending POSITIONAL delta references base files by
+            # (path, index); rewriting those files would orphan the
+            # references and RESURRECT the deleted rows (r13 bug fix —
+            # equality deltas are key-based and survive a rewrite, so
+            # only pos deltas force this). Fold the delta stack first,
+            # then compact the folded table — the same order Iceberg's
+            # rewrite_data_files requires ahead of position deletes.
+            folded = self.compact_deltas()
+            parent = self.current_version()
+            m = self._load(f"v{parent:08d}.json")
+        else:
+            folded = None
         if m.get("partition_by"):
-            return self._compact_partitioned(m, small_file_bytes)
+            return self._compact_partitioned(m, small_file_bytes) or folded
         small = [f for f in m["files"] if os.path.getsize(f) < small_file_bytes]
         if len(small) < 2:
-            return None
+            return folded  # the delta fold (if any) was itself a compaction
         keep = [f for f in m["files"] if f not in set(small)]
         total = sum(os.path.getsize(f) for f in small)
         n_out = max(1, total // small_file_bytes + (1 if total % small_file_bytes else 0))

@@ -437,3 +437,45 @@ def test_write_mode_table_properties_drive_dml(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="bad write.update.mode"):
         t3.update_where("k = 1", {"v": "2.0"}, key_cols=["k"])
+
+
+def test_compact_folds_pending_positional_deltas(spark, tmp_path):
+    """r13 bug fix: OPTIMIZE/compact() over a pending POSITIONAL delta
+    used to rewrite the files its (path, index) references point at and
+    RESURRECT the deleted rows. compact now folds the delta stack first
+    (equality deltas are key-based and survive rewrites; positional ones
+    are path-keyed and cannot), so the compacted table stays
+    row-identical to the pre-compaction read."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4)
+    )
+    t.delete_where_positional("k = 5")
+    assert t.read().count() == 99
+    v = t.compact(small_file_bytes=32 * 1024 * 1024)
+    assert v == t.current_version()
+    m = t._load(f"v{t.current_version():08d}.json")
+    assert not m.get("deltas")  # folded, not carried broken
+    assert t.read().count() == 99
+    assert t.read().filter("k = 5").count() == 0  # stays deleted
+
+    # partitioned path takes the same guard
+    p = SnapshotTable(spark, str(tmp_path / "p"))
+    p.commit(
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+                F.lit("x").alias("v"))
+        .repartition(4),
+        partition_by=["g"],
+    )
+    p.delete_where_positional("k = 7")
+    assert p.read().count() == 99
+    p.compact(small_file_bytes=32 * 1024 * 1024)
+    assert p.read().count() == 99
+    assert p.read().filter("k = 7").count() == 0
