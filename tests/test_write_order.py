@@ -276,3 +276,29 @@ def test_remove_orphan_files(spark, table, tmp_path):
     assert table.read(version=1).count() == 100  # time travel intact
     # idempotent: nothing left to sweep
     assert table.remove_orphan_files() == 0
+
+
+def test_zorder_rewrite_migrates_mixed_specs(spark, table):
+    """OPTIMIZE ZORDER over a spec-evolved table: the full clustered
+    rewrite lands every row under the current default spec (the same
+    migration contract as plain OPTIMIZE), row-identical, with the
+    z-order recorded — one statement serves both the layout migration
+    and the reclustering."""
+    table.commit(_df(spark, 0, 300))
+    table.evolve_partition_spec(["g"])
+    table.commit(_df(spark, 300, 600))
+    before = sorted((r.k, r.g, r.v) for r in table.read().collect())
+    m = _m(table)
+    assert table._mixed_specs(m)
+    sql_stmt(spark, "OPTIMIZE t ZORDER BY (k)", {"t": table})
+    m = _m(table)
+    assert not table._mixed_specs(m)
+    assert m["zorder_by"] == ["k"]
+    assert sorted((r.k, r.g, r.v) for r in table.read().collect()) == before
+
+
+def test_rename_sort_column_refused(spark, table):
+    table.commit(_df(spark, 0, 50))
+    table.set_write_order(sort_by=["k"])
+    with pytest.raises(ValueError, match="layout column"):
+        table.alter_rename_column("k", "kk")
