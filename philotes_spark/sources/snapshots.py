@@ -2851,11 +2851,30 @@ class SnapshotTable:
             m.get("zorder_by") or []
         ):
             return parent  # already in effect: no-op, no version
-        cols = {f.name for f in self.read().schema.fields}
+        schema = self.read().schema
+        cols = {f.name for f in schema.fields}
         missing = [c for c in want if c not in cols]
         if missing:
             raise ValueError(
                 f"write-order columns {missing} are not columns of the table"
+            )
+        # Iceberg's rule: sort sources are primitives. A nested/array
+        # column would cluster without footer stats (parquet writes
+        # no min/max for them), so nothing would ever prune — refuse
+        # loudly instead of accepting a uselessly stat-less order.
+        bad_types = [
+            f"{f.name} ({f.dataType.simpleString()})"
+            for f in schema.fields
+            if f.name in want
+            and f.dataType.simpleString().startswith(
+                ("array", "map", "struct")
+            )
+        ]
+        if bad_types:
+            raise ValueError(
+                f"write-order columns must be primitive types "
+                f"(Iceberg sort sources; parquet keeps no min/max "
+                f"stats for nested types): {bad_types}"
             )
         # mirror of evolve_partition_spec's guard: ordering by an
         # identity partition field is degenerate — every in-file range

@@ -302,3 +302,19 @@ def test_rename_sort_column_refused(spark, table):
     table.set_write_order(sort_by=["k"])
     with pytest.raises(ValueError, match="layout column"):
         table.alter_rename_column("k", "kk")
+
+
+def test_nested_type_write_order_refused(spark, tmp_path):
+    """Iceberg sort sources are primitives; parquet keeps no min/max for
+    nested types, so an order on one could never prune — refused loudly
+    instead of accepted uselessly."""
+    t = SnapshotTable(spark, str(tmp_path / "n"))
+    t.commit(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("emb"),
+        )
+    )
+    with pytest.raises(ValueError, match="primitive"):
+        t.set_write_order(sort_by=["emb"])
+    t.set_write_order(sort_by=["k"])  # primitive: fine
