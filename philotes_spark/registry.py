@@ -328,6 +328,11 @@ def _tier(name: str) -> tuple[int, int]:
         # the hyperplane-bucket construction itself is hash-compared
         # (production lsh_topk stays recall-gated)
         "sim_lsh_portable",
+        # r13 addition (oracle-gated in pytest; below the window): the
+        # portable IVF twin — fixed seed-vector codebook, integer L2
+        # assignment, probe/equi-join/re-rank hash-compared against
+        # DuckDB (production k-means ivf_topk stays recall-gated)
+        "sim_ivf_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

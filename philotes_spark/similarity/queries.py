@@ -764,3 +764,175 @@ def sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "sim_ivf_portable",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    qelems AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM idx
+    ),
+    celems AS (  -- fixed codebook: vec_ids 10..25 are cells 0..15
+        SELECT vec_id - 10 AS cell, i, xq AS cq
+        FROM qelems WHERE vec_id BETWEEN 10 AND 25
+    ),
+    cnorm AS (
+        SELECT cell, SUM(cq * cq) AS n2 FROM celems GROUP BY cell
+    ),
+    dots_c AS (
+        SELECT e.vec_id, c.cell, SUM(e.xq * c.cq) AS dp
+        FROM qelems e JOIN celems c ON c.i = e.i
+        GROUP BY e.vec_id, c.cell
+    ),
+    scored_c AS (  -- L2 assignment: argmin |x-c|^2 = argmin n2 - 2*dp
+        SELECT d.vec_id, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY cn.n2 - 2 * d.dp ASC, d.cell DESC) AS rnk
+        FROM dots_c d JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign AS (SELECT vec_id, cell FROM scored_c WHERE rnk = 1),
+    probe AS (  -- queries probe their 4 nearest cells, same ordering
+        SELECT vec_id AS query_id, cell FROM scored_c
+        WHERE rnk <= 4 AND vec_id IN (0, 1, 2, 3, 4)
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+        FROM cand c
+        JOIN elems a ON a.vec_id = c.query_id
+        JOIN elems b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with every primitive PORTABLE (r13, completing the portable
+    twin set: minhash/simhash/LSH/IVF): the codebook is FIXED (the
+    vectors of vec_ids 10..25 are cells 0..15 — no k-means, so both
+    engines share it verbatim), assignment is L2 in INTEGER arithmetic
+    (elements quantized ×1e6 → BIGINT; argmin |x−c|² = argmin n2−2·dp,
+    exact on both sides, ties to the higher cell), queries probe their
+    4 nearest cells by the same ordering, and candidates re-rank by
+    exact double cosine. The driver hash-compare proves the IVF
+    construction itself — cell assignment, multi-cell probing, the
+    cell equi-join, re-rank — while the production ``ivf_topk``
+    (k-means-trained codebook, engine-local) stays recall-gated.
+    Scale shape matches ivf.py: assignment is one projection over the
+    corpus, the probe join is equi on cell, no cross join."""
+    from pyspark.sql import Window
+
+    from philotes_spark.similarity.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        v.alias("v"),
+        vq.alias("vq"),
+        l2_norm(v).alias("nrm"),
+    )
+    # bounded driver collect (16 rows): the fixed codebook, quantized
+    crows = (
+        base.filter((F.col("id") >= 10) & (F.col("id") <= 25))
+        .select("id", "vq")
+        .collect()
+    )
+    cents = sorted((int(r.id) - 10, [int(x) for x in r.vq]) for r in crows)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(sum(x * x for x in cv)).alias("n2"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    per_cell = base.select(
+        "id", "v", "nrm", "vq", F.explode(cent_arr).alias("c")
+    ).select(
+        "id",
+        "v",
+        "nrm",
+        F.col("c.cell").alias("cell"),
+        (
+            F.col("c.n2")
+            - 2
+            * F.aggregate(
+                F.zip_with(
+                    F.col("vq"), F.col("c.cv"), lambda x, c: x * c
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )
+    wc = Window.partitionBy("id").orderBy(F.asc("score"), F.desc("cell"))
+    ranked_c = per_cell.select(
+        "id", "v", "nrm", "cell", F.row_number().over(wc).alias("rnk")
+    )
+    assign = ranked_c.filter(F.col("rnk") == 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    probe = ranked_c.filter(
+        (F.col("rnk") <= 4) & F.col("id").isin(QUERY_IDS)
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "sim",
+            dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
