@@ -333,6 +333,12 @@ def _tier(name: str) -> tuple[int, int]:
         # assignment, probe/equi-join/re-rank hash-compared against
         # DuckDB (production k-means ivf_topk stays recall-gated)
         "sim_ivf_portable",
+        # r13 addition (oracle-gated in pytest; below the window): the
+        # portable PQ twin — fixed sub-codebooks, integer sub-space
+        # encode + integer ADC through one shared sub-dot relation,
+        # rerank cut hash-compared (production pq_topk stays
+        # recall-gated); all four ANN tiers now have a hash-compare
+        "sim_pq_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -936,3 +936,226 @@ def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "sim_pq_portable",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    qelems AS (
+        SELECT vec_id, i, CAST((i - 1) // 8 AS INT) AS sub,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM idx
+    ),
+    celems AS (  -- per-subspace codebooks: vec_ids 10..25 contribute
+                 -- their j-th 8-dim sub-segment as codeword (sub, code)
+        SELECT vec_id - 10 AS code, sub, i, xq AS cq
+        FROM qelems WHERE vec_id BETWEEN 10 AND 25
+    ),
+    cnorm AS (
+        SELECT sub, code, SUM(cq * cq) AS n2 FROM celems GROUP BY sub, code
+    ),
+    sdots AS (  -- serves BOTH the corpus encode and the query ADC LUT
+        SELECT e.vec_id, e.sub, c.code, SUM(e.xq * c.cq) AS dp
+        FROM qelems e JOIN celems c ON c.i = e.i AND c.sub = e.sub
+        GROUP BY e.vec_id, e.sub, c.code
+    ),
+    ranked_codes AS (
+        SELECT s.vec_id, s.sub, s.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                    ORDER BY cn.n2 - 2 * s.dp ASC, s.code ASC) AS rnk
+        FROM sdots s JOIN cnorm cn ON cn.sub = s.sub AND cn.code = s.code
+    ),
+    assign AS (
+        SELECT vec_id, sub, code FROM ranked_codes WHERE rnk = 1
+    ),
+    adc AS (  -- est(q, n) = sum_j dot(q's sub j, n's codeword at sub j)
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               SUM(q.dp) AS est
+        FROM assign a
+        JOIN sdots q ON q.sub = a.sub AND q.code = a.code
+        WHERE q.vec_id IN (0, 1, 2, 3, 4) AND a.vec_id <> q.vec_id
+        GROUP BY q.vec_id, a.vec_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY est DESC, neighbor_id) AS arnk
+            FROM adc
+        ) WHERE arnk <= 50
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+        FROM cand c
+        JOIN elems a ON a.vec_id = c.query_id
+        JOIN elems b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with every primitive PORTABLE (r13; the
+    fourth and last ANN tier to get a hash-compare): 8 subspaces × 16
+    codewords where codeword (sub, code) is the sub-segment of seed
+    vector ``code + 10`` (no k-means — both engines share the books
+    verbatim), sub-space encode by INTEGER L2 (quantized ×1e6;
+    argmin n2 − 2·dp, ties to the lower code), ADC estimates as exact
+    BIGINT sums THROUGH THE SAME sub-dot relation that encoded the
+    corpus (the query's LUT row *is* its sdots row — the symmetry that
+    makes ADC an O(m) table lookup), top-50 ADC candidates re-ranked by
+    exact double cosine. The hash-compare proves the PQ construction
+    itself — sub-space split, codeword assignment, ADC accumulation,
+    rerank cut — while the production k-means ``pq_topk`` stays
+    recall-gated. Scale shape matches pq.py: encode is one projection,
+    ADC carries (query × corpus × m) longs, rerank reads floats for 50
+    candidates per query only."""
+    from pyspark.sql import Window
+
+    from philotes_spark.similarity.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        v.alias("v"),
+        vq.alias("vq"),
+        l2_norm(v).alias("nrm"),
+    )
+    # bounded driver collect (16 rows): the fixed codebook, quantized,
+    # split into 8-dim sub-segments
+    crows = (
+        base.filter((F.col("id") >= 10) & (F.col("id") <= 25))
+        .select("id", "vq")
+        .collect()
+    )
+    books: dict[int, list[tuple[int, list[int], int]]] = {}
+    for r in sorted(crows, key=lambda r: r.id):
+        code = int(r.id) - 10
+        full = [int(x) for x in r.vq]
+        for sub in range(8):
+            seg = full[8 * sub : 8 * sub + 8]
+            books.setdefault(sub, []).append(
+                (code, seg, sum(x * x for x in seg))
+            )
+    books_lit = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(code).alias("code"),
+                            F.array(*[F.lit(x) for x in seg]).alias("cv"),
+                            F.lit(n2).alias("n2"),
+                        )
+                        for code, seg, n2 in books[sub]
+                    ]
+                ).alias("cw"),
+            )
+            for sub in range(8)
+        ]
+    )
+    # per (id, sub): the 16 integer dots — one relation serves both the
+    # corpus encode (argmin n2-2dp) and the query ADC LUT (dp by code)
+    sdots = (
+        base.select("id", "v", "nrm", "vq", F.explode(books_lit).alias("b"))
+        .select(
+            "id",
+            "v",
+            "nrm",
+            F.col("b.sub").alias("sub"),
+            F.explode("b.cw").alias("c"),
+            F.slice("vq", F.col("b.sub") * 8 + 1, 8).alias("svq"),
+        )
+        .select(
+            "id",
+            "v",
+            "nrm",
+            "sub",
+            F.col("c.code").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    "svq", F.col("c.cv"), lambda x, c: x * c
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
+            (F.col("c.n2")).alias("n2"),
+        )
+    )
+    wc = Window.partitionBy("id", "sub").orderBy(
+        (F.col("n2") - 2 * F.col("dp")).asc(), F.col("code").asc()
+    )
+    ranked_codes = sdots.withColumn("rnk", F.row_number().over(wc))
+    assign = ranked_codes.filter(F.col("rnk") == 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "sub",
+        "code",
+    )
+    qlut = sdots.filter(F.col("id").isin(QUERY_IDS)).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "sub",
+        "code",
+        "dp",
+    )
+    adc = (
+        assign.join(F.broadcast(qlut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("dp").alias("est"),
+            F.first("qv").alias("qv"),
+            F.first("qn").alias("qn"),
+            F.first("cv2").alias("cv2"),
+            F.first("cn").alias("cn"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("est"), "neighbor_id"
+    )
+    cand = adc.withColumn("arnk", F.row_number().over(wa)).filter(
+        F.col("arnk") <= 50
+    )
+    scored = cand.withColumn(
+        "sim", dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
