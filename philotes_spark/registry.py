@@ -339,6 +339,11 @@ def _tier(name: str) -> tuple[int, int]:
         # rerank cut hash-compared (production pq_topk stays
         # recall-gated); all four ANN tiers now have a hash-compare
         "sim_pq_portable",
+        # r13 addition (oracle-gated in pytest; below the window): the
+        # composed IVF-PQ twin — residual PQ over fixed coarse cells,
+        # integer ADC via the decomposed LUT S1(q) − t(n); with it every
+        # approximate construction in the engine is hash-compared
+        "sim_ivfpq_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

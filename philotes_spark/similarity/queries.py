@@ -1159,3 +1159,427 @@ def sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "sim_ivfpq_portable",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               UNNEST(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM idx
+    ),
+    qelems AS (
+        SELECT vec_id, i, CAST((i - 1) // 8 AS INT) AS sub,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM idx
+    ),
+    celems AS (  -- coarse codebook: vec_ids 10..25 are cells 0..15
+        SELECT vec_id - 10 AS cell, i, xq AS cq
+        FROM qelems WHERE vec_id BETWEEN 10 AND 25
+    ),
+    cnorm AS (
+        SELECT cell, SUM(cq * cq) AS n2 FROM celems GROUP BY cell
+    ),
+    cdots AS (
+        SELECT e.vec_id, c.cell, SUM(e.xq * c.cq) AS dp
+        FROM qelems e JOIN celems c ON c.i = e.i
+        GROUP BY e.vec_id, c.cell
+    ),
+    cassign AS (
+        SELECT d.vec_id, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY cn.n2 - 2 * d.dp ASC, d.cell DESC) AS rnk
+        FROM cdots d JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign AS (SELECT vec_id, cell FROM cassign WHERE rnk = 1),
+    probe AS (
+        SELECT vec_id AS query_id, cell FROM cassign
+        WHERE rnk <= 4 AND vec_id IN (0, 1, 2, 3, 4)
+    ),
+    sres AS (  -- residual codebooks: vec_ids 30..45's residuals against
+               -- their OWN assigned cells; sub-segment (sub, code)
+        SELECT s.vec_id - 30 AS code, s.i, s.sub, s.xq - c.cq AS rq
+        FROM qelems s
+        JOIN assign a ON a.vec_id = s.vec_id
+        JOIN celems c ON c.cell = a.cell AND c.i = s.i
+        WHERE s.vec_id BETWEEN 30 AND 45
+    ),
+    rnorm AS (
+        SELECT sub, code, SUM(rq * rq) AS n2r FROM sres GROUP BY sub, code
+    ),
+    vres AS (  -- every vector's residual against its assigned cell
+        SELECT e.vec_id, e.i, e.sub, e.xq - c.cq AS r
+        FROM qelems e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN celems c ON c.cell = a.cell AND c.i = e.i
+    ),
+    vrdots AS (
+        SELECT v.vec_id, v.sub, s.code, SUM(v.r * s.rq) AS dp
+        FROM vres v JOIN sres s ON s.i = v.i AND s.sub = v.sub
+        GROUP BY v.vec_id, v.sub, s.code
+    ),
+    vcode AS (  -- per-subspace residual encode, ties to the lower code
+        SELECT vec_id, sub, code FROM (
+            SELECT d.vec_id, d.sub, d.code,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                        ORDER BY rn.n2r - 2 * d.dp ASC, d.code ASC) AS rnk
+            FROM vrdots d
+            JOIN rnorm rn ON rn.sub = d.sub AND rn.code = d.code
+        ) WHERE rnk = 1
+    ),
+    s1 AS (  -- query half of the decomposed LUT: dot(xq_q, rcw)
+        SELECT e.vec_id AS query_id, e.sub, s.code, SUM(e.xq * s.rq) AS dp
+        FROM qelems e JOIN sres s ON s.i = e.i AND s.sub = e.sub
+        WHERE e.vec_id IN (0, 1, 2, 3, 4)
+        GROUP BY e.vec_id, e.sub, s.code
+    ),
+    s2 AS (  -- cell half: dot(centroid, rcw)
+        SELECT c.cell, s.sub, s.code, SUM(c.cq * s.rq) AS dp
+        FROM celems c JOIN sres s ON s.i = c.i
+        GROUP BY c.cell, s.sub, s.code
+    ),
+    tn AS (  -- per-neighbor constant: sum_j s2(cell(n), j, code(n, j))
+        SELECT vc.vec_id, SUM(s2.dp) AS t
+        FROM vcode vc
+        JOIN assign a ON a.vec_id = vc.vec_id
+        JOIN s2 ON s2.cell = a.cell AND s2.sub = vc.sub
+               AND s2.code = vc.code
+        GROUP BY vc.vec_id
+    ),
+    adc AS (  -- est(q, n) = sum_j s1(q, j, code(n, j)) - t(n), exact ints
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               SUM(s1.dp) - MIN(tn.t) AS est
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN vcode vc ON vc.vec_id = a.vec_id
+        JOIN s1 ON s1.query_id = p.query_id AND s1.sub = vc.sub
+               AND s1.code = vc.code
+        JOIN tn ON tn.vec_id = a.vec_id
+        GROUP BY p.query_id, a.vec_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY est DESC, neighbor_id) AS arnk
+            FROM adc
+        ) WHERE arnk <= 30
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dp
+        FROM cand c
+        JOIN elems a ON a.vec_id = c.query_id
+        JOIN elems b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dp / (nq.nrm * nc.nrm), 4) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                    AS INT) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with every primitive PORTABLE (r13; the composed tier, so
+    every approximate construction in the engine now has a hash-compare):
+    coarse cells from the fixed IVF codebook (vecs 10..25, integer L2,
+    ties high), RESIDUAL product quantization with books from vecs
+    30..45's own residuals (integer subtraction — exact on both sides),
+    per-subspace residual encode (ties low), 4-cell probing, and ADC
+    through the DECOMPOSED LUT dot(x_q − c, rcw) = S1(q) − S2(cell):
+    S2 folds into one per-neighbor BIGINT constant t(n) = Σⱼ S2(cell(n),
+    j, codeⱼ(n)), so the query-side join is exactly the PQ twin's shape
+    — est(q, n) = Σⱼ S1(q, j, codeⱼ(n)) − t(n), exact integers end to
+    end. Top-30 ADC candidates re-rank by exact double cosine. The
+    production k-means ``ivfpq_topk`` stays recall-gated. Scale shape
+    matches ivfpq.py: encode is a projection, ADC carries longs keyed by
+    the probed cells only, floats read for 30 candidates per query."""
+    from pyspark.sql import Window
+
+    from philotes_spark.similarity.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        v.alias("v"),
+        vq.alias("vq"),
+        l2_norm(v).alias("nrm"),
+    )
+    # bounded driver collects: 16 centroids + 16 PQ seed vectors
+    crows = (
+        base.filter(
+            ((F.col("id") >= 10) & (F.col("id") <= 25))
+            | ((F.col("id") >= 30) & (F.col("id") <= 45))
+        )
+        .select("id", "vq")
+        .collect()
+    )
+    byid = {int(r.id): [int(x) for x in r.vq] for r in crows}
+    cents = [byid[10 + c] for c in range(16)]
+    cn2 = [sum(x * x for x in cv) for cv in cents]
+
+    def int_assign(xq: list[int]) -> int:
+        # argmin |x-c|^2 = argmin n2 - 2*dot, ties to the HIGHER cell —
+        # the same integer rule the engine-side expressions apply
+        best, best_score = 0, None
+        for cell, cv in enumerate(cents):
+            score = cn2[cell] - 2 * sum(x * c for x, c in zip(xq, cv))
+            if best_score is None or score < best_score or (
+                score == best_score and cell > best
+            ):
+                best, best_score = cell, score
+        return best
+
+    # residual PQ books: seed residuals against their own cells, split
+    # into 8-dim sub-segments (pure integer math — identical on any
+    # engine, so computing it driver-side keeps portability)
+    rbooks: dict[int, list[tuple[int, list[int], int]]] = {}
+    for code in range(16):
+        seed = byid[30 + code]
+        cv = cents[int_assign(seed)]
+        res = [x - c for x, c in zip(seed, cv)]
+        for sub in range(8):
+            seg = res[8 * sub : 8 * sub + 8]
+            rbooks.setdefault(sub, []).append(
+                (code, seg, sum(x * x for x in seg))
+            )
+    # s2(cell, sub, code) = dot(centroid sub-segment, residual codeword)
+    s2 = {
+        (cell, sub, code): sum(
+            c * r
+            for c, r in zip(cents[cell][8 * sub : 8 * sub + 8], seg)
+        )
+        for cell in range(16)
+        for sub in range(8)
+        for code, seg, _ in rbooks[sub]
+    }
+
+    cents_lit = F.array(
+        *[F.array(*[F.lit(x) for x in cv]) for cv in cents]
+    )
+    cn2_lit = F.array(*[F.lit(n) for n in cn2])
+    cell_scores = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda c: F.struct(
+            (
+                F.element_at(cn2_lit, c + 1)
+                - 2
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("vq"),
+                        F.element_at(cents_lit, c + 1),
+                        lambda x, cc: x * cc,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+            (-c).alias("negcell"),
+        ),
+    )
+    with_cell = base.withColumn(
+        "cell",
+        -F.array_min(cell_scores).getField("negcell"),
+    ).withColumn(
+        "probed",
+        F.slice(
+            F.transform(
+                F.array_sort(cell_scores),
+                lambda s: -s.getField("negcell"),
+            ),
+            1,
+            4,
+        ),
+    ).withColumn(
+        "rvq",
+        F.zip_with(
+            "vq",
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    # materialize the assignment stage: without this, Catalyst INLINES
+    # the 16x64-product cell expression into every one of the 128
+    # residual-encode lambdas below (the r12 interpreted-HOF pathology
+    # squared) — sf0.1 measured 124 s -> ~seconds with the cut
+    with_cell = with_cell.localCheckpoint()
+    rbooks_lit = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(code).alias("code"),
+                            F.array(*[F.lit(x) for x in seg]).alias("cv"),
+                            F.lit(n2).alias("n2"),
+                        )
+                        for code, seg, n2 in rbooks[sub]
+                    ]
+                ).alias("cw"),
+            )
+            for sub in range(8)
+        ]
+    )
+    # per-subspace residual encode: argmin (n2r - 2*dot) with ties to
+    # the LOWER code — array_min over (score, code) structs
+    codes = F.transform(
+        rbooks_lit,
+        lambda b: F.array_min(
+            F.transform(
+                b.getField("cw"),
+                lambda c: F.struct(
+                    (
+                        c.getField("n2")
+                        - 2
+                        * F.aggregate(
+                            F.zip_with(
+                                F.slice(
+                                    "rvq", b.getField("sub") * 8 + 1, 8
+                                ),
+                                c.getField("cv"),
+                                lambda x, cc: x * cc,
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("score"),
+                    c.getField("code").alias("code"),
+                ),
+            )
+        ).getField("code"),
+    )
+    s2_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(s2[(cell, sub, code)])
+                            for code in range(16)
+                        ]
+                    )
+                    for sub in range(8)
+                ]
+            )
+            for cell in range(16)
+        ]
+    )
+    t_n = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(7)),
+            F.col("codes"),
+            lambda sub, code: F.element_at(
+                F.element_at(
+                    F.element_at(s2_lit, F.col("cell") + 1), sub + 1
+                ),
+                code + 1,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # second lineage cut: codes feeds t_n (16-deep element_at chains)
+    # and the neighbor/query fan-outs below
+    encoded = (
+        with_cell.withColumn("codes", codes)
+        .withColumn("t_n", t_n)
+        .localCheckpoint()
+    )
+    neighbors = encoded.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "cell",
+        F.posexplode("codes").alias("sub", "code"),
+        "t_n",
+    )
+    # query side: S1 through the residual books (the PQ twin's sdots
+    # shape), one row per (query, sub, code), plus the probed cells
+    queries = encoded.filter(F.col("id").isin(QUERY_IDS))
+    qlut = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode("probed").alias("pcell"),
+        "vq",
+    ).select(
+        "query_id",
+        "qv",
+        "qn",
+        "pcell",
+        F.explode(rbooks_lit).alias("b"),
+        "vq",
+    ).select(
+        "query_id",
+        "qv",
+        "qn",
+        "pcell",
+        F.col("b.sub").alias("sub"),
+        F.explode("b.cw").alias("c"),
+        F.slice("vq", F.col("b.sub") * 8 + 1, 8).alias("svq"),
+    ).select(
+        "query_id",
+        "qv",
+        "qn",
+        "pcell",
+        "sub",
+        F.col("c.code").alias("code"),
+        F.aggregate(
+            F.zip_with("svq", F.col("c.cv"), lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("s1"),
+    )
+    adc = (
+        neighbors.join(
+            F.broadcast(qlut),
+            (F.col("cell") == F.col("pcell"))
+            & (neighbors.sub == qlut.sub)
+            & (neighbors.code == qlut.code),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum("s1") - F.min("t_n")).alias("est"),
+            F.first("qv").alias("qv"),
+            F.first("qn").alias("qn"),
+            F.first("cv2").alias("cv2"),
+            F.first("cn").alias("cn"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("est"), "neighbor_id")
+    cand = adc.withColumn("arnk", F.row_number().over(wa)).filter(
+        F.col("arnk") <= 30
+    )
+    scored = cand.withColumn(
+        "sim", dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
