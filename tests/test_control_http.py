@@ -301,3 +301,55 @@ def test_statements_endpoint_serves_ctas_and_drop(spark, tmp_path):
         assert "http_t" not in tabs
     finally:
         srv.stop()
+
+
+def test_statements_write_order_and_maintenance(spark, tmp_path):
+    """The r13 write-order / maintenance DDL works over the HTTP
+    statements route like any other statement: WRITE ORDERED BY is a
+    metadata-only commit, OPTIMIZE ZORDER BY reclusters row-identically,
+    $sort_orders serves the history, and remove_orphan_files sweeps."""
+    from pyspark.sql import functions as F
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        )
+    )
+    srv = ControlServer(spark, snapshot_tables={"tbl": t}).start()
+    try:
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "ALTER TABLE tbl WRITE ORDERED BY (k)"},
+        )
+        assert code == 200
+        assert out["rows"] == [["tbl", "set-write-order", 2]]
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "OPTIMIZE tbl ZORDER BY (k, g)"},
+        )
+        assert code == 200 and out["rows"][0][1] == "optimize-zorder"
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": 'SELECT order_id, kind FROM "tbl$sort_orders" '
+                    "ORDER BY order_id"},
+        )
+        assert code == 200
+        assert out["rows"] == [[0, "unsorted"], [1, "sort"], [2, "zorder"]]
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "CALL remove_orphan_files(table => 'tbl')"},
+        )
+        assert code == 200 and out["rows"][0][1] == "remove_orphan_files"
+        assert t.read().count() == 100
+        # DESC refusal maps to a 400 with the reason, like other
+        # statement-surface ValueErrors
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "ALTER TABLE tbl WRITE ORDERED BY (k DESC)"},
+        )
+        assert code == 400 and "ASC NULLS FIRST" in out["error"]
+    finally:
+        srv.stop()
