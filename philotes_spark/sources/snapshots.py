@@ -2190,11 +2190,35 @@ class SnapshotTable:
         equality probe proves no row can match, with or without column
         stats. This is the same scan-planning an external Iceberg engine
         does against the published transform spec."""
+        return self.read_where_all([(col, lo, hi)], version=version)
+
+    def read_where_all(
+        self,
+        probes: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive stats-pruned read: one scan planned over the files
+        that may match EVERY ``(col, lo, hi)`` probe — files drop when
+        ANY probe proves no row can match. This is the z-order payoff
+        made explicit: a 2-D probe on z-ordered columns keeps only files
+        whose ranges overlap in BOTH dimensions, a strictly smaller set
+        than either single-column prune (a lexicographic sort_by prunes
+        only on its leading column either way). The residual conjunction
+        is applied too, so results equal ``read().filter(...)`` exactly;
+        per-probe transform pruning and the missing-stats fallback
+        (unknown ⇒ must read) work as in :meth:`read_where`."""
         m = self._resolve(version)
-        plan = self._transform_prune_plan(self._root_fields(m), col, lo, hi)
+        roots = self._root_fields(m)
+        plans = [
+            (col, lo, hi, self._transform_prune_plan(roots, col, lo, hi))
+            for col, lo, hi in probes
+        ]
 
         def may_match(f: str) -> bool:
-            return self._file_may_match(m, plan, f, col, lo, hi)
+            return all(
+                self._file_may_match(m, plan, f, col, lo, hi)
+                for col, lo, hi, plan in plans
+            )
 
         has_pos = any(d.get("type") == "pos" for d in m.get("deltas", []))
 
@@ -2218,11 +2242,32 @@ class SnapshotTable:
         if has_pos:
             base = base.drop("_pos_file", "_pos_index")
         cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(col) >= lo)
-        if hi is not None:
-            cond = cond & (F.col(col) <= hi)
+        for col, lo, hi in probes:
+            if lo is not None:
+                cond = cond & (F.col(col) >= lo)
+            if hi is not None:
+                cond = cond & (F.col(col) <= hi)
         return base.filter(cond)
+
+    def pruned_file_count_all(self, probes: list[tuple]) -> tuple[int, int]:
+        """(files_scanned, files_total) for a conjunctive probe set —
+        the observability twin of :meth:`read_where_all`."""
+        m = self._resolve()
+        roots = self._root_fields(m)
+        plans = [
+            (col, lo, hi, self._transform_prune_plan(roots, col, lo, hi))
+            for col, lo, hi in probes
+        ]
+        total = len(m["files"])
+        scanned = sum(
+            1
+            for f in m["files"]
+            if all(
+                self._file_may_match(m, plan, f, col, lo, hi)
+                for col, lo, hi, plan in plans
+            )
+        )
+        return scanned, total
 
     def pruned_file_count(self, col: str, lo=None, hi=None) -> tuple[int, int]:
         """(files_scanned, files_total) for a range — the scan-planning

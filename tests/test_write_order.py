@@ -318,3 +318,28 @@ def test_nested_type_write_order_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="primitive"):
         t.set_write_order(sort_by=["emb"])
     t.set_write_order(sort_by=["k"])  # primitive: fine
+
+
+def test_conjunctive_prune_on_zordered_table(spark, table):
+    """read_where_all: a 2-D probe over z-ordered columns prunes to a
+    strictly smaller file set than either single-column probe (the
+    z-order payoff — narrow per-file ranges in EVERY listed dimension),
+    and the result equals the plain filtered read exactly."""
+    table.commit(_df(spark, 0, 4000).repartition(8))
+    sql_stmt(spark, "OPTIMIZE t ZORDER BY (k, g)", {"t": table})
+    probes = [("k", 500, 1500), ("g", 2, 3)]
+    both, total = table.pruned_file_count_all(probes)
+    k_only, _ = table.pruned_file_count("k", lo=500, hi=1500)
+    g_only, _ = table.pruned_file_count("g", lo=2, hi=3)
+    assert both < total
+    assert both <= min(k_only, g_only)
+    got = sorted(
+        (r.k, r.g, r.v) for r in table.read_where_all(probes).collect()
+    )
+    want = sorted(
+        (r.k, r.g, r.v)
+        for r in table.read()
+        .filter("k >= 500 AND k <= 1500 AND g >= 2 AND g <= 3")
+        .collect()
+    )
+    assert got == want and got  # non-empty, exactly the filtered read
