@@ -343,3 +343,28 @@ def test_conjunctive_prune_on_zordered_table(spark, table):
         .collect()
     )
     assert got == want and got  # non-empty, exactly the filtered read
+
+
+def test_conjunctive_prune_missing_stats_and_mor(spark, table):
+    """read_where_all fringe rules: a probe on a stats-less column keeps
+    its files (unknown => must read) while the other probe still prunes;
+    pending MoR deltas apply before the residual conjunction — results
+    equal the plain filtered read in both states."""
+    table.commit(_df(spark, 0, 1000), sort_by=["k"])  # stats on k only
+    probes = [("k", 100, 200), ("g", 2, 3)]
+
+    def want():
+        return sorted(
+            r.k
+            for r in table.read()
+            .filter("k >= 100 AND k <= 200 AND g >= 2 AND g <= 3")
+            .collect()
+        )
+
+    got = sorted(r.k for r in table.read_where_all(probes).collect())
+    assert got == want() and got
+    kept, total = table.pruned_file_count_all(probes)
+    assert kept < total  # k still prunes despite g lacking stats
+    table.delete_where_positional("k = 150")
+    got = sorted(r.k for r in table.read_where_all(probes).collect())
+    assert 150 not in got and got == want()
