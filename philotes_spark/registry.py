@@ -304,46 +304,62 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_delete_update",
         "snapshot_refs",
         "text_pii_redact",
-        # r13 addition (oracle-gated in pytest; below the window so this
-        # round's rotation composition is exact): non-identity partition
-        # transforms — days(ts)/bucket(8,event_id) spec evolutions via the
-        # ALTER surface with a transform-pruned read_where on top
-        "snapshot_partition_transforms_read",
+        # r14 rotation (VERDICT r13 next-round #1): five r13 tier-8
+        # additions graduate INTO the window —
+        # snapshot_partition_transforms_read (the full non-identity
+        # transform set as spec evolutions with transform-pruned reads),
+        # snapshot_write_order_read (WRITE ORDERED BY / sort-strategy
+        # rewrite lifecycle), sim_filtered_topk (predicate-pushed exact
+        # ANN), and two portable ANN twins sim_lsh_portable /
+        # sim_ivfpq_portable (hyperplane-LSH and the composed IVF-PQ
+        # construction get their first in-window rows+schema+hash signal;
+        # ivfpq exercises both the coarse-cell and sub-codebook halves, so
+        # with lsh it spans all the approximate building blocks — the
+        # standalone ivf/pq twins stay oracle-gated below for the r15
+        # rotation). Five r13-hard-verified slots move below the window —
+        # each is duplicate coverage of a shape that stays window-green:
+        # dedup_minhash_portable / dedup_simhash_portable (both PASSed
+        # in-window r13; the banded-bucket-join and bit-vote shapes stay
+        # window-green via dedup_ngram_jaccard + the newly-in-window
+        # sim_lsh_portable, which is the same band/bucket equi-join
+        # construction over hyperplane bits);
+        # snapshot_expired_chain_read (PASSed r13; chain-walk external
+        # reads stay window-green via snapshot_delete_manifests_read +
+        # snapshot_evolution_mor_read, the expiry lifecycle itself stays
+        # oracle-gated in pytest + fuzz family 10);
+        # snapshot_partition_evolution_read (PASSed r13; strictly
+        # subsumed by the graduating snapshot_partition_transforms_read —
+        # the same mixed-spec-root read with non-identity transforms and
+        # transform pruning on top);
+        # multimodal_jpeg_stats (PASSed r13 and every round since r06;
+        # the Arrow-batched mapInPandas binary shape stays window-green
+        # via multimodal_meta, the JPEG codec stays oracle-gated in
+        # pytest). All five stay oracle-gated in
+        # tests/test_queries_oracle.py.
+        "dedup_minhash_portable",
+        "dedup_simhash_portable",
+        "snapshot_expired_chain_read",
+        "snapshot_partition_evolution_read",
+        "multimodal_jpeg_stats",
         # r13 addition (oracle-gated in pytest; below the window): the
-        # write-order-evolution lifecycle — ALTER TABLE ... WRITE ORDERED
-        # BY (metadata-only), clustered inherit on append, CALL
-        # rewrite_data_files(strategy => 'sort') reclustering history,
-        # with a pruned read_where on top
-        "snapshot_write_order_read",
-        # r13 addition (oracle-gated in pytest; below the window):
-        # filtered ANN — exact cosine top-k over a label-predicated
-        # corpus, the predicate pushed beneath the Arrow scorer; the
-        # IVF scale path (recall-gated) semi-joins the predicate onto
-        # the posting lists of the shared full-corpus index
-        "sim_filtered_topk",
+        # IVF scale path of filtered ANN (recall-gated construction) —
+        # semi-joins the predicate onto the posting lists of the shared
+        # full-corpus index; the exact tier graduated in-window r14
         "sim_filtered_ivf_topk",
-        # r13 addition (oracle-gated in pytest; below the window): the
-        # portable-hash LSH twin — md5-derived hyperplane signs +
-        # integer-quantized projections shared verbatim with DuckDB, so
-        # the hyperplane-bucket construction itself is hash-compared
-        # (production lsh_topk stays recall-gated)
-        "sim_lsh_portable",
         # r13 addition (oracle-gated in pytest; below the window): the
         # portable IVF twin — fixed seed-vector codebook, integer L2
         # assignment, probe/equi-join/re-rank hash-compared against
-        # DuckDB (production k-means ivf_topk stays recall-gated)
+        # DuckDB (production k-means ivf_topk stays recall-gated);
+        # the coarse-assignment construction is window-verified via the
+        # composed sim_ivfpq_portable since r14
         "sim_ivf_portable",
         # r13 addition (oracle-gated in pytest; below the window): the
         # portable PQ twin — fixed sub-codebooks, integer sub-space
         # encode + integer ADC through one shared sub-dot relation,
         # rerank cut hash-compared (production pq_topk stays
-        # recall-gated); all four ANN tiers now have a hash-compare
+        # recall-gated); the sub-codebook ADC construction is
+        # window-verified via the composed sim_ivfpq_portable since r14
         "sim_pq_portable",
-        # r13 addition (oracle-gated in pytest; below the window): the
-        # composed IVF-PQ twin — residual PQ over fixed coarse cells,
-        # integer ADC via the decomposed LUT S1(q) − t(n); with it every
-        # approximate construction in the engine is hash-compared
-        "sim_ivfpq_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

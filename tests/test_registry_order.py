@@ -70,10 +70,10 @@ def test_r13_rotation_composition():
         "snapshot_rewrite_late_appends",
         "snapshot_delete_manifests_read",  # r12 graduates (r11 flagships)
         "snapshot_evolution_mor_read",
-        "snapshot_expired_chain_read",  # r13 graduates (r12 flagships)
-        "snapshot_partition_evolution_read",
-        "dedup_minhash_portable",  # r13 graduates (portable dedup twins)
-        "dedup_simhash_portable",
+        # (the r13 graduates — snapshot_expired_chain_read,
+        # snapshot_partition_evolution_read, dedup_minhash_portable,
+        # dedup_simhash_portable — were window-PASSed in CORRECTNESS_r13
+        # and rotated below in r14; see test_r14_rotation_composition)
         # the shapes that keep the evictees' coverage window-green
         "b1_describe_columns",
         "b7_daily_rollup",
@@ -110,6 +110,47 @@ def test_r13_rotation_composition():
         "snapshot_delete_update",
         "snapshot_refs",
         "text_pii_redact",
+    ):
+        assert n not in head, n
+
+
+def test_r14_rotation_composition():
+    # VERDICT r13 #1: five r13 tier-8 additions graduate into the 50-slot
+    # window — snapshot_partition_transforms_read +
+    # snapshot_write_order_read (the r13 headline capabilities: the full
+    # Iceberg transform set with transform pruning, and write-order
+    # evolution), sim_filtered_topk (predicate-pushed exact ANN), and the
+    # two portable ANN twins sim_lsh_portable + sim_ivfpq_portable (first
+    # in-window hash signal for the hyperplane-LSH and composed IVF-PQ
+    # constructions). Five r13-hard-verified duplicate-coverage slots
+    # move below it: dedup_minhash_portable + dedup_simhash_portable
+    # (banded-bucket-join / bit-vote shapes stay window-green via
+    # dedup_ngram_jaccard + sim_lsh_portable), snapshot_expired_chain_read
+    # (chain-walk external reads via snapshot_delete_manifests_read +
+    # snapshot_evolution_mor_read), snapshot_partition_evolution_read
+    # (strictly subsumed by snapshot_partition_transforms_read), and
+    # multimodal_jpeg_stats (Arrow-batched binary mapInPandas via
+    # multimodal_meta). All five evictees stay oracle-gated in
+    # tests/test_queries_oracle.py.
+    head = set(list(entry.queries())[:50])
+    for n in (
+        "snapshot_partition_transforms_read",
+        "snapshot_write_order_read",
+        "sim_filtered_topk",
+        "sim_lsh_portable",
+        "sim_ivfpq_portable",
+    ):
+        assert n in head, n
+    for n in (
+        "dedup_minhash_portable",
+        "dedup_simhash_portable",
+        "snapshot_expired_chain_read",
+        "snapshot_partition_evolution_read",
+        "multimodal_jpeg_stats",
+        # the r13 tier-8 entries NOT graduated this round stay below
+        "sim_filtered_ivf_topk",
+        "sim_ivf_portable",
+        "sim_pq_portable",
     ):
         assert n not in head, n
 
