@@ -1178,49 +1178,61 @@ class RestCatalog:
                 for c in desired
                 if c in fid
             ]
-            if len(want) == len(desired):  # every sort column publishable
-
-                def _order_sig(o: dict) -> list[tuple]:
-                    return [
-                        (
-                            f["source-id"],
-                            f["transform"],
-                            f["direction"],
-                            f["null-order"],
-                        )
-                        for f in o.get("fields", [])
-                    ]
-
-                want_sig = _order_sig({"fields": want})
-                match = next(
-                    (o for o in orders if _order_sig(o) == want_sig), None
+            if len(want) != len(desired):
+                # A sort column that doesn't resolve against the served
+                # schema cannot happen today (rename/drop of layout
+                # columns are refused engine-side), so a mismatch means
+                # the published metadata diverged from the manifest —
+                # silently skipping would leave default-sort-order-id
+                # stale with no trace (ADVICE r13 #3)
+                raise ValueError(
+                    f"sort order {desired} has columns missing from the "
+                    f"published REST schema "
+                    f"{sorted(fid)} for {namespace}.{table} — the "
+                    "catalog and manifest have diverged; re-publish the "
+                    "schema before publishing the write order"
                 )
-                if match is None and desired:
-                    next_id = (
-                        max((o["order-id"] for o in orders), default=0) + 1
+            def _order_sig(o: dict) -> list[tuple]:
+                return [
+                    (
+                        f["source-id"],
+                        f["transform"],
+                        f["direction"],
+                        f["null-order"],
                     )
-                    spec_updates.append(
-                        {
-                            "action": "add-sort-order",
-                            "sort-order": {
-                                "order-id": next_id,
-                                "fields": want,
-                            },
-                        }
-                    )
-                    spec_updates.append(
-                        {
-                            "action": "set-default-sort-order",
-                            "sort-order-id": -1,
-                        }
-                    )
-                elif match is not None and match["order-id"] != served_order:
-                    spec_updates.append(
-                        {
-                            "action": "set-default-sort-order",
-                            "sort-order-id": match["order-id"],
-                        }
-                    )
+                    for f in o.get("fields", [])
+                ]
+
+            want_sig = _order_sig({"fields": want})
+            match = next(
+                (o for o in orders if _order_sig(o) == want_sig), None
+            )
+            if match is None and desired:
+                next_id = (
+                    max((o["order-id"] for o in orders), default=0) + 1
+                )
+                spec_updates.append(
+                    {
+                        "action": "add-sort-order",
+                        "sort-order": {
+                            "order-id": next_id,
+                            "fields": want,
+                        },
+                    }
+                )
+                spec_updates.append(
+                    {
+                        "action": "set-default-sort-order",
+                        "sort-order-id": -1,
+                    }
+                )
+            elif match is not None and match["order-id"] != served_order:
+                spec_updates.append(
+                    {
+                        "action": "set-default-sort-order",
+                        "sort-order-id": match["order-id"],
+                    }
+                )
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot

@@ -2759,7 +2759,7 @@ class SnapshotTable:
             schema_ops=list(m.get("schema_ops", [])),
         )
 
-    def _compact_migrate_specs(self, m: dict) -> int | None:
+    def _compact_migrate_specs(self, m: dict) -> int:
         """OPTIMIZE on a table whose files span multiple partition specs
         (the layout was evolved): a FULL rewrite that lands every row
         under the current default spec — Iceberg's rewrite_data_files
@@ -2971,8 +2971,10 @@ class SnapshotTable:
         if not parent:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
-        v = self._compact_migrate_specs(m)
-        return parent if v is None else v
+        # _compact_migrate_specs always writes a new manifest (a full
+        # rewrite is never a no-op commit), so its version is the answer
+        # (ADVICE r13 #4: the old None fallback was dead code)
+        return self._compact_migrate_specs(m)
 
     # --- maintenance (A7) -------------------------------------------------------
 

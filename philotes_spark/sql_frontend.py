@@ -1140,6 +1140,22 @@ def sql(
                     out = tbl.compact()
                     v = out if out is not None else tbl.current_version()
                 elif strategy in ("sort", "binpack"):
+                    if strategy == "sort" and order is None:
+                        # Iceberg's sort strategy errors when no sort
+                        # order is available; without this guard the
+                        # rewrite would silently run a full O(table)
+                        # UNCLUSTERED pass — an expensive no-op
+                        # (ADVICE r13 #1)
+                        mm = tbl._resolve()
+                        if not (
+                            mm.get("sort_by") or mm.get("zorder_by")
+                        ):
+                            raise ValueError(
+                                "CALL rewrite_data_files(strategy => "
+                                "'sort'): table has no write order — "
+                                "pass sort_order => '...' or ALTER "
+                                "TABLE ... WRITE ORDERED BY first"
+                            )
                     if order is not None:
                         zm = re.fullmatch(
                             r"\s*zorder\s*\(\s*([\w\s,]+?)\s*\)\s*",
@@ -1168,7 +1184,13 @@ def sql(
                 out = tbl.compact_deltas()
                 v = out if out is not None else tbl.current_version()
             elif proc == "remove_orphan_files":
-                v = tbl.remove_orphan_files()  # files deleted, not a version
+                # files deleted is NOT a table version — this proc gets
+                # its own result schema so the count isn't mislabeled
+                # (ADVICE r13 #2)
+                return spark.createDataFrame(
+                    [(tname, proc, tbl.remove_orphan_files())],
+                    "table string, operation string, deleted_files int",
+                )
             elif proc == "rewrite_late_appends":
                 out = tbl.rewrite_late_appends()
                 v = out if out is not None else tbl.current_version()

@@ -539,6 +539,39 @@ def test_clustered_table_publishes_sort_order(mock_catalog, spark, tmp_path):
     ]
 
 
+def test_publish_refuses_unresolvable_sort_column(
+    mock_catalog, spark, tmp_path
+):
+    """A sort column that doesn't resolve against the served REST schema
+    means the catalog and manifest diverged — the publish must raise,
+    not silently skip the order update and leave default-sort-order-id
+    stale (ADVICE r13 #3). Unreachable through the statement surface
+    (rename/drop of layout columns are refused engine-side), so the
+    divergence is simulated by editing the manifest directly."""
+    import json
+    import os
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1)
+    )
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("sod", "t", snap, version=1)
+    snap.commit(spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1))
+    # tamper: a sort column the schema doesn't have
+    mpath = os.path.join(snap.snap_dir, f"v{snap.current_version():08d}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["sort_by"] = ["ghost_col"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="missing from the published"):
+        cat.publish_snapshot("sod", "t", snap, version=2)
+
+
 def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):
     """VERDICT r05 #7: the payload the catalog serves for a published
     table must be a structurally valid Iceberg format-version-2

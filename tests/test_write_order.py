@@ -188,6 +188,40 @@ def test_call_rewrite_data_files_sort(spark, table):
         )
 
 
+def test_call_rewrite_sort_without_order_refused(spark, table):
+    """strategy => 'sort' on a table with no write order and no
+    sort_order argument is refused with the remedy named (Iceberg's
+    sort strategy errors likewise) — without the guard the rewrite
+    would silently run a full O(table) UNCLUSTERED pass, an expensive
+    no-op (ADVICE r13 #1)."""
+    table.commit(_df(spark, 0, 100))
+    v = table.current_version()
+    with pytest.raises(ValueError, match="no write order"):
+        sql_stmt(
+            spark,
+            "CALL rewrite_data_files(table => 't', strategy => 'sort')",
+            {"t": table},
+        )
+    assert table.current_version() == v  # nothing rewritten
+    # the named remedies unblock: explicit sort_order, or a declared
+    # table write order
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+        "sort_order => 'k')",
+        {"t": table},
+    )
+    assert _m(table)["sort_by"] == ["k"]
+    table.set_write_order(zorder_by=["k", "g"])
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files(table => 't', strategy => 'sort')",
+        {"t": table},
+    )
+    assert _m(table)["zorder_by"] == ["k", "g"]
+    assert table.read().count() == 100
+
+
 def test_incremental_read_crosses_write_order_commits(spark, table):
     """read_incremental treats set-write-order like the other
     metadata-only commits (file list unchanged — skip, never refuse):
@@ -267,7 +301,10 @@ def test_remove_orphan_files(spark, table, tmp_path):
     out = sql_stmt(
         spark, "CALL remove_orphan_files(table => 't')", {"t": table}
     ).collect()
-    assert out[0].version == n_stray  # files deleted
+    # dedicated result schema: the count is files deleted, NOT a table
+    # version (ADVICE r13 #2)
+    assert out[0].deleted_files == n_stray
+    assert "version" not in out[0].asDict()
     assert not os.path.isdir(stray_dir)  # dead staged dir swept
     m = _m(table)
     assert m["files"] == live_before  # manifests untouched
