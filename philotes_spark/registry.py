@@ -360,6 +360,13 @@ def _tier(name: str) -> tuple[int, int]:
         # recall-gated); the sub-codebook ADC construction is
         # window-verified via the composed sim_ivfpq_portable since r14
         "sim_pq_portable",
+        # r14 addition (oracle-gated in pytest; below the window, r15
+        # rotation candidate): one PACED step of the partial-progress
+        # clustered rewrite (CALL rewrite_data_files partial_progress =>
+        # true, max_groups => 1), read mid-rewrite — clustered_roots
+        # non-empty AND pending files remain, hash-compared vs the plain
+        # filter so every intermediate version answers identically
+        "snapshot_partial_rewrite_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -629,17 +629,22 @@ class RestCatalog:
         if sort_by:
             # Iceberg REST create-table write-order: the clustered-commit
             # sort (SnapshotTable.commit(sort_by=...)) published so
-            # external writers keep the same clustering
+            # external writers keep the same clustering, direction and
+            # null placement included (r14)
+            from philotes_spark.sources.transforms import parse_sort_spec
+
             req["write-order"] = {
                 "order-id": 1,
                 "fields": [
                     {
                         "transform": "identity",
-                        "source-id": field_id[c],
-                        "direction": "asc",
-                        "null-order": "nulls-first",
+                        "source-id": field_id[sf.name],
+                        "direction": "asc" if sf.asc else "desc",
+                        "null-order": (
+                            "nulls-first" if sf.nulls_first else "nulls-last"
+                        ),
                     }
-                    for c in sort_by
+                    for sf in parse_sort_spec(sort_by)
                 ],
             }
         if location:
@@ -1162,6 +1167,8 @@ class RestCatalog:
         # Updates ride after the schema updates so a just-added sort
         # column's source-id resolves (same rule as add-spec).
         if not created and is_newest:
+            from philotes_spark.sources.transforms import parse_sort_spec
+
             desired = list(manifest.get("sort_by") or [])
             orders = meta_now.get("sort-orders") or [
                 {"order-id": 0, "fields": []}
@@ -1171,12 +1178,17 @@ class RestCatalog:
             want = [
                 {
                     "transform": "identity",
-                    "source-id": fid[c],
-                    "direction": "asc",
-                    "null-order": "nulls-first",
+                    "source-id": fid[sf.name],
+                    # r14: direction / null placement ride the manifest's
+                    # compact sort-field strings into the served order —
+                    # external writers follow DESC / NULLS LAST exactly
+                    "direction": "asc" if sf.asc else "desc",
+                    "null-order": (
+                        "nulls-first" if sf.nulls_first else "nulls-last"
+                    ),
                 }
-                for c in desired
-                if c in fid
+                for sf in parse_sort_spec(desired)
+                if sf.name in fid
             ]
             if len(want) != len(desired):
                 # A sort column that doesn't resolve against the served

@@ -125,6 +125,90 @@ def derived_field_names(fields: list[str]) -> list[str]:
     return [pf.name for pf in parse_spec(fields) if pf.transform != "identity"]
 
 
+# --- sort-order fields (Iceberg sort-order spec) ---------------------------
+#
+# A write order's entries carry direction and null placement — Iceberg
+# sort orders are (transform, source, direction asc|desc, null-order
+# nulls-first|nulls-last) tuples. The manifest stores each field in the
+# compact SQL spelling ("k", "k DESC", "k ASC NULLS LAST"), canonical
+# with Iceberg's defaults elided: ASC defaults to NULLS FIRST, DESC to
+# NULLS LAST (the spec's own defaulting rule, so the published order and
+# the stored string never disagree about an omitted null-order).
+# File-range PRUNING is direction-agnostic (a [min,max] hull bounds the
+# file either way) — direction matters to the clustered WRITE
+# (repartitionByRange + sortWithinPartitions expressions) and to the
+# PUBLISHED metadata external writers follow.
+
+_SORT_FIELD_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(ASC|DESC))?"
+    r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+    re.IGNORECASE,
+)
+
+
+class SortField(NamedTuple):
+    name: str  # source column
+    asc: bool  # direction
+    nulls_first: bool  # null placement
+
+
+def parse_sort_field(s: str) -> SortField:
+    """Parse one sort-field string; bare names default to ASC, and the
+    null placement defaults by direction (Iceberg: asc ⇒ nulls-first,
+    desc ⇒ nulls-last)."""
+    m = _SORT_FIELD_RE.match(s)
+    if not m:
+        raise ValueError(
+            f"unsupported sort field {s!r}; use <column> [ASC|DESC] "
+            "[NULLS FIRST|NULLS LAST]"
+        )
+    name, direction, nulls = m.groups()
+    asc = direction is None or direction.upper() == "ASC"
+    nulls_first = asc if nulls is None else nulls.upper() == "FIRST"
+    return SortField(name, asc, nulls_first)
+
+
+def parse_sort_spec(fields: list[str]) -> list[SortField]:
+    return [parse_sort_field(s) for s in fields]
+
+
+def sort_field_names(fields: list[str]) -> list[str]:
+    """The source column names of a sort order (for stats unions,
+    schema validation, and guard checks — direction-independent)."""
+    return [sf.name for sf in parse_sort_spec(fields)]
+
+
+def format_sort_field(sf: SortField) -> str:
+    """Canonical compact spelling: defaults elided, keywords upper."""
+    out = sf.name
+    if not sf.asc:
+        out += " DESC"
+    if sf.nulls_first != sf.asc:  # non-default null placement
+        out += " NULLS FIRST" if sf.nulls_first else " NULLS LAST"
+    return out
+
+
+def sort_exprs(fields: list[str]):
+    """The Spark sort expressions of an order — what the clustered
+    write's repartitionByRange/sortWithinPartitions apply, directions
+    and null placement included."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for sf in parse_sort_spec(fields):
+        c = F.col(sf.name)
+        if sf.asc:
+            out.append(
+                c.asc_nulls_first() if sf.nulls_first else c.asc_nulls_last()
+            )
+        else:
+            out.append(
+                c.desc_nulls_first() if sf.nulls_first else c.desc_nulls_last()
+            )
+    return out
+
+
 # --- murmur3_x86_32, seed 0 (Iceberg Appendix B) ---------------------------
 
 _C1, _C2 = 0xCC9E2D51, 0x1B873593

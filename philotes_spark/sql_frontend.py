@@ -340,14 +340,33 @@ _DDL_CTAS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-def _parse_write_order_cols(body: str, ctx: str) -> list[str]:
-    """Parse a write-order column list: bare names, optional ASC /
-    NULLS FIRST noise words. DESC / NULLS LAST refuse loudly — the
-    engine's clustered write and the published Iceberg order are
-    ascending nulls-first, and silently flipping direction would
-    publish metadata external writers then violate."""
+def _parse_write_order_cols(
+    body: str, ctx: str, allow_direction: bool = False
+) -> list[str]:
+    """Parse a write-order column list. Sort orders
+    (``allow_direction=True``, r14) accept the full Iceberg sort-field
+    grammar — ``<col> [ASC|DESC] [NULLS FIRST|NULLS LAST]`` — returned
+    in the canonical compact spelling ``set_write_order`` stores and
+    publishes (direction and null placement ride the manifest into the
+    clustered write and the REST sort order). Z-orders keep refusing
+    direction keywords: a Morton interleave has no per-column direction
+    to honor, so accepting one would silently drop it."""
+    from philotes_spark.sources.transforms import (
+        format_sort_field,
+        parse_sort_field,
+    )
+
     cols = []
     for item in _split_top(body):
+        if allow_direction:
+            try:
+                cols.append(format_sort_field(parse_sort_field(item)))
+                continue
+            except ValueError:
+                raise ValueError(
+                    f"bad {ctx} item {item.strip()!r}: use <column> "
+                    "[ASC|DESC] [NULLS FIRST|NULLS LAST]"
+                ) from None
         mm = re.fullmatch(
             r"\s*(\w+)(?:\s+ASC)?(?:\s+NULLS\s+FIRST)?\s*",
             item,
@@ -358,9 +377,9 @@ def _parse_write_order_cols(body: str, ctx: str) -> list[str]:
             continue
         if re.search(r"\bDESC\b|\bNULLS\s+LAST\b", item, re.IGNORECASE):
             raise ValueError(
-                f"{ctx}: {item.strip()!r} — only ASC NULLS FIRST write "
-                "orders are served (file-range pruning is direction-"
-                "agnostic; use ORDER BY ... DESC on reads)"
+                f"{ctx}: {item.strip()!r} — z-order clustering has no "
+                "per-column direction (the Morton interleave is "
+                "symmetric); use a sort order for DESC / NULLS LAST"
             )
         raise ValueError(
             f"bad {ctx} item {item.strip()!r}: use <column> [ASC] "
@@ -1064,8 +1083,17 @@ def sql(
             # compaction; strategy => 'sort' = full clustered rewrite by
             # the table's write order, optionally setting it first via
             # sort_order => 'a, b' or 'zorder(a, b)' (Iceberg's own
-            # rewrite_data_files sort_order spelling)
-            "rewrite_data_files": ("table", "strategy", "sort_order"),
+            # rewrite_data_files sort_order spelling).
+            # partial_progress => true (Iceberg's
+            # partial-progress.enabled): the sort rewrite lands as one
+            # commit PER file group (≤ max_file_group_size_bytes input
+            # each, max_groups per call) — every intermediate version a
+            # valid table, crash-resumable via the manifest's
+            # clustered_roots marker
+            "rewrite_data_files": (
+                "table", "strategy", "sort_order", "partial_progress",
+                "max_file_group_size_bytes", "max_groups",
+            ),
             "compact_deltas": ("table",),
             # orphan sweep alone — drops no manifest, so published
             # history is untouched and no catalog sync is needed
@@ -1136,6 +1164,16 @@ def sql(
             elif proc == "rewrite_data_files":
                 strategy = str(args.get("strategy", "binpack")).lower()
                 order = args.get("sort_order")
+                partial = str(
+                    args.get("partial_progress", "false")
+                ).lower() in ("true", "1")
+                if partial and strategy != "sort":
+                    raise ValueError(
+                        "CALL rewrite_data_files: partial_progress "
+                        "applies to strategy => 'sort' (binpack "
+                        "compaction is already incremental per "
+                        "partition)"
+                    )
                 if strategy == "binpack" and order is None:
                     out = tbl.compact()
                     v = out if out is not None else tbl.current_version()
@@ -1171,10 +1209,23 @@ def sql(
                         else:
                             tbl.set_write_order(
                                 sort_by=_parse_write_order_cols(
-                                    str(order), "sort_order"
+                                    str(order), "sort_order",
+                                    allow_direction=True,
                                 )
                             )
-                    v = tbl.rewrite_clustered()
+                    if partial:
+                        kw = {}
+                        if args.get("max_file_group_size_bytes") is not None:
+                            kw["file_group_bytes"] = int(
+                                args["max_file_group_size_bytes"]
+                            )
+                        if args.get("max_groups") is not None:
+                            kw["max_groups"] = int(args["max_groups"])
+                        v = tbl.rewrite_clustered(
+                            partial_progress=True, **kw
+                        )
+                    else:
+                        v = tbl.rewrite_clustered()
                 else:
                     raise ValueError(
                         f"CALL rewrite_data_files: unknown strategy "
@@ -1423,7 +1474,7 @@ def sql(
         if m:
             version = tables[name].set_write_order(
                 sort_by=_parse_write_order_cols(
-                    m.group(2), "WRITE ORDERED BY"
+                    m.group(2), "WRITE ORDERED BY", allow_direction=True
                 )
             )
             return spark.createDataFrame(

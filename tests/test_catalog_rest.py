@@ -539,6 +539,45 @@ def test_clustered_table_publishes_sort_order(mock_catalog, spark, tmp_path):
     ]
 
 
+def test_desc_nulls_last_order_publishes(mock_catalog, spark, tmp_path):
+    """r14 (VERDICT r13 #5): a DESC / NULLS LAST write order publishes
+    with its direction and null placement intact — the served Iceberg
+    sort order is what external writers follow, so flattening it to asc
+    would publish metadata the engine's own files violate. Null
+    placements follow Iceberg's defaulting (desc ⇒ nulls-last unless
+    spelled otherwise)."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame(
+            [(i, float(i) / 3) for i in range(50)], "k long, v double"
+        ).repartition(2)
+    )
+    snap.set_write_order(sort_by=["k DESC", "v ASC NULLS LAST"])
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("dso", "t", snap, version=snap.current_version())
+
+    meta = cat.load_table("dso", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    fid = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    orders = {o["order-id"]: o for o in meta["sort-orders"]}
+    assert orders[meta["default-sort-order-id"]]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": fid["k"],
+            "direction": "desc",
+            "null-order": "nulls-last",  # Iceberg default for desc
+        },
+        {
+            "transform": "identity",
+            "source-id": fid["v"],
+            "direction": "asc",
+            "null-order": "nulls-last",  # non-default, spelled
+        },
+    ]
+
+
 def test_publish_refuses_unresolvable_sort_column(
     mock_catalog, spark, tmp_path
 ):

@@ -344,12 +344,24 @@ def test_statements_write_order_and_maintenance(spark, tmp_path):
         )
         assert code == 200 and out["rows"][0][1] == "remove_orphan_files"
         assert t.read().count() == 100
-        # DESC refusal maps to a 400 with the reason, like other
-        # statement-surface ValueErrors
+        # r14: DESC write orders are accepted end to end over HTTP
+        # (canonical manifest spelling; Iceberg desc ⇒ nulls-last);
+        # z-order direction keywords still map to a 400 with the reason
         code, out = _call(
             srv.port, "POST", "/api/v1/statements",
             {"sql": "ALTER TABLE tbl WRITE ORDERED BY (k DESC)"},
         )
-        assert code == 400 and "ASC NULLS FIRST" in out["error"]
+        assert code == 200 and out["rows"][0][1] == "set-write-order"
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": 'SELECT sort_by FROM "tbl$sort_orders" '
+                    "WHERE is_default"},
+        )
+        assert code == 200 and out["rows"] == [["k DESC"]]
+        code, out = _call(
+            srv.port, "POST", "/api/v1/statements",
+            {"sql": "OPTIMIZE tbl ZORDER BY (k DESC)"},
+        )
+        assert code == 400 and "no per-column direction" in out["error"]
     finally:
         srv.stop()

@@ -1712,7 +1712,11 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
     # an identity partition field drops that column; an evolve blocked by
     # a clustered column clears the order first (asserting the guard
     # fired) and retries.
-    orders = [[], ["k"], ["v"], ["k", "n"]]
+    # r14: DESC / NULLS LAST spellings join the pool — direction is
+    # invisible to the mirror (like layout), but the canonical
+    # round-trip and the desc-clustered write paths get fuzzed
+    orders = [[], ["k"], ["v"], ["k", "n"],
+              ["v DESC"], ["k DESC NULLS FIRST", "n"]]
     cur: list = []
     n_appends = 0
     for _ in range(rng.randint(6, 10)):
@@ -1731,7 +1735,15 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
         elif kind == "order":
             ops.append(("order", list(rng.choice(orders))))
         elif kind == "recluster":
-            ops.append(("recluster", rng.random() < 0.5))
+            # r14: the partial-progress mode joins the pool — the
+            # file-group-incremental rewrite must land the SAME final
+            # state as the monolithic one through arbitrary op
+            # interleavings (its pending-MoR-delta refusal is part of
+            # the fuzzed surface: the executor applies the named
+            # remedy, exactly as a real operator would)
+            ops.append(
+                ("recluster", rng.choice(["zorder", "sort", "partial"]))
+            )
         elif kind == "mor_delete":
             ops.append(("mor_delete", rng.choice([5, 7, 9]),
                         rng.randint(0, 4)))
@@ -1753,11 +1765,16 @@ def test_family13_op_coverage():
     the pool (pinned so a generator edit can't silently starve a
     family of its coverage)."""
     kinds: dict[str, int] = {}
+    recluster_modes: dict[str, int] = {}
     for seed in range(1300, 1320):
         for op in _gen_spec_evolution(seed):
             kinds[op[0]] = kinds.get(op[0], 0) + 1
+            if op[0] == "recluster":
+                recluster_modes[op[1]] = recluster_modes.get(op[1], 0) + 1
     assert kinds.get("order", 0) >= 5, kinds
     assert kinds.get("recluster", 0) >= 5, kinds
+    # r14: the partial-progress mode is genuinely drawn, not just pooled
+    assert recluster_modes.get("partial", 0) >= 3, recluster_modes
     for k in ("append", "evolve", "mor_delete", "mor_upsert",
               "cow_merge", "compact"):
         assert kinds.get(k, 0) >= 3, (k, kinds)
@@ -1911,6 +1928,11 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
             # deterministic given the seed's op sequence.
             from philotes_spark.sql_frontend import sql as _stmt_sql
 
+            from philotes_spark.sources.transforms import (
+                format_sort_field,
+                parse_sort_field,
+            )
+
             identity = {
                 c
                 for c in (
@@ -1921,7 +1943,11 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 )
                 if "(" not in c
             }
-            cols = [c for c in op[1] if c not in identity]
+            # the identity guard keys on the SOURCE column, so a
+            # direction-spelled field must be filtered by its name
+            cols = [
+                c for c in op[1] if parse_sort_field(c).name not in identity
+            ]
             if cols:
                 _stmt_sql(
                     spark,
@@ -1935,37 +1961,62 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                     "sort_by"
                 )
                 or []
-            ) == cols
+            ) == [format_sort_field(parse_sort_field(c)) for c in cols]
         elif op[0] == "recluster":
-            # full clustered rewrite: OPTIMIZE ZORDER BY sets a z-order
-            # and rewrites; the bare CALL reclusters by the current
-            # order (both row-invisible to the mirror)
+            # clustered rewrite, three spellings (all row-invisible to
+            # the mirror): OPTIMIZE ZORDER BY sets a z-order and
+            # rewrites; the sort-strategy CALL reclusters by the current
+            # order (passing sort_order when there is none — the bare
+            # call now refuses, ADVICE r13 #1); partial_progress => true
+            # is the r14 file-group-incremental mode, whose
+            # pending-MoR-delta refusal is remedied in-sequence with
+            # compact_deltas exactly as the error names
             from philotes_spark.sql_frontend import sql as _stmt_sql
 
+            mcur = tbl._load(f"v{tbl.current_version():08d}.json")
             identity = {
                 c
-                for c in (
-                    tbl._load(
-                        f"v{tbl.current_version():08d}.json"
-                    ).get("partition_by")
-                    or []
-                )
+                for c in (mcur.get("partition_by") or [])
                 if "(" not in c
             }
             zcols = [c for c in ("k", "v") if c not in identity]
-            if op[1] and zcols:
+            has_order = bool(mcur.get("sort_by") or mcur.get("zorder_by"))
+            if op[1] == "zorder" and zcols:
                 _stmt_sql(
                     spark,
                     f"OPTIMIZE t ZORDER BY ({', '.join(zcols)})",
                     {"t": tbl},
                 )
-            else:
-                _stmt_sql(
-                    spark,
+            elif has_order or zcols:
+                stmt = (
                     "CALL rewrite_data_files(table => 't', "
-                    "strategy => 'sort')",
-                    {"t": tbl},
+                    "strategy => 'sort'"
                 )
+                if not has_order:
+                    # the guard fires without an order to rewrite by —
+                    # asserted, then remedied by naming one
+                    with pytest.raises(ValueError, match="no write order"):
+                        _stmt_sql(spark, stmt + ")", {"t": tbl})
+                    stmt += f", sort_order => '{', '.join(zcols)}'"
+                if op[1] == "partial":
+                    stmt += (
+                        ", partial_progress => true, "
+                        "max_file_group_size_bytes => 65536"
+                    )
+                for _attempt in range(2):
+                    try:
+                        _stmt_sql(spark, stmt + ")", {"t": tbl})
+                        break
+                    except ValueError as e:
+                        if "compact_deltas first" not in str(e):
+                            raise
+                        tbl.compact_deltas()
+                else:
+                    raise AssertionError(
+                        f"seed={seed}: recluster never unblocked"
+                    )
+            # else: both dims are identity partition fields and no
+            # standing order — nothing to cluster by, a user no-op
         elif op[0] == "mor_delete":
             _, m, r = op
             changes = (

@@ -1,0 +1,256 @@
+"""Manifest-level (per-root group) scan planning — VERDICT r13 #3.
+
+Each commit's staged root is the engine's manifest unit; ``_write_manifest``
+now records per-root hulls of the file column stats and transform path
+values (the Iceberg manifest-list field-summary analogue), and
+``read_where_all`` consults them FIRST so a probe drops whole roots in
+O(roots) driver work before touching any per-file entry. At 100 TB file
+counts the per-file loop (millions of entries × probes, in driver Python)
+was the planning bottleneck; on a clustered table most roots now fall at
+level 1. Results must be bit-identical to the per-file walk — these tests
+pin both the equality and the driver-work bound.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from philotes_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def _commit_range(spark, table, lo, hi, nparts=3):
+    df = (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(nparts)
+    )
+    table.commit(df, sort_by=["k"], stats_cols=["k"])
+
+
+def _m(table):
+    return table._load(f"v{table.current_version():08d}.json")
+
+
+def test_group_stats_written_at_commit(spark, table):
+    _commit_range(spark, table, 0, 100)
+    _commit_range(spark, table, 100, 200)
+    m = _m(table)
+    gs = m["group_stats"]
+    roots = {
+        os.path.relpath(f, table.data_dir).split(os.sep)[0]
+        for f in m["files"]
+    }
+    assert set(gs) == roots
+    for rel, g in gs.items():
+        member = [
+            f
+            for f in m["files"]
+            if os.path.relpath(f, table.data_dir).split(os.sep)[0] == rel
+        ]
+        assert g["n"] == len(member)
+        lo, hi = g["cols"]["k"]
+        # the hull bounds every member file's own stats range
+        for f in member:
+            fmin, fmax = m["file_stats"][f]["k"]
+            assert lo <= fmin and fmax <= hi
+
+
+def test_whole_groups_skipped_in_o_roots(spark, table):
+    """A narrow probe on a commit-clustered table drops most ROOTS at
+    level 1: per-file checks run only for the surviving root's members,
+    and the surviving file set equals the pure per-file walk (existing
+    pruned_file_count tests) and the full filter read."""
+    n_commits = 12
+    for i in range(n_commits):
+        _commit_range(spark, table, i * 100, (i + 1) * 100)
+    info = table.scan_plan_info([("k", 450, 470)])
+    assert info["groups_total"] == n_commits
+    # every root except the [400,500) commit is provably disjoint
+    assert info["groups_skipped"] == n_commits - 1
+    # driver work bound: per-file checks touched ONE root's files only
+    assert info["file_checks"] == info["files_total"] / n_commits
+    assert info["files_scanned"] <= info["file_checks"]
+    got = sorted(r.k for r in table.read_where("k", 450, 470).collect())
+    want = sorted(
+        r.k
+        for r in table.read()
+        .filter((F.col("k") >= 450) & (F.col("k") <= 470))
+        .collect()
+    )
+    assert got == want == list(range(450, 471))
+
+
+def test_transform_path_groups_skip_without_column_stats(spark, table):
+    """Level 1 also prunes on the per-root transform-path hulls: a
+    days(ts)-partitioned table with NO column stats still drops whole
+    roots whose day range is disjoint from the probe."""
+    import datetime as dt
+
+    def day(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+
+    rows = lambda lo, hi: [(i, day(i)) for i in range(lo, hi)]  # noqa: E731
+    table.commit(
+        spark.createDataFrame(rows(0, 5), "id long, ts timestamp"),
+        partition_by=["days(ts)"],
+    )
+    for lo in (5, 10, 15):
+        table.commit(
+            spark.createDataFrame(rows(lo, lo + 5), "id long, ts timestamp")
+        )
+    m = _m(table)
+    assert not m.get("file_stats")  # nothing but the path to prune on
+    for g in m["group_stats"].values():
+        assert "ts_day" in g["paths"]
+    info = table.scan_plan_info([("ts", day(16), day(18))])
+    assert info["groups_total"] == 4
+    assert info["groups_skipped"] == 3
+    got = sorted(r.id for r in table.read_where("ts", day(16), day(18)).collect())
+    assert got == [16, 17, 18]
+
+
+def test_statless_member_bars_group_skip(spark, table):
+    """A root holding any stat-less file can never be wholly skipped on
+    column stats (unknown ⇒ must read): the group carries no hull for
+    that column and its members fall through to the per-file rule."""
+    table.commit(  # first root: NO stats (no sort, no stats_cols)
+        spark.range(100, 200)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(3),
+    )
+    _commit_range(spark, table, 0, 100)  # second root: stats on k
+    m = _m(table)
+    statless = [f for f in m["files"] if "k" not in m["file_stats"].get(f, {})]
+    assert statless  # the second commit's files
+    info = table.scan_plan_info([("k", 5000, 6000)])
+    # first root drops at level 1; the stat-less root survives to
+    # level 2 where its files are kept (unknown ⇒ must read)
+    assert info["groups_skipped"] == 1
+    assert info["files_scanned"] == len(statless)
+    assert table.read_where("k", 5000, 6000).count() == 0
+
+
+def test_pre_feature_manifest_falls_through(spark, table):
+    """A manifest without ``group_stats`` (older version in the chain /
+    time travel) plans per-file exactly as before — same surviving set,
+    zero group skips claimed."""
+    for i in range(4):
+        _commit_range(spark, table, i * 100, (i + 1) * 100)
+    before = table.pruned_file_count("k", 150, 160)
+    mpath = os.path.join(
+        table.snap_dir, f"v{table.current_version():08d}.json"
+    )
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["group_stats"]
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    info = table.scan_plan_info([("k", 150, 160)])
+    assert info["groups_skipped"] == 0
+    assert (info["files_scanned"], info["files_total"]) == before
+    assert table.read_where("k", 150, 160).count() == 11
+
+
+def test_conjunctive_probe_group_skip(spark, table):
+    """read_where_all: a root drops at level 1 when ANY probe's hull is
+    disjoint — the conjunctive z-order payoff at manifest granularity."""
+    for i in range(6):
+        df = (
+            spark.range(i * 100, (i + 1) * 100)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("g"),
+                (F.col("id") * 3).alias("v"),
+            )
+            .repartition(2)
+        )
+        table.commit(df, zorder_by=["k", "v"], stats_cols=["k", "v"])
+    probes = [("k", 210, 260), ("v", 630, 780)]
+    info = table.scan_plan_info(probes)
+    assert info["groups_skipped"] >= 4
+    got = sorted(r.k for r in table.read_where_all(probes).collect())
+    want = sorted(
+        r.k
+        for r in table.read()
+        .filter(
+            (F.col("k") >= 210)
+            & (F.col("k") <= 260)
+            & (F.col("v") >= 630)
+            & (F.col("v") <= 780)
+        )
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_independent_planner_agrees_on_many_group_table(spark, table):
+    """The test-side Iceberg planner (published metadata only, its own
+    transform code) and the engine's two-level planner keep the same
+    day partitions on a many-root transform table — the group level
+    changes WHERE the engine prunes, never WHAT survives."""
+    import datetime as dt
+    import threading
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.iceberg_planner import plan_files_pruned
+    from tests.test_catalog_rest import MockCatalog
+
+    def day(i):
+        return dt.datetime(2024, 3, 1) + dt.timedelta(days=i)
+
+    table.commit(
+        spark.createDataFrame(
+            [(i, day(i)) for i in range(4)], "id long, ts timestamp"
+        ),
+        partition_by=["days(ts)"],
+    )
+    for lo in (4, 8):
+        table.commit(
+            spark.createDataFrame(
+                [(i, day(i)) for i in range(lo, lo + 4)],
+                "id long, ts timestamp",
+            )
+        )
+    info = table.scan_plan_info([("ts", day(9), None)])
+    assert info["groups_skipped"] >= 2
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("mp", "t", table)
+        meta = cat.load_table("mp", "t")["metadata"]
+        cur = meta["current-snapshot-id"]
+        ml = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )["manifest-list"]
+        kept, total = plan_files_pruned(ml, meta, ("ts", ">=", day(9)))
+        import pyarrow.parquet as pq
+
+        external_ids = sorted(
+            int(i)
+            for d in kept
+            for i in pq.read_table(d["file_path"]).to_pandas()["id"]
+            if i >= 9
+        )
+        engine_ids = sorted(
+            r.id for r in table.read_where("ts", day(9), None).collect()
+        )
+        assert external_ids == engine_ids == list(range(9, 12))
+    finally:
+        srv.shutdown()

@@ -132,16 +132,82 @@ def test_statement_write_ordered_by(spark, table):
     assert _m(table)["sort_by"] == []
 
 
-def test_statement_desc_refused(spark, table):
+def test_statement_desc_nulls_last_round_trip(spark, table):
+    """r14 (VERDICT r13 #5): DESC / NULLS LAST write orders end to end —
+    parsed from the statement, canonicalized Iceberg-style (ASC defaults
+    NULLS FIRST, DESC defaults NULLS LAST, defaults elided), stored in
+    the manifest, honored by the clustered write."""
+    table.commit(_df(spark, 0, 1000))
+    out = sql_stmt(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY (k DESC, g ASC NULLS LAST)",
+        {"t": table},
+    ).collect()
+    assert out[0].operation == "set-write-order"
+    assert _m(table)["sort_by"] == ["k DESC", "g NULLS LAST"]
+    # the non-default null placements survive; defaults are elided
+    sql_stmt(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY (k DESC NULLS FIRST, g asc)",
+        {"t": table},
+    )
+    assert _m(table)["sort_by"] == ["k DESC NULLS FIRST", "g"]
+    # idempotent through a different spelling of the same canonical order
+    v = table.current_version()
+    sql_stmt(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY (k desc nulls first, g ASC NULLS FIRST)",
+        {"t": table},
+    )
+    assert table.current_version() == v
+
+
+def test_desc_order_clusters_and_prunes(spark, table):
+    """A DESC order range-partitions descending — per-file hulls are
+    still disjoint, so file-skipping (direction-agnostic [min,max]
+    stats) prunes exactly as for ASC, and each file's rows really are
+    non-increasing on the sort column."""
+    table.commit(_df(spark, 0, 2000))
+    table.set_write_order(sort_by=["k DESC"])
+    before = sorted(r.k for r in table.read().collect())
+    table.rewrite_clustered()
+    assert sorted(r.k for r in table.read().collect()) == before
+    kept, total = table.pruned_file_count("k", lo=100, hi=200)
+    assert kept < total
+    m = _m(table)
+    for f in m["files"]:
+        ks = [r.k for r in spark.read.parquet(f).select("k").collect()]
+        assert ks == sorted(ks, reverse=True), f"{f} not descending"
+
+
+def test_desc_refused_for_zorder(spark, table):
+    """Z-order clustering has no per-column direction (the Morton
+    interleave is symmetric) — direction keywords refuse rather than
+    silently dropping."""
     table.commit(_df(spark, 0, 100))
-    with pytest.raises(ValueError, match="ASC NULLS FIRST"):
-        sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY (k DESC)", {"t": table})
-    with pytest.raises(ValueError, match="ASC NULLS FIRST"):
+    with pytest.raises(ValueError, match="no per-column direction"):
+        sql_stmt(spark, "OPTIMIZE t ZORDER BY (k DESC)", {"t": table})
+    with pytest.raises(ValueError, match="no per-column direction"):
         sql_stmt(
             spark,
-            "ALTER TABLE t WRITE ORDERED BY (k NULLS LAST)",
+            "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+            "sort_order => 'zorder(k NULLS LAST)')",
             {"t": table},
         )
+
+
+def test_desc_order_guards_still_name_based(spark, tmp_path):
+    """Schema validation, duplicate detection, and the identity-
+    partition guard all key on the SOURCE column name, not the spelled
+    sort field."""
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.commit(_df(spark, 0, 100), partition_by=["g"])
+    with pytest.raises(ValueError, match="not columns of the table"):
+        t.set_write_order(sort_by=["nope DESC"])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.set_write_order(sort_by=["k DESC", "k"])
+    with pytest.raises(ValueError, match="identity partition fields"):
+        t.set_write_order(sort_by=["g DESC"])
 
 
 def test_statement_optimize_zorder(spark, table):
