@@ -367,6 +367,11 @@ def _tier(name: str) -> tuple[int, int]:
         # non-empty AND pending files remain, hash-compared vs the plain
         # filter so every intermediate version answers identically
         "snapshot_partial_rewrite_read",
+        # r14 addition (oracle-gated in pytest; below the window):
+        # SemDeDup-style cluster-bounded embedding dedup with a fixed
+        # portable codebook — the scale path whose exact all-pairs
+        # baseline is the window's dedup_embedding_cosine
+        "dedup_semantic_portable",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

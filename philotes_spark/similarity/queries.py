@@ -1583,3 +1583,169 @@ def sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "dedup_semantic_portable",
+    oracle=f"""
+    WITH {_ELEMS},
+    qelems AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM idx
+    ),
+    celems AS (  -- fixed codebook: vec_ids 10..17 are clusters 0..7
+        SELECT vec_id - 10 AS cl, i, xq AS cq
+        FROM qelems WHERE vec_id BETWEEN 10 AND 17
+    ),
+    cnorm AS (
+        SELECT cl, SUM(cq * cq) AS n2 FROM celems GROUP BY cl
+    ),
+    dots_c AS (
+        SELECT e.vec_id, c.cl, SUM(e.xq * c.cq) AS dp
+        FROM qelems e JOIN celems c ON c.i = e.i
+        GROUP BY e.vec_id, c.cl
+    ),
+    scored AS (  -- L2 assignment: argmin |x-c|^2 = argmin n2 - 2*dp
+        SELECT d.vec_id, d.cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY cn.n2 - 2 * d.dp ASC, d.cl DESC) AS rnk
+        FROM dots_c d JOIN cnorm cn ON cn.cl = d.cl
+    ),
+    assign AS (SELECT vec_id, cl FROM scored WHERE rnk = 1),
+    dots AS (  -- pairs WITHIN a cluster only (the SemDeDup bound)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               SUM(ea.x * eb.x) AS dp
+        FROM assign a
+        JOIN assign b ON b.cl = a.cl AND b.vec_id > a.vec_id
+        JOIN elems ea ON ea.vec_id = a.vec_id
+        JOIN elems eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pairs AS (
+        SELECT vec_a, vec_b FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dp / (na.nrm * nb.nrm) >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cl AS INT) AS cluster,
+           COALESCE(MIN(p.vec_a), a.vec_id) AS canonical_id,
+           MIN(p.vec_a) IS NOT NULL AS is_duplicate
+    FROM assign a LEFT JOIN pairs p ON p.vec_b = a.vec_id
+    GROUP BY a.vec_id, a.cl
+    """,
+)
+def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, every primitive portable (r14):
+    cluster the embeddings, then canonicalize near-duplicates WITHIN
+    each cluster only — the construction that makes embedding dedup
+    tractable at 100 TB, where ``dedup_embedding_cosine``'s exact
+    all-pairs baseline is O(n²). The codebook is FIXED (vec_ids 10..17
+    are clusters 0..7), assignment is integer-quantized L2 (argmin
+    |x−c|² = argmin n2−2·dp, ties to the higher cluster — the same
+    arithmetic the IVF portable twin pins), and within-cluster pairs
+    canonicalize by smallest near-duplicate id (cos ≥ 0.35, the
+    fixture-tuned threshold dedup_embedding_cosine uses), so the hash
+    compare proves assignment + cluster-bounded pairing + keep/drop
+    end to end. Cross-cluster near-dups are deliberately NOT found —
+    SemDeDup's recall trade for the per-cluster c² bound (at scale:
+    pair work is Σ cᵢ², bounded by sizing K so clusters stay small;
+    the pair join is equi on cluster id, never cartesian).
+
+    Scale shape: assignment is one projection over a broadcast 8-row
+    codebook + a per-id argmin window; pair generation shuffles once
+    on cluster id; canonicalization is a groupBy-min + left join —
+    the production variant swaps the fixed codebook for k-means
+    centroids (similarity/ivf.py) with identical downstream plan."""
+    from pyspark.sql import Window
+
+    from philotes_spark.similarity.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        v.alias("v"),
+        vq.alias("vq"),
+        l2_norm(v).alias("nrm"),
+    )
+    # bounded driver collect (8 rows): the fixed codebook, quantized
+    crows = (
+        base.filter((F.col("id") >= 10) & (F.col("id") <= 17))
+        .select("id", "vq")
+        .collect()
+    )
+    cents = sorted((int(r.id) - 10, [int(x) for x in r.vq]) for r in crows)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cl).alias("cl"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(sum(x * x for x in cv)).alias("n2"),
+            )
+            for cl, cv in cents
+        ]
+    )
+    per = base.select(
+        "id", "v", "nrm", "vq", F.explode(cent_arr).alias("c")
+    ).select(
+        "id",
+        "v",
+        "nrm",
+        F.col("c.cl").alias("cluster"),
+        (
+            F.col("c.n2")
+            - 2
+            * F.aggregate(
+                F.zip_with(F.col("vq"), F.col("c.cv"), lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )
+    wc = Window.partitionBy("id").orderBy(F.asc("score"), F.desc("cluster"))
+    assign = (
+        per.select(
+            "id", "v", "nrm", "cluster", F.row_number().over(wc).alias("rnk")
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    a = assign.select(
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    b = assign.select(
+        F.col("id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_b") > F.col("vec_a"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 0.35
+        )
+        .select("vec_a", "vec_b")
+    )
+    canon = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("min_dup")
+    )
+    return (
+        assign.select(F.col("id").alias("vec_id"), "cluster")
+        .join(canon, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(F.col("min_dup"), F.col("vec_id")).alias(
+                "canonical_id"
+            ),
+            F.col("min_dup").isNotNull().alias("is_duplicate"),
+        )
+    )
