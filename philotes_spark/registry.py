@@ -372,6 +372,12 @@ def _tier(name: str) -> tuple[int, int]:
         # portable codebook — the scale path whose exact all-pairs
         # baseline is the window's dedup_embedding_cosine
         "dedup_semantic_portable",
+        # r14 addition (oracle-gated in pytest; below the window): the
+        # $manifests metadata table — per-root file counts + the field
+        # summary hulls level-1 scan planning prunes with, hash-compared
+        # against hulls recomputed from the source table (the
+        # no-over-prune invariant)
+        "snapshot_manifests_meta",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1664,3 +1664,62 @@ def snapshot_partial_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_manifests_meta",
+    oracle="""
+    WITH slices AS (
+        SELECT 0 AS sl UNION ALL SELECT 1 UNION ALL SELECT 2
+    ),
+    hulls AS (
+        SELECT s.sl, CAST(1 AS INT) AS n_files, s.sl = 2 AS clustered,
+               'event_id' AS field,
+               CAST(MIN(e.event_id) AS VARCHAR) AS lo,
+               CAST(MAX(e.event_id) AS VARCHAR) AS hi
+        FROM events e JOIN slices s ON e.event_id % 3 = s.sl
+        GROUP BY s.sl
+    )
+    SELECT n_files, clustered, field, lo, hi FROM hulls ORDER BY lo, hi
+    """,
+)
+def snapshot_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$manifests`` metadata table under the oracle gate (r14):
+    three one-file commits of known event slices (the third clustered,
+    so the ``clustered_roots`` resume marker surfaces), then the
+    manifest-level view read through the SQL surface — per-root file
+    counts and the event_id field-summary hulls that two-level scan
+    planning prunes with. The oracle recomputes each slice's hull
+    straight from the source table, so the hash compare proves the
+    commit-time group summaries describe the data files truthfully —
+    the exact invariant level-1 pruning's correctness rests on (a hull
+    narrower than the data would over-prune; wider never wrong)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        for sl in range(3):
+            tbl.commit(
+                ev.filter(F.col("event_id") % 3 == sl).coalesce(1),
+                stats_cols=["event_id"],
+                sort_by=["event_id"] if sl == 2 else None,
+            )
+        out = sql_stmt(
+            spark,
+            'SELECT n_files, clustered, s.field AS field, '
+            's.lower AS lo, s.upper AS hi '
+            'FROM "t$manifests" LATERAL VIEW explode(summaries) exp AS s '
+            "WHERE s.field = 'event_id' ORDER BY lo, hi",
+            {"t": tbl},
+        )
+        rows = out.collect()
+        assert len(rows) == 3 and all(r.n_files == 1 for r in rows), rows
+        return spark.createDataFrame(
+            rows, out.schema
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -2623,6 +2623,64 @@ class SnapshotTable:
             rows, "partition string, file_count int, size_bytes long"
         )
 
+    def manifests(self, version: int | None = None) -> DataFrame:
+        """≙ Iceberg's ``t$manifests`` metadata table, at the engine's
+        manifest granularity (one staged root per commit): file count,
+        byte total, the root's partition spec id, whether the root is
+        clustered under the current write order (the partial-progress
+        rewrite's resume marker), and the per-root field summaries —
+        the column-stat hulls and transform-path hulls two-level scan
+        planning prunes with (``group_stats``, the manifest-list
+        field-summary analogue), rendered as (field, lower, upper)
+        strings like Iceberg's partition_summaries. Metadata-only: no
+        data read; pre-``group_stats`` manifests (time travel) get
+        their summaries recomputed from the same per-file stats."""
+        m = self._resolve(version)
+        gs = m.get("group_stats")
+        if gs is None:
+            gs = _group_summaries(
+                self.data_dir,
+                m["files"],
+                m.get("file_stats", {}),
+                m.get("stats_cols") or [],
+                self._root_fields(m),
+            )
+        default = int(m.get("default_spec_id", 0))
+        root_specs = m.get("root_specs") or {}
+        clustered = set(m.get("clustered_roots") or [])
+        rows = []
+        for root, fs in sorted(
+            _group_files_by_root(self.data_dir, m["files"]).items()
+        ):
+            rel = os.path.relpath(root, self.data_dir)
+            g = gs.get(rel) or {}
+            summaries = sorted(
+                [
+                    (c, str(lo), str(hi))
+                    for c, (lo, hi) in (g.get("cols") or {}).items()
+                ]
+                + [
+                    (name, str(p[0]), str(p[1]))
+                    for name, p in (g.get("paths") or {}).items()
+                ]
+            )
+            rows.append(
+                (
+                    rel,
+                    int(root_specs.get(rel, default)),
+                    len(fs),
+                    sum(os.path.getsize(f) for f in fs),
+                    rel in clustered,
+                    summaries,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "root string, spec_id int, n_files int, size_bytes long, "
+            "clustered boolean, "
+            "summaries array<struct<field:string,lower:string,upper:string>>",
+        )
+
     def partition_specs(self, version: int | None = None) -> DataFrame:
         """≙ Iceberg's spec history (`t$partition_specs`): every layout
         the table ever defaulted, with its stable spec id, the current

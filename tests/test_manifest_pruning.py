@@ -254,3 +254,69 @@ def test_independent_planner_agrees_on_many_group_table(spark, table):
         assert external_ids == engine_ids == list(range(9, 12))
     finally:
         srv.shutdown()
+
+
+def test_manifests_metadata_table(spark, table):
+    """``$manifests`` renders the group summaries: one row per staged
+    root with the file count, byte total, clustered marker, and the
+    (field, lower, upper) hulls level-1 planning prunes with —
+    including transform-path fields; a pre-``group_stats`` manifest
+    (time travel) recomputes them from the same per-file stats."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    _commit_range(spark, table, 0, 100)
+    _commit_range(spark, table, 100, 200)
+    out = table.manifests().collect()
+    assert len(out) == 2 and all(r.spec_id == 0 for r in out)
+    # commit() with sort_by marks the staged root clustered
+    assert [r.clustered for r in out] == [True, True]
+    hulls = sorted(
+        (s.lower, s.upper)
+        for r in out
+        for s in r.summaries
+        if s.field == "k"
+    )
+    assert hulls == [("0", "99"), ("100", "199")]
+    assert all(r.n_files >= 1 and r.size_bytes > 0 for r in out)
+
+    # SQL surface: "t$manifests" routes like every other metadata table
+    n = sql_stmt(
+        spark, 'SELECT COUNT(*) AS n FROM "t$manifests"', {"t": table}
+    ).collect()[0].n
+    assert n == 2
+
+    # pre-feature manifest: summaries recomputed, not absent
+    mpath = os.path.join(
+        table.snap_dir, f"v{table.current_version():08d}.json"
+    )
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["group_stats"]
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    again = sorted(
+        (s.lower, s.upper)
+        for r in table.manifests().collect()
+        for s in r.summaries
+        if s.field == "k"
+    )
+    assert again == hulls
+
+
+def test_manifests_transform_path_summaries(spark, tmp_path):
+    """A root written under a transform spec surfaces its PATH hull
+    (e.g. ``g_bucket``) in $manifests — the same bound bucket-equality
+    pruning uses."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    df = (
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+        .coalesce(1)
+    )
+    t.commit(df, partition_by=["bucket(4, g)"], stats_cols=["k"])
+    rows = t.manifests().collect()
+    fields = {s.field for r in rows for s in r.summaries}
+    assert "g_bucket" in fields and "k" in fields
