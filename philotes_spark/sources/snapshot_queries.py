@@ -1639,11 +1639,15 @@ def snapshot_partial_rewrite_read(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         tabs = {"t": tbl}
         sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY user_id", tabs)
+        # one-file groups make the mid-rewrite state SF-independent:
+        # 9 files → 9 groups at every fixture scale, so max_groups => 1
+        # always leaves 8 files pending (a byte threshold would let a
+        # small fixture fit one group and finish the whole table)
         sql_stmt(
             spark,
             "CALL rewrite_data_files(table => 't', strategy => 'sort', "
             "partial_progress => true, "
-            "max_file_group_size_bytes => 32768, max_groups => 1)",
+            "max_file_group_size_bytes => 1, max_groups => 1)",
             tabs,
         )
         m = tbl._load(f"v{tbl.current_version():08d}.json")
