@@ -3224,6 +3224,7 @@ class SnapshotTable:
         partial_progress: bool = False,
         file_group_bytes: int = 256 << 20,
         max_groups: int | None = None,
+        probes: list[tuple] | None = None,
     ) -> int:
         """Clustered rewrite of the data files by the table's CURRENT
         write order (Iceberg ``rewrite_data_files`` with the sort
@@ -3270,6 +3271,12 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
         if not partial_progress:
+            if probes:
+                raise ValueError(
+                    "a scoped (where-filtered) rewrite is group-wise by "
+                    "construction — pass partial_progress=True (one "
+                    "commit: also raise file_group_bytes)"
+                )
             # _compact_migrate_specs always writes a new manifest (a
             # full rewrite is never a no-op commit), so its version is
             # the answer (ADVICE r13 #4: None fallback was dead code)
@@ -3299,6 +3306,18 @@ class SnapshotTable:
             if os.path.relpath(f, self.data_dir).split(os.sep)[0]
             not in done
         ]
+        if probes:
+            # scoped rewrite (Iceberg rewrite_data_files `where`):
+            # restrict to files the filter MAY touch, via the same
+            # two-level planner the read path prunes with. Conservative
+            # by construction at file granularity — a stats-less or
+            # maybe-matching file IS rewritten (over-inclusion costs a
+            # redundant rewrite, never a missed one), a provably
+            # disjoint file is left alone. The targeted-recluster lever
+            # for hot partitions of a 100 TB table: cost follows the
+            # filter's selectivity, not the table.
+            scope = set(self._plan_files(m, probes)[0])
+            pending = [f for f in pending if f in scope]
         if not pending:
             return parent
         # greedy size-packed file groups (driver-side metadata only)

@@ -390,6 +390,95 @@ def _parse_write_order_cols(
     return cols
 
 
+_WHERE_PROBE_RE = re.compile(
+    r"^\s*(\w+)\s*(>=|<=|>|<|=)\s*"
+    r"((?:DATE|TIMESTAMP)\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+_WHERE_BETWEEN_RE = re.compile(
+    r"^\s*(\w+)\s+BETWEEN\s+"
+    r"((?:DATE|TIMESTAMP)\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"((?:DATE|TIMESTAMP)\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _where_lit(s: str):
+    """A scoped-rewrite filter literal: number, 'string', DATE '...',
+    TIMESTAMP '...' (the types file stats carry)."""
+    import datetime as dt
+
+    s = s.strip()
+    m = re.fullmatch(r"(DATE|TIMESTAMP)\s*'([^']*)'", s, re.IGNORECASE)
+    if m:
+        kind, v = m.group(1).upper(), m.group(2)
+        return (
+            dt.date.fromisoformat(v)
+            if kind == "DATE"
+            else dt.datetime.fromisoformat(v)
+        )
+    if s.startswith("'"):
+        return s[1:-1]
+    return float(s) if "." in s else int(s)
+
+
+def _parse_where_probes(body: str) -> list[tuple]:
+    """Parse a scoped-rewrite ``where`` into the conjunctive
+    ``(col, lo, hi)`` probes scan planning prunes with. Supported:
+    ``col >=|>|<=|<|= lit`` and ``col BETWEEN a AND b``, AND-joined —
+    the file-granular scope filter of Iceberg's ``rewrite_data_files``.
+    Strict bounds select files as their inclusive counterparts (file
+    selection is conservative: a boundary-touching file rewrites, which
+    is allowed — whole files rewrite either way). Anything else (OR,
+    functions, !=) refuses loudly rather than silently widening the
+    scope to the whole table."""
+    # split on AND, re-merging the AND that belongs to a BETWEEN
+    raw = re.split(r"\bAND\b", body, flags=re.IGNORECASE)
+    conjs: list[str] = []
+    i = 0
+    while i < len(raw):
+        p = raw[i]
+        if (
+            re.match(r"^\s*\w+\s+BETWEEN\s+", p, re.IGNORECASE)
+            and i + 1 < len(raw)
+        ):
+            p = p + " AND " + raw[i + 1]
+            i += 2
+        else:
+            i += 1
+        conjs.append(p)
+    probes: dict[str, list] = {}
+    for conj in conjs:
+        mb = _WHERE_BETWEEN_RE.match(conj)
+        if mb:
+            col, lo, hi = mb.group(1), _where_lit(mb.group(2)), _where_lit(
+                mb.group(3)
+            )
+            cur = probes.setdefault(col, [None, None])
+            cur[0] = lo if cur[0] is None else max(cur[0], lo)
+            cur[1] = hi if cur[1] is None else min(cur[1], hi)
+            continue
+        mp = _WHERE_PROBE_RE.match(conj)
+        if not mp:
+            raise ValueError(
+                f"rewrite_data_files where: unsupported conjunct "
+                f"{conj.strip()!r} — use col >=|>|<=|<|= literal, "
+                "col BETWEEN a AND b, AND-joined"
+            )
+        col, op, lit = mp.group(1), mp.group(2), _where_lit(mp.group(3))
+        cur = probes.setdefault(col, [None, None])
+        if op in (">=", ">"):
+            cur[0] = lit if cur[0] is None else max(cur[0], lit)
+        elif op in ("<=", "<"):
+            cur[1] = lit if cur[1] is None else min(cur[1], lit)
+        else:  # =
+            cur[0] = lit if cur[0] is None else max(cur[0], lit)
+            cur[1] = lit if cur[1] is None else min(cur[1], lit)
+    if not probes:
+        raise ValueError("rewrite_data_files where: empty filter")
+    return [(col, lo, hi) for col, (lo, hi) in sorted(probes.items())]
+
+
 _DML_GRAMMAR = """supported DML statement shapes on snapshot tables:
   INSERT INTO t [(col, ...)] SELECT ... | VALUES ...   (column names may
     be bare, `backtick`- or "double"-quoted, or qualified t.col)
@@ -1090,9 +1179,13 @@ def sql(
             # each, max_groups per call) — every intermediate version a
             # valid table, crash-resumable via the manifest's
             # clustered_roots marker
+            # where => 'col >= lit AND ...' scopes the partial-progress
+            # sort rewrite to the files the filter may touch (Iceberg's
+            # rewrite_data_files where) — targeted recluster of hot
+            # partitions, cost follows selectivity not table size
             "rewrite_data_files": (
                 "table", "strategy", "sort_order", "partial_progress",
-                "max_file_group_size_bytes", "max_groups",
+                "max_file_group_size_bytes", "max_groups", "where",
             ),
             "compact_deltas": ("table",),
             # orphan sweep alone — drops no manifest, so published
@@ -1174,6 +1267,13 @@ def sql(
                         "compaction is already incremental per "
                         "partition)"
                     )
+                if args.get("where") is not None and not partial:
+                    raise ValueError(
+                        "CALL rewrite_data_files: where => '...' scopes "
+                        "the group-wise rewrite — pass partial_progress "
+                        "=> true (one commit: also raise "
+                        "max_file_group_size_bytes)"
+                    )
                 if strategy == "binpack" and order is None:
                     out = tbl.compact()
                     v = out if out is not None else tbl.current_version()
@@ -1221,6 +1321,10 @@ def sql(
                             )
                         if args.get("max_groups") is not None:
                             kw["max_groups"] = int(args["max_groups"])
+                        if args.get("where") is not None:
+                            kw["probes"] = _parse_where_probes(
+                                str(args["where"])
+                            )
                         v = tbl.rewrite_clustered(
                             partial_progress=True, **kw
                         )

@@ -272,3 +272,88 @@ def test_call_statement_partial_progress(spark, table):
             "partial_progress => true)",
             {"t": table},
         )
+
+
+def test_where_scopes_partial_rewrite(spark, table):
+    """r14: ``where`` (Iceberg rewrite_data_files' scope filter)
+    restricts the group-wise rewrite to the files the filter may touch
+    — the targeted-recluster lever: cost follows selectivity, not
+    table size. File-granular and conservative: stats-pruned-out files
+    are untouched, stats-less files rewrite (unknown may match)."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    table.commit(_df(spark, 0, 400), stats_cols=["k"])
+    table.commit(_df(spark, 400, 800), stats_cols=["k"])
+    table.commit(_df(spark, 800, 1200), stats_cols=["k"])
+    table.set_write_order(sort_by=["k"])
+    before = _rows(table)
+    untouched = {
+        f for f in _m(table)["files"]
+        if not (0 <= min(r.k for r in spark.read.parquet(f).collect()) < 400)
+    }
+
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+        "partial_progress => true, where => 'k <= 399')",
+        {"t": table},
+    )
+    m = _m(table)
+    assert m["operation"] == "rewrite-group"
+    assert _rows(table) == before
+    # out-of-scope files carried by reference, byte-identical paths
+    assert untouched <= set(m["files"])
+    # exactly one root (the k<=399 group) is clustered; the rest pend
+    pending = [
+        f for f in m["files"]
+        if os.path.relpath(f, table.data_dir).split(os.sep)[0]
+        not in set(m["clustered_roots"])
+    ]
+    assert set(m["clustered_roots"]) and pending
+    # an unscoped partial pass finishes the remainder
+    table.rewrite_clustered(partial_progress=True)
+    assert _rows(table) == before
+
+
+def test_where_statless_files_stay_in_scope(spark, table):
+    """A commit with NO column stats cannot be proven disjoint from the
+    filter, so its files rewrite — over-inclusion is allowed, a missed
+    file is not."""
+    table.commit(_df(spark, 0, 100))  # no stats
+    table.set_write_order(sort_by=["k"])
+    files_before = set(_m(table)["files"])
+    v = table.rewrite_clustered(
+        partial_progress=True, probes=[("k", 5000, 9000)]
+    )
+    assert v == table.current_version()
+    assert _m(table)["operation"] == "rewrite-group"
+    assert not (files_before & set(_m(table)["files"]))
+
+
+def test_where_parse_and_refusals(spark, table):
+    from philotes_spark.sql_frontend import _parse_where_probes
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    assert _parse_where_probes("k >= 5 AND k <= 10") == [("k", 5, 10)]
+    assert _parse_where_probes("k BETWEEN 5 AND 10") == [("k", 5, 10)]
+    assert _parse_where_probes("g = 3 AND k > 1.5") == [
+        ("g", 3, 3), ("k", 1.5, None),
+    ]
+    import datetime as dt
+
+    assert _parse_where_probes("d >= DATE '2024-01-02'") == [
+        ("d", dt.date(2024, 1, 2), None)
+    ]
+    with pytest.raises(ValueError, match="unsupported conjunct"):
+        _parse_where_probes("k = 1 OR k = 2")
+    with pytest.raises(ValueError, match="unsupported conjunct"):
+        _parse_where_probes("abs(k) > 1")
+
+    table.commit(_df(spark, 0, 100))
+    with pytest.raises(ValueError, match="partial_progress"):
+        sql_stmt(
+            spark,
+            "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+            "sort_order => 'k', where => 'k <= 10')",
+            {"t": table},
+        )
