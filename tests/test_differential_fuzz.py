@@ -1741,9 +1741,19 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
             # interleavings (its pending-MoR-delta refusal is part of
             # the fuzzed surface: the executor applies the named
             # remedy, exactly as a real operator would)
-            ops.append(
-                ("recluster", rng.choice(["zorder", "sort", "partial"]))
+            mode = rng.choice(["zorder", "sort", "partial", "partial"])
+            # r14: the scoped (where-filtered) partial rewrite joins —
+            # file-granular scope selection must stay row-invisible to
+            # the mirror through arbitrary interleavings
+            where = (
+                rng.choice(
+                    [None, "k <= 500000",
+                     "k BETWEEN 3000000 AND 3400000"]
+                )
+                if mode == "partial"
+                else None
             )
+            ops.append(("recluster", mode, where))
         elif kind == "mor_delete":
             ops.append(("mor_delete", rng.choice([5, 7, 9]),
                         rng.randint(0, 4)))
@@ -1775,6 +1785,14 @@ def test_family13_op_coverage():
     assert kinds.get("recluster", 0) >= 5, kinds
     # r14: the partial-progress mode is genuinely drawn, not just pooled
     assert recluster_modes.get("partial", 0) >= 3, recluster_modes
+    # ... and at least one draw carries a where scope
+    scoped = sum(
+        1
+        for seed in range(1300, 1320)
+        for op in _gen_spec_evolution(seed)
+        if op[0] == "recluster" and op[1] == "partial" and op[2]
+    )
+    assert scoped >= 1, "no scoped partial rewrite drawn"
     for k in ("append", "evolve", "mor_delete", "mor_upsert",
               "cow_merge", "compact"):
         assert kinds.get(k, 0) >= 3, (k, kinds)
@@ -2003,6 +2021,8 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                         ", partial_progress => true, "
                         "max_file_group_size_bytes => 65536"
                     )
+                    if op[2]:
+                        stmt += f", where => '{op[2]}'"
                 for _attempt in range(2):
                     try:
                         _stmt_sql(spark, stmt + ")", {"t": tbl})

@@ -629,3 +629,12 @@ def test_schema_op_read_adds_no_shuffle(spark, tmp_path):
     t.alter_drop_column("w")
     after = count_shuffles(t.read())
     assert after == before == 0
+
+
+def test_dedup_semantic_portable_no_cartesian(plan_of):
+    """SemDeDup's pair stage must stay an EQUI-join on cluster id —
+    cluster-bounded pair generation is the operator's entire scale
+    claim; a cartesian here is the O(n²) it exists to avoid."""
+    a = plan_of("dedup_semantic_portable")
+    assert "CartesianProduct" not in a.plan
+    assert "BroadcastNestedLoopJoin" not in a.plan
