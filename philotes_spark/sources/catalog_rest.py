@@ -629,16 +629,24 @@ class RestCatalog:
         if sort_by:
             # Iceberg REST create-table write-order: the clustered-commit
             # sort (SnapshotTable.commit(sort_by=...)) published so
-            # external writers keep the same clustering, direction and
-            # null placement included (r14)
-            from philotes_spark.sources.transforms import parse_sort_spec
+            # external writers keep the same clustering — direction,
+            # null placement, and transform included (r14)
+            from philotes_spark.sources.transforms import (
+                parse_part_field,
+                parse_sort_spec,
+                rest_transform,
+            )
 
             req["write-order"] = {
                 "order-id": 1,
                 "fields": [
                     {
-                        "transform": "identity",
-                        "source-id": field_id[sf.name],
+                        "transform": rest_transform(
+                            parse_part_field(sf.name)
+                        ),
+                        "source-id": field_id[
+                            parse_part_field(sf.name).source
+                        ],
                         "direction": "asc" if sf.asc else "desc",
                         "null-order": (
                             "nulls-first" if sf.nulls_first else "nulls-last"
@@ -1167,7 +1175,11 @@ class RestCatalog:
         # Updates ride after the schema updates so a just-added sort
         # column's source-id resolves (same rule as add-spec).
         if not created and is_newest:
-            from philotes_spark.sources.transforms import parse_sort_spec
+            from philotes_spark.sources.transforms import (
+                parse_part_field,
+                parse_sort_spec,
+                rest_transform,
+            )
 
             desired = list(manifest.get("sort_by") or [])
             orders = meta_now.get("sort-orders") or [
@@ -1175,21 +1187,26 @@ class RestCatalog:
             ]
             served_order = meta_now.get("default-sort-order-id", 0)
             fid = {f["name"]: f["id"] for f in rest_schema["fields"]}
-            want = [
-                {
-                    "transform": "identity",
-                    "source-id": fid[sf.name],
-                    # r14: direction / null placement ride the manifest's
-                    # compact sort-field strings into the served order —
-                    # external writers follow DESC / NULLS LAST exactly
-                    "direction": "asc" if sf.asc else "desc",
-                    "null-order": (
-                        "nulls-first" if sf.nulls_first else "nulls-last"
-                    ),
-                }
-                for sf in parse_sort_spec(desired)
-                if sf.name in fid
-            ]
+            want = []
+            for sf in parse_sort_spec(desired):
+                pf = parse_part_field(sf.name)
+                if pf.source not in fid:
+                    continue
+                want.append(
+                    {
+                        # r14: transform sort fields publish their real
+                        # transform string; direction / null placement
+                        # ride the manifest's compact sort-field
+                        # strings into the served order — external
+                        # writers follow days(ts) DESC exactly
+                        "transform": rest_transform(pf),
+                        "source-id": fid[pf.source],
+                        "direction": "asc" if sf.asc else "desc",
+                        "null-order": (
+                            "nulls-first" if sf.nulls_first else "nulls-last"
+                        ),
+                    }
+                )
             if len(want) != len(desired):
                 # A sort column that doesn't resolve against the served
                 # schema cannot happen today (rename/drop of layout

@@ -514,7 +514,7 @@ class SnapshotTable:
             # partition count follows the input so file sizing is stable
             # (sort_exprs carries each field's DESC / NULLS placement)
             nparts = max(df.rdd.getNumPartitions(), 1)
-            exprs = sort_exprs(sort_by)
+            exprs = sort_exprs(sort_by, df)
             out = df.repartitionByRange(nparts, *exprs).sortWithinPartitions(
                 *exprs
             )
@@ -841,7 +841,7 @@ class SnapshotTable:
                 .drop("_z")
             )
         if sort_by:
-            exprs = sort_exprs(sort_by)
+            exprs = sort_exprs(sort_by, df)
             return df.repartitionByRange(nparts, *exprs).sortWithinPartitions(
                 *exprs
             )
@@ -2908,7 +2908,9 @@ class SnapshotTable:
         sort_by = m.get("sort_by") or []
         if sort_by:
             # preserve in-file clustering through the partitioned rewrite
-            new_data = new_data.sortWithinPartitions(*sort_exprs(sort_by))
+            new_data = new_data.sortWithinPartitions(
+                *sort_exprs(sort_by, new_data)
+            )
         _partitioned_writer(new_data, part_cols).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
@@ -2980,7 +2982,7 @@ class SnapshotTable:
         if sort_by:
             # sort-compaction (Iceberg rewrite_data_files with sort
             # strategy): the rewritten files regain disjoint value ranges
-            exprs = sort_exprs(sort_by)
+            exprs = sort_exprs(sort_by, src)
             out = src.repartitionByRange(int(n_out), *exprs)
             out = out.sortWithinPartitions(*exprs)
         else:
@@ -3087,7 +3089,7 @@ class SnapshotTable:
         sort_by = m.get("sort_by") or []
         if sort_by:
             # each compacted per-partition file regains its in-file order
-            out = out.sortWithinPartitions(*sort_exprs(sort_by))
+            out = out.sortWithinPartitions(*sort_exprs(sort_by, out))
         out.write.partitionBy(*pnames).parquet(staged)
         new_files = _staged_parquet_files(staged)
         cols = m.get("stats_cols") or []
@@ -3158,7 +3160,8 @@ class SnapshotTable:
             m.get("zorder_by") or []
         ):
             return parent  # already in effect: no-op, no version
-        schema = self.read().schema
+        cur_df = self.read()
+        schema = cur_df.schema
         cols = {f.name for f in schema.fields}
         missing = [c for c in want if c not in cols]
         if missing:
@@ -3183,6 +3186,11 @@ class SnapshotTable:
                 f"(Iceberg sort sources; parquet keeps no min/max "
                 f"stats for nested types): {bad_types}"
             )
+        if sort_by:
+            # transform sort fields validate eagerly against the source
+            # type (days(s) on a string column must refuse HERE, not at
+            # the first clustered write) — dtype dispatch only, no job
+            sort_exprs(sort_by, cur_df)
         # mirror of evolve_partition_spec's guard: ordering by an
         # identity partition field is degenerate — every in-file range
         # within a partition directory is a single value

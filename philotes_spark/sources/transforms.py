@@ -140,7 +140,7 @@ def derived_field_names(fields: list[str]) -> list[str]:
 # PUBLISHED metadata external writers follow.
 
 _SORT_FIELD_RE = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)"
+    r"^\s*((?:\w+\s*\(\s*[\w\s,]+?\s*\))|[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(ASC|DESC))?"
     r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
     re.IGNORECASE,
@@ -148,7 +148,7 @@ _SORT_FIELD_RE = re.compile(
 
 
 class SortField(NamedTuple):
-    name: str  # source column
+    name: str  # canonical field spec: a column or a transform ("days(ts)")
     asc: bool  # direction
     nulls_first: bool  # null placement
 
@@ -156,17 +156,24 @@ class SortField(NamedTuple):
 def parse_sort_field(s: str) -> SortField:
     """Parse one sort-field string; bare names default to ASC, and the
     null placement defaults by direction (Iceberg: asc ⇒ nulls-first,
-    desc ⇒ nulls-last)."""
+    desc ⇒ nulls-last). The field may be a TRANSFORM (r14 — Iceberg
+    sort-order fields carry a transform): ``days(ts) DESC`` sorts by
+    the derived day value; the spec string is canonicalized through
+    :func:`parse_part_field` so the manifest and the published order
+    never disagree about spelling."""
     m = _SORT_FIELD_RE.match(s)
     if not m:
         raise ValueError(
-            f"unsupported sort field {s!r}; use <column> [ASC|DESC] "
-            "[NULLS FIRST|NULLS LAST]"
+            f"unsupported sort field {s!r}; use <column|transform(col)> "
+            "[ASC|DESC] [NULLS FIRST|NULLS LAST]"
         )
-    name, direction, nulls = m.groups()
+    head, direction, nulls = m.groups()
+    # canonicalize + validate the field through the partition-field
+    # grammar (same transform set; identity for a bare column)
+    head = parse_part_field(head).raw
     asc = direction is None or direction.upper() == "ASC"
     nulls_first = asc if nulls is None else nulls.upper() == "FIRST"
-    return SortField(name, asc, nulls_first)
+    return SortField(head, asc, nulls_first)
 
 
 def parse_sort_spec(fields: list[str]) -> list[SortField]:
@@ -174,9 +181,13 @@ def parse_sort_spec(fields: list[str]) -> list[SortField]:
 
 
 def sort_field_names(fields: list[str]) -> list[str]:
-    """The source column names of a sort order (for stats unions,
-    schema validation, and guard checks — direction-independent)."""
-    return [sf.name for sf in parse_sort_spec(fields)]
+    """The SOURCE column names of a sort order (for stats unions,
+    schema validation, and guard checks — direction- and transform-
+    independent: ``days(ts)`` guards and records stats on ``ts``, whose
+    footer ranges a day-clustered file keeps narrow)."""
+    return [
+        parse_part_field(sf.name).source for sf in parse_sort_spec(fields)
+    ]
 
 
 def format_sort_field(sf: SortField) -> str:
@@ -189,15 +200,26 @@ def format_sort_field(sf: SortField) -> str:
     return out
 
 
-def sort_exprs(fields: list[str]):
+def sort_exprs(fields: list[str], df: DataFrame | None = None):
     """The Spark sort expressions of an order — what the clustered
     write's repartitionByRange/sortWithinPartitions apply, directions
-    and null placement included."""
+    and null placement included. Transform fields (``days(ts)``) sort
+    by the derived value and need ``df`` for source-type dispatch;
+    identity fields work without it."""
     from pyspark.sql import functions as F
 
     out = []
     for sf in parse_sort_spec(fields):
-        c = F.col(sf.name)
+        pf = parse_part_field(sf.name)
+        if pf.transform == "identity":
+            c = F.col(pf.source)
+        else:
+            if df is None:
+                raise ValueError(
+                    f"sort field {sf.name!r} is a transform — pass the "
+                    "DataFrame being written for source-type dispatch"
+                )
+            c = transform_column(df, pf)
         if sf.asc:
             out.append(
                 c.asc_nulls_first() if sf.nulls_first else c.asc_nulls_last()

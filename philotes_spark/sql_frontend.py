@@ -267,8 +267,10 @@ _DDL_PARTITION_REPLACE = re.compile(
 # order are ascending/nulls-first; DESC / NULLS LAST are refused with a
 # clear error rather than silently published wrong.
 _DDL_WRITE_ORDER = re.compile(
+    # one paren-nesting level in the body for transform sort fields
+    # (days(ts) DESC); the optional outer parens stay optional
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+ORDERED\s+BY"
-    r"(?:\s*\(|\s+)\s*([\w\s,]+?)\s*\)?\s*;?\s*$",
+    r"(?:\s*\(|\s+)\s*((?:[\w\s,]|\([\w\s,]*\))+?)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DDL_WRITE_UNORDERED = re.compile(
@@ -306,8 +308,11 @@ _DDL_OPTIMIZE = re.compile(
 #   OPTIMIZE t ZORDER BY (a, b)  -> set the z-order write order
 #   (metadata) AND fully rewrite the data files clustered by it
 _DDL_OPTIMIZE_ZORDER = re.compile(
+    # body admits one paren level so a transform spelling (days(ts))
+    # reaches the z-order parser's REFUSAL instead of falling through
+    # to spark.sql as an unrecognized statement
     rf"^\s*OPTIMIZE\s+({_IDENT})\s+ZORDER\s+BY\s*"
-    r"\(\s*([\w\s,]+?)\s*\)\s*;?\s*$",
+    r"\(\s*((?:[\w\s,]|\([\w\s,]*\))+?)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DDL_VACUUM = re.compile(

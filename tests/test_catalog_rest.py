@@ -578,6 +578,47 @@ def test_desc_nulls_last_order_publishes(mock_catalog, spark, tmp_path):
     ]
 
 
+def test_transform_sort_order_publishes(mock_catalog, spark, tmp_path):
+    """r14: a TRANSFORM sort field (days(d) DESC) publishes its real
+    transform string with the SOURCE column's field id — the served
+    order is exactly what the engine clusters by, so an external writer
+    following it lays data out identically."""
+    import datetime as dt
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame(
+            [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 9))
+             for i in range(60)],
+            "k long, d date",
+        ).repartition(2)
+    )
+    snap.set_write_order(sort_by=["days(d) DESC", "k"])
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    cat.publish_snapshot("tso", "t", snap, version=snap.current_version())
+
+    meta = cat.load_table("tso", "t")["metadata"]
+    validate_table_metadata_v2(meta)
+    fid = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    orders = {o["order-id"]: o for o in meta["sort-orders"]}
+    assert orders[meta["default-sort-order-id"]]["fields"] == [
+        {
+            "transform": "day",
+            "source-id": fid["d"],
+            "direction": "desc",
+            "null-order": "nulls-last",
+        },
+        {
+            "transform": "identity",
+            "source-id": fid["k"],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        },
+    ]
+
+
 def test_publish_refuses_unresolvable_sort_column(
     mock_catalog, spark, tmp_path
 ):

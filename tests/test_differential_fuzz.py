@@ -1714,9 +1714,12 @@ def _gen_spec_evolution(seed: int) -> list[tuple]:
     # fired) and retries.
     # r14: DESC / NULLS LAST spellings join the pool — direction is
     # invisible to the mirror (like layout), but the canonical
-    # round-trip and the desc-clustered write paths get fuzzed
+    # round-trip and the desc-clustered write paths get fuzzed; so do
+    # TRANSFORM sort fields (days(d) — the derived-value clustered
+    # write and its published transform order)
     orders = [[], ["k"], ["v"], ["k", "n"],
-              ["v DESC"], ["k DESC NULLS FIRST", "n"]]
+              ["v DESC"], ["k DESC NULLS FIRST", "n"],
+              ["days(d)", "k"]]
     cur: list = []
     n_appends = 0
     for _ in range(rng.randint(6, 10)):
@@ -1962,9 +1965,15 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
                 if "(" not in c
             }
             # the identity guard keys on the SOURCE column, so a
-            # direction-spelled field must be filtered by its name
+            # direction- or transform-spelled field must be filtered by
+            # its source
+            from philotes_spark.sources.transforms import parse_part_field
+
             cols = [
-                c for c in op[1] if parse_sort_field(c).name not in identity
+                c
+                for c in op[1]
+                if parse_part_field(parse_sort_field(c).name).source
+                not in identity
             ]
             if cols:
                 _stmt_sql(

@@ -471,3 +471,62 @@ def test_conjunctive_prune_missing_stats_and_mor(spark, table):
     table.delete_where_positional("k = 150")
     got = sorted(r.k for r in table.read_where_all(probes).collect())
     assert 150 not in got and got == want()
+
+
+def _dated(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            F.expr("date_add(DATE '2024-01-01', CAST(id % 40 AS INT))")
+            .alias("d"),
+            (F.col("id") % 7).alias("s"),
+        )
+        .repartition(4)
+    )
+
+
+def test_transform_sort_fields_end_to_end(spark, table):
+    """r14: Iceberg sort-order fields carry a TRANSFORM — WRITE ORDERED
+    BY (days(d), k) clusters by the derived day value then k, records
+    stats on the SOURCE columns (a day-clustered file keeps its d range
+    narrow, so read_where on d prunes), and canonicalizes through the
+    same grammar as partition specs."""
+    table.commit(_dated(spark, 0, 2000))
+    out = sql_stmt(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY (days(d) DESC, k)",
+        {"t": table},
+    ).collect()
+    assert out[0].operation == "set-write-order"
+    m = _m(table)
+    assert m["sort_by"] == ["days(d) DESC", "k"]
+    assert {"d", "k"} <= set(m["stats_cols"])  # SOURCE columns
+    before = sorted(r.k for r in table.read().collect())
+    table.rewrite_clustered()
+    assert sorted(r.k for r in table.read().collect()) == before
+    # footer stats store dates as ISO text (ordered like the values),
+    # so the probe uses the same textual form
+    kept, total = table.pruned_file_count(
+        "d", lo="2024-01-05", hi="2024-01-08"
+    )
+    assert kept < total, (kept, total)
+
+
+def test_transform_sort_field_guards(spark, table):
+    table.commit(_dated(spark, 0, 100))
+    # eager source-type validation: days() needs a date/timestamp
+    with pytest.raises(ValueError, match="date/timestamp"):
+        table.set_write_order(sort_by=["days(s)"])
+    # duplicate SOURCES refuse (days(d), d sorts identically to d)
+    with pytest.raises(ValueError, match="duplicate"):
+        table.set_write_order(sort_by=["days(d)", "d"])
+    # a transform whose source is an identity partition field is as
+    # degenerate as the identity itself
+    t2 = SnapshotTable(spark, str(table.path) + "_p")
+    t2.commit(_dated(spark, 0, 100), partition_by=["d"])
+    with pytest.raises(ValueError, match="identity partition fields"):
+        t2.set_write_order(sort_by=["days(d)"])
+    # z-order has no transform fields
+    with pytest.raises(ValueError, match="bad ZORDER BY item"):
+        sql_stmt(spark, "OPTIMIZE t ZORDER BY (days(d))", {"t": table})
