@@ -607,22 +607,34 @@ def a8_buffer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_ops_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    (SELECT c_nationkey AS nationkey FROM customer
+     INTERSECT
+     SELECT s_nationkey AS nationkey FROM supplier)
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT n_nationkey AS nationkey FROM nation WHERE n_name = 'NATION_1'
     ORDER BY nationkey
     """,
 )
 def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation surface: nations with customers but no suppliers.
-    EXCEPT compiles to a left-anti hash join after distinct."""
+    """Set operation surface: nations that have BOTH customers and
+    suppliers, minus one named nation — INTERSECT then EXCEPT, each
+    compiling to a semi/anti hash join after distinct. (r15: the old
+    customers-EXCEPT-suppliers shape was VACUOUS at sf0.01 — every
+    nation has suppliers there — so the driver compare carried zero
+    rows; the intersect side is non-empty at every SF by construction:
+    most nations have both, and only one is subtracted.)"""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return cust.subtract(supp).orderBy("nationkey")
+    named = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return cust.intersect(supp).subtract(named).orderBy("nationkey")
 
 
 @query(
@@ -911,7 +923,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_acctbal > 0 AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
-          AND o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
     )
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -919,10 +931,14 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join (TPC-H Q22 shape): customers with no
-    1998 order. The anti side is pre-filtered by date before the shuffle."""
+    order in the fixture's final year. The anti side is pre-filtered by
+    date before the shuffle. (r15: the 1998 cutoff left ~55% of the date
+    range "recent", so at sf0.001 EVERY customer had a recent order and
+    the result was empty — vacuous; 2001 keeps the top ~10% of the range
+    recent and the result non-empty at every SF.)"""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     recent = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= "1998-01-01"
+        F.col("o_orderdate") >= "2001-01-01"
     )
     return (
         cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
@@ -1337,8 +1353,9 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND n1.n_name <> n2.n_name
     )
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -1346,9 +1363,12 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume (TPC-H Q7 shape): the nation dim joins twice
-    in two roles (supplier side, customer side) with a disjunctive pair
-    filter. Both nation copies broadcast; the pair filter cannot push to
-    either scan alone so it runs post-join — still cheap, dims are tiny."""
+    in two roles (supplier side, customer side), restricted to ordered
+    pairs among a 3-nation set. Both nation copies broadcast; the IN
+    halves push to each dim scan, the <> inequality runs post-join.
+    (r15: the single NATION_1↔NATION_2 pair was VACUOUS at sf0.001 —
+    no lineitem crossed exactly that pair — so the compare carried zero
+    rows; 6 ordered pairs over 3 nations are populated at every SF.)"""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -1359,9 +1379,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    trio = ["NATION_1", "NATION_2", "NATION_3"]
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        F.col("supp_nation").isin(trio)
+        & F.col("cust_nation").isin(trio)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -346,38 +346,43 @@ def _tier(name: str) -> tuple[int, int]:
         # semi-joins the predicate onto the posting lists of the shared
         # full-corpus index; the exact tier graduated in-window r14
         "sim_filtered_ivf_topk",
-        # r13 addition (oracle-gated in pytest; below the window): the
-        # portable IVF twin — fixed seed-vector codebook, integer L2
-        # assignment, probe/equi-join/re-rank hash-compared against
-        # DuckDB (production k-means ivf_topk stays recall-gated);
-        # the coarse-assignment construction is window-verified via the
-        # composed sim_ivfpq_portable since r14
-        "sim_ivf_portable",
-        # r13 addition (oracle-gated in pytest; below the window): the
-        # portable PQ twin — fixed sub-codebooks, integer sub-space
-        # encode + integer ADC through one shared sub-dot relation,
-        # rerank cut hash-compared (production pq_topk stays
-        # recall-gated); the sub-codebook ADC construction is
-        # window-verified via the composed sim_ivfpq_portable since r14
-        "sim_pq_portable",
-        # r14 addition (oracle-gated in pytest; below the window, r15
-        # rotation candidate): one PACED step of the partial-progress
-        # clustered rewrite (CALL rewrite_data_files partial_progress =>
-        # true, max_groups => 1), read mid-rewrite — clustered_roots
-        # non-empty AND pending files remain, hash-compared vs the plain
-        # filter so every intermediate version answers identically
-        "snapshot_partial_rewrite_read",
-        # r14 addition (oracle-gated in pytest; below the window):
-        # SemDeDup-style cluster-bounded embedding dedup with a fixed
-        # portable codebook — the scale path whose exact all-pairs
-        # baseline is the window's dedup_embedding_cosine
-        "dedup_semantic_portable",
-        # r14 addition (oracle-gated in pytest; below the window): the
-        # $manifests metadata table — per-root file counts + the field
-        # summary hulls level-1 scan planning prunes with, hash-compared
-        # against hulls recomputed from the source table (the
-        # no-over-prune invariant)
-        "snapshot_manifests_meta",
+        # r15 rotation (VERDICT r14 next-round #2): five r14 tier-8
+        # additions graduate INTO the window — snapshot_partial_rewrite_read
+        # (one paced step of the partial-progress clustered rewrite, read
+        # mid-rewrite, re-predicated SF-relatively), snapshot_manifests_meta
+        # (the $manifests metadata table hash-compared against hulls
+        # recomputed from the source — the no-over-prune invariant),
+        # dedup_semantic_portable (SemDeDup cluster-bounded embedding
+        # dedup), and the two remaining portable ANN twins
+        # sim_ivf_portable + sim_pq_portable (the coarse-assignment and
+        # sub-codebook-ADC constructions get their own in-window hash
+        # signal, previously verified only via the composed IVF-PQ). Five
+        # duplicate-coverage slots move below the window:
+        # sim_ivfpq_portable (PASSed r14; strictly the composition of the
+        # two graduating halves — each half now carries its own slot);
+        # sim_lsh_portable (PASSed r14; the bucket equi-join construction
+        # stays window-green via sim_ivf_portable's cell equi-join +
+        # dedup_ngram_jaccard's inverted-index join; production LSH stays
+        # recall-gated in pytest);
+        # snapshot_meta_sql (PASSed since r08; the "$table" SQL metadata
+        # surface stays window-green via the graduating
+        # snapshot_manifests_meta — the same LATERAL-VIEW-over-$-table
+        # path — plus snapshot_schema_history);
+        # snapshot_insert_overwrite (PASSed since r09; the A34 statement
+        # surface stays window-green via snapshot_ctas +
+        # snapshot_wap_statements + snapshot_widen_column, and the CALL
+        # procedure surface graduates stronger via
+        # snapshot_partial_rewrite_read);
+        # snapshot_rewrite_late_appends (PASSed since r11; MoR delta
+        # handling stays window-green via snapshot_delete_manifests_read +
+        # snapshot_evolution_mor_read, and the targeted-rewrite lifecycle
+        # graduates stronger via snapshot_partial_rewrite_read). All five
+        # stay oracle-gated in tests/test_queries_oracle.py.
+        "sim_ivfpq_portable",
+        "sim_lsh_portable",
+        "snapshot_meta_sql",
+        "snapshot_insert_overwrite",
+        "snapshot_rewrite_late_appends",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -55,6 +55,14 @@ def get_spark(
         # (sources/catalog.py) — same µs truncation DuckDB applies.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # standard TIMESTAMP_MICROS instead of legacy INT96: INT96 writes
+        # NO parquet min/max statistics, which silently disables both
+        # row-group skipping and the snapshot manifests' ts footer stats
+        # (file-level scan planning on time predicates — a first-order
+        # scan-cost lever on any time-series table at 100 TB). INT96 is
+        # deprecated in the parquet spec; every modern reader (DuckDB,
+        # Trino, Iceberg) expects MICROS.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- python boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- scheduling latency ---

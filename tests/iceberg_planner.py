@@ -154,6 +154,15 @@ def _canon(v, typ: str):
         return float(v)
     if typ == "boolean":
         return bool(v)
+    if typ.startswith("timestamp"):
+        # Spark publishes TIMESTAMP_MICROS with isAdjustedToUTC, so a raw
+        # pyarrow read returns tz-aware UTC values while the session
+        # (UTC-pinned) collects naive ones — same instant, two spellings;
+        # canonicalize to the naive UTC text
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return str(ts)
     return str(v)
 
 

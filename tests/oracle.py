@@ -49,13 +49,26 @@ def run_duck(duck, sql: str):
     return [c.lower() for c in res.columns], [tuple(r) for r in res.fetchall()]
 
 
-def compare(spark, duck, fn, sql: str, sf_dir: str) -> tuple[bool, str]:
+def compare(
+    spark, duck, fn, sql: str, sf_dir: str, allow_empty: bool = False
+) -> tuple[bool, str]:
     s_cols, s_rows = run_spark(spark, fn, sf_dir)
     d_cols, d_rows = run_duck(duck, sql)
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    if not s_rows and not allow_empty:
+        # VERDICT r14 #1: an empty result set hash-matches trivially — a
+        # predicate that misses the fixture at this SF would "pass" while
+        # verifying nothing. Refuse the vacuous pass: queries must use
+        # SF-relative predicates (bounds derived from the data on BOTH
+        # sides) so every compare carries row content.
+        return False, (
+            "vacuous pass refused: both sides returned 0 rows — "
+            "re-predicate the query SF-relatively (or pass "
+            "allow_empty=True with a documented reason)"
+        )
     sc = canonical_rows(s_cols, s_rows)
     dc = canonical_rows(d_cols, d_rows)
     if sc != dc:

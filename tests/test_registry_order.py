@@ -60,14 +60,15 @@ def test_r13_rotation_composition():
         "dq_constraint_report",
         "snapshot_merge_clauses",  # r08 graduates stay in
         "snapshot_schema_history",
-        "snapshot_meta_sql",
+        # (snapshot_meta_sql and snapshot_insert_overwrite — r08/r09
+        # graduates — rotated below in r15; see
+        # test_r15_rotation_composition)
         "train_stratified_sample",
-        "snapshot_insert_overwrite",  # r09 graduates (r08 statement tier)
         "snapshot_ctas",
         "snapshot_wap_statements",
         "snapshot_widen_column",  # r10 graduate
-        "snapshot_name_mapping_read",  # r11 graduates (r10 flagships)
-        "snapshot_rewrite_late_appends",
+        "snapshot_name_mapping_read",  # r11 graduates (r10 flagships;
+        # snapshot_rewrite_late_appends rotated below in r15)
         "snapshot_delete_manifests_read",  # r12 graduates (r11 flagships)
         "snapshot_evolution_mor_read",
         # (the r13 graduates — snapshot_expired_chain_read,
@@ -137,8 +138,9 @@ def test_r14_rotation_composition():
         "snapshot_partition_transforms_read",
         "snapshot_write_order_read",
         "sim_filtered_topk",
-        "sim_lsh_portable",
-        "sim_ivfpq_portable",
+        # (sim_lsh_portable and sim_ivfpq_portable — r14 graduates,
+        # PASSed in CORRECTNESS_r14 — rotated below in r15; see
+        # test_r15_rotation_composition)
     ):
         assert n in head, n
     for n in (
@@ -147,12 +149,71 @@ def test_r14_rotation_composition():
         "snapshot_expired_chain_read",
         "snapshot_partition_evolution_read",
         "multimodal_jpeg_stats",
-        # the r13 tier-8 entries NOT graduated this round stay below
         "sim_filtered_ivf_topk",
-        "sim_ivf_portable",
-        "sim_pq_portable",
     ):
         assert n not in head, n
+
+
+def test_r15_rotation_composition():
+    # VERDICT r14 next-round #2: five r14 tier-8 additions graduate into
+    # the 50-slot window — snapshot_partial_rewrite_read (the paced
+    # partial-progress rewrite read mid-rewrite, re-predicated
+    # SF-relatively after the r14 vacuity finding),
+    # snapshot_manifests_meta ($manifests hash-compared against hulls
+    # recomputed from the source), dedup_semantic_portable (SemDeDup
+    # cluster-bounded embedding dedup), and sim_ivf_portable +
+    # sim_pq_portable (own in-window signal for the two halves the
+    # composed IVF-PQ verified in r14). Five duplicate-coverage slots
+    # move below: sim_ivfpq_portable (the composition of the graduating
+    # halves), sim_lsh_portable (bucket equi-join via sim_ivf_portable +
+    # dedup_ngram_jaccard), snapshot_meta_sql ($-table SQL via
+    # snapshot_manifests_meta + snapshot_schema_history),
+    # snapshot_insert_overwrite (statement surface via snapshot_ctas +
+    # snapshot_wap_statements + snapshot_widen_column),
+    # snapshot_rewrite_late_appends (MoR deltas via
+    # snapshot_delete_manifests_read + snapshot_evolution_mor_read).
+    # All five evictees stay oracle-gated in tests/test_queries_oracle.py.
+    head = set(list(entry.queries())[:50])
+    for n in (
+        "snapshot_partial_rewrite_read",
+        "snapshot_manifests_meta",
+        "dedup_semantic_portable",
+        "sim_ivf_portable",
+        "sim_pq_portable",
+        # the two r14 flagships whose r14 slots were empty-set-trivial
+        # stay IN-window, now SF-relatively predicated (non-empty at
+        # every fixture SF — test_window_queries_nonempty_driver_sf)
+        "snapshot_partition_transforms_read",
+        "snapshot_write_order_read",
+    ):
+        assert n in head, n
+    for n in (
+        "sim_ivfpq_portable",
+        "sim_lsh_portable",
+        "snapshot_meta_sql",
+        "snapshot_insert_overwrite",
+        "snapshot_rewrite_late_appends",
+    ):
+        assert n not in head, n
+
+
+def test_window_queries_nonempty_driver_sf(spark):
+    # VERDICT r14 next-round #1: every driver-window query must return
+    # rows at the DRIVER's sf0.01 (sf0.001 is enforced by the non-empty
+    # guard in tests/oracle.py through test_queries_oracle) — a window
+    # slot whose predicate misses the fixture passes the hash compare
+    # vacuously and verifies nothing. SF-relative predicates are the
+    # cure; this test is the tripwire that a future absolute predicate
+    # cannot get past.
+    sf01 = "/root/testdata/sf0.01"
+    empty = []
+    for name in list(entry.queries())[:50]:
+        from philotes_spark import registry
+
+        df = registry.QUERIES[name](spark, sf01)
+        if not df.take(1):
+            empty.append(name)
+    assert empty == [], f"vacuous at driver SF: {empty}"
 
 
 def test_driver_window_fully_oracle_backed():
