@@ -1174,6 +1174,7 @@ class RestCatalog:
         # advisory for WRITERS — only the newest version may move it.
         # Updates ride after the schema updates so a just-added sort
         # column's source-id resolves (same rule as add-spec).
+        order_divergence: ValueError | None = None
         if not created and is_newest:
             from philotes_spark.sources.transforms import (
                 parse_part_field,
@@ -1213,14 +1214,24 @@ class RestCatalog:
                 # columns are refused engine-side), so a mismatch means
                 # the published metadata diverged from the manifest —
                 # silently skipping would leave default-sort-order-id
-                # stale with no trace (ADVICE r13 #3)
-                raise ValueError(
+                # stale with no trace (ADVICE r13 #3). The failure is
+                # DEFERRED, not immediate (ADVICE r14 #4): the snapshot
+                # itself still publishes below — a sort order is
+                # writer-advisory metadata, and holding DATA visibility
+                # hostage to it would block every subsequent publish of
+                # this table over a stale schema. The raise after the
+                # commit keeps the divergence loud (callers see the
+                # error; the data version is already durable).
+                order_divergence = ValueError(
                     f"sort order {desired} has columns missing from the "
                     f"published REST schema "
                     f"{sorted(fid)} for {namespace}.{table} — the "
-                    "catalog and manifest have diverged; re-publish the "
-                    "schema before publishing the write order"
+                    "catalog and manifest have diverged; the SNAPSHOT "
+                    "was published, the write-order update was NOT; "
+                    "re-publish the schema to publish the write order"
                 )
+                want = None
+
             def _order_sig(o: dict) -> list[tuple]:
                 return [
                     (
@@ -1232,36 +1243,37 @@ class RestCatalog:
                     for f in o.get("fields", [])
                 ]
 
-            want_sig = _order_sig({"fields": want})
-            match = next(
-                (o for o in orders if _order_sig(o) == want_sig), None
-            )
-            if match is None and desired:
-                next_id = (
-                    max((o["order-id"] for o in orders), default=0) + 1
+            if want is not None:
+                want_sig = _order_sig({"fields": want})
+                match = next(
+                    (o for o in orders if _order_sig(o) == want_sig), None
                 )
-                spec_updates.append(
-                    {
-                        "action": "add-sort-order",
-                        "sort-order": {
-                            "order-id": next_id,
-                            "fields": want,
-                        },
-                    }
-                )
-                spec_updates.append(
-                    {
-                        "action": "set-default-sort-order",
-                        "sort-order-id": -1,
-                    }
-                )
-            elif match is not None and match["order-id"] != served_order:
-                spec_updates.append(
-                    {
-                        "action": "set-default-sort-order",
-                        "sort-order-id": match["order-id"],
-                    }
-                )
+                if match is None and desired:
+                    next_id = (
+                        max((o["order-id"] for o in orders), default=0) + 1
+                    )
+                    spec_updates.append(
+                        {
+                            "action": "add-sort-order",
+                            "sort-order": {
+                                "order-id": next_id,
+                                "fields": want,
+                            },
+                        }
+                    )
+                    spec_updates.append(
+                        {
+                            "action": "set-default-sort-order",
+                            "sort-order-id": -1,
+                        }
+                    )
+                elif match is not None and match["order-id"] != served_order:
+                    spec_updates.append(
+                        {
+                            "action": "set-default-sort-order",
+                            "sort-order-id": match["order-id"],
+                        }
+                    )
         # the commit goes even with zero new data files: a delete-only
         # version (positional delete, MoR merge with no upserts) changes
         # rows purely through its delete manifests, and the add-snapshot
@@ -1309,6 +1321,13 @@ class RestCatalog:
                 json.dump(sidecar, fh)
         except (OSError, CatalogError):
             pass  # introspection hint only — never fail the publish
+        if order_divergence is not None:
+            # deferred from the sort-order resolution above: the data
+            # version is durable and served; only the write-order update
+            # was withheld — fail loudly now so the divergence can't go
+            # unnoticed (ADVICE r14 #4: blast radius limited to the
+            # order, not data visibility)
+            raise order_divergence
         return len(data_files)
 
     def verify_publish(

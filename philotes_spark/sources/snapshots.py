@@ -84,6 +84,25 @@ def _json_safe(v):
     return str(v)  # timestamps etc: ISO text, ordered like the values
 
 
+def _probe_safe(v):
+    """Cast a probe literal into the representation stored stats use
+    (:func:`_json_safe`): datetime/date probes become the same ISO text
+    the manifest stores, whose lexicographic order equals chronological
+    order for the fixed zero-padded formats ``str()`` emits (a
+    microsecond-less value is a prefix of — and sorts before or equal
+    to — any sub-second sibling), so stat hulls stored as text prune
+    timestamp probes instead of hitting the incomparable-⇒-keep
+    fallback (r15: ts-stat pruning silently never fired). Every other
+    type passes through untouched — notably Decimal stays Decimal: its
+    text form is NOT order-preserving, and keep-on-uncertainty must
+    win there."""
+    import datetime as dt
+
+    if isinstance(v, (dt.datetime, dt.date)):
+        return str(v)
+    return v
+
+
 def _range_overlaps(rng, lo, hi) -> bool:
     """True iff a file's stored [min,max] MAY intersect [lo,hi]. Stored
     stats went through ``_json_safe`` (timestamps/decimals become text);
@@ -287,11 +306,23 @@ def _group_summaries(
     (distinct kept when ≤32 values — bucket equality needs membership,
     range transforms use the hull), present only when every member has
     a parseable value. Absent entry ⇒ no group-level claim ⇒ planning
-    falls through to the per-file checks: unknown never prunes."""
+    falls through to the per-file checks: unknown never prunes.
+
+    ``files`` (r15, VERDICT r14 what's-wrong #3) stores each member's
+    ROOT-RELATIVE path, so scan planning forms its groups straight from
+    the summaries — a pruned root costs O(1) with zero per-file string
+    ops, making level-1 truly O(roots) including group formation (the
+    old per-query ``_group_files_by_root`` walk re-did relpath/split
+    for EVERY file of every root — real driver time at millions of
+    files). Exact by construction: both this function and the walk
+    derive from the same manifest file list at commit time."""
     out: dict[str, dict] = {}
     for root, fs in _group_files_by_root(data_dir, files).items():
         rel = os.path.relpath(root, data_dir)
-        g: dict = {"n": len(fs)}
+        g: dict = {
+            "n": len(fs),
+            "files": [os.path.relpath(f, root) for f in fs],
+        }
         cols: dict[str, list] = {}
         for c in stats_cols or []:
             rngs = [(file_stats or {}).get(f, {}).get(c) for f in fs]
@@ -315,6 +346,13 @@ def _group_summaries(
             try:
                 vals: list = [int(r) for r in raws]
             except (TypeError, ValueError):
+                if pf.transform == "bucket":
+                    # a bucket probe is an int; a group set holding raw
+                    # strings would fail membership WITHOUT the TypeError
+                    # that guards the range branch and over-prune the
+                    # root (ADVICE r14 #3) — corrupt/external segment ⇒
+                    # no group claim, per-file walk keeps its members
+                    continue
                 vals = list(raws)  # truncate[W] on strings: raw text
             try:
                 hull = [min(vals), max(vals)]
@@ -348,7 +386,15 @@ def _group_may_match(g: dict, plans: list[tuple], root: str) -> bool:
             pmin, pmax, uniq = p
             try:
                 if kind == "bucket":
-                    if uniq is not None and a not in uniq:
+                    # belt-and-braces with _group_summaries' parse guard:
+                    # membership may only prune when the stored set is
+                    # int-typed like the probe — `in` on mixed types
+                    # returns False without raising (ADVICE r14 #3)
+                    if (
+                        uniq is not None
+                        and all(isinstance(u, int) for u in uniq)
+                        and a not in uniq
+                    ):
                         return False
                 else:
                     if a is not None and pmax < a:
@@ -493,6 +539,16 @@ class SnapshotTable:
             sort_by = parent_manifest.get("sort_by") or None  # inherit
         if zorder_by is None and operation == "append":
             zorder_by = parent_manifest.get("zorder_by") or None  # inherit
+        if sort_by is not None:
+            # canonicalize exactly like set_write_order ("k desc nulls
+            # last" → "k DESC") so a manifest never stores a second
+            # spelling of one order — otherwise a later set_write_order
+            # of the semantically identical order fails its idempotence
+            # list-equality and writes a spurious version that resets
+            # clustered_roots (ADVICE r14 #2)
+            sort_by = [
+                format_sort_field(sf) for sf in parse_sort_spec(list(sort_by))
+            ]
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         out = df
         if zorder_by:
@@ -537,10 +593,27 @@ class SnapshotTable:
             stats.update(_footer_stats(new_files, cols))
         # a clustered write stages a root that is born clustered under
         # the (inherited) order; appends extend the parent's marks,
-        # overwrites reset the table so only the new root can be marked
+        # overwrites reset the table so only the new root can be marked.
+        # An append whose EFFECTIVE order differs from the parent's also
+        # resets: the parent's roots were clustered under an order this
+        # manifest no longer declares, so carrying their marks would make
+        # partial-progress rewrites permanently skip them under the new
+        # order (stale resume marker, ADVICE r14 #1) — same rule as
+        # set_write_order. Parent order canonicalized for the comparison
+        # (pre-r15 manifests may store uncanonical spellings).
+        parent_order = (
+            [
+                format_sort_field(sf)
+                for sf in parse_sort_spec(
+                    list(parent_manifest.get("sort_by") or [])
+                )
+            ],
+            list(parent_manifest.get("zorder_by") or []),
+        )
         prior_marks = (
             parent_manifest.get("clustered_roots") or []
             if operation == "append"
+            and (list(sort_by or []), list(zorder_by or [])) == parent_order
             else []
         )
         return self._write_manifest(
@@ -1287,18 +1360,24 @@ class SnapshotTable:
     def _root_fields(self, m: dict) -> dict[str, list[str]]:
         """Staged root → the partition fields its files were written
         under (pre-feature manifests: every root carries the manifest's
-        single spec)."""
+        single spec). ``root_specs`` already enumerates every live root
+        (``_spec_meta`` rebuilds it each commit), so no per-file walk is
+        needed — O(roots), part of the r15 level-1 planning bound; only
+        manifests from before root_specs existed fall back to grouping
+        the file list."""
         by_id = self._spec_fields_by_id(m)
         default = int(m.get("default_spec_id", 0))
         root_specs = m.get("root_specs") or {}
-        out: dict[str, list[str]] = {}
-        for root in _group_files_by_root(self.data_dir, m["files"]):
-            rel = os.path.relpath(root, self.data_dir)
-            out[root] = by_id.get(
-                int(root_specs.get(rel, default)),
-                m.get("partition_by") or [],
+        rels = root_specs or {
+            os.path.relpath(root, self.data_dir): default
+            for root in _group_files_by_root(self.data_dir, m["files"])
+        }
+        return {
+            os.path.join(self.data_dir, rel): by_id.get(
+                int(sid), m.get("partition_by") or []
             )
-        return out
+            for rel, sid in rels.items()
+        }
 
     def _mixed_specs(self, m: dict) -> bool:
         """True when any live file was written under a spec OTHER than
@@ -2413,8 +2492,12 @@ class SnapshotTable:
         (time travel) fall through to the per-file walk unchanged.
         Returns ``(files, info)`` with planning counters in ``info``."""
         roots_fields = self._root_fields(m)
+        # stat comparisons use the probe in the manifest's stored
+        # representation (timestamps: ISO text); the transform plan needs
+        # the RAW value (day()/bucket() compute on it), so both forms are
+        # fixed here once per probe
         plans = [
-            (col, lo, hi,
+            (col, _probe_safe(lo), _probe_safe(hi),
              self._transform_prune_plan(roots_fields, col, lo, hi))
             for col, lo, hi in probes
         ]
@@ -2426,18 +2509,7 @@ class SnapshotTable:
             "file_checks": 0,
             "files_total": len(m["files"]),
         }
-        for root, fs in _group_files_by_root(
-            self.data_dir, m["files"]
-        ).items():
-            info["groups_total"] += 1
-            g = gs.get(os.path.relpath(root, self.data_dir))
-            if (
-                g is not None
-                and g.get("n") == len(fs)
-                and not _group_may_match(g, plans, root)
-            ):
-                info["groups_skipped"] += 1
-                continue
+        def _level2(fs: list[str]) -> None:
             for f in fs:
                 info["file_checks"] += 1
                 if all(
@@ -2445,6 +2517,42 @@ class SnapshotTable:
                     for col, lo, hi, plan in plans
                 ):
                     files.append(f)
+
+        # group formation: manifests since r15 store each root's member
+        # list in its summary (root-relative), so groups come straight
+        # from group_stats — O(roots) driver work with ZERO per-file
+        # path parsing for pruned roots (a skipped root's members are
+        # never even materialized into paths). Older manifests (time
+        # travel) fall back to the per-file relpath walk. Membership is
+        # exact by construction (summaries and file list are derived
+        # together at commit); the count cross-check below refuses a
+        # tampered/diverged manifest back to the walk.
+        stored = bool(gs) and all("files" in g for g in gs.values()) and (
+            sum(g["n"] for g in gs.values()) == len(m["files"])
+        )
+        info["grouping"] = "stored" if stored else "walk"
+        if stored:
+            for rel, g in gs.items():
+                info["groups_total"] += 1
+                root = os.path.join(self.data_dir, rel)
+                if not _group_may_match(g, plans, root):
+                    info["groups_skipped"] += 1
+                    continue
+                _level2([os.path.join(root, f) for f in g["files"]])
+        else:
+            for root, fs in _group_files_by_root(
+                self.data_dir, m["files"]
+            ).items():
+                info["groups_total"] += 1
+                g = gs.get(os.path.relpath(root, self.data_dir))
+                if (
+                    g is not None
+                    and g.get("n") == len(fs)
+                    and not _group_may_match(g, plans, root)
+                ):
+                    info["groups_skipped"] += 1
+                    continue
+                _level2(fs)
         files.sort()  # m["files"] order (sorted) — plan-stable
         info["files_scanned"] = len(files)
         return files, info
@@ -3009,7 +3117,12 @@ class SnapshotTable:
             schema_ops=list(m.get("schema_ops", [])),
         )
 
-    def _compact_migrate_specs(self, m: dict) -> int:
+    def _compact_migrate_specs(
+        self,
+        m: dict,
+        cluster_by: tuple[list[str], list[str]] | None = None,
+        mark_clustered: bool = True,
+    ) -> int:
         """OPTIMIZE on a table whose files span multiple partition specs
         (the layout was evolved): a FULL rewrite that lands every row
         under the current default spec — Iceberg's rewrite_data_files
@@ -3017,8 +3130,20 @@ class SnapshotTable:
         partition-keyed operations that refuse mixed specs
         (partition overwrite, partition-pruned CoW merge). Materializes
         the applied read (journal + deltas included), so the schema-op
-        journal and delta stack reset like any full rewrite."""
-        applied = self._recluster(self.read(), m)
+        journal and delta stack reset like any full rewrite.
+        ``cluster_by`` overrides the clustering applied to the rewrite
+        (the transient ``sort_order =>`` path, r15); the MANIFEST always
+        keeps the table's declared order, and the surviving root is
+        marked clustered only when ``mark_clustered`` (i.e. the applied
+        order IS the declared one)."""
+        c_sort, c_z = (
+            cluster_by
+            if cluster_by is not None
+            else (list(m.get("sort_by") or []), list(m.get("zorder_by") or []))
+        )
+        applied = self._recluster(
+            self.read(), {**m, "sort_by": c_sort, "zorder_by": c_z}
+        )
         part_cols = m.get("partition_by") or []
         staged = os.path.join(self.data_dir, uuid.uuid4().hex)
         _partitioned_writer(applied, part_cols).parquet(staged)
@@ -3038,10 +3163,11 @@ class SnapshotTable:
             sort_by=list(m.get("sort_by") or []),
             zorder_by=list(m.get("zorder_by") or []),
             # _recluster re-applied the order to the full rewrite, so
-            # the one surviving root is clustered (when there IS one)
+            # the one surviving root is clustered (when there IS one
+            # and the applied order is the declared one)
             clustered_roots=(
                 [os.path.relpath(staged, self.data_dir)]
-                if (m.get("sort_by") or m.get("zorder_by"))
+                if (c_sort or c_z) and mark_clustered
                 else []
             ),
         )
@@ -3233,6 +3359,7 @@ class SnapshotTable:
         file_group_bytes: int = 256 << 20,
         max_groups: int | None = None,
         probes: list[tuple] | None = None,
+        order: tuple[list[str], list[str]] | None = None,
     ) -> int:
         """Clustered rewrite of the data files by the table's CURRENT
         write order (Iceberg ``rewrite_data_files`` with the sort
@@ -3272,12 +3399,46 @@ class SnapshotTable:
         ops are pending (the remedies are one CALL each): a group
         rewrite relocates rows, which would orphan positional-delete
         ``(path, index)`` references — the exact r13 compact() bug, not
-        re-introduced. Returns the current version (the last group's
-        commit, or the parent when nothing needed rewriting)."""
+        re-introduced.
+
+        ``order`` (r15) is Iceberg's TRANSIENT ``sort_order =>``
+        argument: ``(sort_by, zorder_by)`` clusters THIS rewrite only —
+        the table's default write order, ``$sort_orders`` history and
+        ``default-sort-order-id`` are untouched (the default changes
+        only via ``ALTER TABLE ... WRITE ORDERED BY``; VERDICT r14
+        what's-wrong #2 — the old behavior committed the passed order
+        as the table default). A transient order that differs from the
+        declared default neither consults nor writes the
+        ``clustered_roots`` resume marker: those marks mean "clustered
+        under the DEFAULT order", so a root rewritten under some other
+        order must not be skipped by — nor pollute — that bookkeeping.
+        Footer stats are still recorded for the manifest's declared
+        ``stats_cols`` only, so a transient order on an un-tracked
+        column clusters physically (row-group skipping) without
+        manifest-level pruning until the column is declared.
+
+        Returns the current version (the last group's commit, or the
+        parent when nothing needed rewriting)."""
         parent = self.current_version()
         if not parent:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         m = self._load(f"v{parent:08d}.json")
+        eff_sort, eff_z = (
+            (
+                # canonical spelling ("k desc" → "k DESC"), like
+                # set_write_order, so default-equality compares stably
+                [
+                    format_sort_field(sf)
+                    for sf in parse_sort_spec(list(order[0] or []))
+                ],
+                list(order[1] or []),
+            )
+            if order is not None
+            else (list(m.get("sort_by") or []), list(m.get("zorder_by") or []))
+        )
+        order_is_default = eff_sort == list(m.get("sort_by") or []) and (
+            eff_z == list(m.get("zorder_by") or [])
+        )
         if not partial_progress:
             if probes:
                 raise ValueError(
@@ -3288,12 +3449,29 @@ class SnapshotTable:
             # _compact_migrate_specs always writes a new manifest (a
             # full rewrite is never a no-op commit), so its version is
             # the answer (ADVICE r13 #4: None fallback was dead code)
-            return self._compact_migrate_specs(m)
-        if not (m.get("sort_by") or m.get("zorder_by")):
+            return self._compact_migrate_specs(
+                m,
+                cluster_by=(eff_sort, eff_z),
+                mark_clustered=order_is_default,
+            )
+        if not (eff_sort or eff_z):
             raise ValueError(
                 "partial-progress rewrite needs a write order — ALTER "
                 "TABLE ... WRITE ORDERED BY first (unordered group "
-                "rewrites would just reshuffle files)"
+                "rewrites would just reshuffle files), or pass a "
+                "transient one (sort_order => ...)"
+            )
+        if not order_is_default and max_groups is not None:
+            # cross-call pacing resumes via clustered_roots, which only
+            # tracks the DECLARED order; under a transient order each
+            # paced call would restart from group 1 and never converge —
+            # refuse with the remedy named rather than loop silently
+            raise ValueError(
+                "max_groups pacing with a transient sort_order cannot "
+                "resume (clustered_roots tracks the table's declared "
+                "order only) — declare the order (ALTER TABLE ... WRITE "
+                "ORDERED BY) to pace across calls, or drop max_groups "
+                "to finish in this call"
             )
         if m.get("deltas"):
             raise ValueError(
@@ -3307,7 +3485,12 @@ class SnapshotTable:
                 "journal would mix materialized and journaled roots — "
                 "CALL materialize_schema first"
             )
-        done = set(m.get("clustered_roots") or [])
+        # the resume marker only describes the DEFAULT order — a
+        # transient override rewrites marked roots too (they are not
+        # clustered under the order THIS call was given)
+        done = (
+            set(m.get("clustered_roots") or []) if order_is_default else set()
+        )
         pending = [
             f
             for f in m["files"]
@@ -3348,7 +3531,11 @@ class SnapshotTable:
             df = self._read_file_list(
                 group, [], widen=False, spec_map=self._root_fields(m)
             )
-            out = self._recluster(df, m, nparts=len(group))
+            out = self._recluster(
+                df,
+                {**m, "sort_by": eff_sort, "zorder_by": eff_z},
+                nparts=len(group),
+            )
             part_cols = m.get("partition_by") or []
             staged = os.path.join(self.data_dir, uuid.uuid4().hex)
             _partitioned_writer(out, part_cols).parquet(staged)
@@ -3372,10 +3559,16 @@ class SnapshotTable:
                 properties=dict(m.get("properties", {})),
                 file_stats=stats,
                 stats_cols=list(cols),
+                # the manifest keeps the table's DECLARED order — a
+                # transient override never becomes the default
                 sort_by=list(m.get("sort_by") or []),
                 zorder_by=list(m.get("zorder_by") or []),
                 clustered_roots=(m.get("clustered_roots") or [])
-                + [os.path.relpath(staged, self.data_dir)],
+                + (
+                    [os.path.relpath(staged, self.data_dir)]
+                    if order_is_default
+                    else []
+                ),
             )
         return self.current_version()
 

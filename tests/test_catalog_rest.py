@@ -625,7 +625,11 @@ def test_publish_refuses_unresolvable_sort_column(
     """A sort column that doesn't resolve against the served REST schema
     means the catalog and manifest diverged — the publish must raise,
     not silently skip the order update and leave default-sort-order-id
-    stale (ADVICE r13 #3). Unreachable through the statement surface
+    stale (ADVICE r13 #3). The raise is DEFERRED past the snapshot
+    commit (ADVICE r14 #4): a sort order is writer-advisory metadata,
+    so only the ORDER update is withheld — the data version still
+    publishes and stays externally visible; divergence must not hold
+    data visibility hostage. Unreachable through the statement surface
     (rename/drop of layout columns are refused engine-side), so the
     divergence is simulated by editing the manifest directly."""
     import json
@@ -650,6 +654,20 @@ def test_publish_refuses_unresolvable_sort_column(
         json.dump(m, fh)
     with pytest.raises(ValueError, match="missing from the published"):
         cat.publish_snapshot("sod", "t", snap, version=2)
+    # blast radius: the DATA version is durable and served despite the
+    # loud order failure — external readers see v2's files …
+    loaded = cat.load_table("sod", "t")
+    served = {f["file-path"] for f in loaded.get("data-files", [])}
+    assert set(m["files"]) <= served
+    # … and the write order was NOT updated (default stays unsorted;
+    # no order referencing an unresolvable column was added)
+    meta = loaded["metadata"]
+    assert meta.get("default-sort-order-id", 0) == 0
+    field_ids = {
+        fl["id"] for s in meta.get("schemas", []) for fl in s["fields"]
+    }
+    for o in meta.get("sort-orders", []):
+        assert all(f["source-id"] in field_ids for f in o.get("fields", []))
 
 
 def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):

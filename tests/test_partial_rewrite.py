@@ -253,10 +253,24 @@ def test_read_incremental_crosses_rewrite_group(spark, table):
 def test_call_statement_partial_progress(spark, table):
     table.commit(_df(spark, 0, 400))
     table.commit(_df(spark, 400, 800))
+    # r15: a TRANSIENT sort_order can't resume across paced calls
+    # (clustered_roots tracks the declared order only) — max_groups
+    # with it would redo group 1 forever, so it refuses with the
+    # remedy named
+    with pytest.raises(ValueError, match="declare the order"):
+        sql_stmt(
+            spark,
+            "CALL system.rewrite_data_files(table => 't', "
+            "strategy => 'sort', sort_order => 'k', "
+            "partial_progress => true, "
+            "max_file_group_size_bytes => 1, max_groups => 1)",
+            {"t": table},
+        )
+    sql_stmt(spark, "ALTER TABLE t WRITE ORDERED BY k", {"t": table})
     out = sql_stmt(
         spark,
         "CALL system.rewrite_data_files(table => 't', strategy => 'sort', "
-        "sort_order => 'k', partial_progress => true, "
+        "partial_progress => true, "
         "max_file_group_size_bytes => 1, max_groups => 1)",
         {"t": table},
     ).collect()

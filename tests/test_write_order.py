@@ -227,22 +227,44 @@ def test_statement_optimize_zorder(spark, table):
 
 
 def test_call_rewrite_data_files_sort(spark, table):
+    """``sort_order =>`` is TRANSIENT (Iceberg's contract, r15 — VERDICT
+    r14 what's-wrong #2): it clusters THAT rewrite; the table's default
+    write order changes only via ALTER TABLE … WRITE ORDERED BY."""
     table.commit(_df(spark, 0, 500))
+    before = sorted((r.k, r.g, r.v) for r in table.read().collect())
     sql_stmt(
         spark,
         "CALL system.rewrite_data_files(table => 't', strategy => 'sort', "
         "sort_order => 'k')",
         {"t": table},
     )
-    assert _m(table)["sort_by"] == ["k"]
-    # Iceberg's zorder(...) sort_order spelling
+    m = _m(table)
+    # the rewrite happened and rows are identical …
+    assert m["operation"] == "compact"
+    assert sorted((r.k, r.g, r.v) for r in table.read().collect()) == before
+    # … but the DEFAULT order is untouched (no set-write-order version,
+    # no declared order) and no root claims to be clustered under a
+    # default that doesn't exist
+    assert m["sort_by"] == [] and m["zorder_by"] == []
+    assert m["clustered_roots"] == []
+    assert not any(
+        mm["operation"] == "set-write-order"
+        for mm in (table._load(n) for n in table._manifests())
+    )
+    # the files ARE physically clustered by the transient order
+    import pyarrow.parquet as pq
+
+    for f in m["files"]:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"{f} not clustered by transient order"
+    # Iceberg's zorder(...) sort_order spelling: same transient contract
     sql_stmt(
         spark,
         "CALL rewrite_data_files('t', 'sort', 'zorder(k, g)')",
         {"t": table},
     )
     m = _m(table)
-    assert m["zorder_by"] == ["k", "g"] and m["sort_by"] == []
+    assert m["zorder_by"] == [] and m["sort_by"] == []
     assert table.read().count() == 500
     # no-arg call stays the binpack compaction (may no-op on big files)
     sql_stmt(spark, "CALL rewrite_data_files('t')", {"t": table})
@@ -252,6 +274,47 @@ def test_call_rewrite_data_files_sort(spark, table):
             "CALL rewrite_data_files('t', 'shuffle')",
             {"t": table},
         )
+
+
+def test_call_rewrite_transient_order_keeps_declared_default(spark, table):
+    """A transient sort_order DIFFERENT from the declared default
+    rewrites under the transient order, leaves the default (and
+    $sort_orders) untouched, and does NOT mark the result clustered —
+    the resume marker means "clustered under the DEFAULT order" and a
+    foreign-order root would be a stale mark (the ADVICE r14 #1 class)."""
+    table.commit(_df(spark, 0, 500))
+    table.set_write_order(sort_by=["k"])
+    orders_before = [
+        (r.order_id, r.sort_by, r.zorder_by, r.is_default)
+        for r in table.sort_orders().collect()
+    ]
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+        "sort_order => 'g')",
+        {"t": table},
+    )
+    m = _m(table)
+    assert m["sort_by"] == ["k"]  # declared default survives
+    assert m["clustered_roots"] == []  # not clustered under the DEFAULT
+    assert [
+        (r.order_id, r.sort_by, r.zorder_by, r.is_default)
+        for r in table.sort_orders().collect()
+    ] == orders_before  # $sort_orders history unchanged
+    # a follow-up default-order rewrite must NOT skip the g-ordered root
+    sql_stmt(
+        spark,
+        "CALL rewrite_data_files(table => 't', strategy => 'sort', "
+        "partial_progress => true)",
+        {"t": table},
+    )
+    m = _m(table)
+    assert m["clustered_roots"], "default-order rewrite re-clusters"
+    import pyarrow.parquet as pq
+
+    for f in m["files"]:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"{f} not reclustered by the default"
 
 
 def test_call_rewrite_sort_without_order_refused(spark, table):
@@ -277,7 +340,10 @@ def test_call_rewrite_sort_without_order_refused(spark, table):
         "sort_order => 'k')",
         {"t": table},
     )
-    assert _m(table)["sort_by"] == ["k"]
+    # the transient order unblocked the rewrite without becoming the
+    # table default (r15: Iceberg's sort_order contract)
+    assert _m(table)["sort_by"] == []
+    assert _m(table)["operation"] == "compact"
     table.set_write_order(zorder_by=["k", "g"])
     sql_stmt(
         spark,
@@ -530,3 +596,54 @@ def test_transform_sort_field_guards(spark, table):
     # z-order has no transform fields
     with pytest.raises(ValueError, match="bad ZORDER BY item"):
         sql_stmt(spark, "OPTIMIZE t ZORDER BY (days(d))", {"t": table})
+
+
+def test_commit_explicit_order_change_resets_marks(spark, table):
+    """ADVICE r14 #1: an APPEND whose explicit sort_by/zorder_by differs
+    from the parent's effective order must reset the parent's
+    clustered_roots — those roots were clustered under an order the new
+    manifest no longer declares, and a stale mark would make
+    partial-progress rewrites permanently skip them under the new
+    order. Same rule set_write_order already applies."""
+    table.commit(_df(spark, 0, 300), sort_by=["k"])
+    m = _m(table)
+    assert len(m["clustered_roots"]) == 1
+    old_root = m["clustered_roots"][0]
+    # same-order append keeps the mark and adds its own
+    table.commit(_df(spark, 300, 600), sort_by=["k"])
+    m = _m(table)
+    assert old_root in m["clustered_roots"]
+    assert len(m["clustered_roots"]) == 2
+    # DIFFERENT explicit order: parent marks reset; only the new root
+    # (born clustered under the NEW order) is marked
+    table.commit(_df(spark, 600, 900), sort_by=["v"])
+    m = _m(table)
+    assert m["sort_by"] == ["v"]
+    assert old_root not in m["clustered_roots"]
+    assert len(m["clustered_roots"]) == 1
+    # so a partial-progress rewrite re-clusters the k-ordered history
+    # instead of skipping it as "done"
+    table.rewrite_clustered(partial_progress=True, file_group_bytes=1)
+    import pyarrow.parquet as pq
+
+    for f in _m(table)["files"]:
+        vs = pq.read_table(f, columns=["v"]).column("v").to_pylist()
+        assert vs == sorted(vs), f"{f} not reclustered under v"
+
+
+def test_commit_explicit_order_canonicalized(spark, table):
+    """ADVICE r14 #2: commit() canonicalizes an explicit sort_by exactly
+    like set_write_order ('k desc nulls last' → 'k DESC'), so a later
+    set_write_order of the semantically identical order is the
+    idempotent no-op, not a spurious version that resets
+    clustered_roots."""
+    table.commit(_df(spark, 0, 300), sort_by=["k desc nulls last"])
+    m = _m(table)
+    assert m["sort_by"] == ["k DESC"]  # canonical spelling stored
+    v = table.current_version()
+    marks = m["clustered_roots"]
+    assert marks
+    # semantically identical order: no-op, same version, marks intact
+    assert table.set_write_order(sort_by=["k DESC"]) == v
+    assert table.set_write_order(sort_by=["k desc NULLS LAST"]) == v
+    assert _m(table)["clustered_roots"] == marks
