@@ -3353,6 +3353,49 @@ class SnapshotTable:
             schema_ops=list(m.get("schema_ops", [])),
         )
 
+    @staticmethod
+    def _sort_key_as_double(df: DataFrame, sort_by: list[str]):
+        """The LEADING sort field's source column as a double expression
+        (ints/floats/decimals cast directly; timestamps via epoch
+        seconds; dates via a timestamp hop), or None when the type has
+        no numeric embedding (strings) — the quantile/bucket key the
+        shared-boundary partial rewrite clusters groups on."""
+        lead = parse_sort_spec(sort_by)[0]
+        src = parse_part_field(lead.name).source
+        dt_ = dict(df.dtypes).get(src, "")
+        if dt_ in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double") or dt_.startswith("decimal"):
+            return F.col(src).cast("double")
+        if dt_.startswith("timestamp"):
+            return F.col(src).cast("double")
+        if dt_ == "date":
+            return F.col(src).cast("timestamp").cast("double")
+        return None
+
+    def _global_sort_boundaries(
+        self, m: dict, pending: list[str], sort_by: list[str]
+    ) -> list[float] | None:
+        """One bounded sampling pass over the PENDING files: up to 255
+        global quantile cut points of the leading sort key (the same
+        granularity zorder_key uses), shared by every group of a
+        partial-progress rewrite. None when there is no sort order, the
+        leading key has no numeric embedding, or one group would hold
+        everything anyway (boundaries only matter ACROSS groups)."""
+        if not sort_by:
+            return None
+        df = self._read_file_list(
+            pending, [], widen=False, spec_map=self._root_fields(m)
+        )
+        num = self._sort_key_as_double(df, sort_by)
+        if num is None:
+            return None
+        k = min(256, max(len(pending), 16))
+        qs = df.select(num.alias("_q")).approxQuantile(
+            "_q", [i / k for i in range(1, k)], 0.001
+        )
+        bounds = sorted({float(q) for q in qs if q is not None})
+        return bounds or None
+
     def rewrite_clustered(
         self,
         partial_progress: bool = False,
@@ -3506,8 +3549,18 @@ class SnapshotTable:
             # redundant rewrite, never a missed one), a provably
             # disjoint file is left alone. The targeted-recluster lever
             # for hot partitions of a 100 TB table: cost follows the
-            # filter's selectivity, not the table.
-            scope = set(self._plan_files(m, probes)[0])
+            # filter's selectivity, not the table. A union of
+            # conjunctive probe sets (IN / OR-of-ranges, r15) scopes to
+            # the union of each disjunct's surviving files; the legacy
+            # single conjunctive list still works.
+            disjuncts = (
+                probes
+                if probes and isinstance(probes[0], list)
+                else [probes]
+            )
+            scope: set[str] = set()
+            for d in disjuncts:
+                scope |= set(self._plan_files(m, d)[0])
             pending = [f for f in pending if f in scope]
         if not pending:
             return parent
@@ -3523,6 +3576,24 @@ class SnapshotTable:
             acc += sz
         if max_groups is not None:
             groups = groups[:max_groups]
+        # cross-group range discipline (r15, VERDICT r14 what's-missing
+        # #3): sample global boundaries of the leading sort key ONCE over
+        # the whole pending set, and range-partition every group on the
+        # shared bucket id instead of letting each group sample its own
+        # cuts. Two effects at scale: (a) ONE sampling pass instead of
+        # one repartitionByRange sampling job per group — at thousands of
+        # groups those jobs dominate the rewrite's scheduling cost; (b)
+        # every group's file hulls land on the SAME bucket boundaries,
+        # so cross-group overlap is bucket-aligned (a later same-bucket
+        # merge needs no re-sort) instead of arbitrary. The remaining
+        # trade stays stated: a group's outputs each span ~1/len(group)
+        # of the domain, so point-probe pruning keeps ~one file per
+        # group — the one-commit mode is still the global optimum.
+        boundaries = (
+            self._global_sort_boundaries(m, pending, eff_sort)
+            if len(groups) > 1
+            else None  # one group ⇒ its own multi-column sampler is best
+        )
         for group in groups:
             m = self._load(f"v{self.current_version():08d}.json")
             group = [f for f in group if f in set(m["files"])]
@@ -3531,11 +3602,33 @@ class SnapshotTable:
             df = self._read_file_list(
                 group, [], widen=False, spec_map=self._root_fields(m)
             )
-            out = self._recluster(
-                df,
-                {**m, "sort_by": eff_sort, "zorder_by": eff_z},
-                nparts=len(group),
-            )
+            if boundaries is not None:
+                exprs = sort_exprs(eff_sort, df)
+                gb = F.size(
+                    F.filter(
+                        F.lit(boundaries),
+                        lambda b: b <= self._sort_key_as_double(
+                            df, eff_sort
+                        ),
+                    )
+                )
+                out = (
+                    df.withColumn("_gb", gb)
+                    # range partitioning ON the bucket id ALONE: the
+                    # sampler can only cut BETWEEN distinct bucket ids,
+                    # so every file boundary lands on a shared global
+                    # bucket edge (adding the sort exprs here would let
+                    # it cut mid-bucket on the tiebreak)
+                    .repartitionByRange(max(len(group), 1), F.col("_gb"))
+                    .sortWithinPartitions(*exprs)
+                    .drop("_gb")
+                )
+            else:
+                out = self._recluster(
+                    df,
+                    {**m, "sort_by": eff_sort, "zorder_by": eff_z},
+                    nparts=len(group),
+                )
             part_cols = m.get("partition_by") or []
             staged = os.path.join(self.data_dir, uuid.uuid4().hex)
             _partitioned_writer(out, part_cols).parquet(staged)
