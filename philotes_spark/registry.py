@@ -383,6 +383,13 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_meta_sql",
         "snapshot_insert_overwrite",
         "snapshot_rewrite_late_appends",
+        # r15 addition (oracle-gated in pytest; below the window, r16
+        # rotation candidate): the complete partial-progress recluster
+        # lifecycle — group-wise rewrite, then the tighten pass merging
+        # cross-group overlapping runs to value-disjoint files (the
+        # one-commit property reached through paced commits), read
+        # through an SF-relative range under the hash compare
+        "snapshot_tighten_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -3629,40 +3629,158 @@ class SnapshotTable:
                     {**m, "sort_by": eff_sort, "zorder_by": eff_z},
                     nparts=len(group),
                 )
-            part_cols = m.get("partition_by") or []
-            staged = os.path.join(self.data_dir, uuid.uuid4().hex)
-            _partitioned_writer(out, part_cols).parquet(staged)
-            new_files = _staged_parquet_files(staged)
-            keep = [f for f in m["files"] if f not in set(group)]
-            cols = m.get("stats_cols") or []
-            stats = {
-                f: s
-                for f, s in m.get("file_stats", {}).items()
-                if f in set(keep)
-            }
-            if cols:
-                stats.update(_footer_stats(new_files, cols))
-            self._write_manifest(
-                parent=m["version"],
-                operation="rewrite-group",
-                files=keep + new_files,
-                added_files=len(new_files),
-                added_rows=0,  # row-identical swap
-                partition_by=list(part_cols),
-                properties=dict(m.get("properties", {})),
-                file_stats=stats,
-                stats_cols=list(cols),
-                # the manifest keeps the table's DECLARED order — a
-                # transient override never becomes the default
-                sort_by=list(m.get("sort_by") or []),
-                zorder_by=list(m.get("zorder_by") or []),
-                clustered_roots=(m.get("clustered_roots") or [])
-                + (
-                    [os.path.relpath(staged, self.data_dir)]
-                    if order_is_default
-                    else []
-                ),
+            self._commit_group_rewrite(
+                m, group, out, mark_clustered=order_is_default
             )
+        return self.current_version()
+
+    def _commit_group_rewrite(
+        self, m: dict, group: list[str], out: DataFrame,
+        mark_clustered: bool,
+    ) -> int:
+        """One ``rewrite-group`` commit: swap ``group``'s files for the
+        staged write of ``out`` (row-identical by contract of the
+        caller), carry everything else by reference. The manifest keeps
+        the table's DECLARED order — group rewrites never change
+        metadata defaults — and the staged root joins
+        ``clustered_roots`` only when the applied order IS the declared
+        one (``mark_clustered``)."""
+        part_cols = m.get("partition_by") or []
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        _partitioned_writer(out, part_cols).parquet(staged)
+        new_files = _staged_parquet_files(staged)
+        keep = [f for f in m["files"] if f not in set(group)]
+        cols = m.get("stats_cols") or []
+        stats = {
+            f: s
+            for f, s in m.get("file_stats", {}).items()
+            if f in set(keep)
+        }
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=m["version"],
+            operation="rewrite-group",
+            files=keep + new_files,
+            added_files=len(new_files),
+            added_rows=0,  # row-identical swap
+            partition_by=list(part_cols),
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            clustered_roots=(m.get("clustered_roots") or [])
+            + (
+                [os.path.relpath(staged, self.data_dir)]
+                if mark_clustered
+                else []
+            ),
+        )
+
+    def tighten_clustered(
+        self,
+        file_group_bytes: int = 256 << 20,
+        max_groups: int | None = None,
+    ) -> int:
+        """The final cross-group tighten pass of a partial-progress
+        recluster (r15, VERDICT r14 what's-missing #3): partial
+        rewrites cluster per GROUP, so per-file ranges can still
+        overlap ACROSS group commits — this pass finds the maximal runs
+        of files whose leading-sort-key hulls overlap each other,
+        merges each run in its own size-bounded ``rewrite-group``
+        commit, and thereby converges file-skipping to the one-commit
+        optimum at the cost of re-writing only the OVERLAPPED regions
+        (not the table). Self-describing and idempotent: overlap is
+        recomputed from the live file stats each call, so pacing with
+        ``max_groups`` needs no resume marker and a converged table
+        no-ops. A run larger than ``file_group_bytes`` splits greedily;
+        the residual boundary overlap is found (and merged, a tiny
+        2-file group) by the next call — monotone convergence. Files
+        without stats on the leading key are left alone: they cannot be
+        PROVEN overlapping, and merging them gains nothing scan
+        planning could use. Requires a declared ``sort_by`` order
+        (z-order hulls are multi-dimensional — tighten z-ordered
+        history with the one-commit ``OPTIMIZE``) and refuses over
+        pending MoR deltas / schema journal like every group rewrite."""
+        parent = self.current_version()
+        if not parent:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        m = self._load(f"v{parent:08d}.json")
+        sort_by = m.get("sort_by") or []
+        if not sort_by:
+            raise ValueError(
+                "tighten needs a declared sort write order — ALTER "
+                "TABLE ... WRITE ORDERED BY first (z-ordered tables "
+                "tighten via the one-commit OPTIMIZE ... ZORDER BY)"
+            )
+        if m.get("deltas"):
+            raise ValueError(
+                "tighten with pending MoR deltas would orphan "
+                "positional-delete (path, index) references — CALL "
+                "compact_deltas first"
+            )
+        if m.get("schema_ops"):
+            raise ValueError(
+                "tighten with a pending schema-op journal would mix "
+                "materialized and journaled roots — CALL "
+                "materialize_schema first"
+            )
+        lead = parse_part_field(parse_sort_spec(sort_by)[0].name).source
+        stats = m.get("file_stats", {})
+        known = []
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(lead)
+            if rng is not None:
+                known.append((f, rng[0], rng[1]))
+        try:
+            known.sort(key=lambda t: (t[1], t[2]))
+        except TypeError:
+            # mixed stored stat types are not comparable — no provable
+            # overlap, nothing to tighten
+            return parent
+        runs: list[list[str]] = []
+        cur: list[str] = []
+        cur_hi = None
+        for f, lo, hi in known:
+            if cur and lo <= cur_hi:
+                cur.append(f)
+                cur_hi = max(cur_hi, hi)
+            else:
+                if len(cur) >= 2:
+                    runs.append(cur)
+                cur, cur_hi = [f], hi
+        if len(cur) >= 2:
+            runs.append(cur)
+        groups: list[list[str]] = []
+        for run in runs:
+            g: list[str] = []
+            acc = 0
+            for f in run:
+                sz = os.path.getsize(f)
+                if g and acc + sz > file_group_bytes:
+                    if len(g) >= 2:
+                        groups.append(g)
+                    g, acc = [], 0
+                g.append(f)
+                acc += sz
+            if len(g) >= 2:
+                groups.append(g)
+        if max_groups is not None:
+            groups = groups[:max_groups]
+        for group in groups:
+            m = self._load(f"v{self.current_version():08d}.json")
+            group = [f for f in group if f in set(m["files"])]
+            if len(group) < 2:
+                continue
+            df = self._read_file_list(
+                group, [], widen=False, spec_map=self._root_fields(m)
+            )
+            # the merged run reclusters under the DECLARED order; range
+            # partitioning makes its outputs value-disjoint, so a merged
+            # run never re-enters the overlap sweep
+            out = self._recluster(df, m, nparts=len(group))
+            self._commit_group_rewrite(m, group, out, mark_clustered=True)
         return self.current_version()
 
     # --- maintenance (A7) -------------------------------------------------------

@@ -1407,12 +1407,46 @@ def sql(
                         "compaction is already incremental per "
                         "partition)"
                     )
-                if args.get("where") is not None and not partial:
+                tighten = str(
+                    args.get("tighten", "false")
+                ).lower() in ("true", "1")
+                if not tighten and args.get("where") is not None and (
+                    not partial
+                ):
                     raise ValueError(
                         "CALL rewrite_data_files: where => '...' scopes "
                         "the group-wise rewrite — pass partial_progress "
                         "=> true (one commit: also raise "
                         "max_file_group_size_bytes)"
+                    )
+                if tighten:
+                    # the final cross-group merge pass of a partial
+                    # recluster: self-contained (overlap recomputed from
+                    # live file stats), so it composes with nothing —
+                    # refuse the knobs that don't apply
+                    if strategy != "sort":
+                        raise ValueError(
+                            "CALL rewrite_data_files: tighten => true "
+                            "applies to strategy => 'sort'"
+                        )
+                    if order is not None or args.get("where") is not None:
+                        raise ValueError(
+                            "CALL rewrite_data_files: tighten => true "
+                            "merges cross-group overlap under the "
+                            "table's DECLARED order over ALL files — "
+                            "sort_order / where do not apply"
+                        )
+                    kw = {}
+                    if args.get("max_file_group_size_bytes") is not None:
+                        kw["file_group_bytes"] = int(
+                            args["max_file_group_size_bytes"]
+                        )
+                    if args.get("max_groups") is not None:
+                        kw["max_groups"] = int(args["max_groups"])
+                    v = tbl.tighten_clustered(**kw)
+                    return spark.createDataFrame(
+                        [(tname, proc, v)],
+                        "table string, operation string, version int",
                     )
                 if strategy == "binpack" and order is None:
                     out = tbl.compact()
