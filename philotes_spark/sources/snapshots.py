@@ -1492,9 +1492,14 @@ class SnapshotTable:
                 F.min(k0).alias("lo"), F.max(k0).alias("hi")
             ).collect()[0]
             if rng.lo is not None:
+                # timestamp/date keys compare in the stats' stored ISO
+                # text form (r15, same fix as scan planning) — without
+                # it a datetime key hit the incomparable-⇒-keep path
+                # and pruned CoW silently rewrote the whole table
+                lo, hi = _probe_safe(rng.lo), _probe_safe(rng.hi)
                 affected, untouched = [], []
                 for f in m["files"]:
-                    if _range_overlaps(stats[f][k0], rng.lo, rng.hi):
+                    if _range_overlaps(stats[f][k0], lo, hi):
                         affected.append(f)
                     else:
                         untouched.append(f)

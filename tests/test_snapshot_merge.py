@@ -479,3 +479,35 @@ def test_compact_folds_pending_positional_deltas(spark, tmp_path):
     p.compact(small_file_bytes=32 * 1024 * 1024)
     assert p.read().count() == 99
     assert p.read().filter("k = 7").count() == 0
+
+
+def test_merge_prunes_with_timestamp_key(spark, tmp_path):
+    """r15: a TIMESTAMP merge key prunes too — footer stats store
+    timestamps as ISO text, and the probe now compares in that stored
+    form instead of hitting the incomparable-⇒-keep fallback (which
+    silently degraded pruned CoW to a full-table rewrite on every
+    time-keyed merge)."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "ts"))
+    mk = lambda pairs: spark.createDataFrame(pairs, "ts timestamp, v string")
+    jan = mk([(dt.datetime(2024, 1, 1, h), f"jan{h}") for h in range(10)])
+    jun = mk([(dt.datetime(2024, 6, 1, h), f"jun{h}") for h in range(10)])
+    t.commit(jan.coalesce(1), stats_cols=["ts"])
+    t.commit(jun.coalesce(1))
+    m = t._resolve()
+    assert len(m["files"]) == 2
+    # change set touches only June → the January file carries by
+    # reference, not rewritten
+    t.merge(
+        mk([(dt.datetime(2024, 6, 1, 3), "JUN3")]), key_cols=["ts"]
+    )
+    m2 = t._resolve()
+    jan_files = [
+        f for f in m["files"] if str(m["file_stats"][f]["ts"][0]).startswith("2024-01")
+    ]
+    assert jan_files and all(f in m2["files"] for f in jan_files), (
+        "time-keyed merge rewrote a file outside the change-set range"
+    )
+    got = {r.ts: r.v for r in t.read().collect()}
+    assert got[dt.datetime(2024, 6, 1, 3)] == "JUN3" and len(got) == 20
