@@ -390,6 +390,12 @@ def _tier(name: str) -> tuple[int, int]:
         # one-commit property reached through paced commits), read
         # through an SF-relative range under the hash compare
         "snapshot_tighten_read",
+        # r15 addition (oracle-gated in pytest; below the window, r16
+        # rotation candidate): the $entries metadata table — per-entry
+        # status/provenance/record-count audited against counts
+        # recomputed from the source slices (ADDED/EXISTING/DELETED
+        # through a stats-pruned CoW delete)
+        "snapshot_entries_meta",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1830,3 +1830,64 @@ def snapshot_tighten_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_entries_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 2, (SELECT COUNT(*) FROM events
+              WHERE event_id > 400 AND event_id <= 800)),
+      (1, 3, (SELECT COUNT(*) - 1 FROM events WHERE event_id <= 400)),
+      (2, 3, (SELECT COUNT(*) FROM events WHERE event_id <= 400))
+    ) AS t(status, snapshot_id, recs)
+    ORDER BY status
+    """,
+)
+def snapshot_entries_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$entries`` metadata table under the oracle gate (r15 —
+    Iceberg's ``t$entries``, the per-manifest-entry view engineers use
+    to audit what each snapshot touched): two one-file commits of known
+    event slices, then a CoW ``DELETE`` of ONE row from the first
+    slice. The entries of the resulting snapshot must show exactly the
+    lifecycle: the untouched second slice EXISTING (status 0) and still
+    attributed to the snapshot that ADDED it (the spec's existing-entry
+    provenance rule), the rewritten first slice ADDED (status 1) one
+    row short, and its pre-delete file DELETED (status 2) with the full
+    slice count — proving both the stats-pruned CoW (the second file
+    carried by reference, never rewritten) and the provenance walk.
+    The oracle recomputes each record count straight from the source
+    slices. Metadata-only on the engine side: statuses from the
+    manifest chain, counts from parquet footers."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") <= 400).coalesce(1),
+            stats_cols=["event_id"],
+        )
+        tbl.commit(
+            ev.filter(
+                (F.col("event_id") > 400) & (F.col("event_id") <= 800)
+            ).coalesce(1)
+        )
+        tbl.delete_where("event_id = 100", key_cols=["event_id"])
+        out = sql_stmt(
+            spark,
+            'SELECT status, snapshot_id, SUM(record_count) AS recs '
+            'FROM "t$entries" GROUP BY status, snapshot_id '
+            "ORDER BY status",
+            {"t": tbl},
+        )
+        rows = out.collect()
+        # the stats-pruned CoW left slice 2 carried by reference —
+        # EXISTING, attributed to its adding snapshot, never rewritten
+        assert (rows[0].status, rows[0].snapshot_id) == (0, 2), rows
+        return spark.createDataFrame(rows, out.schema).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

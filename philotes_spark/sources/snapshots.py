@@ -2686,6 +2686,59 @@ class SnapshotTable:
             rows, "file_path string, size_bytes long, n_rows long"
         )
 
+    def entries(self, version: int | None = None) -> DataFrame:
+        """≙ Iceberg's ``t$entries`` metadata table: one row per manifest
+        entry of the snapshot — live data files with status 1 (ADDED by
+        this snapshot) or 0 (EXISTING, carried by reference), plus
+        status 2 (DELETED) rows for the parent files this snapshot
+        removed (rewrites/overwrites/late-append compaction).
+        ``snapshot_id`` / ``sequence_number`` carry the version that
+        originally ADDED the file — the spec's existing-entry rule
+        (:func:`file_provenance`; files whose adding snapshot expired
+        attribute to the oldest loadable version, conservative) — while
+        deleted entries carry THIS snapshot, the one that removed them.
+        Sizes and footer row counts ride along like ``$files``;
+        metadata-only, no data scan (a physically-expired removed file
+        reports null size/count)."""
+        import pyarrow.parquet as pq
+
+        from philotes_spark.sources.iceberg_manifest import file_provenance
+
+        m = self._resolve(version)
+        added_at, _ = file_provenance(self, m["version"])
+
+        def _sized(f: str) -> tuple:
+            try:
+                return (
+                    os.path.getsize(f),
+                    pq.ParquetFile(f).metadata.num_rows,
+                )
+            except OSError:
+                return (None, None)
+
+        rows = []
+        for f in m["files"]:
+            seq = int(added_at.get(f, m["version"]))
+            rows.append(
+                (1 if seq == m["version"] else 0, seq, seq, f, *_sized(f))
+            )
+        parent = int(m.get("parent") or 0)
+        if parent:
+            try:
+                parent_files = self._resolve(version=parent)["files"]
+            except (FileNotFoundError, ValueError):
+                parent_files = []  # expired history: no delete rows
+            live = set(m["files"])
+            v = int(m["version"])
+            for f in parent_files:
+                if f not in live:
+                    rows.append((2, v, v, f, *_sized(f)))
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id int, sequence_number int, "
+            "file_path string, file_size_in_bytes long, record_count long",
+        )
+
     def delete_files(self, version: int | None = None) -> DataFrame:
         """≙ Iceberg's `t$delete_files` metadata table: one row per
         pending delete file — positional (`content=1`, the spec's

@@ -55,7 +55,7 @@ _TT_RE = re.compile(
 _META_TABLES = (
     "snapshots", "files", "delete_files", "partition_specs", "partitions",
     "properties", "metadata", "refs", "schema_history", "history",
-    "sort_orders", "manifests",
+    "sort_orders", "manifests", "entries",
 )
 _META_RE = re.compile(
     r'"?\b([A-Za-z_][A-Za-z0-9_]*)\$(' + "|".join(_META_TABLES) + r')\b"?',
