@@ -396,6 +396,13 @@ def _tier(name: str) -> tuple[int, int]:
         # recomputed from the source slices (ADDED/EXISTING/DELETED
         # through a stats-pruned CoW delete)
         "snapshot_entries_meta",
+        # r15 addition (oracle-gated in pytest; below the window, r16
+        # rotation candidate): the diverged-main WAP completion —
+        # fast_forward refuses once main advanced past the fork
+        # (wholesale adoption would drop main's newer commits),
+        # cherrypick_snapshot re-applies the branch's pure append; the
+        # published union is hash-compared against the source slices
+        "snapshot_cherrypick_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

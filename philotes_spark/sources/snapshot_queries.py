@@ -1891,3 +1891,66 @@ def snapshot_entries_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_cherrypick_read",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id <= 300
+       OR (event_id > 300 AND event_id <= 600)
+       OR (event_id > 600 AND event_id <= 900)
+    """,
+)
+def snapshot_cherrypick_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIVERGED-main write-audit-publish completion under the
+    oracle gate (r15): main commits slice A, an audit branch forks and
+    stages slice B, main meanwhile commits slice C — at which point
+    ``CALL fast_forward`` REFUSES (adopting the branch head wholesale
+    would drop C; asserted in-query), and ``CALL cherrypick_snapshot``
+    re-applies the branch's pure append onto current main (Iceberg's
+    cherrypick_snapshot). The read is the published main: A ∪ C ∪ B,
+    hash-compared against the union of the three source slices — rows
+    main committed during the audit survive the publish. Metadata-only
+    publish: the staged files are referenced, never copied."""
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    view = "__philotes_cherry_src"
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.filter(F.col("event_id") <= 300))  # A
+        wip = tbl.create_branch("wip")
+        wip.commit(
+            ev.filter(
+                (F.col("event_id") > 300) & (F.col("event_id") <= 600)
+            )
+        )  # B staged on the branch
+        ev.filter(
+            (F.col("event_id") > 600) & (F.col("event_id") <= 900)
+        ).createOrReplaceTempView(view)
+        tabs = {"t": tbl}
+        sql_stmt(
+            spark,
+            f"INSERT INTO t SELECT event_id, event_type, value FROM {view}",
+            tabs,
+        )  # C lands on main while the audit runs
+        try:
+            sql_stmt(spark, "CALL fast_forward('t', 'wip')", tabs)
+            raise AssertionError("diverged fast_forward must refuse")
+        except ValueError as e:
+            assert "cherrypick" in str(e), e
+        sql_stmt(spark, "CALL cherrypick_snapshot('t', 'wip')", tabs)
+        m = tbl._load(f"v{tbl.current_version():08d}.json")
+        assert m["operation"] == "cherry-pick", m["operation"]
+        return (
+            tbl.read()
+            .select("event_id", "event_type", "value")
+            .localCheckpoint()
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -2070,8 +2070,25 @@ class SnapshotTable:
         state wholesale (Iceberg's fast_forward) — the final step of
         write-audit-publish. Metadata-only: the branch staged its files
         into the shared data dir; main's new manifest just references
-        them."""
+        them.
+
+        Refuses when main has ADVANCED past the branch's fork point
+        (r15): adopting the head wholesale would silently drop every
+        row main committed since the fork — exactly the non-ancestor
+        case Iceberg's fast_forward rejects. The remedy is
+        :meth:`cherrypick`, which re-applies the branch's append onto
+        current main."""
         head = self.branch(name)._resolve()
+        forked = int(head.get("properties", {}).get("branch.forked_from", 0))
+        if forked and self.current_version() != forked:
+            raise ValueError(
+                f"fast_forward('{name}'): main advanced past the "
+                f"branch's fork point (v{forked} -> "
+                f"v{self.current_version()}); adopting the branch head "
+                "wholesale would drop main's newer commits — CALL "
+                "cherrypick_snapshot to re-apply the branch's append "
+                "onto current main"
+            )
         return self._write_manifest(
             parent=self.current_version(),
             operation="fast-forward",
@@ -2087,6 +2104,100 @@ class SnapshotTable:
             zorder_by=list(head.get("zorder_by") or []),
             deltas=list(head.get("deltas", [])),
             schema_ops=list(head.get("schema_ops", [])),
+        )
+
+    def cherrypick(self, name: str) -> int:
+        """Iceberg's ``cherrypick_snapshot`` for a WAP branch whose fork
+        point main has moved past: re-apply the branch's APPEND — the
+        files it added since forking — onto CURRENT main as one new
+        commit, keeping everything main committed in the meantime.
+        Metadata-only (the branch staged its files into the shared data
+        dir); the appended files keep their staged stats, and their
+        root is deliberately NOT marked clustered (main's order may
+        differ from what the branch wrote under — conservative, costs a
+        redundant rewrite at most).
+
+        Refuses — matching Iceberg, which cherry-picks appends and
+        dynamic overwrites only — when the branch did anything beyond
+        appending relative to its fork (removed/rewrote files, stacked
+        MoR deltas, evolved schema or partition spec), or when main's
+        current default spec differs from the spec the branch wrote
+        under (the staged root would be misattributed), or when the
+        append was already applied. Replaying any of those onto a
+        diverged main could silently drop or resurrect rows."""
+        head = self.branch(name)._resolve()
+        forked = int(head.get("properties", {}).get("branch.forked_from", 0))
+        if not forked:
+            raise ValueError(
+                f"cherrypick('{name}'): the branch records no fork "
+                "point (branch.forked_from)"
+            )
+        base = self._resolve(version=forked)
+        base_files = set(base["files"])
+        removed = sorted(base_files - set(head["files"]))
+        if removed:
+            raise ValueError(
+                f"cherrypick('{name}'): the branch removed/rewrote "
+                f"{len(removed)} fork-point file(s) — only pure appends "
+                "cherry-pick; publish via fast_forward from an "
+                "un-advanced main, or re-stage"
+            )
+        for key, what in (
+            ("deltas", "MoR deltas"),
+            ("schema_ops", "schema evolution"),
+        ):
+            if list(head.get(key) or []) != list(base.get(key) or []):
+                raise ValueError(
+                    f"cherrypick('{name}'): the branch carries {what} "
+                    "beyond its fork point — only pure appends "
+                    "cherry-pick"
+                )
+        if list(head.get("partition_by") or []) != list(
+            base.get("partition_by") or []
+        ):
+            raise ValueError(
+                f"cherrypick('{name}'): the branch evolved the "
+                "partition spec — only pure appends cherry-pick"
+            )
+        m = self._resolve()
+        if list(m.get("partition_by") or []) != list(
+            head.get("partition_by") or []
+        ):
+            raise ValueError(
+                f"cherrypick('{name}'): main's default partition spec "
+                "changed since the fork; the staged files were written "
+                f"under {head.get('partition_by') or []} — evolve/"
+                "re-stage before publishing"
+            )
+        added = [f for f in head["files"] if f not in base_files]
+        if not added:
+            return self.current_version()  # nothing staged: no-op
+        dup = [f for f in added if f in set(m["files"])]
+        if dup:
+            raise ValueError(
+                f"cherrypick('{name}'): {len(dup)} staged file(s) are "
+                "already referenced by main — the append was already "
+                "published"
+            )
+        stats = dict(m.get("file_stats", {}))
+        head_stats = head.get("file_stats", {})
+        stats.update(
+            {f: head_stats[f] for f in added if f in head_stats}
+        )
+        return self._write_manifest(
+            parent=m["version"],
+            operation="cherry-pick",
+            files=m["files"] + added,
+            added_files=len(added),
+            added_rows=_footer_row_count(added),
+            partition_by=list(m.get("partition_by") or []),
+            properties=dict(m.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(m.get("stats_cols") or []),
+            sort_by=list(m.get("sort_by") or []),
+            zorder_by=list(m.get("zorder_by") or []),
+            deltas=list(m.get("deltas", [])),
+            schema_ops=list(m.get("schema_ops", [])),
         )
 
     def rollback(self, to_version: int) -> int:

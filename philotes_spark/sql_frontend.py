@@ -1307,6 +1307,11 @@ def sql(
         procs = {
             "rollback_to_snapshot": ("table", "snapshot_id"),
             "fast_forward": ("table", "branch"),
+            # the WAP completion when main advanced past the fork:
+            # re-apply the branch's pure APPEND onto current main
+            # (Iceberg's cherrypick_snapshot; staged-by-branch here, so
+            # the argument is the branch name, not a snapshot id)
+            "cherrypick_snapshot": ("table", "branch"),
             "expire_snapshots": ("table", "retain_last"),
             # binpack (no args, Iceberg's default strategy) = small-file
             # compaction; strategy => 'sort' = full clustered rewrite by
@@ -1363,6 +1368,8 @@ def sql(
                 v = tbl.rollback(int(args["snapshot_id"]))
             elif proc == "fast_forward":
                 v = tbl.fast_forward(str(args["branch"]))
+            elif proc == "cherrypick_snapshot":
+                v = tbl.cherrypick(str(args["branch"]))
             elif proc == "expire_snapshots":
                 # published tables prune the catalog in the same
                 # statement (or refuse with the remedy named) — SQL-side

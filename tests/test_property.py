@@ -241,3 +241,98 @@ class TestAvroCodecProperties:
         data = single_value_bytes(v, typ)
         assume(data is not None)
         assert decode_single_value(data, typ) == v
+
+
+class TestProbeSafeOrdering:
+    """r15 pruning fix invariants: `_probe_safe` casts datetime/date
+    probes to the manifest's stored ISO text, and the whole fix is
+    sound ONLY if that text's lexicographic order equals the values'
+    chronological order for every spelling `str()` emits (including
+    the microsecond-less prefix form)."""
+
+    _dts = st.datetimes(
+        min_value=__import__("datetime").datetime(1, 1, 1),
+        max_value=__import__("datetime").datetime(9999, 12, 28),
+    )
+
+    @given(a=_dts, b=_dts)
+    @settings(max_examples=300, deadline=None)
+    def test_datetime_iso_text_orders_like_values(self, a, b):
+        from philotes_spark.sources.snapshots import _json_safe, _probe_safe
+
+        assert (a < b) == (_probe_safe(a) < _probe_safe(b))
+        # and the probe form is exactly the stored-stat form
+        assert _probe_safe(a) == _json_safe(a)
+
+    @given(a=_dts, b=_dts)
+    @settings(max_examples=200, deadline=None)
+    def test_zero_microsecond_prefix_form_still_orders(self, a, b):
+        from philotes_spark.sources.snapshots import _probe_safe
+
+        a = a.replace(microsecond=0)  # str() elides '.000000'
+        assert (a < b) == (_probe_safe(a) < _probe_safe(b))
+        assert (b < a) == (_probe_safe(b) < _probe_safe(a))
+
+    @given(a=st.dates(), b=st.dates())
+    @settings(max_examples=200, deadline=None)
+    def test_date_iso_text_orders_like_values(self, a, b):
+        from philotes_spark.sources.snapshots import _probe_safe
+
+        assert (a < b) == (_probe_safe(a) < _probe_safe(b))
+
+    @given(
+        v=st.one_of(
+            st.integers(),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=20),
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_non_temporal_probes_pass_through(self, v):
+        from philotes_spark.sources.snapshots import _probe_safe
+
+        assert _probe_safe(v) is v
+
+
+class TestWhereScopeSplitter:
+    """The r15 tokenizer-first AND/OR splitter: string literals and
+    parenthesized groups shield their contents; rejoining the parts
+    with the split word reproduces the input."""
+
+    _lit = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters=" ANDORand()<>=",
+        ),
+        max_size=24,
+    )
+
+    @given(s=_lit, word=st.sampled_from(["AND", "OR"]))
+    @settings(max_examples=200, deadline=None)
+    def test_literal_contents_never_split(self, s, word):
+        from philotes_spark.sql_frontend import _split_word_top
+
+        frag = f"k = '{s}'"
+        assert _split_word_top(frag, word) == [frag]
+
+    @given(
+        parts=st.lists(
+            st.sampled_from(
+                ["k >= 5", "g = 'x AND y'", "(a = 1 AND b = 2)",
+                 "d IN (1, 2)", "v <= 'p OR q'"]
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        word=st.sampled_from(["AND", "OR"]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_split_rejoin_round_trips(self, parts, word):
+        from philotes_spark.sql_frontend import _split_word_top
+
+        joined = f" {word} ".join(parts)
+        got = _split_word_top(joined, word)
+        assert [p.strip() for p in got] == [p.strip() for p in parts]
+        assert f" {word} ".join(got).replace(" ", "") == joined.replace(
+            " ", ""
+        )

@@ -941,3 +941,82 @@ def test_delete_files_metadata_table(spark, tmp_path):
     assert [(r.delete_type, r.n) for r in got] == [("equality", 1), ("position", 1)]
     t.compact_deltas()
     assert t.delete_files().count() == 0
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    """r15: publishing a branch onto a main that advanced past the fork
+    would silently drop main's newer rows — refused with cherrypick
+    named; cherrypick then keeps BOTH sides."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    wip = t.create_branch("wip")
+    wip.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cherrypick"):
+        t.fast_forward("wip")
+    v = t.cherrypick("wip")
+    assert v == t.current_version()
+    m = t._load(f"v{v:08d}.json")
+    assert m["operation"] == "cherry-pick"
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # already applied: a second cherrypick refuses, not double-applies
+    with _pytest.raises(ValueError, match="already"):
+        t.cherrypick("wip")
+    # un-diverged fast_forward still works
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    w2 = t2.create_branch("w")
+    w2.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t2.fast_forward("w")
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2]
+
+
+def test_cherrypick_refuses_non_append_branches(spark, tmp_path):
+    """Only pure appends cherry-pick (Iceberg's rule): a branch that
+    rewrote fork-point files, stacked MoR deltas, or evolved schema/
+    spec refuses with the reason named."""
+    import pytest as _pytest
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    def fresh(name):
+        t = SnapshotTable(spark, str(tmp_path / name))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k long, v string"
+            ),
+            stats_cols=["k"],
+        )
+        return t
+
+    # rewrote fork-point data (CoW delete)
+    t = fresh("rw")
+    b = t.create_branch("wip")
+    b.delete_where("k = 1", key_cols=["k"])
+    t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="removed/rewrote"):
+        t.cherrypick("wip")
+    # MoR deltas beyond the fork
+    t = fresh("mor")
+    b = t.create_branch("wip")
+    b.delete_where("k = 1", key_cols=["k"], mode="mor")
+    t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="MoR deltas"):
+        t.cherrypick("wip")
+    # schema evolution beyond the fork
+    t = fresh("sch")
+    b = t.create_branch("wip")
+    b.alter_rename_column("v", "val")
+    t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="schema evolution"):
+        t.cherrypick("wip")
+    # nothing staged: no-op, current version returned
+    t = fresh("noop")
+    t.create_branch("wip")
+    t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert t.cherrypick("wip") == t.current_version()
