@@ -2132,3 +2132,131 @@ def test_same_spec_evolution_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# --------------------------------------------------------------------------
+# family 14 (r15): the branch / write-audit-publish lifecycle — appends land
+# on main directly or stage on an audit branch; a publish takes the
+# fast-forward path when main held still and MUST take refusal-then-
+# cherrypick when main advanced past the fork; abandoned branches vanish
+# without a trace. The mirror is visibility-ordered: a row exists exactly
+# when it is readable ON MAIN, so any lost-main-commit (the pre-r15
+# wholesale fast_forward), dropped stage, or double-application diverges.
+# --------------------------------------------------------------------------
+
+
+def _gen_branch_lifecycle(seed: int) -> list[tuple]:
+    import random
+
+    rng = random.Random(seed)
+    ops: list[tuple] = [("append", 0, 40)]
+    nxt = 1000
+    staged = False
+    for _ in range(rng.randint(6, 12)):
+        kind = rng.choice(
+            ["append", "fork", "stage", "publish", "abandon"]
+        )
+        if kind == "append":
+            ops.append(("append", nxt, rng.randint(5, 30)))
+            nxt += 1000
+        elif kind == "fork" and not staged:
+            ops.append(("fork",))
+            staged = True
+        elif kind == "stage" and staged:
+            ops.append(("stage", nxt, rng.randint(5, 30)))
+            nxt += 1000
+        elif kind == "publish" and staged:
+            ops.append(("publish",))
+            staged = False
+        elif kind == "abandon" and staged:
+            ops.append(("abandon",))
+            staged = False
+    if staged:
+        ops.append(("publish",))  # always exercise the publish path
+    return ops
+
+
+def test_family14_op_coverage():
+    """Both publish paths are genuinely drawn across the seeds: some
+    publishes happen with main un-advanced since the fork (fast-forward)
+    and some with main advanced (refusal → cherrypick)."""
+    ff = cp = 0
+    for seed in range(1400, 1420):
+        advanced = False
+        forked = False
+        for op in _gen_branch_lifecycle(seed):
+            if op[0] == "fork":
+                forked, advanced = True, False
+            elif op[0] == "append" and forked:
+                advanced = True
+            elif op[0] == "publish":
+                if advanced:
+                    cp += 1
+                else:
+                    ff += 1
+                forked = False
+            elif op[0] == "abandon":
+                forked = False
+    assert ff >= 3 and cp >= 3, (ff, cp)
+
+
+@pytest.mark.parametrize("seed", range(1400, 1412))
+def test_same_branch_lifecycle_same_final_state(fuzz_env, tmp_path, seed):
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    spark, _ = fuzz_env
+
+    tbl = SnapshotTable(spark, str(tmp_path / "wap"))
+    mirror: dict[int, int] = {}  # k -> v (visibility-ordered on MAIN)
+
+    def rows_for(off, n):
+        return [(off + i, (off + i) * 2) for i in range(n)]
+
+    def commit_rows(target, rows):
+        target.commit(
+            spark.createDataFrame(rows, "k long, v long").repartition(2)
+        )
+
+    branch = None
+    pending: list[tuple[int, int]] = []
+    n_forks = 0
+    fork_version = None
+    for op in _gen_branch_lifecycle(seed):
+        if op[0] == "append":
+            rows = rows_for(op[1], op[2])
+            commit_rows(tbl, rows)
+            mirror.update(dict(rows))
+        elif op[0] == "fork":
+            n_forks += 1
+            branch = tbl.create_branch(f"wip{n_forks}")
+            fork_version = tbl.current_version()
+            pending = []
+        elif op[0] == "stage":
+            rows = rows_for(op[1], op[2])
+            commit_rows(branch, rows)
+            pending += rows
+            # staging is INVISIBLE on main until the publish
+            got = {r.k: r.v for r in tbl.read().collect()}
+            assert got == mirror, f"seed={seed}: staged rows leaked to main"
+        elif op[0] == "publish":
+            name = f"wip{n_forks}"
+            if tbl.current_version() != fork_version:
+                # main advanced: wholesale adoption must refuse, the
+                # named remedy must land BOTH sides
+                with pytest.raises(ValueError, match="cherrypick"):
+                    tbl.fast_forward(name)
+                tbl.cherrypick(name)
+            else:
+                tbl.fast_forward(name)
+            mirror.update(dict(pending))
+            branch, pending = None, []
+            got = {r.k: r.v for r in tbl.read().collect()}
+            assert got == mirror, f"seed={seed}: publish diverged"
+        elif op[0] == "abandon":
+            branch, pending = None, []
+
+    got = {r.k: r.v for r in tbl.read().collect()}
+    assert got == mirror, f"seed={seed}: final state diverged"
+    # every version in the chain remains a valid readable table
+    for v in range(1, tbl.current_version() + 1):
+        assert tbl.read(version=v).count() >= 0
