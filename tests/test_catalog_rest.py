@@ -2531,3 +2531,37 @@ def test_zordered_table_publishes_unsorted(mock_catalog, spark, tmp_path):
     meta = cat.load_table("zo", "t")["metadata"]
     assert meta["default-sort-order-id"] == 1
     assert _readback_equal(spark, snap, "zo", "t", cat) == 201
+
+
+def test_cherrypick_publish_external_readback(mock_catalog, spark, tmp_path):
+    """r15: a cherry-pick commit (the diverged-main WAP publish) goes
+    over the wire like any append and reads back externally — the Avro
+    chain + independent pandas planner reproduce main's post-publish
+    state (fork slice, main's concurrent slice, AND the cherry-picked
+    audit slice)."""
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, str(tmp_path / "t"))
+    snap.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    wip = snap.create_branch("wip")
+    wip.commit(
+        spark.createDataFrame([(10, "staged")], "k long, v string")
+        .coalesce(1)
+    )
+    snap.commit(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1)
+    )
+    with pytest.raises(ValueError, match="cherrypick"):
+        snap.fast_forward("wip")
+    v = snap.cherrypick("wip")
+
+    cat = RestCatalog(f"http://127.0.0.1:{mock_catalog.port}", "wh")
+    for pv in range(1, v + 1):
+        cat.publish_snapshot("wap", "cp", snap, version=pv)
+    n = _readback_equal(spark, snap, "wap", "cp", cat)
+    assert n == 4
+    assert cat.verify_publish("wap", "cp", snap, version=v)["records"] == 4

@@ -1020,3 +1020,51 @@ def test_cherrypick_refuses_non_append_branches(spark, tmp_path):
     t.create_branch("wip")
     t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
     assert t.cherrypick("wip") == t.current_version()
+
+
+def test_entries_metadata_matches_avro_manifest_entries(spark, tmp_path):
+    """r15 parity pin: the engine's $entries view and the PUBLISHED Avro
+    manifest chain are two renderings of one truth — per version, the
+    raw manifest entries (decoded through the engine's own OCF reader,
+    which the cleanroom decoder suite already cross-checks) must carry
+    the same file set, the same ADDED/EXISTING/DELETED statuses, and
+    the same adding-snapshot provenance as the metadata table."""
+    from philotes_spark.sources.iceberg_manifest import (
+        read_manifest_list,
+        read_ocf,
+        write_manifests_for_version,
+    )
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(20)], "k long, v string"
+        ).coalesce(1),
+        stats_cols=["k"],
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(100, 120)], "k long, v string"
+        ).coalesce(1)
+    )
+    t.delete_where("k = 5", key_cols=["k"])  # CoW: rewrites file 1 only
+
+    for v in range(1, t.current_version() + 1):
+        ml = write_manifests_for_version(t, v)
+        avro = {}
+        for mf in read_manifest_list(ml):
+            _, _, entries = read_ocf(mf["manifest_path"])
+            for e in entries:
+                if e["data_file"]["content"] != 0:
+                    continue  # delete files live in $delete_files
+                avro[e["data_file"]["file_path"]] = (
+                    e["status"],
+                    e["snapshot_id"],
+                )
+        eng = {
+            r.file_path: (r.status, r.snapshot_id)
+            for r in t.entries(version=v).collect()
+        }
+        # same files, same status, same adding-snapshot attribution
+        assert eng == avro, f"v{v}: {eng} != {avro}"
