@@ -1092,12 +1092,37 @@ def _published_target(tbl: SnapshotTable) -> tuple[str, str] | None:
     return (str(ns), str(t)) if ns and t else None
 
 
+def _older_than_ms(v) -> int | None:
+    """Parse ``expire_snapshots``' ``older_than`` argument: epoch millis
+    (int), a ``TIMESTAMP '...'`` literal, or a bare ISO datetime string
+    — Iceberg's own argument takes a timestamp. None passes through."""
+    import datetime as dt
+
+    if v is None or isinstance(v, int):
+        return v
+    s = str(v).strip()
+    m = re.fullmatch(r"TIMESTAMP\s*'([^']*)'", s, re.IGNORECASE)
+    if m:
+        s = m.group(1)
+    try:
+        parsed = dt.datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"expire_snapshots older_than: {v!r} is not epoch millis, "
+            "TIMESTAMP '...' or an ISO datetime"
+        ) from None
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=dt.timezone.utc)
+    return int(parsed.timestamp() * 1000)
+
+
 def _expire_with_catalog_sync(
     tbl: SnapshotTable,
     tname: str,
     catalog,
     *,
     keep_last: int,
+    older_than_ms: int | None = None,
 ) -> tuple[int, int]:
     """Snapshot expiry from the STATEMENT surface, safe end-to-end
     (VERDICT r11 #2): local retention deletes data files, so on a
@@ -1117,7 +1142,12 @@ def _expire_with_catalog_sync(
     tables expire locally as before with ``snapshots_pruned == 0``."""
     target = _published_target(tbl)
     if target is None:
-        return tbl.expire_snapshots(keep_last=keep_last), 0
+        return (
+            tbl.expire_snapshots(
+                keep_last=keep_last, older_than_ms=older_than_ms
+            ),
+            0,
+        )
     ns, cat_table = target
     if catalog is None:
         raise ValueError(
@@ -1128,7 +1158,11 @@ def _expire_with_catalog_sync(
             "are pruned in the same statement, or use the Python API "
             "(expire_snapshots + prune_expired_snapshots) deliberately."
         )
-    doomed = set(tbl.expiring_versions(keep_last=keep_last))
+    doomed = set(
+        tbl.expiring_versions(
+            keep_last=keep_last, older_than_ms=older_than_ms
+        )
+    )
     if doomed:
         meta = catalog.load_table(ns, cat_table).get("metadata", {})
         refs = meta.get("refs", {})
@@ -1154,7 +1188,9 @@ def _expire_with_catalog_sync(
                 f"{min(served_head)} of {tname!r}: publish "
                 "a newer version first (nothing was expired)"
             )
-    deleted = tbl.expire_snapshots(keep_last=keep_last)
+    deleted = tbl.expire_snapshots(
+        keep_last=keep_last, older_than_ms=older_than_ms
+    )
     pruned = catalog.prune_expired_snapshots(ns, cat_table, tbl)
     return deleted, pruned
 
@@ -1312,7 +1348,7 @@ def sql(
             # (Iceberg's cherrypick_snapshot; staged-by-branch here, so
             # the argument is the branch name, not a snapshot id)
             "cherrypick_snapshot": ("table", "branch"),
-            "expire_snapshots": ("table", "retain_last"),
+            "expire_snapshots": ("table", "retain_last", "older_than"),
             # binpack (no args, Iceberg's default strategy) = small-file
             # compaction; strategy => 'sort' = full clustered rewrite by
             # the table's write order, optionally setting it first via
@@ -1377,6 +1413,7 @@ def sql(
                 v, _ = _expire_with_catalog_sync(
                     tbl, tname, catalog,
                     keep_last=int(args.get("retain_last", 1)),
+                    older_than_ms=_older_than_ms(args.get("older_than")),
                 )
             elif proc == "prune_expired_snapshots":
                 if catalog is None:

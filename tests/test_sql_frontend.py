@@ -1286,3 +1286,51 @@ def test_alter_widen_decimal_and_guards(spark, tmp_path):
     # unknown column refuses
     with pytest.raises(ValueError, match="no such column"):
         t.alter_widen_column("zz", "bigint")
+
+
+def test_call_expire_snapshots_older_than(spark, tmp_path):
+    """r15: Iceberg's ``older_than`` argument — retention drops only
+    manifests older than the cutoff (and never the retained head), so a
+    time-based policy expresses directly in the statement instead of
+    guessing a retain_last count."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import _older_than_ms, sql
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+        )
+    # age v1 artificially: one hour in the past
+    p = _os.path.join(t.snap_dir, "v00000001.json")
+    with open(p) as fh:
+        m = _json.load(fh)
+    m["timestamp_ms"] -= 3_600_000
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+
+    cutoff = dt.datetime.now(dt.timezone.utc) - dt.timedelta(minutes=30)
+    stmt = (
+        "CALL expire_snapshots(table => 't', retain_last => 1, "
+        f"older_than => TIMESTAMP '{cutoff.replace(tzinfo=None).isoformat()}')"
+    )
+    sql(spark, stmt, {"t": t})
+    # v1 (older than the cutoff) is gone; v2 (newer) survives even
+    # though retain_last=1 alone would have dropped it
+    names = t._manifests()
+    assert "v00000001.json" not in names
+    assert "v00000002.json" in names and "v00000003.json" in names
+    assert t.read().count() == 3  # current state intact
+
+    # literal forms: epoch millis and bare ISO agree with TIMESTAMP
+    assert _older_than_ms(1700000000000) == 1700000000000
+    iso = "2024-01-02T03:04:05"
+    assert _older_than_ms(iso) == _older_than_ms(f"TIMESTAMP '{iso}'")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="older_than"):
+        _older_than_ms("not-a-time")
