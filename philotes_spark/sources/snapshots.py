@@ -3975,7 +3975,12 @@ class SnapshotTable:
                 doomed.append(int(name[1:9]))
         return doomed
 
-    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> int:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        orphan_mtime_before_ms: int | None = None,
+    ) -> int:
         """Drop manifests beyond the retention (but always keep the newest
         ``keep_last``), then delete data files no live manifest references
         (buffer retention cleanup analogue, buffer/postgres.go:218-234).
@@ -3984,7 +3989,16 @@ class SnapshotTable:
         handle that silently stopped resolving would defeat its point.
         Branch heads' files are live too (branches stage into the shared
         data dir); a BRANCH table must expire through its main table,
-        never directly — its live-set would not see main's references."""
+        never directly — its live-set would not see main's references.
+
+        ``orphan_mtime_before_ms`` (r15, Iceberg remove_orphan_files'
+        ``older_than``): an UNREFERENCED file modified at/after the
+        cutoff is LEFT ALONE — with concurrent writers, "unreferenced"
+        may mean "staged by an in-flight commit whose manifest hasn't
+        linked yet", and deleting it would fail that commit (the
+        classic orphan-sweep footgun; Iceberg defaults the guard to
+        3 days). None keeps the single-writer behavior: every orphan
+        goes."""
         if os.path.basename(os.path.dirname(self.path)) == "_branches":
             raise ValueError(
                 "expire_snapshots on a branch would garbage-collect the "
@@ -4022,6 +4036,15 @@ class SnapshotTable:
             for f in files:
                 p = os.path.join(root, f)
                 if f.endswith(".parquet") and p not in live:
+                    if orphan_mtime_before_ms is not None:
+                        try:
+                            if (
+                                os.path.getmtime(p) * 1000
+                                >= orphan_mtime_before_ms
+                            ):
+                                continue  # possibly in-flight: keep
+                        except OSError:
+                            continue  # raced away already: nothing to do
                     os.remove(p)
                     deleted += 1
             if root == self.data_dir:
@@ -4038,7 +4061,7 @@ class SnapshotTable:
                 os.rmdir(root)
         return deleted
 
-    def remove_orphan_files(self) -> int:
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
         """Iceberg's ``remove_orphan_files``: delete data-dir files no
         manifest (any retained version, any branch) references — the
         leftovers of failed or conflicted commits whose staged data lost
@@ -4048,7 +4071,15 @@ class SnapshotTable:
         (:meth:`expire_snapshots` is the retention half and runs the
         same sweep after dropping manifests). Returns the number of
         files deleted. Like expiry, must run on the MAIN table: a
-        branch's own references don't see main's."""
+        branch's own references don't see main's.
+
+        ``older_than_ms`` (r15): leave unreferenced files modified
+        at/after the cutoff alone — with CONCURRENT writers an
+        "orphan" may be another writer's staged-but-not-yet-committed
+        data, and sweeping it fails that commit (Iceberg's own
+        ``older_than``, defaulted there to 3 days). Pass it whenever
+        more than one writer can touch the table."""
         return self.expire_snapshots(
-            keep_last=max(len(self._manifests()), 1)
+            keep_last=max(len(self._manifests()), 1),
+            orphan_mtime_before_ms=older_than_ms,
         )

@@ -1372,7 +1372,7 @@ def sql(
             # orphan sweep alone — drops no manifest, so published
             # history is untouched and no catalog sync is needed
             # (expire_snapshots / VACUUM is the retention half)
-            "remove_orphan_files": ("table",),
+            "remove_orphan_files": ("table", "older_than"),
             "materialize_schema": ("table",),
             # targeted alternative to compact_deltas for the one
             # publish-blocking MoR state (late appends containing pending
@@ -1571,7 +1571,15 @@ def sql(
                 # its own result schema so the count isn't mislabeled
                 # (ADVICE r13 #2)
                 return spark.createDataFrame(
-                    [(tname, proc, tbl.remove_orphan_files())],
+                    [(
+                        tname,
+                        proc,
+                        tbl.remove_orphan_files(
+                            older_than_ms=_older_than_ms(
+                                args.get("older_than")
+                            )
+                        ),
+                    )],
                     "table string, operation string, deleted_files int",
                 )
             elif proc == "rewrite_late_appends":

@@ -1068,3 +1068,46 @@ def test_entries_metadata_matches_avro_manifest_entries(spark, tmp_path):
         }
         # same files, same status, same adding-snapshot attribution
         assert eng == avro, f"v{v}: {eng} != {avro}"
+
+
+def test_remove_orphan_files_older_than_guard(spark, tmp_path):
+    """r15: the orphan sweep's concurrency guard — an unreferenced file
+    modified after the cutoff is LEFT ALONE (it may be another writer's
+    staged-but-uncommitted data; deleting it would fail that commit),
+    while genuinely old orphans still go. Iceberg's older_than."""
+    import os as _os
+    import time as _time
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+    from philotes_spark.sql_frontend import sql as sql_stmt
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # a "staged by an in-flight commit" orphan: fresh mtime
+    fresh_dir = _os.path.join(t.data_dir, "inflight0000")
+    _os.makedirs(fresh_dir)
+    fresh = _os.path.join(fresh_dir, "part-00000.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"PAR1stub")
+    # a genuinely dead orphan: mtime an hour in the past
+    dead_dir = _os.path.join(t.data_dir, "deadbeef0000")
+    _os.makedirs(dead_dir)
+    dead = _os.path.join(dead_dir, "part-00000.parquet")
+    with open(dead, "wb") as fh:
+        fh.write(b"PAR1stub")
+    old = _time.time() - 3600
+    _os.utime(dead, (old, old))
+
+    cutoff_ms = int((_time.time() - 600) * 1000)
+    out = sql_stmt(
+        spark,
+        f"CALL remove_orphan_files(table => 't', older_than => {cutoff_ms})",
+        {"t": t},
+    ).collect()
+    assert out[0].deleted_files == 1
+    assert _os.path.exists(fresh), "in-flight-aged orphan must survive"
+    assert not _os.path.exists(dead)
+    assert t.read().count() == 1  # referenced data untouched
+    # no cutoff: single-writer behavior, everything unreferenced goes
+    assert t.remove_orphan_files() == 1
+    assert not _os.path.exists(fresh)
