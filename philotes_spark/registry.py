@@ -403,6 +403,12 @@ def _tier(name: str) -> tuple[int, int]:
         # cherrypick_snapshot re-applies the branch's pure append; the
         # published union is hash-compared against the source slices
         "snapshot_cherrypick_read",
+        # r15 addition (oracle-gated in pytest; below the window, r16
+        # rotation candidate): TIMESTAMP file-stat pruning — the
+        # TIMESTAMP_MICROS + stored-form-probe fix gets its own
+        # driver-shaped slot (kept < total asserted in-query; bounds
+        # are the fixture's own ts at fixed event_ids, SF-relative)
+        "snapshot_ts_prune_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -1954,3 +1954,48 @@ def snapshot_cherrypick_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "snapshot_ts_prune_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE ts >= (SELECT ts FROM events WHERE event_id = 250)
+      AND ts <= (SELECT ts FROM events WHERE event_id = 750)
+    """,
+)
+def snapshot_ts_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP file-stat pruning under the oracle gate (r15): the
+    events fixture commits ts-clustered (``sort_by=['ts']`` — range
+    partition + in-file sort, footer min/max per file), then answers a
+    ts-range ``read_where`` whose bounds are the fixture's own ts at
+    two fixed event_ids (event_id is unique and ts-monotone at every
+    SF; the oracle mirrors them as scalar subqueries). Before r15 this
+    plan could not prune AT ALL: Spark wrote INT96 timestamps (no
+    parquet statistics), and even with stats the probe hit the
+    incomparable-⇒-keep fallback because manifests store timestamp
+    stats as ISO text — TIMESTAMP_MICROS plus the stored-form probe
+    (``_probe_safe``) make the in-query assert (kept < total) hold at
+    every fixture scale. On a 100 TB time-series table this is the
+    difference between scanning a day and scanning a year; the hash
+    compare proves the pruned scan loses nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    lo = ev.filter(F.col("event_id") == 250).first()["ts"]
+    hi = ev.filter(F.col("event_id") == 750).first()["ts"]
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.repartition(8), sort_by=["ts"])
+        kept, total = tbl.pruned_file_count("ts", lo=lo, hi=hi)
+        assert kept < total, (kept, total)  # ts stats actually prune
+        return (
+            tbl.read_where("ts", lo=lo, hi=hi)
+            .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+            .select("event_id", "user_id", "value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

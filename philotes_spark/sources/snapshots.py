@@ -77,10 +77,20 @@ def _drop_derived(df: DataFrame, part_cols: list[str]) -> DataFrame:
 
 
 def _json_safe(v):
+    import datetime as dt
+
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     if isinstance(v, (int, float, str, bool)):
         return v
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        # TIMESTAMP_MICROS footer stats come back TZ-AWARE (UTC) from
+        # pyarrow; stored as-is their text carries a "+00:00" suffix
+        # that sorts AFTER every naive probe with the same instant — a
+        # hi-bound probe then over-prunes the boundary file (caught by
+        # snapshot_ts_prune_read's hash compare, r15). Normalize to the
+        # naive UTC text the probes use.
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
     return str(v)  # timestamps etc: ISO text, ordered like the values
 
 
@@ -98,6 +108,10 @@ def _probe_safe(v):
     win there."""
     import datetime as dt
 
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        # same naive-UTC normalization as _json_safe: one instant, one
+        # spelling on both sides of every comparison
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
     if isinstance(v, (dt.datetime, dt.date)):
         return str(v)
     return v

@@ -385,3 +385,34 @@ def test_stored_membership_scales_with_roots(spark, table):
     # file_checks bounded by the surviving root's members, not the 2,500
     assert info["file_checks"] == real_g["n"]
     assert set(planned) == set(m["files"])
+
+
+def test_ts_hi_probe_keeps_boundary_file(spark, tmp_path):
+    """r15 regression pin: TIMESTAMP_MICROS footer stats decode
+    TZ-AWARE, and storing their raw text ('…+00:00') made a hi-bound
+    probe sort BEFORE the stat of its own boundary instant — the
+    boundary file pruned and the row vanished (caught by
+    snapshot_ts_prune_read's hash compare). Stats now store the naive
+    UTC text the probes use: a probe ending exactly at a file's max ts
+    keeps that file and still prunes the strictly-later one."""
+    import datetime as dt
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    early = [(dt.datetime(2024, 1, 1, h, 30, 15, 123456), h) for h in range(4)]
+    late = [(dt.datetime(2024, 2, 1, h), 100 + h) for h in range(4)]
+    t.commit(
+        spark.createDataFrame(early, "ts timestamp, k int").coalesce(1),
+        stats_cols=["ts"],
+    )
+    t.commit(spark.createDataFrame(late, "ts timestamp, k int").coalesce(1))
+    m = t._resolve()
+    # the stored stat text is naive — no timezone suffix
+    for st in m["file_stats"].values():
+        assert "+" not in st["ts"][0], st
+    hi = early[-1][0]  # EXACTLY the first file's max ts
+    kept, total = t.pruned_file_count("ts", hi=hi)
+    assert (kept, total) == (1, 2), (kept, total)
+    got = sorted(r.k for r in t.read_where("ts", hi=hi).collect())
+    assert got == [0, 1, 2, 3]  # boundary row included
