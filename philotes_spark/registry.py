@@ -383,32 +383,50 @@ def _tier(name: str) -> tuple[int, int]:
         "snapshot_meta_sql",
         "snapshot_insert_overwrite",
         "snapshot_rewrite_late_appends",
-        # r15 addition (oracle-gated in pytest; below the window, r16
-        # rotation candidate): the complete partial-progress recluster
-        # lifecycle — group-wise rewrite, then the tighten pass merging
-        # cross-group overlapping runs to value-disjoint files (the
-        # one-commit property reached through paced commits), read
-        # through an SF-relative range under the hash compare
-        "snapshot_tighten_read",
-        # r15 addition (oracle-gated in pytest; below the window, r16
-        # rotation candidate): the $entries metadata table — per-entry
-        # status/provenance/record-count audited against counts
-        # recomputed from the source slices (ADDED/EXISTING/DELETED
-        # through a stats-pruned CoW delete)
-        "snapshot_entries_meta",
-        # r15 addition (oracle-gated in pytest; below the window, r16
-        # rotation candidate): the diverged-main WAP completion —
-        # fast_forward refuses once main advanced past the fork
-        # (wholesale adoption would drop main's newer commits),
-        # cherrypick_snapshot re-applies the branch's pure append; the
-        # published union is hash-compared against the source slices
-        "snapshot_cherrypick_read",
-        # r15 addition (oracle-gated in pytest; below the window, r16
-        # rotation candidate): TIMESTAMP file-stat pruning — the
-        # TIMESTAMP_MICROS + stored-form-probe fix gets its own
-        # driver-shaped slot (kept < total asserted in-query; bounds
-        # are the fixture's own ts at fixed event_ids, SF-relative)
-        "snapshot_ts_prune_read",
+        # r16 rotation (VERDICT r15 next-round #2): the four r15 tier-8
+        # additions graduate INTO the window — snapshot_tighten_read
+        # (the complete partial-progress recluster lifecycle: paced
+        # group-wise rewrite, then the tighten pass merging cross-group
+        # overlap to value-disjoint files), snapshot_entries_meta (the
+        # $entries metadata table audited against counts recomputed
+        # from the source slices), snapshot_cherrypick_read (the
+        # diverged-main WAP completion: fast_forward refusal +
+        # cherrypick re-apply, hash-compared through the published
+        # union) and snapshot_ts_prune_read (TIMESTAMP file-stat
+        # pruning with kept < total asserted in-query). Four
+        # duplicate-coverage slots move below the window:
+        # snapshot_schema_history (PASSed since r08; the $-table
+        # metadata surface stays window-green via snapshot_manifests_meta
+        # + the graduating snapshot_entries_meta — both strictly richer
+        # audits of the same chain — and the schema-evolution journal
+        # stays window-verified by snapshot_widen_column +
+        # snapshot_name_mapping_read + snapshot_evolution_mor_read);
+        # text_dup_ngram_fraction (PASSed since r06; the zero-exchange
+        # Arrow-fold per-document text shape stays window-green via its
+        # twin text_repetition_stats, and hashed-n-gram coverage via
+        # dedup_ngram_jaccard's shingle join);
+        # funnel_conversion (PASSed since r04; conditional/filtered
+        # aggregation stays window-green via a8_buffer_stats' multi-
+        # count agg + dq_constraint_report's per-check aggregates);
+        # q_recursive_hierarchy (PASSed since r07; the iterative
+        # driver-loop convergence shape stays window-green via the
+        # strictly-harder dedup_connected_components large-star/
+        # small-star rounds). All four stay oracle-gated in
+        # tests/test_queries_oracle.py.
+        "snapshot_schema_history",
+        "text_dup_ngram_fraction",
+        "funnel_conversion",
+        "q_recursive_hierarchy",
+        # r16 addition (oracle-gated in pytest; below the window, r17
+        # rotation candidate): DATE-literal hi-bound stat pruning — the
+        # date twin of snapshot_ts_prune_read pinning the r16
+        # `_probe_safe` date→midnight promotion (VERDICT r15 wrong #1:
+        # a plain-date probe's text sorted BEFORE the midnight stat and
+        # silently dropped the boundary file); the fixture engineers a
+        # file whose min is exactly midnight of the probe date, and the
+        # in-query asserts pin both the boundary's existence and
+        # kept < total, SF-relatively
+        "snapshot_date_prune_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -102,27 +102,85 @@ def _probe_safe(v):
     microsecond-less value is a prefix of — and sorts before or equal
     to — any sub-second sibling), so stat hulls stored as text prune
     timestamp probes instead of hitting the incomparable-⇒-keep
-    fallback (r15: ts-stat pruning silently never fired). Every other
-    type passes through untouched — notably Decimal stays Decimal: its
-    text form is NOT order-preserving, and keep-on-uncertainty must
-    win there."""
+    fallback (r15: ts-stat pruning silently never fired). A plain
+    ``dt.date`` probe is promoted to its midnight DATETIME first
+    (r16): Spark's residual filter coerces a date literal against a
+    timestamp column to exactly that midnight instant, but the bare
+    date's text ``"YYYY-MM-DD"`` sorts BEFORE the stored
+    ``"YYYY-MM-DD 00:00:00"`` min of a boundary file, so a hi-bound
+    date probe pruned the file whose min is midnight of the probe date
+    — silent row loss through ``read_where``/``where => "ts <= DATE
+    '...'"``. Every other type passes through untouched — notably
+    Decimal stays Decimal: its text form is NOT order-preserving, and
+    keep-on-uncertainty must win there."""
     import datetime as dt
 
     if isinstance(v, dt.datetime) and v.tzinfo is not None:
         # same naive-UTC normalization as _json_safe: one instant, one
         # spelling on both sides of every comparison
         v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    elif isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        v = dt.datetime(v.year, v.month, v.day)
     if isinstance(v, (dt.datetime, dt.date)):
         return str(v)
     return v
+
+
+# shapes of temporal stat/probe text: ``str(datetime)`` (space
+# separator, optional fraction), ``str(date)``, and the tz-suffixed
+# form pre-r15 manifests persisted (pyarrow returns TIMESTAMP_MICROS
+# footer stats tz-aware; their str() carries "+00:00")
+_TS_TEXT_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})?$"
+)
+_DATE_TEXT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TZ_TAIL_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})?[+-]\d{2}:\d{2}$"
+)
+
+
+def _stat_canon(s):
+    """Canonicalize ONE stored stat value to the naive-midnight-datetime
+    spelling probes use, applied at COMPARE time (so manifests persisted
+    by earlier builds — date-shaped ``"YYYY-MM-DD"`` stats, tz-suffixed
+    ``"...+00:00"`` timestamps — prune correctly without a rewrite):
+    date-shaped text gains ``" 00:00:00"`` (Spark coerces a date column
+    compared to a timestamp literal to exactly that midnight instant),
+    tz-suffixed text converts to the naive-UTC form :func:`_json_safe`
+    writes since r15. Anything else passes through."""
+    if not isinstance(s, str):
+        return s
+    if _DATE_TEXT_RE.match(s):
+        return s + " 00:00:00"
+    if _TZ_TAIL_RE.match(s):
+        import datetime as dt
+
+        try:
+            v = dt.datetime.fromisoformat(s)
+        except ValueError:
+            return s
+        return str(v.astimezone(dt.timezone.utc).replace(tzinfo=None))
+    return s
 
 
 def _range_overlaps(rng, lo, hi) -> bool:
     """True iff a file's stored [min,max] MAY intersect [lo,hi]. Stored
     stats went through ``_json_safe`` (timestamps/decimals become text);
     when the probe value's type is incomparable with the stored one, the
-    answer is True — never prune on uncertainty, correctness over speed."""
+    answer is True — never prune on uncertainty, correctness over speed.
+
+    When the probe is temporal-shaped text (everything
+    :func:`_probe_safe` emits for datetime/date probes), the stored
+    side is canonicalized first (:func:`_stat_canon`) so date-vs-
+    datetime and tz-suffixed spellings compare on the instant, not the
+    accident of their text form — the gate is the PROBE's shape, so
+    stats of a genuine string column are never rewritten under a
+    string probe."""
     fmin, fmax = rng
+    if (isinstance(lo, str) and _TS_TEXT_RE.match(lo)) or (
+        isinstance(hi, str) and _TS_TEXT_RE.match(hi)
+    ):
+        fmin, fmax = _stat_canon(fmin), _stat_canon(fmax)
     try:
         if lo is not None and fmax < lo:
             return False

@@ -1327,7 +1327,12 @@ def sql(
         def _lit(v: str):
             v = v.strip()
             if v.startswith("'") and v.endswith("'"):
-                return v[1:-1]
+                # SQL-standard '' unescape: without it a where string
+                # can never CONTAIN a quoted literal — `where => 'ts <=
+                # DATE ''2024-01-02''' arrived with the doubled quotes
+                # intact and the scope grammar (which accepts DATE '...'
+                # since r14) refused it (r16)
+                return v[1:-1].replace("''", "'")
             try:
                 return int(v)
             except ValueError:

@@ -280,6 +280,44 @@ class TestProbeSafeOrdering:
 
         assert (a < b) == (_probe_safe(a) < _probe_safe(b))
 
+    @given(a=st.dates(), b=_dts)
+    @settings(max_examples=300, deadline=None)
+    def test_mixed_date_datetime_orders_like_coerced_values(self, a, b):
+        """r16 (VERDICT r15 wrong #1): a date probe and a datetime
+        stat/probe must order in text exactly as Spark orders the
+        coerced values (date → its midnight instant) — BOTH directions.
+        The pre-fix bug: str(date) is a strict PREFIX of the midnight
+        datetime's text, so the boundary 'equal instant' case sorted
+        date-first and a hi-bound date probe pruned the file whose min
+        is exactly midnight."""
+        import datetime as dt
+
+        from philotes_spark.sources.snapshots import _probe_safe
+
+        a_mid = dt.datetime(a.year, a.month, a.day)
+        assert (a_mid < b) == (_probe_safe(a) < _probe_safe(b))
+        assert (b < a_mid) == (_probe_safe(b) < _probe_safe(a))
+        assert (a_mid == b) == (_probe_safe(a) == _probe_safe(b))
+
+    @given(a=st.dates(), b=_dts)
+    @settings(max_examples=300, deadline=None)
+    def test_stat_canon_aligns_stored_spellings(self, a, b):
+        """Compare-time canonicalization (`_stat_canon`) of STORED stat
+        text: a date-shaped stat against a datetime probe (and a
+        tz-suffixed pre-r15 stat against a naive probe) must compare on
+        the instant, not the text accident."""
+        import datetime as dt
+
+        from philotes_spark.sources.snapshots import _probe_safe, _stat_canon
+
+        a_mid = dt.datetime(a.year, a.month, a.day)
+        # stored date text (what _json_safe writes for a DATE column)
+        assert _stat_canon(str(a)) == _probe_safe(a)
+        assert (a_mid < b) == (_stat_canon(str(a)) < _probe_safe(b))
+        # stored tz-suffixed text (pre-r15 manifests)
+        b_utc = b.replace(tzinfo=dt.timezone.utc)
+        assert _stat_canon(str(b_utc)) == _probe_safe(b)
+
     @given(
         v=st.one_of(
             st.integers(),

@@ -29,12 +29,13 @@ def test_families_inside_driver_window():
         "metric_",
         "alert_",
         "scaling_",
-        "funnel_",
-        # pivot_daily_event_matrix rotated below the window r08 — its
-        # conditional-aggregation shape stays window-green via funnel_;
-        # text_pii_redact rotated below the window r13 — its per-doc JVM
-        # regexp-projection shape stays window-green via text_quality_stats
-        # + scalar_functions
+        # funnel_conversion rotated below the window r16 — the
+        # conditional-aggregation shape stays window-green via
+        # a8_buffer_stats + dq_constraint_report (and pivot_daily_
+        # event_matrix, rotated below r08, was already covered the same
+        # way); text_pii_redact rotated below the window r13 — its
+        # per-doc JVM regexp-projection shape stays window-green via
+        # text_quality_stats + scalar_functions
     ):
         assert any(n.startswith(family) for n in head), family
 
@@ -56,13 +57,13 @@ def test_r13_rotation_composition():
     head = set(list(entry.queries())[:50])
     for n in (
         "w_rank_family",  # r07 graduates stay in
-        "q_recursive_hierarchy",
+        # (q_recursive_hierarchy — r07 graduate — rotated below in r16;
+        # see test_r16_rotation_composition)
         "dq_constraint_report",
         "snapshot_merge_clauses",  # r08 graduates stay in
-        "snapshot_schema_history",
-        # (snapshot_meta_sql and snapshot_insert_overwrite — r08/r09
-        # graduates — rotated below in r15; see
-        # test_r15_rotation_composition)
+        # (snapshot_schema_history, snapshot_meta_sql and
+        # snapshot_insert_overwrite — r08/r09 graduates — rotated below
+        # in r15/r16; see test_r15/r16_rotation_composition)
         "train_stratified_sample",
         "snapshot_ctas",
         "snapshot_wap_statements",
@@ -195,6 +196,50 @@ def test_r15_rotation_composition():
         "snapshot_rewrite_late_appends",
     ):
         assert n not in head, n
+
+
+def test_r16_rotation_composition():
+    # VERDICT r15 next-round #2: the four r15 tier-8 additions graduate
+    # into the 50-slot window — snapshot_tighten_read (the complete
+    # paced-recluster lifecycle: partial-progress rewrite + the tighten
+    # merge pass to value-disjoint files), snapshot_entries_meta (the
+    # $entries metadata table audited against source-slice counts),
+    # snapshot_cherrypick_read (the diverged-main WAP completion:
+    # fast_forward refusal + cherrypick re-apply) and
+    # snapshot_ts_prune_read (TIMESTAMP file-stat pruning, kept < total
+    # asserted in-query). Four duplicate-coverage slots move below:
+    # snapshot_schema_history ($-table surface via snapshot_manifests_meta
+    # + the graduating snapshot_entries_meta; evolution journal via
+    # snapshot_widen_column + snapshot_name_mapping_read +
+    # snapshot_evolution_mor_read), text_dup_ngram_fraction (Arrow-fold
+    # per-doc text shape via its twin text_repetition_stats; hashed
+    # n-grams via dedup_ngram_jaccard), funnel_conversion (conditional
+    # aggregation via a8_buffer_stats + dq_constraint_report),
+    # q_recursive_hierarchy (iterative driver-loop convergence via the
+    # strictly-harder dedup_connected_components). All four evictees
+    # stay oracle-gated in tests/test_queries_oracle.py. The r16
+    # date-prune twin (snapshot_date_prune_read) sits tier-8 below the
+    # window as VERDICT r15 next-round #1 prescribed.
+    names = list(entry.queries())
+    head = set(names[:50])
+    for n in (
+        "snapshot_tighten_read",
+        "snapshot_entries_meta",
+        "snapshot_cherrypick_read",
+        "snapshot_ts_prune_read",
+    ):
+        assert n in head, n
+    for n in (
+        "snapshot_schema_history",
+        "text_dup_ngram_fraction",
+        "funnel_conversion",
+        "q_recursive_hierarchy",
+        "snapshot_date_prune_read",
+    ):
+        assert n not in head, n
+    # the date twin is still registered and oracle-backed below the line
+    assert "snapshot_date_prune_read" in names
+    assert "snapshot_date_prune_read" in entry.oracle_sql()
 
 
 def test_window_queries_nonempty_driver_sf(spark):
