@@ -427,6 +427,13 @@ def _tier(name: str) -> tuple[int, int]:
         # in-query asserts pin both the boundary's existence and
         # kept < total, SF-relatively
         "snapshot_date_prune_read",
+        # r16 addition (oracle-gated in pytest; below the window, r17
+        # rotation candidate): CALL rewrite_manifests — the
+        # metadata-only provenance fold (appends + CoW delete + fold +
+        # post-fold append, read through the folded chain under the
+        # hash compare; the in-query asserts pin the fold is
+        # metadata-only and stores the checkpoint)
+        "snapshot_rewrite_manifests_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

@@ -52,6 +52,19 @@ class CatalogError(RuntimeError):
         )
 
 
+class PublishedWithoutOrderError(ValueError):
+    """Partial-success signal from :meth:`RestCatalog.publish_snapshot`
+    (ADVICE r15 #4): the SNAPSHOT — the data version — committed
+    durably and is served; only the write-order update was withheld
+    because the sort order didn't resolve against the published schema
+    (catalog/manifest divergence). A distinct type so callers don't
+    treat it as publish-failure and blind-retry: retrying IS safe (the
+    data re-publish no-ops — already-served files and snapshot ids are
+    excluded before the add-snapshot commit), but it will keep raising
+    this until the schema itself is re-published. Subclasses ValueError
+    for compatibility with pre-r16 callers that caught that."""
+
+
 _SPARK_TO_ICEBERG = {
     T.LongType: "long",
     T.IntegerType: "int",
@@ -1222,13 +1235,15 @@ class RestCatalog:
                 # this table over a stale schema. The raise after the
                 # commit keeps the divergence loud (callers see the
                 # error; the data version is already durable).
-                order_divergence = ValueError(
+                order_divergence = PublishedWithoutOrderError(
                     f"sort order {desired} has columns missing from the "
                     f"published REST schema "
                     f"{sorted(fid)} for {namespace}.{table} — the "
                     "catalog and manifest have diverged; the SNAPSHOT "
                     "was published, the write-order update was NOT; "
-                    "re-publish the schema to publish the write order"
+                    "re-publish the schema to publish the write order "
+                    "(retrying this publish is safe: the data commit "
+                    "no-ops on already-served state)"
                 )
                 want = None
 

@@ -308,18 +308,32 @@ def file_provenance(snap, version: int) -> tuple[dict[str, int], list[tuple[dict
     data and not to their own upserts. Files whose adding snapshot has
     been expired attribute to the oldest loadable version — conservative:
     it can only widen what a delete applies to back to the truth.
-    Driver-side metadata walk: O(versions) JSON loads."""
+    Driver-side metadata walk: O(versions) JSON loads — bounded by the
+    newest ``rewrite_manifests`` fold in the chain (r16): a manifest
+    carrying a stored ``provenance`` checkpoint ends the walk there,
+    seeding the maps with the checkpoint's (strictly older, so
+    setdefault-compatible) attributions."""
     chain = []
+    prov: dict | None = None
     v = version
     while v >= 1:
         try:
-            chain.append(snap._resolve(version=v))
+            m = snap._resolve(version=v)
         except (FileNotFoundError, ValueError):
             break  # expired history
+        chain.append(m)
+        p = m.get("provenance")
+        if p is not None:
+            prov = p  # the fold: nothing older needs walking
+            break
         v -= 1
     chain.reverse()
-    added: dict[str, int] = {}
-    delta_added: dict[str, int] = {}
+    added: dict[str, int] = {
+        f: int(x) for f, x in (prov or {}).get("added_at", {}).items()
+    }
+    delta_added: dict[str, int] = {
+        k: int(x) for k, x in (prov or {}).get("delta_added", {}).items()
+    }
     for m in chain:
         for f in m["files"]:
             added.setdefault(f, m["version"])

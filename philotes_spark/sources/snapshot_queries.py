@@ -2068,3 +2068,58 @@ def snapshot_date_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+@query(
+    "snapshot_rewrite_manifests_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE event_id > (SELECT MAX(event_id) // 8 FROM events)
+    """,
+)
+def snapshot_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL rewrite_manifests under the oracle gate (r16, VERDICT r15
+    what's-missing #5): the full lifecycle — three appends split at
+    SF-relative event_id cuts, a stats-pruned CoW delete, the
+    metadata-only manifest fold, then an append PAST the fold — read
+    back through the folded chain and hash-compared against the source
+    slices. The fold stores the provenance checkpoint (file → adding
+    version) so ``$entries`` / delete scoping / the Avro export stop
+    walking O(commits) internal manifests; the in-query asserts pin
+    that the fold commit is metadata-only and the checkpoint is
+    present, and the hash compare proves reads through it lose
+    nothing. Reference anchor: Iceberg's rewrite_manifests maintenance
+    procedure over the manifest chain the engine mirrors from
+    internal/iceberg/catalog/rest.go:186-217 (append-per-batch)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    n = ev.agg(F.max("event_id")).first()[0]
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") <= n // 2).repartition(4),
+            stats_cols=["event_id"],
+        )
+        tbl.commit(
+            ev.filter(
+                (F.col("event_id") > n // 2) & (F.col("event_id") <= 3 * n // 4)
+            ).repartition(2)
+        )
+        tbl.delete_where(f"event_id <= {n // 8}", key_cols=["event_id"])
+        from philotes_spark.sql_frontend import sql as _sql
+
+        _sql(spark, "CALL rewrite_manifests('t')", {"t": tbl})
+        m = tbl._resolve()
+        assert m["operation"] == "rewrite-manifests", m["operation"]
+        assert m.get("provenance"), "fold must store the checkpoint"
+        assert m["added_files"] == 0  # metadata-only
+        tbl.commit(ev.filter(F.col("event_id") > 3 * n // 4).repartition(2))
+        return (
+            tbl.read()
+            .select("event_id", "user_id", "value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

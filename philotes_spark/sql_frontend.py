@@ -1374,6 +1374,11 @@ def sql(
                 "max_file_group_size_bytes", "max_groups", "where",
             ),
             "compact_deltas": ("table",),
+            # metadata-only manifest maintenance (Iceberg's
+            # rewrite_manifests): fold the per-commit provenance chain
+            # into a stored checkpoint so $entries / delete scoping /
+            # the Avro export stop walking O(commits) manifests (r16)
+            "rewrite_manifests": ("table",),
             # orphan sweep alone — drops no manifest, so published
             # history is untouched and no catalog sync is needed
             # (expire_snapshots / VACUUM is the retention half)
@@ -1571,6 +1576,8 @@ def sql(
             elif proc == "compact_deltas":
                 out = tbl.compact_deltas()
                 v = out if out is not None else tbl.current_version()
+            elif proc == "rewrite_manifests":
+                v = tbl.rewrite_manifests()
             elif proc == "remove_orphan_files":
                 # files deleted is NOT a table version — this proc gets
                 # its own result schema so the count isn't mislabeled

@@ -668,6 +668,20 @@ def test_publish_refuses_unresolvable_sort_column(
     }
     for o in meta.get("sort-orders", []):
         assert all(f["source-id"] in field_ids for f in o.get("fields", []))
+    # r16 (ADVICE r15 #4): the raise carries a DISTINCT partial-success
+    # type, and a caller that treats it as publish-failure and retries
+    # must NOT re-publish the already-committed data version — the
+    # retry no-ops on served state and raises the same signal again
+    from philotes_spark.sources.catalog_rest import (
+        PublishedWithoutOrderError,
+    )
+
+    n_snaps = len(meta.get("snapshots", []))
+    with pytest.raises(PublishedWithoutOrderError):
+        cat.publish_snapshot("sod", "t", snap, version=2)
+    after = cat.load_table("sod", "t")
+    assert len(after["metadata"].get("snapshots", [])) == n_snaps
+    assert {f["file-path"] for f in after.get("data-files", [])} == served
 
 
 def test_served_metadata_is_spec_compliant_v2(mock_catalog, spark, tmp_path):

@@ -761,7 +761,7 @@ def _gen_mor_lifecycle(seed: int) -> list[tuple]:
     n_appends = 0
     for _ in range(rng.randint(4, 8)):
         kinds = ["mor_delete", "mor_upsert", "append", "compact",
-                 "rewrite_late"]
+                 "rewrite_late", "rewrite_manifests"]
         if not has_pending_upserts:
             kinds.append("pos_delete")
         if has_pending_deletes:
@@ -791,6 +791,12 @@ def _gen_mor_lifecycle(seed: int) -> list[tuple]:
         elif kind == "compact":
             ops.append(("compact",))
             has_pending_upserts = False
+        elif kind == "rewrite_manifests":
+            # metadata-only provenance fold (r16): logical no-op — the
+            # engine must keep pending deltas' TRUE sequence numbers
+            # through the fold, so interleaving it anywhere in the
+            # lifecycle must not change the final state or the publish
+            ops.append(("rewrite_manifests",))
         else:
             ops.append(("rewrite_late",))
     return ops
@@ -896,6 +902,8 @@ def test_same_mor_lifecycle_same_final_state(fuzz_env, sf_dir, tmp_path, seed):
             tbl.compact_deltas()
             own_duck.sql("DELETE FROM pend")
             pending_deleted.clear()
+        elif op[0] == "rewrite_manifests":
+            tbl.rewrite_manifests()  # metadata-only: no mirror effect
         else:  # rewrite_late — physical only
             tbl.rewrite_late_appends()
 

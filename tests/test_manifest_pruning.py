@@ -565,3 +565,87 @@ def test_where_date_literal_scopes_boundary_file(spark, tmp_path):
     assert len(after & before) == 2, (before, after)
     rows = sorted(r.k for r in t.read().collect())
     assert rows == [0, 1, 2], rows
+
+def test_fresh_table_size_decisions_use_manifest_meta(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (VERDICT r15 what's-missing #3): sizes and footer row counts
+    are recorded in the manifest at COMMIT time (file_meta — Iceberg's
+    file_size_in_bytes/record_count), so every size-dependent consumer
+    — compact's small-file scan, the $files/$partitions/$manifests/
+    $metadata/$entries byte totals — runs on a fresh table with ZERO
+    filesystem stat calls for live files (each is a HEAD request on an
+    object store; a maintenance planner issuing millions per call is a
+    driver-side metadata storm). Only files NEW to a commit are statted
+    (by the writer that just produced them); pre-feature manifests fall
+    back per file."""
+    import datetime as dt
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [(dt.datetime(2024, 1, 1 + i // 4, i % 4), i) for i in range(12)]
+    t.commit(
+        spark.createDataFrame(rows[:8], "ts timestamp, k int").repartition(3),
+        stats_cols=["ts"],
+    )
+    t.commit(
+        spark.createDataFrame(rows[8:], "ts timestamp, k int").coalesce(1)
+    )
+    m = t._resolve()
+    live = set(m["files"])
+    # the recorded meta matches the filesystem truth exactly
+    meta = m["file_meta"]
+    assert set(meta) == live
+    for f in live:
+        assert meta[f][0] == _os.path.getsize(f)
+        assert meta[f][1] == pq.ParquetFile(f).metadata.num_rows
+
+    stat_calls: list[str] = []
+    real_getsize = _os.path.getsize
+
+    def guarded(p):
+        if str(p) in live:
+            stat_calls.append(str(p))
+        return real_getsize(p)
+
+    monkeypatch.setattr(_os.path, "getsize", guarded)
+    # every metadata table and byte total is manifest-only
+    assert t.files().count() == 4
+    total = t.files().agg({"size_bytes": "sum"}).first()[0]
+    assert total == sum(v[0] for v in meta.values())
+    t.partitions().collect()
+    t.manifests().collect()
+    t.metadata().collect()
+    t.entries().collect()
+    assert stat_calls == [], stat_calls
+    # compact plans from the manifest too: its small-file scan touches
+    # no live file; only the files it WRITES are statted (not in live)
+    v = t.compact(small_file_bytes=1 << 30)
+    assert v is not None
+    assert stat_calls == [], stat_calls
+    # the compacted manifest carries meta for its new files as well
+    m2 = t._resolve()
+    assert set(m2["file_meta"]) == set(m2["files"])
+    # pre-feature manifests (time travel) fall back to the filesystem
+    import json as _json
+
+    mpath = _os.path.join(t.snap_dir, f"v{m2['version']:08d}.json")
+    aged = dict(m2)
+    aged.pop("file_meta")
+    with open(mpath, "w") as fh:
+        _json.dump(aged, fh)
+    live2 = set(m2["files"])
+    stat_calls2: list[str] = []
+
+    def guarded2(p):
+        if str(p) in live2:
+            stat_calls2.append(str(p))
+        return real_getsize(p)
+
+    monkeypatch.setattr(_os.path, "getsize", guarded2)
+    assert t.files().count() == len(m2["files"])  # getsize fallback works
+    assert len(stat_calls2) == len(m2["files"])

@@ -638,3 +638,33 @@ def test_tighten_statement_and_refusals(spark, table):
     )
     for (l1, h1), (l2, h2) in zip(hulls, hulls[1:]):
         assert h1 < l2, hulls
+
+def test_paced_rewrite_gets_shared_global_boundaries(spark, table, monkeypatch):
+    """ADVICE r15 #3: the shared-boundary gate must look at the
+    PRE-truncation group count. The documented pacing mode
+    (max_groups=1 per call) rewrites one group per call while the
+    pending work spans several — gating on the post-truncation count
+    silently denied paced calls the bucket-aligned hulls the feature
+    exists for (each group sampled its own cuts, so cross-group overlap
+    was arbitrary instead of bucket-aligned)."""
+    table.commit(_df(spark, 0, 400))
+    table.commit(_df(spark, 400, 800))
+    table.commit(_df(spark, 800, 1200))
+    table.set_write_order(sort_by=["k"])  # three roots now pending
+
+    calls = []
+    orig = SnapshotTable._global_sort_boundaries
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "_global_sort_boundaries", spy)
+    before = _rows(table)
+    table.rewrite_clustered(
+        partial_progress=True, file_group_bytes=1, max_groups=1
+    )
+    # pending spanned >1 group, so even the single-group paced call
+    # samples the shared global cuts (pre-fix: calls == [])
+    assert calls, "paced call must sample shared boundaries"
+    assert _rows(table) == before
