@@ -434,6 +434,12 @@ def _tier(name: str) -> tuple[int, int]:
         # hash compare; the in-query asserts pin the fold is
         # metadata-only and stores the checkpoint)
         "snapshot_rewrite_manifests_read",
+        # r16 addition (oracle-gated in pytest; below the window, r17
+        # rotation candidate): CALL add_files — adopting foreign
+        # parquet by hard link + manifest metadata, with footer stats
+        # recorded at adoption (the in-query assert pins that probes
+        # into the adopted half prune)
+        "snapshot_add_files_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

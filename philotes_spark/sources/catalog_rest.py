@@ -252,7 +252,17 @@ def snapshot_entry(
         "timestamp-ms": m["timestamp_ms"],
         "manifest-list": manifest_list,
         "summary": {
-            "operation": "append" if m["operation"] == "append" else "overwrite",
+            # spec summary operations: adoption is an append (files only
+            # added), a manifest fold is a replace (data unchanged,
+            # metadata reorganized — Iceberg's rewrite_manifests
+            # publishes the same), anything else rewrote data
+            "operation": (
+                "append"
+                if m["operation"] in ("append", "add-files")
+                else "replace"
+                if m["operation"] == "rewrite-manifests"
+                else "overwrite"
+            ),
             "added-data-files": str(m.get("added_files", 0)),
             "added-records": str(m.get("added_rows", 0)),
             "total-data-files": str(len(m["files"])),

@@ -2123,3 +2123,63 @@ def snapshot_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+@query(
+    "snapshot_add_files_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    """,
+)
+def snapshot_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL add_files under the oracle gate (r16): half the events
+    commit normally, the other half is written as a FOREIGN parquet
+    directory (no manifest) and adopted via ``CALL add_files`` — hard
+    links plus manifest metadata, never a data rewrite. The adopted
+    files get footer stats at adoption (the in-query assert pins that a
+    range probe on the adopted half prunes), and the hash compare
+    proves the adopted table serves exactly the source rows. The
+    Iceberg migration procedure (add_files) the reference's users run
+    to adopt pre-existing lake data; SF-relative split at
+    MAX(event_id)/2."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    n = ev.agg(F.max("event_id")).first()[0]
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    foreign = tempfile.mkdtemp(prefix="philotes_foreign_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(
+            ev.filter(F.col("event_id") <= n // 2).repartition(4),
+            stats_cols=["event_id"],
+        )
+        (
+            ev.filter(F.col("event_id") > n // 2)
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(foreign)
+        )
+        from philotes_spark.sql_frontend import sql as _sql
+
+        out = _sql(
+            spark,
+            f"CALL add_files('t', source => '{foreign}')",
+            {"t": tbl},
+        ).first()
+        assert out.version == 2, out
+        m = tbl._resolve()
+        assert m["operation"] == "add-files"
+        # adoption recorded stats: a probe into the adopted half prunes
+        kept, total = tbl.pruned_file_count(
+            "event_id", lo=int(n * 0.9), hi=int(n)
+        )
+        assert kept < total, (kept, total)
+        return (
+            tbl.read()
+            .select("event_id", "user_id", "value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(foreign, ignore_errors=True)

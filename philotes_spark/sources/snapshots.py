@@ -4174,6 +4174,96 @@ class SnapshotTable:
             provenance=prov,
         )
 
+    def add_files(self, source_dir: str) -> int:
+        """``CALL add_files`` (Iceberg's migration procedure, VERDICT
+        r15 what's-missing #5): adopt EXISTING parquet files into the
+        table as a new snapshot — metadata plus hard links, never a
+        data rewrite (``os.link`` into a fresh staged root; copy only
+        when the source is on another filesystem). The O(files) cost is
+        footer reads for stats/row counts — the same per-file metadata
+        work a normal commit pays — so adopting a 100 TB directory is a
+        driver-side metadata job, not a Spark rewrite of 100 TB.
+
+        Contract: the adopted files' schema must match the table's
+        current read schema exactly (names and types — Iceberg's
+        add_files requires the same; a silent union would surface nulls
+        where files disagree). Partitioned tables refuse (the engine's
+        hive-path partition values cannot be derived for foreign
+        layouts; write through INSERT for those). On an EMPTY table the
+        adopted files define the schema — ``add_files`` then doubles as
+        ``register-and-adopt`` for existing data. Appends inherit
+        pending MoR deltas (adopted rows with pending-deleted keys stay
+        suppressed — adoption cannot resurrect) and the schema-op
+        journal; the staged root is NOT marked clustered (the files
+        were not written under the table's order). Returns the new
+        version."""
+        import glob as _glob
+        import shutil as _shutil
+
+        srcs = sorted(_glob.glob(os.path.join(source_dir, "*.parquet")))
+        if not srcs:
+            raise ValueError(
+                f"add_files: no *.parquet files under {source_dir!r}"
+            )
+        parent = self.current_version()
+        pm = self._load(f"v{parent:08d}.json") if parent else {}
+        if pm.get("partition_by"):
+            raise ValueError(
+                "add_files: table is partitioned — foreign files carry "
+                "no hive partition paths for the table's spec; write "
+                "them through INSERT/commit instead"
+            )
+        adopted_schema = self.spark.read.parquet(*srcs).schema
+        if parent:
+            want = {
+                f.name: f.dataType.simpleString()
+                for f in self.read().schema.fields
+            }
+            got = {
+                f.name: f.dataType.simpleString()
+                for f in adopted_schema.fields
+            }
+            if want != got:
+                raise ValueError(
+                    f"add_files: adopted schema {sorted(got.items())} "
+                    f"does not match the table schema "
+                    f"{sorted(want.items())} — adopt only files written "
+                    "against the current schema, or load them through "
+                    "INSERT (which casts)"
+                )
+        staged = os.path.join(self.data_dir, uuid.uuid4().hex)
+        os.makedirs(staged, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+        new_files = []
+        for i, src in enumerate(srcs):
+            dst = os.path.join(staged, f"{i:05d}-{os.path.basename(src)}")
+            try:
+                os.link(src, dst)  # zero-copy adoption
+            except OSError:
+                _shutil.copy2(src, dst)  # cross-device fallback
+            new_files.append(dst)
+        files = list(pm.get("files", [])) + new_files
+        stats = dict(pm.get("file_stats", {}))
+        cols = pm.get("stats_cols") or []
+        if cols:
+            stats.update(_footer_stats(new_files, cols))
+        return self._write_manifest(
+            parent=parent,
+            operation="add-files",
+            files=files,
+            added_files=len(new_files),
+            added_rows=_footer_row_count(new_files),
+            partition_by=[],
+            clustered_roots=list(pm.get("clustered_roots") or []),
+            properties=dict(pm.get("properties", {})),
+            file_stats=stats,
+            stats_cols=list(cols),
+            sort_by=list(pm.get("sort_by") or []),
+            zorder_by=list(pm.get("zorder_by") or []),
+            deltas=list(pm.get("deltas", [])),
+            schema_ops=list(pm.get("schema_ops", [])),
+        )
+
     def expire_snapshots(
         self,
         keep_last: int = 1,

@@ -1379,6 +1379,14 @@ def sql(
             # into a stored checkpoint so $entries / delete scoping /
             # the Avro export stop walking O(commits) manifests (r16)
             "rewrite_manifests": ("table",),
+            # adopt existing parquet into the table — hard links +
+            # manifest metadata, never a data rewrite (Iceberg's
+            # add_files migration procedure; r16)
+            "add_files": ("table", "source"),
+            # bind an existing on-disk snapshot table under a statement
+            # name (Iceberg's register_table; r16) — the location must
+            # already hold a manifest chain
+            "register_table": ("table", "location"),
             # orphan sweep alone — drops no manifest, so published
             # history is untouched and no catalog sync is needed
             # (expire_snapshots / VACUUM is the retention half)
@@ -1404,6 +1412,29 @@ def sql(
             args = dict(zip(params, pos))
             args.update(named)
             tname = args.get("table")
+            if proc == "register_table":
+                # the one proc whose table name must NOT already exist:
+                # it binds an existing on-disk manifest chain under a
+                # statement name (Iceberg's register_table)
+                if tname in tables:
+                    raise ValueError(
+                        f"CALL register_table: {tname!r} is already "
+                        "registered — pick another name or DROP TABLE "
+                        "first"
+                    )
+                loc = str(args.get("location") or "")
+                t = SnapshotTable(spark, loc)
+                if not loc or t.current_version() == 0:
+                    raise ValueError(
+                        f"CALL register_table: {loc!r} holds no snapshot "
+                        "manifest chain — register only existing tables "
+                        "(adopt raw parquet with CALL add_files)"
+                    )
+                tables[tname] = t
+                return spark.createDataFrame(
+                    [(tname, proc, t.current_version())],
+                    "table string, operation string, version int",
+                )
             if tname not in tables:
                 raise ValueError(
                     f"CALL {proc}: {tname!r} is not a registered snapshot "
@@ -1578,6 +1609,8 @@ def sql(
                 v = out if out is not None else tbl.current_version()
             elif proc == "rewrite_manifests":
                 v = tbl.rewrite_manifests()
+            elif proc == "add_files":
+                v = tbl.add_files(str(args.get("source") or ""))
             elif proc == "remove_orphan_files":
                 # files deleted is NOT a table version — this proc gets
                 # its own result schema so the count isn't mislabeled
