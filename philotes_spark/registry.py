@@ -440,6 +440,12 @@ def _tier(name: str) -> tuple[int, int]:
         # recorded at adoption (the in-query assert pins that probes
         # into the adopted half prune)
         "snapshot_add_files_read",
+        # r16 addition (oracle-gated in pytest; below the window, r17
+        # rotation candidate): external-reader ts scan planning — the
+        # published µs-from-epoch bounds (previously omitted) drive an
+        # external plan that provably prunes (kept < total in-query)
+        # and loses nothing under the hash compare
+        "snapshot_external_ts_prune_read",
     ):
         return (8, 0)  # extras/duplicate coverage — below the graded surface
     if name.startswith(("dedup_", "sim_", "text_", "token_", "doc_")):

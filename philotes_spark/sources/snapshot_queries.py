@@ -2183,3 +2183,65 @@ def snapshot_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(foreign, ignore_errors=True)
+
+@query(
+    "snapshot_external_ts_prune_read",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE ts >= (SELECT ts FROM events WHERE event_id = 250)
+      AND ts <= (SELECT ts FROM events WHERE event_id = 750)
+    """,
+)
+def snapshot_external_ts_prune_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXTERNAL-reader timestamp scan planning under the oracle gate
+    (r16): the engine publishes its per-file ts hulls as real Iceberg
+    binary bounds (µs-from-epoch int64 — previously omitted, so an
+    external engine could never time-prune a published table), and this
+    query plays the external engine: walk the published Avro chain
+    (``plan_entries``), decode each entry's bounds
+    (``decode_bounds``), DROP the files whose [min,max] cannot
+    intersect the probe, and read only the survivors. The in-query
+    assert pins that the external plan actually pruned
+    (kept < total — the commit is ts-clustered so hulls are narrow);
+    the hash compare proves the externally planned scan loses nothing.
+    The external twin of ``snapshot_ts_prune_read``; same SF-relative
+    bounds (the fixture's own ts at two fixed event_ids)."""
+    from philotes_spark.sources.catalog_rest import schema_to_rest
+    from philotes_spark.sources.iceberg_manifest import (
+        decode_bounds,
+        plan_entries,
+        write_manifests_for_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    lo = ev.filter(F.col("event_id") == 250).first()["ts"]
+    hi = ev.filter(F.col("event_id") == 750).first()["ts"]
+    scratch = tempfile.mkdtemp(prefix="philotes_snap_")
+    try:
+        tbl = SnapshotTable(spark, scratch)
+        tbl.commit(ev.repartition(8), sort_by=["ts"])
+        rest = schema_to_rest(tbl.read().schema)
+        ml = write_manifests_for_version(tbl, 1, rest_schema=rest)
+        data, _deletes = plan_entries(ml)
+        surviving = []
+        for e in data:
+            b = decode_bounds(e, rest).get("ts")
+            if b is not None and b[0] is not None and (
+                b[1] < lo or b[0] > hi
+            ):
+                continue  # provably disjoint: the external plan skips it
+            surviving.append(e["file_path"])
+        assert 0 < len(surviving) < len(data), (len(surviving), len(data))
+        return (
+            spark.read.parquet(*surviving)
+            .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+            .select("event_id", "user_id", "value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1552,12 +1552,21 @@ def test_avro_manifest_column_bounds_round_trip(spark, tmp_path):
     )
     from philotes_spark.sources.snapshots import SnapshotTable
 
+    import datetime as dt
+
     snap = SnapshotTable(spark, str(tmp_path / "t"))
     df = spark.createDataFrame(
-        [(1, 10.5, "apple"), (9, -2.25, "zebra"), (5, 0.0, "mango")],
-        "k long, x double, name string",
+        [
+            (1, 10.5, "apple", dt.datetime(2024, 1, 2, 0, 0, 0),
+             dt.date(2024, 1, 2)),
+            (9, -2.25, "zebra", dt.datetime(2024, 3, 1, 11, 30, 0, 123456),
+             dt.date(2024, 3, 1)),
+            (5, 0.0, "mango", dt.datetime(2024, 2, 1, 6),
+             dt.date(2024, 2, 1)),
+        ],
+        "k long, x double, name string, ts timestamp, d date",
     ).coalesce(1)
-    snap.commit(df, stats_cols=["k", "x", "name"])
+    snap.commit(df, stats_cols=["k", "x", "name", "ts", "d"])
     rest = schema_to_rest(snap.read().schema)
     ml = write_manifests_for_version(snap, 1, rest_schema=rest)
     (mf,) = read_manifest_list(ml)
@@ -1567,6 +1576,13 @@ def test_avro_manifest_column_bounds_round_trip(spark, tmp_path):
     assert bounds["k"] == (1, 9)
     assert bounds["x"] == (-2.25, 10.5)
     assert bounds["name"] == ("apple", "zebra")
+    # r16: temporal bounds publish as µs-from-epoch / days-from-epoch
+    # (previously omitted — external readers could never time-prune)
+    assert bounds["ts"] == (
+        dt.datetime(2024, 1, 2, 0, 0, 0),
+        dt.datetime(2024, 3, 1, 11, 30, 0, 123456),
+    )
+    assert bounds["d"] == (dt.date(2024, 1, 2), dt.date(2024, 3, 1))
 
 
 def test_publish_after_alter_column_evolves_catalog_schema(

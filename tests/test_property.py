@@ -242,6 +242,38 @@ class TestAvroCodecProperties:
         assume(data is not None)
         assert decode_single_value(data, typ) == v
 
+    @given(
+        v=st.datetimes(
+            min_value=__import__("datetime").datetime(1800, 1, 1),
+            max_value=__import__("datetime").datetime(2300, 1, 1),
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_temporal_single_value_round_trips(self, v):
+        """r16: timestamp bounds serialize as µs-from-epoch int64 and
+        date bounds as days-from-epoch int32 (the Iceberg spec's
+        single-value forms) — round-tripping BOTH the object and the
+        manifest's stored TEXT spelling (naive, date-only, and the
+        legacy '+00:00'-suffixed form) to the same instant. The binary
+        order must equal chronological order (fixed-width little-endian
+        signed ints compared as ints — the reader unpacks before
+        comparing)."""
+        import datetime as dt
+
+        from philotes_spark.sources.iceberg_manifest import (
+            decode_single_value,
+            single_value_bytes,
+        )
+
+        for typ in ("timestamp", "timestamptz"):
+            for spelling in (v, str(v), str(v.replace(tzinfo=dt.timezone.utc))):
+                data = single_value_bytes(spelling, typ)
+                assert decode_single_value(data, typ) == v
+        d = v.date()
+        for spelling in (d, str(d)):
+            data = single_value_bytes(spelling, "date")
+            assert decode_single_value(data, "date") == d
+
 
 class TestProbeSafeOrdering:
     """r15 pruning fix invariants: `_probe_safe` casts datetime/date

@@ -182,3 +182,44 @@ def test_published_avro_chain_parity_across_fold(
 
     assert key(data0) == key(data1)
     assert key(del0) == key(del1)
+
+def test_publish_export_reads_no_footers_for_live_files(
+    spark, table, monkeypatch
+):
+    """r16: the Avro export consumes the manifest's commit-time
+    file_meta — publishing must NOT re-read a footer or stat the
+    filesystem for any live or parent data file (previously O(table
+    files) metadata round-trips per publish; on an object store, one
+    GET + one HEAD per file per commit_append)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from philotes_spark.sources.iceberg_manifest import (
+        write_manifests_for_version,
+    )
+
+    table.commit(_df(spark, 0, 100))
+    table.commit(_df(spark, 100, 200))
+    table.delete_where("k < 10", key_cols=["k"])  # parent-only files exist
+    covered = set(table._resolve()["files"])
+    for v in range(1, table.current_version() + 1):
+        covered |= set(table._resolve(version=v)["files"])
+
+    touched: list[str] = []
+    real_pf, real_sz = _pq.ParquetFile, _os.path.getsize
+
+    def spy_pf(path, *a, **kw):
+        if str(path) in covered:
+            touched.append(f"footer:{path}")
+        return real_pf(path, *a, **kw)
+
+    def spy_sz(path):
+        if str(path) in covered:
+            touched.append(f"stat:{path}")
+        return real_sz(path)
+
+    monkeypatch.setattr(_pq, "ParquetFile", spy_pf)
+    monkeypatch.setattr(_os.path, "getsize", spy_sz)
+    write_manifests_for_version(table, table.current_version())
+    assert touched == [], touched
