@@ -335,3 +335,85 @@ def plan_files_pruned(
             if keep:
                 kept.append(d)
     return kept, total
+
+def _decode_bound(b: bytes, typ: str):
+    """This module's OWN single-value decoding (table spec appendix:
+    little-endian fixed width; timestamps µs-from-epoch int64, dates
+    days-from-epoch int32) — shares nothing with
+    ``philotes_spark.sources.iceberg_manifest``."""
+    import datetime as dt
+    import struct
+
+    if typ == "int":
+        return struct.unpack("<i", b)[0]
+    if typ == "long":
+        return struct.unpack("<q", b)[0]
+    if typ == "float":
+        return struct.unpack("<f", b)[0]
+    if typ == "double":
+        return struct.unpack("<d", b)[0]
+    if typ == "string":
+        return b.decode("utf-8")
+    if typ in ("timestamp", "timestamptz"):
+        us = struct.unpack("<q", b)[0]
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    if typ == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(
+            days=struct.unpack("<i", b)[0]
+        )
+    raise ValueError(f"no bound decoding for {typ!r}")
+
+
+def plan_files_pruned_by_bounds(
+    manifest_list_path: str,
+    meta: dict,
+    predicate: tuple,
+) -> tuple[list[dict], int]:
+    """(data files an external engine scans after COLUMN-BOUNDS
+    pruning, total live data files). ``predicate`` = (column, op,
+    value) with op in ('==', '>=', '<='); each live entry's
+    lower_bounds/upper_bounds maps are decoded with this module's own
+    spec byte forms and a file drops only when its [min, max] provably
+    cannot satisfy the predicate. Missing bounds ⇒ keep (spec: absent
+    stats mean unknown, never prune)."""
+    col, op, val = predicate
+    cur_schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    fld = next(f for f in cur_schema["fields"] if f["name"] == col)
+    fid, typ = fld["id"], fld["type"]
+    _, _, ml = independent_read_ocf(manifest_list_path)
+    kept, total = [], 0
+    for mf in ml:
+        if mf["content"] != 0:
+            continue
+        _, _, entries = independent_read_ocf(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2 or e["data_file"]["content"] != 0:
+                continue
+            total += 1
+            d = e["data_file"]
+            lo = next(
+                (kv["value"] for kv in (d.get("lower_bounds") or [])
+                 if kv["key"] == fid),
+                None,
+            )
+            hi = next(
+                (kv["value"] for kv in (d.get("upper_bounds") or [])
+                 if kv["key"] == fid),
+                None,
+            )
+            keep = True
+            if lo is not None and hi is not None:
+                fmin, fmax = _decode_bound(lo, typ), _decode_bound(hi, typ)
+                if op == ">=" and fmax < val:
+                    keep = False
+                elif op == "<=" and fmin > val:
+                    keep = False
+                elif op == "==" and (val < fmin or val > fmax):
+                    keep = False
+            if keep:
+                kept.append(d)
+    return kept, total

@@ -649,3 +649,59 @@ def test_fresh_table_size_decisions_use_manifest_meta(
     monkeypatch.setattr(_os.path, "getsize", guarded2)
     assert t.files().count() == len(m2["files"])  # getsize fallback works
     assert len(stat_calls2) == len(m2["files"])
+
+def test_independent_planner_prunes_on_published_ts_bounds(spark, table):
+    """r16: the published µs-from-epoch timestamp bounds drive an
+    INDEPENDENT external planner (its own byte decoding, nothing shared
+    with the engine's export code) to the same surviving row set as the
+    engine's own text-stat pruning — the cross-check that the bounds
+    the engine publishes mean what the spec says they mean."""
+    import datetime as dt
+    import threading
+
+    import pyarrow.parquet as pq
+
+    from philotes_spark.sources.catalog_rest import RestCatalog
+    from tests.iceberg_planner import plan_files_pruned_by_bounds
+    from tests.test_catalog_rest import MockCatalog
+
+    def t(i):
+        return dt.datetime(2024, 3, 1) + dt.timedelta(hours=6 * i)
+
+    for lo in (0, 8, 16):
+        table.commit(
+            spark.createDataFrame(
+                [(i, t(i)) for i in range(lo, lo + 8)],
+                "id long, ts timestamp",
+            ).coalesce(1),
+            stats_cols=["ts"] if lo == 0 else None,
+        )
+    probe = t(17)  # inside the third commit's hull only
+    srv = MockCatalog()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", "wh")
+        cat.publish_snapshot("bp", "t", table)
+        meta = cat.load_table("bp", "t")["metadata"]
+        cur = meta["current-snapshot-id"]
+        ml = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )["manifest-list"]
+        kept, total = plan_files_pruned_by_bounds(
+            ml, meta, ("ts", ">=", probe)
+        )
+        assert total == 3 and len(kept) == 1, (len(kept), total)
+        external_ids = sorted(
+            int(i)
+            for d in kept
+            for i in pq.read_table(d["file_path"]).to_pandas()["id"]
+            if t(int(i)) >= probe
+        )
+        engine_ids = sorted(
+            r.id for r in table.read_where("ts", probe, None).collect()
+        )
+        assert external_ids == engine_ids == list(range(17, 24))
+        # the engine's own planner prunes the same two files
+        assert table.pruned_file_count("ts", lo=probe) == (1, 3)
+    finally:
+        srv.shutdown()
