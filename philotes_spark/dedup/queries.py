@@ -156,6 +156,8 @@ def q_dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_contents"))
+        # ≤ |sources|² pairs (bounded): single-partition sort (r16)
+        .coalesce(1)
         .orderBy("source_a", "source_b")
     )
 

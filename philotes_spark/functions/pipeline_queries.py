@@ -59,6 +59,8 @@ def q_train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+        # sources × 3 splits is bounded: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("source", "split")
     )
 
@@ -197,6 +199,8 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "selected_tokens"
             ),
         )
+        # one row per source (bounded): single-partition sort (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -352,6 +356,8 @@ def train_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("kept_docs"),
             F.coalesce("tok", F.lit(0)).cast("long").alias("kept_tokens"),
         )
+        # one row per source (bounded): single-partition sort (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -536,6 +542,8 @@ def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_doc_ids"),
             F.sum("n_tok").cast("long").alias("sampled_tokens"),
         )
+        # one row per source (bounded): single-partition sort (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -606,4 +614,5 @@ def train_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("real_tokens") / (F.col("n_docs") * F.col("bucket")),
             2,
         ).alias("fill_pct"),
-    ).orderBy("bucket")
+        # one row per length bucket (fixed set): single-partition sort (r16)
+    ).coalesce(1).orderBy("bucket")

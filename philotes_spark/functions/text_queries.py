@@ -88,6 +88,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", X.lang_predict(t).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        # ≤ |langs|² confusion cells: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("lang", "lang_pred")
     )
 
@@ -117,6 +119,9 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         )
+        # one row per corpus source (bounded vocabulary at any SF):
+        # single-partition sort, no range exchange / sampling job (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -505,16 +510,17 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate-8-gram fraction per document (the
     Gopher/Dolma `fraction_of_duplicate_ngrams` curation signal): an
     8-gram is corpus-duplicated when it appears in >= 2 distinct docs;
-    each doc reports the fraction of its 8-grams that are. Shape: narrow
-    shingle explode -> count-distinct-docs per shingle (one shuffle,
-    partial agg map-side) -> equi-join back (same key, same
-    partitioning) -> per-doc avg (one shuffle on doc_id). The shingle is
-    hashed to a 64-bit key (xxhash64) right after the explode, so the
-    two wide shuffles carry 8-byte longs instead of ~50-byte strings —
-    the output only exposes per-doc fractions, never the shingles, so
-    the oracle (which groups the strings) still matches exactly; a
-    64-bit collision among ~10^6 shingles per 10^6-doc shard is ~1e-7
-    and would surface deterministically as a hash mismatch."""
+    each doc reports the fraction of its 8-grams that are. Shape (r16):
+    narrow Arrow fold to per-doc distinct (gram-hash, multiplicity)
+    rows — zero exchanges — then ONE g-keyed shuffle whose window
+    counts distinct docs per gram AND carries the flag back (exchange
+    reuse), then a tiny per-doc combine. The shingle is hashed to a
+    64-bit key (xxhash64, JVM-side) before anything is shuffled, so the
+    wide shuffle carries 8-byte longs instead of ~50-byte strings — the
+    output only exposes per-doc fractions, never the shingles, so the
+    oracle (which groups the strings) still matches exactly; a 64-bit
+    collision among ~10^6 shingles per 10^6-doc shard is ~1e-7 and
+    would surface deterministically as a hash mismatch."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
@@ -532,29 +538,115 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> concat(a, ' ', b))"
         )
 
+    # r16 re-plan (guide §2.3/§4.2; was r11: explode → groupBy(doc_id, g)
+    # → window(g) → groupBy(doc_id), 3 exchanges): every gram of a doc
+    # lives in ONE input row, so the (doc_id, g, multiplicity) collapse
+    # needs no exchange at all — an Arrow-batched numpy fold (the same
+    # lexsort + boundary-diff sweep text_repetition_stats serves with)
+    # emits per-doc distinct grams directly. The explode, the first wide
+    # exchange (the full distinct-pair set) and its two HashAggregates
+    # disappear; the surviving g-keyed window exchange and the tiny
+    # per-doc final agg are the information-theoretic floor (corpus-wide
+    # duplication needs one g-keyed pass; per-doc totals need one
+    # doc-keyed combine). Hashing stays JVM-side (xxhash64 in the array
+    # domain, identical values to the old per-occurrence form). Measured
+    # at sf0.3 / sf1 (interleaved A/B, min-of-3 cold): see
+    # OPTIMIZATION_r16.md; plan 3 exchanges → 2, jobs 4 → 3. The r11
+    # expression form stays below as ground truth
+    # (text_dup_ngram_fraction_expr), pinned row-identical in
+    # tests/test_pipeline_ops.py.
+    hashed = _dup_ngram_hashed(docs, _doubling)
+
+    def fold(batches):
+        # mapInArrow, not mapInPandas: a pandas batch would materialize
+        # every gram array as a Python list of Python ints; the Arrow
+        # ListArray instead hands numpy its flat int64 values buffer +
+        # value lengths zero-copy (guide §4.2).
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ga = batch.column("ga")
+            flat = ga.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            total = len(flat)
+            if total == 0:
+                continue
+            lens = ga.value_lengths().to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            doc = np.repeat(
+                np.arange(batch.num_rows, dtype=np.int64),
+                lens.astype(np.int64),
+            )
+            order = np.lexsort((flat, doc))
+            fd, fv = doc[order], flat[order]
+            nb = np.empty(total, dtype=bool)
+            nb[0] = True
+            nb[1:] = (fd[1:] != fd[:-1]) | (fv[1:] != fv[:-1])
+            starts = np.flatnonzero(nb)
+            counts = np.diff(np.append(starts, total))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[fd[starts]], type=pa.int64()),
+                    pa.array(fv[starts], type=pa.int64()),
+                    pa.array(counts, type=pa.int64()),
+                ],
+                ["doc_id", "g", "m"],
+            )
+
+    per_doc_gram = hashed.mapInArrow(fold, "doc_id long, g long, m long")
+    from pyspark.sql import Window as W
+
+    with_nd = per_doc_gram.withColumn(
+        "nd", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    dup = F.when(F.col("nd") > 1, F.col("m")).otherwise(F.lit(0))
+    return with_nd.groupBy("doc_id").agg(
+        F.round(F.sum(dup) / F.sum("m"), 4).alias("dup_ngram_fraction"),
+        F.sum("m").alias("n_ngrams"),
+    )
+
+
+def _dup_ngram_hashed(docs: DataFrame, _doubling) -> DataFrame:
+    """Shared JVM front half of both dup-ngram plans: (doc_id, ga:
+    array<long> of xxhash64'd 8-grams). Docs with no 8-gram (< 8 tokens,
+    or NULL text → NULL array, size() = -1) drop here — exactly the rows
+    the old explode emitted nothing for."""
     grams = (
         docs.select("doc_id", _doubling("t", 1).alias("g2"))
         .select("doc_id", _doubling("g2", 2).alias("g4"))
         .select("doc_id", _doubling("g4", 4).alias("g8"))
     )
-    sh = grams.select(
+    return grams.select(
         "doc_id",
-        F.explode(F.expr("filter(g8, x -> x IS NOT NULL)")).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("g"))
-    # r11 re-plan (was: count_distinct per gram + join the RAW exploded
-    # multiset back on g): every occurrence of one (doc, gram) pair
-    # shares the same duplicated-flag, so collapse to (doc_id, g,
-    # multiplicity) FIRST — all of a doc's grams live in one input row,
-    # so this first aggregate combines entirely map-side and the
-    # exchange carries per-doc distinct grams, not the multiset. On that
-    # deduplicated frame a gram's distinct-doc count is a plain
-    # COUNT(*) OVER (PARTITION BY g) — the count_distinct two-phase
-    # expansion AND the multiset-sized join shuffle disappear; the
-    # occurrence-weighted fraction is sum(m·dup)/sum(m), the identical
-    # double division the old avg-over-occurrences computed. 4 exchanges
-    # → 3, and the largest shuffle shrinks by the per-doc gram repeat
-    # factor. Measured at sf0.3 (interleaved, min-of-3 cold):
-    # 3.74 s → 2.45-2.68 s.
+        F.expr(
+            "transform(filter(g8, x -> x IS NOT NULL), x -> xxhash64(x))"
+        ).alias("ga"),
+    ).filter(F.size("ga") > 0)
+
+
+def text_dup_ngram_fraction_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression ground truth for :func:`text_dup_ngram_fraction`
+    (the r11 plan: explode → map-side-combined groupBy(doc_id, g) →
+    COUNT OVER (PARTITION BY g) → per-doc agg; 3 exchanges). Kept for
+    the row-identity pin and for contexts that must stay Python-free."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+
+    def _doubling(col: str, shift: int) -> F.Column:
+        return F.expr(
+            f"zip_with({col}, slice({col}, {shift + 1},"
+            f" greatest(size({col}) - {shift}, 0)),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+
+    sh = _dup_ngram_hashed(docs, _doubling).select(
+        "doc_id", F.explode("ga").alias("g")
+    )
     from pyspark.sql import Window as W
 
     per_doc_gram = sh.groupBy("doc_id", "g").agg(

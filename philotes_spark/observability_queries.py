@@ -48,7 +48,9 @@ def q_metric_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "bucket_start", "event_type", F.round("value", 2).alias("value")
-    ).orderBy("bucket_start", "event_type")
+        # day-buckets × event types is bounded at any SF:
+        # single-partition sort, no range exchange (r16)
+    ).coalesce(1).orderBy("bucket_start", "event_type")
 
 
 @query(
@@ -89,6 +91,8 @@ def q_alert_daily_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         evaluate_rule(daily, rule)
         .select("rule_name", "event_type", F.round("value", 4).alias("value"), "firing")
+        # bounded event-type vocabulary: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("event_type")
     )
 
@@ -252,7 +256,8 @@ def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         (F.abs(z) > 2).alias("is_anomaly"),
-    ).orderBy("day", "event_type")
+        # days × event types is bounded: single-partition sort (r16)
+    ).coalesce(1).orderBy("day", "event_type")
 
 
 @query(
@@ -379,6 +384,8 @@ def metric_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("p95"),
         )
+        # one row per day bucket (bounded span): single-partition sort (r16)
+        .coalesce(1)
         .orderBy("bucket_start")
     )
 

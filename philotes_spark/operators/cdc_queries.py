@@ -154,6 +154,8 @@ def cdc_op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"), _op_col().alias("_cdc_operation"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # days × 4 operations is bounded: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("day", "_cdc_operation")
     )
 

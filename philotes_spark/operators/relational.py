@@ -282,6 +282,10 @@ def b7_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+        # one row per calendar day: bounded by the stream's time span at
+        # any SF, so collapse to one partition before the sort — removes
+        # the range exchange AND its sampling job (bounded result, r16)
+        .coalesce(1)
         .orderBy(F.desc("day"))
     )
 
@@ -499,6 +503,9 @@ def b13_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
+        # 5 market segments at any SF: single-partition sort, no range
+        # exchange / sampling job (bounded result, r16)
+        .coalesce(1)
         .orderBy("c_mktsegment")
     )
 
@@ -578,6 +585,8 @@ def b17_pipeline_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+        # bounded event-type vocabulary: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("event_type")
     )
 
@@ -634,7 +643,9 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_1")
         .select(F.col("n_nationkey").alias("nationkey"))
     )
-    return cust.intersect(supp).subtract(named).orderBy("nationkey")
+    # ≤ 25 distinct nation keys survive the set ops at any SF:
+    # single-partition sort (bounded result, r16)
+    return cust.intersect(supp).subtract(named).coalesce(1).orderBy("nationkey")
 
 
 @query(
@@ -714,6 +725,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+        # 5 order priorities at any SF: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("o_orderpriority")
     )
 
@@ -1528,6 +1541,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        # nations × order-years is bounded (≤ a few hundred rows) at any
+        # SF: single-partition sort, same pattern as q8 (r16)
+        .coalesce(1)
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -125,4 +125,5 @@ def run_checks(checks: list[Check], tables: dict[str, DataFrame]) -> DataFrame:
         "check_name",
         "violations",
         F.when(F.col("violations") == 0, "pass").otherwise("fail").alias("status"),
-    ).orderBy("check_name")
+        # one row per configured check (bounded): single-partition sort (r16)
+    ).coalesce(1).orderBy("check_name")

@@ -138,6 +138,8 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("nrm"), 4).alias("min_norm"),
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
+        # bounded label vocabulary: single-partition sort (r16)
+        .coalesce(1)
         .orderBy("label")
     )
 

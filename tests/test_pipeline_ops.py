@@ -207,3 +207,48 @@ def test_repetition_stats_null_and_empty_text(spark, tmp_path):
     b = sorted(map(tuple, text_repetition_stats_expr(spark, path).collect()))
     assert a == b
     assert [r[0] for r in a] == [1]
+
+
+def test_dup_ngram_arrow_fold_row_identical_to_expr(spark, sf_dir):
+    """r16: the Arrow-batched numpy (doc, gram, multiplicity) fold serves
+    text_dup_ngram_fraction; the r11 explode + groupBy expression form
+    stays as ground truth. Same JVM xxhash64 gram keys, integer counts,
+    JVM-side ROUND on both — rows must be IDENTICAL, not merely close."""
+    from philotes_spark.functions.text_queries import (
+        text_dup_ngram_fraction,
+        text_dup_ngram_fraction_expr,
+    )
+
+    a = sorted(map(tuple, text_dup_ngram_fraction.__wrapped__(spark, sf_dir).collect()))
+    b = sorted(map(tuple, text_dup_ngram_fraction_expr(spark, sf_dir).collect()))
+    assert a == b and a
+
+
+def test_dup_ngram_null_short_and_empty_text(spark, tmp_path):
+    """NULL/empty/short (< 8 tokens) docs must be EXCLUDED (as the
+    expression twin and the DuckDB oracle do), not crash the fold."""
+    from philotes_spark.functions.text_queries import (
+        text_dup_ngram_fraction,
+        text_dup_ngram_fraction_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j a b c d e f g h i j"),
+            (2, None),
+            (3, ""),
+            (4, "one two three"),  # < 8 tokens: no 8-gram, excluded
+            (5, "a b c d e f g h i j k l"),  # shares 8-grams with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    a = sorted(map(tuple, text_dup_ngram_fraction.__wrapped__(spark, path).collect()))
+    b = sorted(map(tuple, text_dup_ngram_fraction_expr(spark, path).collect()))
+    assert a == b
+    assert [r[0] for r in a] == [1, 5]
+    # doc 1 repeats its whole token stream, so every one of its 8-grams
+    # also occurs in the repeat — and the first 5 are shared with doc 5
+    frac = {r[0]: r[1] for r in a}
+    assert frac[5] > 0  # the shared prefix grams are corpus-duplicated

@@ -361,14 +361,15 @@ def test_repetition_stats_shuffle_budget(plan_of):
 
 
 def test_dup_ngram_fraction_shape(plan_of):
-    """Corpus duplicate-8-gram fraction (r05): shingle explode stays
-    narrow; the count-distinct per shingle and the join back share the
-    shingle key; one final doc_id agg. No cartesian node."""
+    """Corpus duplicate-8-gram fraction (r16 re-plan): the per-doc
+    (gram, multiplicity) collapse is a narrow Arrow fold — no explode,
+    no first wide exchange; only the g-keyed window shuffle (count of
+    distinct docs per gram + flag carry-back in ONE exchange) and the
+    tiny per-doc combine remain. No cartesian node."""
     a = plan_of("text_dup_ngram_fraction")
     assert "CartesianProduct" not in a.plan
-    assert a.shuffles <= 5, f"dup-ngram plan grew shuffles: {a.shuffles}"
-    # the 8-gram explode must come from a generator, not a join
-    assert "Generate" in a.plan
+    assert a.shuffles <= 2, f"dup-ngram plan grew shuffles: {a.shuffles}"
+    assert "MapInArrow" in a.plan, "per-doc gram collapse must be the Arrow fold"
 
 
 def test_chunker_zero_shuffle_and_pruned_scan(plan_of):
