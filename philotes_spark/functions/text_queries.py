@@ -365,54 +365,94 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (measured 19 s vs 0.4 s at sf0.1, PERF.md). The r12 fused
     explode+aggregate form is kept below as the pure-expression ground
     truth (``text_repetition_stats_expr``), pinned row-identical in
-    tests/test_pipeline_ops.py."""
-    both = _repetition_hashed_grams(spark, sf_dir)
+    tests/test_pipeline_ops.py.
+
+    r16 (guide §2.3/§4.2): only the TOKEN hashes cross the Python
+    boundary now — the JVM bigram pass (zip_with string concat +
+    xxhash64 per 2-gram) is gone, and the fold derives bigram keys from
+    adjacent token hashes with one vectorized uint64 multiply-add
+    (``_GRAM_MIX``; equality classes preserved, same accepted collision
+    class — outputs expose only per-doc ratios, never gram keys). The
+    boundary itself moved from ``mapInPandas`` (pandas object cells:
+    one Python list per row, ``np.asarray`` per document) to
+    ``mapInArrow`` — the ListArray hands numpy its flat int64 values
+    buffer + value lengths zero-copy. Arrow bytes per doc halve (one
+    hash array instead of two). Measured interleaved same-JVM min-of-N
+    cold: sf0.1 0.463 → 0.318 s (−31%), sf1 2.37 → 1.86 s (−22%);
+    plan stays 0 exchanges, MapInPandas → MapInArrow."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    src = docs.filter(F.size("t") > 0).select(
+        "doc_id", F.transform("t", lambda x: F.xxhash64(x)).alias("th")
+    )
 
     def fold(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            n = len(pdf)
+        C0 = np.uint64(_GRAM_MIX[0])
+        C1 = np.uint64(_GRAM_MIX[1])
+        for batch in batches:
+            n = batch.num_rows
             if not n:
                 continue
+            th = batch.column("th")
+            flat = th.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            total = len(flat)
+            lens = th.value_lengths().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
 
-            def seg_stats(col):
-                lens = col.map(len).to_numpy(np.int64)
-                total = int(lens.sum())
-                if total == 0:
+            def seg_stats(fd_all, fv_all, tot):
+                if tot == 0:
                     z = np.zeros(n, dtype=np.int64)
-                    return lens, z, z
-                flat = np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in col]
-                )
-                doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-                order = np.lexsort((flat, doc))
-                fd, fv = doc[order], flat[order]
-                nb = np.empty(total, dtype=bool)
+                    return z, z
+                order = np.lexsort((fv_all, fd_all))
+                fd, fv = fd_all[order], fv_all[order]
+                nb = np.empty(tot, dtype=bool)
                 nb[0] = True
                 nb[1:] = (fd[1:] != fd[:-1]) | (fv[1:] != fv[:-1])
                 starts = np.flatnonzero(nb)
-                counts = np.diff(np.append(starts, total))
+                counts = np.diff(np.append(starts, tot))
                 gdoc = fd[starts]
                 maxc = np.zeros(n, dtype=np.int64)
                 np.maximum.at(maxc, gdoc, counts)  # per-doc mode count
                 ng = np.bincount(gdoc, minlength=n)  # per-doc distincts
-                return lens, maxc, ng
+                return maxc, ng
 
-            tl, tmax, _ = seg_stats(pdf["th"])
-            bl, bmax, bng = seg_stats(pdf["bh"])
+            tmax, _ = seg_stats(doc, flat, total)
+            # bigram keys from adjacent token hashes, doc-boundary masked
+            if total >= 2:
+                fu = flat.view(np.uint64)
+                bm = total - 1
+                bv = C0 * fu[:bm] + C1 * fu[1:]
+                bvalid = doc[:bm] == doc[1:]
+                bdoc = doc[:bm][bvalid]
+                bkey = bv[bvalid].view(np.int64)
+                bmax, bng = seg_stats(bdoc, bkey, len(bkey))
+            else:
+                z = np.zeros(n, dtype=np.int64)
+                bmax, bng = z, z
+            bl = np.maximum(lens - 1, 0)
             keep = bl > 0  # docs with no bigram (<2 tokens) are excluded
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[keep],
-                    "twr": tmax[keep] / tl[keep],
-                    "tbr": bmax[keep] / bl[keep],
-                    "ubr": bng[keep] / bl[keep],
-                }
+            if not keep.any():
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    pa.array(tmax[keep] / lens[keep]),
+                    pa.array(bmax[keep] / bl[keep]),
+                    pa.array(bng[keep] / bl[keep]),
+                ],
+                ["doc_id", "twr", "tbr", "ubr"],
             )
 
-    raw = both.mapInPandas(
+    raw = src.mapInArrow(
         fold, "doc_id long, twr double, tbr double, ubr double"
     )
     return raw.select(
@@ -421,6 +461,26 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tbr", 4).alias("top_bigram_ratio"),
         F.round("ubr", 4).alias("uniq_bigram_ratio"),
     )
+
+
+# Position multipliers for combining adjacent xxhash64 token hashes into
+# n-gram keys inside the Arrow folds (odd 64-bit constants, splitmix64 /
+# xxhash round constants): g = Σ C[k]·th[i+k] in uint64 wraparound
+# arithmetic. A pair collision needs Σ C_k·(a_k − b_k) ≡ 0 (mod 2^64)
+# over random-looking 64-bit diffs — the same ~1e-7-per-corpus class as
+# the xxhash64-of-string keys these replace (a collision would surface
+# deterministically as an oracle hash mismatch). Distinct per-position
+# constants keep the key order-sensitive ("a b" ≠ "b a").
+_GRAM_MIX = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+    0xA5A5A5A5A5A5A5A7,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
 
 
 def _repetition_hashed_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,70 +584,78 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
-    # 8-grams by zip_with doubling (1-gram -> 2 -> 4 -> 8), never
-    # element_at/slice per index: projection collapse would inline the
-    # tokenizer into each of the O(len) probes (same hazard as
-    # text_repetition_stats, measured ~10x slower). Each level shifts by
-    # its own span; zip_with's null padding propagates through concat and
-    # is filtered once at the end. Catalyst collapses the chain into one
-    # expression with a bounded 2x-per-level leaf duplication (8 total).
-    def _doubling(col: str, shift: int) -> F.Column:
-        return F.expr(
-            f"zip_with({col}, slice({col}, {shift + 1},"
-            f" greatest(size({col}) - {shift}, 0)),"
-            " (a, b) -> concat(a, ' ', b))"
-        )
-
-    # r16 re-plan (guide §2.3/§4.2; was r11: explode → groupBy(doc_id, g)
-    # → window(g) → groupBy(doc_id), 3 exchanges): every gram of a doc
-    # lives in ONE input row, so the (doc_id, g, multiplicity) collapse
-    # needs no exchange at all — an Arrow-batched numpy fold (the same
-    # lexsort + boundary-diff sweep text_repetition_stats serves with)
-    # emits per-doc distinct grams directly. The explode, the first wide
-    # exchange (the full distinct-pair set) and its two HashAggregates
-    # disappear; the surviving g-keyed window exchange and the tiny
-    # per-doc final agg are the information-theoretic floor (corpus-wide
-    # duplication needs one g-keyed pass; per-doc totals need one
-    # doc-keyed combine). Hashing stays JVM-side (xxhash64 in the array
-    # domain, identical values to the old per-occurrence form). Measured
-    # at sf0.3 / sf1 (interleaved A/B, min-of-3 cold): see
-    # OPTIMIZATION_r16.md; plan 3 exchanges → 2, jobs 4 → 3. The r11
+    # r16 re-plan, second cut (guide §2.3/§4.2; was r11: explode →
+    # groupBy(doc_id, g) → window(g) → groupBy(doc_id), 3 exchanges;
+    # first r16 cut: Arrow fold over xxhash64'd 8-gram STRINGS).
+    # Every gram of a doc lives in ONE input row, so the (doc_id, g,
+    # multiplicity) collapse needs no exchange at all — an Arrow-batched
+    # numpy fold (the same lexsort + boundary-diff sweep
+    # text_repetition_stats serves with) emits per-doc distinct grams
+    # directly. The first cut still paid for BUILDING every 8-gram
+    # string JVM-side (the zip_with doubling chain: three concat passes
+    # materializing 2-, 4- and 8-gram strings, then xxhash64 over ~50
+    # bytes per gram) — that was the dominant cost, not the exchange.
+    # Now the JVM hashes each TOKEN once (xxhash64 over ~6 bytes) and
+    # the fold combines 8 consecutive token hashes into the gram key
+    # with 8 vectorized uint64 multiply-adds (``_GRAM_MIX``, doc-
+    # boundary masked) — no gram string ever exists. Gram keys differ
+    # from the old spelling but equality classes are preserved
+    # (collision class unchanged, ~1e-7; outputs expose only per-doc
+    # fractions, and the oracle groups the real strings — hash-compared
+    # green at sf0.001/0.01/0.1). Measured interleaved same-JVM
+    # min-of-N cold: sf0.1 2.44 → 0.61 s (−75%), sf1 22.0 → 3.3 s
+    # (−85%). Plan: narrow scan → one projection (token hashes) →
+    # MapInArrow → the g-keyed window exchange + tiny per-doc combine —
+    # the information-theoretic floor (corpus-wide duplication needs one
+    # g-keyed pass; per-doc totals need one doc-keyed combine). The r11
     # expression form stays below as ground truth
     # (text_dup_ngram_fraction_expr), pinned row-identical in
     # tests/test_pipeline_ops.py.
-    hashed = _dup_ngram_hashed(docs, _doubling)
+    hashed = docs.select(
+        "doc_id", F.transform("t", lambda x: F.xxhash64(x)).alias("th")
+    ).filter(F.size("th") >= 8)
 
     def fold(batches):
-        # mapInArrow, not mapInPandas: a pandas batch would materialize
-        # every gram array as a Python list of Python ints; the Arrow
-        # ListArray instead hands numpy its flat int64 values buffer +
-        # value lengths zero-copy (guide §4.2).
         import numpy as np
         import pyarrow as pa
 
+        C = np.array(_GRAM_MIX, dtype=np.uint64)
+        N = 8
         for batch in batches:
             if not batch.num_rows:
                 continue
-            ga = batch.column("ga")
-            flat = ga.flatten().to_numpy(zero_copy_only=False).astype(
+            th = batch.column("th")
+            flat = th.flatten().to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
             total = len(flat)
-            if total == 0:
+            if total < N:
                 continue
-            lens = ga.value_lengths().to_numpy(zero_copy_only=False)
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            doc = np.repeat(
-                np.arange(batch.num_rows, dtype=np.int64),
-                lens.astype(np.int64),
+            lens = th.value_lengths().to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
-            order = np.lexsort((flat, doc))
-            fd, fv = doc[order], flat[order]
-            nb = np.empty(total, dtype=bool)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            # gram key at position i combines th[i..i+7]; positions whose
+            # window crosses a doc boundary are masked out
+            m = total - N + 1
+            fu = flat.view(np.uint64)
+            gv = C[0] * fu[:m]
+            for k in range(1, N):
+                gv = gv + C[k] * fu[k : k + m]
+            valid = doc[:m] == doc[N - 1 :]
+            gdoc = doc[:m][valid]
+            gkey = gv[valid].view(np.int64)
+            ntot = len(gkey)
+            if ntot == 0:
+                continue
+            order = np.lexsort((gkey, gdoc))
+            fd, fv = gdoc[order], gkey[order]
+            nb = np.empty(ntot, dtype=bool)
             nb[0] = True
             nb[1:] = (fd[1:] != fd[:-1]) | (fv[1:] != fv[:-1])
             starts = np.flatnonzero(nb)
-            counts = np.diff(np.append(starts, total))
+            counts = np.diff(np.append(starts, ntot))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids[fd[starts]], type=pa.int64()),

@@ -144,7 +144,9 @@ def test_text_repetition_stats_zero_shuffle_arrow(plan_of):
     # shape (kept separately as text_repetition_stats_expr)
     a = plan_of("text_repetition_stats")
     assert a.shuffles == 0, f"repetition stats grew a shuffle: {a.shuffles}"
-    assert "MapInPandas" in a.plan, "expected the Arrow fold plan"
+    # r16: the fold moved from mapInPandas (object cells) to mapInArrow
+    # (zero-copy ListArray buffers) — same zero-shuffle narrow shape
+    assert "MapInArrow" in a.plan, "expected the Arrow fold plan"
     assert "Generate" not in a.plan, "explode crept into the serving plan"
 
 
