@@ -255,11 +255,14 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "sf": sf_dir,
         "reps": reps,
+        # per-query seconds belong ON the contract line ({"metric",
+        # "value", "unit", "queries", "sf"}) — r16: previously these
+        # lived only on the stderr detail line / BENCH_DETAIL.json
+        "queries": cold,
+        "queries_steady": steady,
     }
     detail = {
         **summary,
-        "queries": cold,
-        "queries_steady": steady,
         "oracle_queries": oracle,
     }
     sidecar = os.path.join(

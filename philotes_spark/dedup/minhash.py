@@ -90,41 +90,61 @@ def minhash_signatures(
     pandas_udf variant was rejected in r05 for dragging an Arrow
     boundary into every recomputed plan branch; that objection died
     when lsh_candidate_pairs started PERSISTING the signatures (the
-    boundary now evaluates once)."""
+    boundary now evaluates once).
+
+    r16 (guide §4.2): the boundary moved ``mapInPandas`` →
+    ``mapInArrow``. The pandas form materialized every shingle-hash
+    array as a Python list of Python ints (one object per gram) plus a
+    per-row ``np.asarray`` + concatenate; the Arrow ListArray hands
+    numpy its flat int64 values buffer and value lengths zero-copy —
+    the same swap that won 31% on text_repetition_stats. Arithmetic is
+    unchanged int64 (a·h+b < 2^62, same P, numpy ``%`` ≡ the
+    expression form's pmod on non-negative operands), so signatures
+    stay BIT-IDENTICAL to ``minhash_signatures_expr`` — the
+    test_minhash_quality pin proves it, and dedup_minhash_lsh /
+    dedup_semantic rows are unchanged."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     ab = _coeffs(k, seed)
     A = np.array([a for a, _ in ab], dtype=np.int64)
     B = np.array([b for _, b in ab], dtype=np.int64)
 
     def fold(batches):
-        for pdf in batches:
-            n_docs = len(pdf)
-            if not n_docs:
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            lens = pdf["hs"].map(len).to_numpy(np.int64)
-            keep = lens > 0
-            pdf, lens = pdf[keep], lens[keep]
-            if not len(pdf):
-                continue
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+            hs = batch.column("hs")
+            lens = hs.value_lengths().to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
-            starts = np.zeros(len(pdf), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            sigs = np.empty((len(pdf), len(A)), dtype=np.int64)
+            keep = lens > 0
+            nk = int(keep.sum())
+            if not nk:
+                continue
+            flat = hs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            klens = lens[keep]
+            starts = np.zeros(nk, dtype=np.int64)
+            np.cumsum(klens[:-1], out=starts[1:])
+            sigs = np.empty((nk, len(A)), dtype=np.int64)
             for j in range(len(A)):
                 vals = (A[j] * flat + B[j]) % _P
                 sigs[:, j] = np.minimum.reduceat(vals, starts)
-            # doc ids pass through untyped (string/decimal ids keep their
-            # type; ADVICE r12) — .to_numpy() without a dtype so the
-            # boolean-mask selection aligns positionally with sigs
-            yield pd.DataFrame({"doc": pdf["doc"].to_numpy(), "sig": list(sigs)})
+            # doc ids pass through as their Arrow type untouched
+            # (string/decimal ids keep their type; ADVICE r12) — the
+            # keep-mask filter stays aligned positionally with sigs
+            doc = batch.column("doc").filter(pa.array(keep))
+            offs = (np.arange(nk + 1, dtype=np.int32) * len(A)).astype(
+                np.int32
+            )
+            sig = pa.ListArray.from_arrays(offs, pa.array(sigs.ravel()))
+            yield pa.RecordBatch.from_arrays([doc, sig], ["doc", "sig"])
 
     src = _shingle_hashes(df, id_col, text_col, n)
     doc_type = src.schema["doc"].dataType.simpleString()
-    return src.mapInPandas(fold, f"doc {doc_type}, sig array<long>")
+    return src.mapInArrow(fold, f"doc {doc_type}, sig array<long>")
 
 
 def minhash_signatures_expr(
