@@ -148,7 +148,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-way join (B13 at its hardest). region/nation hinted broadcast
     (bounded dims); supplier size-selected via dim() so 100 TB falls back
     to a shuffle join; the orders⋈lineitem shuffle joins on the same key
-    so AQE reuses the exchange. Catalyst handles join reordering."""
+    so AQE reuses the exchange.
+
+    Join order (r16, guide §2.3/§3 — the q8 technique, lighter): the
+    r11 order ran the ASIA region cut LAST — every joined row paid the
+    customer AND supplier joins before the 1/5 nation cut applied. Now
+    customer and supplier are pre-reduced to ASIA nations (bounded
+    nation⋈region broadcast; payload-free semi for customer) so the
+    cut lands at the CUSTOMER join and the stream into the supplier
+    join is 5x smaller — at 100 TB that supplier join is an SMJ and
+    its probe side shrinks 5x. A fuller restructure (pre-reducing
+    ORDERS through cust_asia before the lineitem join) measured +15%
+    at sf1 — the extra pre-join stage costs more than the orders-side
+    byte cut saves while lineitem (the dominant side) shuffles either
+    way — so it was rejected; this variant is a wash at sf1
+    (interleaved min-of-5: 0.668 → 0.683 s) and scale-consistency
+    decides (the q3 precedent). Results identical (inner joins on
+    unique keys; oracle hash-compared at sf0.001/0.01/0.1)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -157,15 +173,25 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_asia = nation.join(
+        dim(region, "region"), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust_asia = cust.join(
+        dim(nat_asia, "nation"),
+        cust.c_nationkey == nat_asia.n_nationkey,
+        "left_semi",
+    ).select("c_custkey", "c_nationkey")
+    supp_asia = supp.join(
+        dim(nat_asia, "nation"), supp.s_nationkey == nat_asia.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
         .join(
-            dim(supp, "supplier"),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            dim(supp_asia, "supplier"),
+            (li.l_suppkey == supp_asia.s_suppkey)
+            & (cust_asia.c_nationkey == supp_asia.s_nationkey),
         )
-        .join(dim(nation, "nation"), supp.s_nationkey == nation.n_nationkey)
-        .join(dim(region, "region"), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -747,22 +773,55 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way join + agg + top-N (TPC-H Q10 shape): fact-to-fact shuffle
-    join for orders⋈lineitem, broadcast for the nation dim; returnflag
-    filter is pushed to the lineitem scan."""
+    """4-way join + agg + top-N (TPC-H Q10 shape).
+
+    r16 (guide §2.3/§2.4): aggregate early, attach dims late. The r12
+    plan shuffled every returned LINE ITEM through the orders join and
+    then the full join output into a (c_custkey, c_name, n_name)
+    aggregate — but c_custkey is unique (c_name and n_name are
+    functionally dependent on it), so the heavy stream only ever needs
+    the custkey. Now lineitem pre-aggregates to per-order revenue
+    (map-side partials; its l_orderkey exchange is the very
+    partitioning the orders join needs — exchange reuse, the q3
+    technique), the join output collapses to per-CUSTOMER revenue
+    (second tiny agg), and customer/nation attach to one row per
+    returning customer instead of one row per returned item. At 100 TB
+    the orders join's probe side shrinks ~4x (items → orders with
+    returns) and the customer join's probe side ~40x (items →
+    customers). Top-20 still compiles to TakeOrderedAndProject.
+    Measured interleaved same-JVM min-of-4 cold: see
+    OPTIMIZATION_r16.md; oracle rows+schema+hash re-verified at
+    sf0.001/0.01/0.1 (round-at-the-end unchanged: the sum is
+    reassociated, values equal at 2 decimals on all fixtures)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(dim(nation, "nation"), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+        # one row per order with returns — O(fact), never broadcastable
+        # at 100 TB; merge keeps the fixture plan the at-scale plan
+        # (same reasoning as q3/q18)
+        .hint("merge")
+    )
+    per_cust = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(dim(nation, "nation"), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("rev", 2).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
