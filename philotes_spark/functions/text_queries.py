@@ -803,6 +803,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rate(uniq_ok, "pass_unique"),
             _rate(words_ok & awl_ok & sw_ok & uniq_ok, "pass_all"),
         )
+        # one row per source (bounded domain): one partition makes the
+        # final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -845,6 +848,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg((F.col("compression_ratio") < 0.35).cast("double")), 4
             ).alias("frac_templated"),
         )
+        # one row per source (bounded domain): one partition makes the
+        # final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("source")
     )
 
@@ -1127,5 +1133,8 @@ def text_top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("source", "rank", "bigram", "n")
+        # sources × top-5 (bounded result): one partition makes the
+        # final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("source", "rank")
     )

@@ -857,6 +857,9 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+        # ≤ a handful of linestatus values at any SF: one partition makes
+        # the final sort exchange-free (bounded result, r16)
+        .coalesce(1)
         .orderBy("l_linestatus")
     )
 
@@ -1019,6 +1022,9 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
+        # ≤ 5 market segments at any SF: one partition makes the final
+        # sort exchange-free (bounded result, r16)
+        .coalesce(1)
         .orderBy("c_mktsegment")
     )
 
@@ -1090,6 +1096,9 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        # one row per event type (bounded domain): one partition makes
+        # the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("event_type")
     )
 
@@ -1232,9 +1241,16 @@ def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _EVENT_TYPES)
         .count()
     )
-    return wide.select(
-        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
-    ).orderBy("day")
+    return (
+        wide.select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+        )
+        # one row per day (time-bounded, not SF-bounded): one partition
+        # makes the final sort exchange-free (r16)
+        .coalesce(1)
+        .orderBy("day")
+    )
 
 
 @query(
@@ -1452,6 +1468,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     trio = ["NATION_1", "NATION_2", "NATION_3"]
+    # r16: a selective-first restructure (pre-reducing supplier/customer
+    # to trio nations before the fact joins, the q8 technique) was built,
+    # measured and REJECTED: interleaved same-JVM min-of-4 cold showed it
+    # consistently SLOWER at sf0.1 (0.47-0.59 → 0.71-0.76 s — the extra
+    # pre-join stages cost more than the 3/25 dim cut saves when both
+    # nation copies broadcast anyway and the IN-filters already push into
+    # the dim scans of THIS plan), and the reassociated double-sum
+    # flipped ROUND(revenue, 2) by one cent on 2/42 groups at sf1 —
+    # an oracle-hash risk on any unchecked SF for zero measured gain.
+    # The r11 join order stands; only the bounded final sort changed.
     pair = (
         F.col("supp_nation").isin(trio)
         & F.col("cust_nation").isin(trio)
@@ -1474,6 +1500,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+        # 6 ordered nation pairs × the fixture's year span at any SF:
+        # one partition makes the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1745,6 +1774,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(dim(part, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        # the part-attribute domain (brands × types × 5 sizes) is fixed
+        # by the generator, not the SF: one partition makes the final
+        # sort exchange-free (bounded result, r16)
+        .coalesce(1)
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
@@ -1831,6 +1864,9 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         )
+        # one row per event type (bounded domain): one partition makes
+        # the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("event_type")
     )
 
@@ -1870,6 +1906,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
         )
+        # event types × 10 fixed bins (bounded grid): one partition
+        # makes the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("event_type", "bin")
     )
 
@@ -1893,6 +1932,9 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_percentile("value", F.lit(0.95), F.lit(10000)), 4
             ).alias("p95"),
         )
+        # one row per event type (bounded domain): one partition makes
+        # the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("event_type")
     )
 
@@ -1914,11 +1956,17 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").withColumn("ctag", F.lit(1))
     out = salted_agg(ev, ["event_type"], {"ctag": "count", "value": "sum"})
-    return out.select(
-        "event_type",
-        "count_ctag",
-        F.round("sum_value", 2).alias("sum_value"),
-    ).orderBy("event_type")
+    return (
+        out.select(
+            "event_type",
+            "count_ctag",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        # one row per event type (bounded domain): one partition makes
+        # the final sort exchange-free (r16)
+        .coalesce(1)
+        .orderBy("event_type")
+    )
 
 
 # --- TPC-H shapes beyond the fixture's tables (synthesized partsupp) --------
@@ -2203,6 +2251,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
+        # cohort days × 8 offsets (time-bounded grid): one partition
+        # makes the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("cohort_day", "day_offset")
     )
 
@@ -2301,6 +2352,9 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="n",
         )
         .filter(F.col("n") > 0)
+        # day × event-type grid (time × bounded domain): one partition
+        # makes the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("day", "event_type")
     )
 

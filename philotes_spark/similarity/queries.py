@@ -329,6 +329,9 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
+        # labels × fixed vector dims (bounded grid): one partition makes
+        # the final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("label", "dim")
     )
 
@@ -392,6 +395,9 @@ def sim_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("sq"), 4).alias("mean_sq_dist"),
         )
+        # one row per label (bounded domain): one partition makes the
+        # final sort exchange-free (r16)
+        .coalesce(1)
         .orderBy("label")
     )
 
@@ -474,6 +480,9 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, 1).otherwise(0)).alias("n_pairs"),
             F.round(F.avg(F.when(kept, F.col("cosine_sim"))), 4).alias("avg_sim"),
         )
+        # 5 fixed thresholds: one partition makes the final sort
+        # exchange-free (bounded result, r16)
+        .coalesce(1)
         .orderBy("thr_pct")
     )
 
