@@ -122,20 +122,35 @@ def encode_ivfpq(
     sf0.1 cold ivfpq_topk 4.76 → see PERF.md r12. Ties break identically
     (both argmin pick the FIRST minimal codeword); float drift between
     the sequential fold and numpy's pairwise sums is ~1e-15 — the
-    row-identical pin in tests/test_similarity_recall.py holds."""
+    row-identical pin in tests/test_similarity_recall.py holds.
+
+    r16 (guide §4.2): the boundary moved ``mapInPandas`` →
+    ``mapInArrow`` — the pandas form materialized every (already
+    double-cast) embedding as a Python list of floats before numpy saw
+    it; the Arrow ListArray hands numpy its flat float64 values buffer
+    zero-copy and codes leave as one ListArray built from the flat
+    int32 matrix. Arithmetic untouched — the row-identical pin vs
+    :func:`encode_ivfpq_expr` still proves bit-equality."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     C = np.asarray(centroids, dtype=np.float64)  # (n_centroids, d)
     B = np.asarray(books, dtype=np.float64)  # (m, ks, sub)
     m, sub = B.shape[0], B.shape[2]
 
     def encode(batches):
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if not n:
                 continue
-            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            col = batch.column("v")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            M = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, int(lens[0]))
+            )
             nrm = np.linalg.norm(M, axis=1)
             safe = np.where(nrm == 0, 1.0, nrm)
             U = M / safe[:, None]
@@ -149,16 +164,18 @@ def encode_ivfpq(
                 # bounded by the Arrow batch size
                 d2 = ((rs[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(np.int64),
-                    "cell": cells.astype(np.int32),
-                    "codes": list(codes),
-                }
+            offs = (np.arange(n + 1, dtype=np.int32) * m).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("id"),
+                    pa.array(cells.astype(np.int32)),
+                    pa.ListArray.from_arrays(offs, pa.array(codes.ravel())),
+                ],
+                ["id", "cell", "codes"],
             )
 
     v = as_double(F.col(vec_col))
-    return emb.select(F.col(id_col).alias("id"), v.alias("v")).mapInPandas(
+    return emb.select(F.col(id_col).alias("id"), v.alias("v")).mapInArrow(
         encode, "id long, cell int, codes array<int>"
     )
 

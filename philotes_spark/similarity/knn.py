@@ -115,13 +115,22 @@ def cosine_topk_arrow(
     dims × corpus × |queries| that is tens of millions of interpreted
     steps per scan. Here the 5 query vectors are a bounded driver-side
     collect (same class as the IVF codebook samples), closure-broadcast
-    into one ``mapInPandas``, and each Arrow batch scores with ONE numpy
+    into one Arrow map, and each Arrow batch scores with ONE numpy
     matmul ``(batch / ‖batch‖) @ Qᵀ`` — corpus scanned once, never
     shuffled, no join node at all; only the (|queries| × k)-sized window
     shuffles. Measured at sf1 (interleaved A/B, min-of-4 cold):
     1.25 → 0.60 s. Summation-order float drift vs the sequential fold is
     ~1e-15 against the ROUND(·, 4) the callers apply — the recall suite
     pins the two implementations row-identical on the fixtures.
+
+    r16 (guide §4.2): the boundary moved ``mapInPandas`` →
+    ``mapInArrow`` — the pandas form materialized every embedding as a
+    Python list of Python floats (``pdf["v"].tolist()``, one object per
+    element) before numpy saw it; the Arrow ListArray hands numpy its
+    flat float values buffer and value lengths zero-copy, and the
+    result leaves as a RecordBatch instead of a per-batch pandas frame.
+    The float32→float64 widening is exact on both paths, so sims are
+    bit-identical (the recall pin and the DuckDB oracle hash prove it).
 
     Zero-norm handling matches :func:`cosine_topk` exactly (ADVICE r11
     #2): directionless vectors are EXCLUDED from queries and candidates
@@ -139,7 +148,7 @@ def cosine_topk_arrow(
     :func:`cosine_topk` stays the shuffle-free-of-Python reference
     implementation (ground truth for the ANN recall gates)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     qrows = (
         emb.filter(F.col(id_col).isin(query_ids))
@@ -154,32 +163,40 @@ def cosine_topk_arrow(
     n_q = len(qids)
 
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            col = batch.column("v")
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            M = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, int(lens[0]))
+            )
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
             nrm = np.linalg.norm(M, axis=1)
             keep = nrm > 0
             if not keep.all():
-                pdf, M, nrm = pdf[keep], M[keep], nrm[keep]
-            n = len(pdf)
+                ids, M, nrm = ids[keep], M[keep], nrm[keep]
+                n = len(ids)
             if not n:
                 continue
             sims = (M / nrm[:, None]) @ Qn.T  # (n, n_q)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids, n),
-                    "neighbor_id": np.repeat(
-                        pdf["id"].to_numpy(np.int64), n_q
-                    ),
-                    "sim": sims.ravel(),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids, n)),
+                    pa.array(np.repeat(ids.astype(np.int64), n_q)),
+                    pa.array(sims.ravel()),
+                ],
+                ["query_id", "neighbor_id", "sim"],
             )
 
     scored = (
         (emb if corpus is None else corpus)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .mapInPandas(score, "query_id long, neighbor_id long, sim double")
+        .mapInArrow(score, "query_id long, neighbor_id long, sim double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
