@@ -88,3 +88,26 @@ def test_floor_adjustment_uses_headline_rows(tmp_path):
     # the method string carries every raw paired reading for audit
     assert "runA 10.0/5.0=2.0" in art["method"]
     assert "runB 8.0/3.0=2.67" in art["method"]
+
+
+def test_floor_is_min_over_runs_not_the_min_ratio_rows_total(tmp_path):
+    """r16 fix: a steal-inflated run can win the sf0.001 HEADLINE row
+    (its oracle was inflated too, so its RATIO is lowest) while its
+    spark total exceeds every larger-SF total — the old floor (that
+    row's total) then clamped every floor_adjusted ratio to 0.0. The
+    floor must be the MIN sf0.001 spark total over runs: load only ever
+    inflates per-action overhead."""
+    art = _run(
+        tmp_path,
+        [
+            # run A: clean. sf0.001 total 4.0, ratio 4/0.4 = 10.0
+            [_row("sf0.001", 4.0, 0.4), _row("sf0.1", 10.0, 5.0)],
+            # run B: steal-inflated BOTH sides at sf0.001 — ratio 8.75
+            # wins the headline row, but 21.0 is not a floor estimate
+            [_row("sf0.001", 21.0, 2.4), _row("sf0.1", 11.0, 5.0)],
+        ],
+    )
+    assert art["rows"][0]["ratio_run"] == "runB"  # inflated row wins ratio
+    assert art["floor_spark_sf0001"] == 4.0  # ...but the floor is run A's
+    # (10 - 4) / 5, not max(10 - 21, 0)/5 = 0.0
+    assert art["floor_adjusted_ratio_sf01"] == 1.2

@@ -131,15 +131,27 @@ def main() -> None:
         }
     )
     by_sf2 = {r["sf"]: r for r in rows}
-    floor = by_sf2.get("sf0.001")
-    if floor:
-        base["floor_spark_sf0001"] = floor["spark_total"]
+    # The floor estimate is the MIN sf0.001 spark total over runs, NOT
+    # the sf0.001 headline row's total: the headline row minimizes the
+    # RATIO, whose oracle denominator is itself load-noisy, so a
+    # steal-inflated spark total can win that row and then exceed every
+    # larger-SF total, clamping all floor-adjusted ratios to a
+    # meaningless 0.0 (observed combining the r16 final runs). Host
+    # load only ever INFLATES the per-action floor; the min is the
+    # defensible estimate of it.
+    floor_vals = [
+        e["spark_total"]
+        for e in by_sf.get("sf0.001", [])
+        if e.get("spark_total") is not None
+    ]
+    if floor_vals:
+        floor_total = min(floor_vals)
+        base["floor_spark_sf0001"] = floor_total
         for sf, r in by_sf2.items():
             if sf == "sf0.001" or not r["oracle_total"]:
                 continue
             base[f"floor_adjusted_ratio_{sf.replace('.', '')}"] = round(
-                max(r["spark_total"] - floor["spark_total"], 0.0)
-                / r["oracle_total"],
+                max(r["spark_total"] - floor_total, 0.0) / r["oracle_total"],
                 2,
             )
     with open(out_path, "w") as fh:
