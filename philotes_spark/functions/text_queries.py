@@ -12,10 +12,34 @@ from pyspark.sql import functions as F
 
 from philotes_spark.functions import text as X
 from philotes_spark.registry import query
-from philotes_spark.sources.catalog import load_table
+from philotes_spark.sources.catalog import load_table, load_table_parallel
 
 # Shared oracle fragment: tokenization must match X.tokens exactly.
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Scan-parallelism note (r16, guide §2.5/§6): the fixture documents table
+# is ONE parquet row group per SF, so every narrow pipeline above the scan
+# (tokenizers, Arrow folds, per-row codecs) ran single-task regardless of
+# core count. Heavy queries below load through `load_table_parallel`
+# ("documents", keyed by doc_id) — a guarded hash repartition that only
+# exists when row groups < session cores (never at 100 TB; see the helper's
+# docstring). Keying by doc_id keeps every document's rows co-located, so
+# per-document arithmetic is bit-identical; per-SOURCE aggregates
+# (gopher, top_bigrams, threshold_sweep) reassociate only exact-integer
+# partials. Site selection is measurement-driven (interleaved min-of-N
+# cold A/B, sf0.1 + sf1):
+# - unconditional (wins at both SFs): quality_stats −26%/−82%,
+#   langid −25%/−87%, pii_redact −44%/−90%, doc_fingerprint −6%/−48%,
+#   tfidf_doc_pairs −18%/−52%;
+# - min_bytes=1MB (fixed exchange cost beats the win below ~1 MB of
+#   input): repetition_stats, dup_ngram_fraction, compression_ratio,
+#   gopher_filters, top_bigrams, threshold_sweep (sf1 wins −22%..−54%);
+# - NOT converted (regressed at both SFs — their downstream tok-keyed
+#   shuffles dominate): token_counts +49%/+33%, bm25 +8%/+43%,
+#   unigram_logprob +78%/+14%.
+# Every converted query re-proved oracle rows+schema+hash at
+# sf0.001/0.01/0.1 (+ old-vs-new row identity at sf0.3/sf1 for the
+# FP-carrying ones: compression, tfidf, bm25).
 
 
 def _sw_list(lang: str) -> str:
@@ -41,7 +65,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: length/diversity/stopword/punctuation
     signals — the filters a training-data pipeline gates on. Pure
     projection, no shuffle, no Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     t = X.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -82,7 +106,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword n-gram scoring) + confusion rollup
     against the labeled `lang` column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     t = X.tokens(F.col("text"))
     return (
         docs.select("lang", X.lang_predict(t).alias("lang_pred"))
@@ -151,7 +175,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side stays in one projection: the rolling hash folds over the
     token array with ``aggregate`` — no explode, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     t = X.tokens(F.col("text"))
     # fold: sum of (pos+1)*(31*len+ascii(first)), positions via zip_with
     # against a sequence — expression-only rolling hash
@@ -206,7 +230,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whole chain is JVM regexp codegen; no Python."""
     from philotes_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -380,7 +404,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash array instead of two). Measured interleaved same-JVM min-of-N
     cold: sf0.1 0.463 → 0.318 s (−31%), sf1 2.37 → 1.86 s (−22%);
     plan stays 0 exchanges, MapInPandas → MapInArrow."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    ).select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
     src = docs.filter(F.size("t") > 0).select(
@@ -581,7 +607,9 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (which groups the strings) still matches exactly; a 64-bit
     collision among ~10^6 shingles per 10^6-doc shard is ~1e-7 and
     would surface deterministically as a hash mismatch."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    ).select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
     # r16 re-plan, second cut (guide §2.3/§4.2; was r11: explode →
@@ -769,7 +797,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a single hash aggregate on `source` with map-side partials,
     so the plan is one narrow scan + one small shuffle at any corpus
     size."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    ).select(
         "source", X.tokens(F.col("text")).alias("t")
     )
     sw = X.LANG_STOPWORDS["en"]
@@ -837,7 +867,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated/repetitive band). Narrow Arrow map + one small aggregate."""
     from philotes_spark.functions.pipeline import compression_signals
 
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    ).select("source", "text")
     sig = compression_signals(docs)
     return (
         sig.groupBy("source")
@@ -893,7 +925,7 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join — the same stop-token guard as the n-gram Jaccard tier,
     without which one ubiquitous token creates a quadratic bucket. N is
     a bounded 1-row count (same class as the CC convergence probe)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
     tf = (
@@ -975,7 +1007,9 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the result IS the total) — no second scan, no driver action."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    )
     t = X.tokens(F.col("text"))
     scored = docs.select(
         X.word_count(t).alias("n_tokens"),
@@ -1114,7 +1148,9 @@ def text_top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, bigram) partial aggregate, then a source-keyed top-5
     window over the already-aggregated counts — the corpus is touched
     by exactly one shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    )
     t = X.tokens(F.col("text"))
     toks = docs.select("source", t.alias("t")).filter(F.size("t") >= 2)
     grams = F.transform(

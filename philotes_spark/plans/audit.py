@@ -33,6 +33,19 @@ def count_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"Exchange (?:hash|range|rounds|Single)", plan))
 
 
+def count_data_shuffles(df: DataFrame) -> int:
+    """Shuffle exchanges excluding explicit ``REPARTITION_BY_NUM`` ones —
+    the scan-parallelism guard (``catalog.load_table_parallel``) inserts a
+    user-pinned fixed-count repartition ONLY when the input layout carries
+    fewer row groups than the session has cores (fixture scale; never at
+    100 TB, where row groups ≫ cores — pinned by
+    ``test_scan_parallel_guard``). Data-shape audits count the exchanges
+    that grow with the data; the guard's exchange is not one of them."""
+    plan = physical_plan(df, "simple")
+    hits = re.findall(r"Exchange (?:hash|range|rounds|Single)[^\n]*", plan)
+    return sum(1 for h in hits if "REPARTITION_BY_NUM" not in h)
+
+
 def count_broadcast_joins(df: DataFrame) -> int:
     """Number of broadcast joins (hash or nested-loop) in the plan."""
     plan = physical_plan(df, "simple")
@@ -126,6 +139,9 @@ class PlanAudit:
     pushed: list[str] = field(default_factory=list)
     scans: dict[str, set[str]] = field(default_factory=dict)
     plan: str = ""
+    # shuffles minus the scan-parallelism guard's REPARTITION_BY_NUM
+    # exchange (fixture-scale only) — what the data-shape audits bound
+    data_shuffles: int = 0
 
     def scan_reads_only(self, *cols: str) -> bool:
         """True if every scan reads a subset of the given columns."""
@@ -141,4 +157,5 @@ def audit(df: DataFrame) -> PlanAudit:
         pushed=pushed_filters(df),
         scans=scan_columns(df),
         plan=physical_plan(df, "formatted"),
+        data_shuffles=count_data_shuffles(df),
     )

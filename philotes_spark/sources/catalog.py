@@ -107,6 +107,101 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# parquet row-group counts per (path, mtime): footer metadata only (never
+# data), the same footers Spark itself reads during planning — NOT result
+# caching. mtime keys the entry so a rewritten fixture invalidates itself.
+_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Total row groups across ``path`` (a parquet file, or a flat dir of
+    ``*.parquet`` parts). Returns a large sentinel on any read problem so
+    callers treat unknown layouts as NOT parallelism-starved (the
+    scale-safe default: never add an exchange we cannot justify)."""
+    import glob
+
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return 1 << 30
+    key = (path, mtime)
+    cached = _ROW_GROUP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        total = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        total = 1 << 30
+    _ROW_GROUP_CACHE[key] = total
+    return total
+
+
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, key: str, min_bytes: int = 0
+) -> DataFrame:
+    """:func:`load_table` plus a scan-parallelism floor for heavy narrow
+    pipelines (optimization guide §2.5 input skew / §6 split sizing).
+
+    Parquet cannot split inside a row group: however small
+    ``maxPartitionBytes`` or large ``minPartitionNum``, a file with one
+    row group feeds exactly ONE task, and every narrow operator above the
+    scan (tokenizers, Arrow folds, per-row decoders) inherits that task
+    count. The fixture tables are written as a single row group per SF,
+    so at bench scale the whole text/similarity tier ran single-task on a
+    32-core session (measured: text_quality_stats sf1 3.67 s single-task
+    vs 0.77 s repartitioned).
+
+    When — and only when — the layout under-supplies parallelism
+    (row groups < session cores), hash-repartition by the table's unique
+    ``key`` to ``defaultParallelism``. Properties that make this
+    scale-honest rather than a local-mode hack:
+
+    - at 100 TB any table has thousands of row groups, the guard never
+      fires, and the returned plan is the same object ``load_table``
+      returns (pinned by ``test_scan_parallel_guard``);
+    - the partition count adapts to the session (the driver re-runs the
+      bench at lower core counts), not to this host;
+    - hashing a unique key is deterministic under retries (guide §2.5's
+      objection to ``rand()``-derived keys does not apply) and needs no
+      pre-shuffle sort (unlike round-robin ``repartition(n)``);
+    - the explicit partition count makes the exchange REPARTITION_BY_NUM,
+      which AQE is contractually not allowed to coalesce away.
+
+    Callers must only use this where reassociating per-partition partial
+    aggregates cannot change results (per-document outputs, integer
+    aggregates) — each converted query re-proves oracle hash equality.
+
+    ``min_bytes`` additionally gates the guard on input size: the
+    exchange costs a fixed extra stage (~0.15-0.2 s locally), so for
+    call sites whose per-byte work only overtakes that cost above a few
+    MB of input, the guard should stay off below the measured crossover
+    (text_repetition_stats A/B: +39% at a 0.6 MB input, −13% at
+    1.76 MB, −25% at 5.9 MB). 0 (default) means "always worth it" —
+    measured per converted call site.
+    """
+    df = load_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if _parquet_row_groups(path) >= n:
+        return df
+    if min_bytes:
+        try:
+            if os.path.getsize(path) < min_bytes:
+                return df
+        except OSError:
+            return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so the SQL surface
     (SURVEY §2B) works verbatim: ``spark.sql("SELECT ... FROM lineitem")``."""
