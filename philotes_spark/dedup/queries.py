@@ -19,9 +19,26 @@ from philotes_spark.dedup.minhash import minhash_dedup
 from philotes_spark.dedup.ngram import containment_pairs, jaccard_pairs
 from philotes_spark.dedup.simhash import simhash_near_dups
 from philotes_spark.registry import query
-from philotes_spark.sources.catalog import load_table
+from philotes_spark.sources.catalog import load_table, load_table_parallel
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Scan-parallelism site selection (r16, guide §2.5 — see
+# catalog.load_table_parallel and the fuller note in text_queries.py).
+# All dedup outputs are integer-count arithmetic, so the guarded
+# repartition is result-safe everywhere; which sites WIN is decided by
+# interleaved min-of-N cold A/B at sf0.1/sf1:
+# - unconditional: simhash −52%/−33%, simhash_portable −6%/−68% (the
+#   per-doc bit-vote projection dominates both);
+# - min_bytes=1MB: cross_source_overlap +6%/−48%, minhash_portable
+#   +30%/−25% (fixed exchange cost beats the win below ~1 MB of input);
+# - NOT converted: exact +175%/+66% and normalized +114%/+8% (one cheap
+#   hash + an existing groupBy exchange), jaccard −66%/+17% and
+#   containment −38%/+89% (the shingle self-join's own exchanges
+#   dominate at data scale and the extra text shuffle inverts the win as
+#   input grows — the sf1 reading is the 100 TB predictor), minhash_lsh
+#   +54%/−0% (signatures persist once; the repartition only added a
+#   stage).
 
 
 @query(
@@ -105,7 +122,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups within hamming distance 3 via 4-band
     pigeonhole join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
@@ -147,7 +164,9 @@ def q_dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles do."""
     from philotes_spark.dedup.ngram import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    )
     sh = shingles(docs, "source", "text").distinct()
     a = sh.select(F.col("shingle"), F.col("doc").alias("source_a"))
     b = sh.select(F.col("shingle"), F.col("doc").alias("source_b"))
@@ -272,7 +291,9 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification-sized, k=16)."""
     from philotes_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    )
     t = tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size("t") - 3),
@@ -389,7 +410,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor) — the keep/drop assignment of a simhash dedup pass."""
     from philotes_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     t = tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size("t") - 3),
