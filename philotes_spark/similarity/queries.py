@@ -19,7 +19,7 @@ from philotes_spark.similarity.knn import (
     lsh_topk,
     similarity_pairs,
 )
-from philotes_spark.sources.catalog import load_table
+from philotes_spark.sources.catalog import load_table, load_table_parallel
 
 QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -152,7 +152,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 planes × 8 tables: tuned for this corpus's weak structure (top
     cosine ≈ 0.33 → per-table collision ≈ 0.13 for true neighbors). At
     larger corpora raise n_planes ~ log2(n) to keep buckets bounded."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r16 guarded scan repartition: 8 hyperplane tables of per-row bit
+    # projections ran single-task (one-row-group scan); A/B -19% sf0.1 /
+    # -59% sf1. Plane tables derive from a fixed seed, bucketing and
+    # ranking are per-row + deterministic windows - results unchanged.
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     return lsh_topk(emb, QUERY_IDS, k=10, n_planes=4, n_tables=8).coalesce(
         1
     ).orderBy("query_id", "rank")
@@ -281,7 +285,13 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the exact tier; recall pinned vs exact in pytest."""
     from philotes_spark.similarity.knn import quantized_cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r16 guarded scan repartition (catalog.load_table_parallel): the
+    # per-element int8 quantization lambda is interpreted JVM work that
+    # ran single-task on the one-row-group fixture scan; A/B -44% sf0.1
+    # / -81% sf1. (cosine/filtered_topk measured SLOWER converted —
+    # their Arrow matmul is already cheap and the query-vector collect
+    # pays the extra shuffle — and stay on the plain scan.)
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     return quantized_cosine_topk(emb, QUERY_IDS, k=10).coalesce(1).orderBy(
         "query_id", "rank"
     )
