@@ -13,8 +13,19 @@ from philotes_spark.functions.pipeline import (
     split_assign,
 )
 from philotes_spark.registry import query
-from philotes_spark.sources.catalog import load_table
+from philotes_spark.sources.catalog import load_table, load_table_parallel
 
+# Scan-parallelism site selection (r16, guide §2.5 — see
+# catalog.load_table_parallel and the fuller notes in text_queries.py /
+# dedup/queries.py). A/B (interleaved min-of-N cold, sf0.1/sf1):
+# - unconditional: decontam −17%/−52%, curation_report −7%/−66%,
+#   chunk_documents −30%/−72%, length_batches −14%/−41% (tokenize-heavy
+#   map sides);
+# - min_bytes=1MB: stratified_sample +56%/−15%;
+# - NOT converted (slower at the scale-predicting SF — their own
+#   source-keyed exchanges dominate and the doc_id repartition does not
+#   align with them): split_stats +70%/+101%, pack_sequences +59%/+61%,
+#   source_mixture +23%/−3%, shuffle_epoch +18%/+46%.
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
@@ -90,7 +101,7 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture — tuned so every SF yields a non-empty, deterministic result:
     3/5/20 flagged docs at sf0.001/0.01/0.1). Probe shingles broadcast against one corpus scan — the
     corpus itself is never shuffled (functions/pipeline.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     probes = docs.filter(F.col("doc_id") % 29 == 0).select("doc_id")
     return ngram_overlap_contamination(
         docs, probes, n=5, min_overlap=3
@@ -155,7 +166,7 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from philotes_spark.functions import text as X
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     t = X.tokens(F.col("text"))
     w = Window.partitionBy(F.md5(F.col("text")))
     scored = docs.select(
@@ -404,7 +415,7 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume."""
     from philotes_spark.functions import text as X
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     )
     # the size(t) guard runs over the materialized attribute — placed
@@ -526,7 +537,9 @@ def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from philotes_spark.functions import text as X
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    ).select(
         "doc_id", "source",
         X.word_count(X.tokens(F.col("text"))).alias("n_tok"),
     )
@@ -589,7 +602,7 @@ def train_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     from philotes_spark.functions import text as X
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         F.greatest(
             F.lit(1), X.word_count(X.tokens(F.col("text")))
         ).alias("n_tok")

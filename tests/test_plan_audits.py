@@ -383,7 +383,9 @@ def test_chunker_zero_shuffle_and_pruned_scan(plan_of):
     (doc_id, text). A tokenizer re-derivation or the old doc-keyed
     collect_list grouping would show as extra scans/shuffles."""
     a = plan_of("train_chunk_documents")
-    assert a.shuffles == 0
+    # r16: the scan-parallelism guard's fixture-scale REPARTITION_BY_NUM
+    # exchange is excluded; the chunker itself stays shuffle-free
+    assert a.data_shuffles == 0
     assert a.scans["documents.parquet"] == {"doc_id", "text"}
 
 
