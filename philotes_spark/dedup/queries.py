@@ -32,13 +32,17 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 #   per-doc bit-vote projection dominates both);
 # - min_bytes=1MB: cross_source_overlap +6%/−48%, minhash_portable
 #   +30%/−25% (fixed exchange cost beats the win below ~1 MB of input);
+# - unconditional (cache-honest A/B, clearCache() between cold reps —
+#   the first A/B reused each arm's own persisted shingles/signatures
+#   across reps and measured only post-cache stages): jaccard −67%/−75%,
+#   containment −68%/−78%;
+# - min_bytes=1MB: minhash_lsh +3%/−52% TRUE-cold (6.84 → 3.30 s sf1;
+#   the bench's own min-of-N still reuses the persisted signatures, so
+#   its artifact number is unchanged — the win is the real first-run
+#   cost);
 # - NOT converted: exact +175%/+66% and normalized +114%/+8% (one cheap
-#   hash + an existing groupBy exchange), jaccard −66%/+17% and
-#   containment −38%/+89% (the shingle self-join's own exchanges
-#   dominate at data scale and the extra text shuffle inverts the win as
-#   input grows — the sf1 reading is the 100 TB predictor), minhash_lsh
-#   +54%/−0% (signatures persist once; the repartition only added a
-#   stage).
+#   hash + an existing groupBy exchange; no persist involved, honest
+#   numbers).
 
 
 @query(
@@ -104,7 +108,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.12 via inverted-index self-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
 
 
@@ -112,7 +116,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs with
     signature-estimated Jaccard ≥ 0.35."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(
+        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+    )
     return minhash_dedup(docs, "doc_id", "text", min_est_jaccard=0.35).orderBy(
         "doc_a", "doc_b"
     )
@@ -211,7 +217,7 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the short-doc-inside-long-doc criterion symmetric Jaccard misses —
     on these fixtures it surfaces pairs dedup_ngram_jaccard's 0.12 gate
     does not. Same inverted-index join shape as the Jaccard tier."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents", "doc_id")
     return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
 
 
