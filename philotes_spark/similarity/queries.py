@@ -103,8 +103,18 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ=0.35 is tuned to the synthetic fixtures' weak structure (max
     pairwise cosine ≈ 0.48-0.60 across sf0.001-0.1): it yields a
     non-empty, deterministic pair set at every SF (257/271/4137 pairs),
-    so the correctness check exercises real matches, not the empty set."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    so the correctness check exercises real matches, not the empty set.
+
+    r16 guarded scan repartition (catalog.load_table_parallel): at
+    fixture scale the one-row-group embeddings scan fed the block join
+    through a BROADCAST of the replicated side, so the entire O(n²)
+    scoring ran in the single probe-scan task. A/B (clearCache between
+    cold reps): −91% at sf0.1 (10.90 → 0.98 s); same family
+    dedup_embedding_cosine −89%, connected_components −76%,
+    threshold_sweep below. Per-pair dots are computed within one joined
+    row (zip_with/aggregate, fixed order) — partitioning cannot change
+    any value."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     return similarity_pairs(emb, 0.35)
 
 
@@ -216,7 +226,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference-free 'drop anything that has a smaller near-duplicate'
     policy. At scale the O(n²) pair step is replaced by the LSH-bucketed
     pair generator (similarity_pairs is the exact baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     pairs = similarity_pairs(emb, 0.35).select("vec_a", "vec_b")
     canon = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("min_dup")
@@ -272,7 +282,7 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain."""
     from philotes_spark.dedup.components import dedup_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     pairs = similarity_pairs(emb, 0.35).select("vec_a", "vec_b")
     return dedup_components(pairs, emb, "vec_id", src="vec_a", dst="vec_b")
 
@@ -479,7 +489,7 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_pairs (no cartesian node, per-task memory bounded by one
     block pair); the 5x grid fan-out happens on the already-reduced pair
     list and collapses map-side to 5 rows per partition."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     pairs = similarity_pairs(emb, 0.30).select("cosine_sim")
     grid = F.array(*[F.lit(p) for p in (30, 35, 40, 45, 50)])
     kept = F.col("cosine_sim") >= F.col("thr_pct") / 100.0
