@@ -730,7 +730,7 @@ def sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from philotes_spark.similarity.knn import dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = as_double(F.col("embedding"))
     vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
     base = emb.select(
@@ -884,7 +884,9 @@ def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from philotes_spark.similarity.knn import dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(
+        spark, sf_dir, "embeddings", "vec_id", min_bytes=1 << 20
+    )
     v = as_double(F.col("embedding"))
     vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
     base = emb.select(
@@ -1068,7 +1070,7 @@ def sim_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from philotes_spark.similarity.knn import dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = as_double(F.col("embedding"))
     vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
     base = emb.select(
@@ -1344,7 +1346,7 @@ def sim_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from philotes_spark.similarity.knn import dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = as_double(F.col("embedding"))
     vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
     base = emb.select(
@@ -1693,7 +1695,7 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from philotes_spark.similarity.knn import dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = as_double(F.col("embedding"))
     vq = F.transform(v, lambda x: F.round(x * 1000000).cast("long"))
     base = emb.select(
