@@ -4,6 +4,25 @@ The brute-force tiers are oracle-checked: the DuckDB twin computes the
 same double-precision dot products via UNNEST WITH ORDINALITY, and both
 sides round cosine to 4 decimals. The LSH tier is rows-only (hyperplane
 set lives in the Spark process).
+
+Scan-parallelism site selection (r16, catalog.load_table_parallel —
+cache-honest interleaved A/B, sf0.1/sf1; fuller protocol note in
+text_queries.py):
+- converted: the O(n²) pairs family (threshold_pairs −91% sf0.1,
+  embedding_cosine −89%, connected_components −76%, threshold_sweep
+  −89% — the block join broadcast one side, so the whole quadratic
+  scoring sat in the single probe-scan task), quantized −44%/−81%,
+  lsh_topk −19%/−59%, and the portable twins (lsh −10%/−58%,
+  pq −12%/−74%, ivfpq −6%/−57%, semantic −24%/−58%; ivf +4%/−57%
+  behind min_bytes=1MB);
+- NOT converted, measured slower: cosine_topk +53%/+28% and
+  filtered_topk +73%/+69% (the Arrow matmul is already cheap; the
+  bounded query-vector collect pays the extra shuffle), norm_stats
+  +7%, label_centroids +123%, label_inertia +37% at sf1 (posexplode
+  collapses map-side into partial aggs — the exchange only adds bytes);
+- NOT convertible: ivf/pq/ivfpq/filtered_ivf serving — their
+  limit(sample).collect() training inputs are scan-order-sensitive, so
+  a repartition would change trained codebooks and therefore results.
 """
 
 from __future__ import annotations
