@@ -57,6 +57,22 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+def _pin_writer_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable WRITER confs the snapshot machinery depends
+    on, mirroring catalog.py's reader pins: snapshot tables must behave the
+    same under ANY externally built SparkSession, not just our own session
+    factory. Spark's default timestamp encoding is legacy INT96, which
+    writes NO parquet min/max statistics — under a vanilla session every
+    ts-clustered commit would silently lose footer stats and file-level
+    time pruning (keep-on-uncertainty keeps every file)."""
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass  # conf locked down externally: stats may be absent, reads stay correct
+
+
 def _partitioned_writer(df: DataFrame, part_cols: list[str]):
     """``df.write`` honoring the spec's transforms: for ``days()``/
     ``bucket()`` fields the derived column attaches (JVM day arithmetic /
@@ -524,6 +540,7 @@ class CommitConflict(RuntimeError):
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str) -> None:
+        _pin_writer_confs(spark)
         self.spark = spark
         self.path = path
         self.snap_dir = os.path.join(path, _SNAP_DIR)

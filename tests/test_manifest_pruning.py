@@ -387,6 +387,49 @@ def test_stored_membership_scales_with_roots(spark, table):
     assert set(planned) == set(m["files"])
 
 
+def test_ts_stats_written_under_vanilla_writer_conf(spark, tmp_path):
+    """r17 regression pin (VERDICT r16 wrong #1, driver-reproduced as
+    ``snapshot_ts_prune_read`` kept==total==8): Spark's DEFAULT
+    ``spark.sql.parquet.outputTimestampType`` is legacy INT96, which
+    writes NO parquet min/max statistics — so under any SparkSession
+    that is not the repo's own factory (the driver builds its own), a
+    ts-clustered commit silently lost every footer stat and time-range
+    pruning kept all files. ``SnapshotTable`` must pin the writer conf
+    itself (``_pin_writer_confs``), exactly like catalog.py pins the
+    reader confs. Simulates the vanilla session by resetting the conf
+    to INT96 before constructing the table."""
+    import datetime as dt
+
+    from philotes_spark.sources.snapshots import SnapshotTable
+
+    saved = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        t = SnapshotTable(spark, str(tmp_path / "vanilla"))
+        # construction alone must have re-pinned the conf
+        assert (
+            spark.conf.get("spark.sql.parquet.outputTimestampType")
+            == "TIMESTAMP_MICROS"
+        )
+        rows = [(dt.datetime(2024, 1, 1 + d, 12), d) for d in range(8)]
+        t.commit(
+            spark.createDataFrame(rows, "ts timestamp, k int")
+            .repartition(4),
+            sort_by=["ts"],
+        )
+        m = t._resolve()
+        # every file carries a ts footer stat (INT96 would carry none)
+        assert m["file_stats"] and all(
+            st.get("ts") for st in m["file_stats"].values()
+        ), m["file_stats"]
+        kept, total = t.pruned_file_count(
+            "ts", lo=rows[2][0], hi=rows[3][0]
+        )
+        assert kept < total, (kept, total)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", saved)
+
+
 def test_ts_hi_probe_keeps_boundary_file(spark, tmp_path):
     """r15 regression pin: TIMESTAMP_MICROS footer stats decode
     TZ-AWARE, and storing their raw text ('…+00:00') made a hi-bound
