@@ -196,6 +196,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX: dict[str, tuple[list[list[float]], DataFrame]] = {}
 
 
+def _drop_index_memos(sf_dir: str | None = None) -> None:
+    """registry.invalidate_query_cache hook: a genuine cold run must
+    rebuild the ANN indexes from the parquet inputs (the CacheManager
+    clear alone would leave stale un-persisted DataFrames in the memos,
+    silently re-running the encode on every subsequent action)."""
+    for memo in (_IVF_INDEX, _PQ_INDEX, _IVFPQ_INDEX):
+        if sf_dir is None:
+            memo.clear()
+        else:
+            memo.pop(sf_dir, None)
+
+
 @query("sim_ivf_topk")  # rows-only: centroid index is engine-local
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate top-10 for the same query set — the
@@ -446,6 +458,10 @@ _PQ_INDEX: dict[str, tuple[list, DataFrame]] = {}
 # IVF-PQ index cache: (centroids, codebooks, persisted coded corpus) per
 # corpus dir — same amortization as _IVF_INDEX/_PQ_INDEX.
 _IVFPQ_INDEX: dict[str, tuple[list, list, DataFrame]] = {}
+
+from philotes_spark.registry import register_invalidator  # noqa: E402
+
+register_invalidator(_drop_index_memos)
 
 
 @query("sim_pq_topk")  # rows-only: per-subspace codebooks are engine-local
