@@ -30,20 +30,35 @@ def count_shuffles(df: DataFrame) -> int:
     dataset. AQE may later coalesce/eliminate some of these at runtime;
     the static count is the upper bound the plan commits to."""
     plan = physical_plan(df, "simple")
-    return len(re.findall(r"Exchange (?:hash|range|rounds|Single)", plan))
+    return len(re.findall(r"Exchange (?:hash|range|RoundRobin|Single)", plan))
 
 
 def count_data_shuffles(df: DataFrame) -> int:
-    """Shuffle exchanges excluding explicit ``REPARTITION_BY_NUM`` ones —
-    the scan-parallelism guard (``catalog.load_table_parallel``) inserts a
-    user-pinned fixed-count repartition ONLY when the input layout carries
-    fewer row groups than the session has cores (fixture scale; never at
-    100 TB, where row groups ≫ cores — pinned by
-    ``test_scan_parallel_guard``). Data-shape audits count the exchanges
-    that grow with the data; the guard's exchange is not one of them."""
+    """Shuffle exchanges excluding the scan-parallelism guard's own —
+    ``catalog.load_table_parallel`` inserts a fixed-count hash repartition
+    ONLY when the input layout carries fewer row groups than the session
+    has cores (fixture scale; never at 100 TB, where row groups ≫ cores —
+    pinned by ``test_scan_parallel_guard``). Data-shape audits count the
+    exchanges that grow with the data; the guard's exchange is not one of
+    them.
+
+    r17 (ADVICE r16 #3): only exchanges matching a signature the guard
+    actually recorded (``catalog.GUARD_SIGNATURES``: hashpartitioning on
+    that key column with that partition count) are excluded — a
+    query-level ``repartition(n)`` (round-robin) or a repartition on any
+    other key/count is a data shuffle and trips the bound."""
+    from philotes_spark.sources.catalog import GUARD_SIGNATURES
+
     plan = physical_plan(df, "simple")
-    hits = re.findall(r"Exchange (?:hash|range|rounds|Single)[^\n]*", plan)
-    return sum(1 for h in hits if "REPARTITION_BY_NUM" not in h)
+    hits = re.findall(r"Exchange (?:hash|range|RoundRobin|Single)[^\n]*", plan)
+
+    def is_guard(h: str) -> bool:
+        if "REPARTITION_BY_NUM" not in h:
+            return False
+        m = re.match(r"Exchange hashpartitioning\((\w+)#\d+\w*, (\d+)\)", h)
+        return bool(m) and (m.group(1), int(m.group(2))) in GUARD_SIGNATURES
+
+    return sum(1 for h in hits if not is_guard(h))
 
 
 def count_broadcast_joins(df: DataFrame) -> int:

@@ -107,10 +107,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# parquet row-group counts per (path, mtime): footer metadata only (never
-# data), the same footers Spark itself reads during planning — NOT result
-# caching. mtime keys the entry so a rewritten fixture invalidates itself.
-_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+# parquet row-group counts keyed per (path, part-file mtimes): footer
+# metadata only (never data), the same footers Spark itself reads during
+# planning — NOT result caching. The key carries each part file's own
+# (name, mtime) — a directory's mtime need not change when a part is
+# rewritten in place, so keying on the top-level mtime alone could serve
+# a stale count for directory layouts (ADVICE r16 #2).
+_ROW_GROUP_CACHE: dict[tuple, int] = {}
+
+
+def _table_parquet_parts(path: str) -> list[str]:
+    """The parquet part files behind ``path`` — the path itself for a
+    single-file table, the sorted ``*.parquet`` members for a directory
+    layout."""
+    import glob
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
 
 
 def _parquet_row_groups(path: str) -> int:
@@ -118,29 +132,29 @@ def _parquet_row_groups(path: str) -> int:
     ``*.parquet`` parts). Returns a large sentinel on any read problem so
     callers treat unknown layouts as NOT parallelism-starved (the
     scale-safe default: never add an exchange we cannot justify)."""
-    import glob
-
     try:
-        mtime = os.path.getmtime(path)
+        files = _table_parquet_parts(path)
+        key = (path, tuple((f, os.path.getmtime(f)) for f in files))
     except OSError:
         return 1 << 30
-    key = (path, mtime)
     cached = _ROW_GROUP_CACHE.get(key)
     if cached is not None:
         return cached
     try:
         import pyarrow.parquet as pq
 
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
         total = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
     except Exception:
         total = 1 << 30
     _ROW_GROUP_CACHE[key] = total
     return total
+
+
+# every (key column, partition count) the scan-parallelism guard has
+# actually applied this session — plans/audit.py's count_data_shuffles
+# subtracts ONLY exchanges matching one of these signatures, so any other
+# explicit repartition still counts as a data shuffle (ADVICE r16 #3)
+GUARD_SIGNATURES: set[tuple[str, int]] = set()
 
 
 def load_table_parallel(
@@ -192,13 +206,18 @@ def load_table_parallel(
     if _parquet_row_groups(path) >= n:
         return df
     if min_bytes:
+        # sum the part files for directory layouts — os.path.getsize on
+        # the directory itself returns the ~4 KB directory entry, which
+        # would silently disable the guard for multi-MB multi-part
+        # tables (ADVICE r16 #1)
         try:
-            if os.path.getsize(path) < min_bytes:
+            if sum(os.path.getsize(f) for f in _table_parquet_parts(path)) < min_bytes:
                 return df
         except OSError:
             return df
     from pyspark.sql import functions as F
 
+    GUARD_SIGNATURES.add((key, n))
     return df.repartition(n, F.col(key))
 
 

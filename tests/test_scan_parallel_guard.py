@@ -81,6 +81,79 @@ def test_guard_results_row_identical(spark, sf_dir):
     assert a == b
 
 
+def test_explicit_repartition_counts_as_data_shuffle(spark, sf_dir):
+    """r17 (ADVICE r16 #3 / VERDICT #6): count_data_shuffles excludes
+    ONLY the guard's recorded (key, count) signature — a query-level
+    ``repartition(n)`` (round-robin) or a repartition on a different
+    key/count is a data shuffle and must trip the bound, so the
+    zero-shuffle audits still catch an accidental corpus-sized shuffle
+    added deeper in a plan."""
+    n = spark.sparkContext.defaultParallelism
+    base = catalog.load_table(spark, sf_dir, "documents")
+    # round-robin repartition: REPARTITION_BY_NUM, but no guard signature
+    assert count_data_shuffles(base.repartition(n)) == 1
+    # keyed repartition at a non-guard count: also counts
+    assert count_data_shuffles(base.repartition(n + 7, base.doc_id)) == 1
+    # the guard's own exchange still excluded; stacking a user
+    # repartition on top counts exactly the user's
+    guarded = catalog.load_table_parallel(spark, sf_dir, "documents", "doc_id")
+    assert count_data_shuffles(guarded) == 0
+    assert count_data_shuffles(guarded.repartition(n)) == 1
+
+
+def test_min_bytes_gate_sums_directory_parts(spark, tmp_path):
+    """r17 (ADVICE r16 #1): for a directory-of-parts layout the
+    min_bytes gate must compare the SUM of the part sizes, not the
+    ~4 KB directory entry — a multi-MB multi-part table must still get
+    the repartition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_dirparts"
+    tdir = sf / "documents.parquet"
+    tdir.mkdir(parents=True)
+    # two single-row-group parts, ~100 KB of text each
+    for i in range(2):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(i * 50, i * 50 + 50), type=pa.int64()),
+                "text": pa.array(["x" * 2000] * 50),
+            }
+        )
+        pq.write_table(tbl, str(tdir / f"part-{i}.parquet"))
+    parts_bytes = sum(
+        os.path.getsize(str(tdir / f)) for f in os.listdir(str(tdir))
+    )
+    assert os.path.getsize(str(tdir)) < parts_bytes  # the ADVICE premise
+    # min_bytes between the dir-entry size and the parts total: the old
+    # getsize(dir) gate would refuse; the summed gate must fire
+    df = catalog.load_table_parallel(
+        spark, str(sf), "documents", "doc_id", min_bytes=parts_bytes // 2
+    )
+    assert "REPARTITION_BY_NUM" in df._jdf.queryExecution().toString()
+
+
+def test_row_group_cache_keys_on_part_mtime(tmp_path):
+    """r17 (ADVICE r16 #2): rewriting a PART file inside a directory
+    layout must invalidate the row-group cache even when the directory
+    mtime is unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = tmp_path / "t.parquet"
+    tdir.mkdir()
+    p = str(tdir / "part-0.parquet")
+    t1 = pa.table({"x": pa.array(range(8), type=pa.int64())})
+    pq.write_table(t1, p, row_group_size=8)
+    dstat = os.stat(str(tdir))
+    assert catalog._parquet_row_groups(str(tdir)) == 1
+    pq.write_table(t1, p, row_group_size=2)
+    os.utime(p, (os.path.getmtime(p) + 2, os.path.getmtime(p) + 2))
+    # pin the directory mtime back so only the part's mtime moved
+    os.utime(str(tdir), (dstat.st_atime, dstat.st_mtime))
+    assert catalog._parquet_row_groups(str(tdir)) == 4
+
+
 def test_row_group_cache_keys_on_mtime(tmp_path):
     """The footer-count cache invalidates itself when the file changes."""
     import pyarrow as pa
