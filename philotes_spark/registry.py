@@ -31,6 +31,19 @@ ORACLES: dict[str, str] = {}
 # (round 1: exactly the first 50 of 70), so emission order is coverage
 # policy. Tiers: the SURVEY §2 surface and the §2C LLM-pipeline operators
 # come first; the TPC-H shapes are extras beyond §2 and go last.
+#
+# ROTATION CHECKLIST (r17, VERDICT r16 #10 — r16 shipped a 49/50 because a
+# graduate depended on the repo's own session confs). Before graduating
+# any query into the 50-slot window:
+#   1. run it under a BARE SparkSession (fresh JVM!) — add it to
+#      tests/test_bare_session.py::GRADUATES; the repo session factory's
+#      confs (writer timestamp type, timezone, arrow flags) must not be
+#      load-bearing, or pin them inside the operator like
+#      catalog.load_table / snapshots._pin_writer_confs do;
+#   2. oracle-compare it at sf0.001/0.01/0.1 (tests/oracle.compare);
+#   3. confirm non-empty at the driver SF
+#      (test_registry_order.py::test_window_queries_nonempty_driver_sf);
+#   4. update the rotation pin (test_r{N}_rotation_composition).
 _TPCH_RE = re.compile(r"^q\d+_")
 
 

@@ -36,6 +36,11 @@ import pytest
 
 from philotes_spark.sources.catalog import register_views
 
+# the fuzz families are ~35% of full-suite wall time (649 s of 1833 s,
+# r17 durations profile) — slow-tail layer, excluded from the default
+# driver-gate profile (pytest.ini), run explicitly with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _assert_same(sql: str, spark, duck) -> None:
     """Run the identical SQL text on both engines and compare: exact

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with suite style)
 
 from philotes_spark.sources.snapshots import SnapshotTable
 
+# model-based property sweep — slow-tail layer, excluded from the
+# default driver-gate profile (pytest.ini), run explicitly with -m slow
+pytestmark = pytest.mark.slow
+
 SCHEMA = "k long, v long"
 
 
