@@ -225,14 +225,22 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    encode_df: DataFrame | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
     """Train + encode once: (centroids, books, persisted coded corpus).
-    Caller owns the persist."""
+    Caller owns the persist. ``encode_df`` (r17): training keeps the
+    plain scan's ``limit`` order (byte-stable codebooks); the encode is
+    a row-local projection, so callers may pass a repartitioned scan for
+    parallelism — see ivf.build_index."""
     centroids, books = train_ivfpq(
         emb, n_centroids=n_centroids, m=m, ks=ks, vec_col=vec_col, seed=seed
     )
     coded = encode_ivfpq(
-        emb, centroids, books, id_col=id_col, vec_col=vec_col
+        emb if encode_df is None else encode_df,
+        centroids,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
     ).persist()
     return centroids, books, coded
 

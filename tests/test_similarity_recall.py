@@ -228,6 +228,30 @@ def test_arrow_ivfpq_encode_row_identical_to_expr(emb):
     assert arrow == expr
 
 
+def test_arrow_ivf_assign_row_identical_to_expr(emb):
+    """The Arrow-batched numpy cell assignment (r17 — serves
+    build_index, removing n_centroids × dim interpreted lambda steps
+    per corpus row) is row-identical to the pure-expression
+    assign_cells on the fixture: same cell for every corpus row, and
+    the (v, nrm) columns it carries downstream are the SAME JVM
+    expressions, so every cosine the serving path computes is
+    bit-identical. Ties break identically (both pick the FIRST maximal
+    cell); numpy's pairwise dot drift (~1e-15) sits far below any
+    observed centroid-sim gap."""
+    from philotes_spark.similarity.ivf import assign_cells_arrow
+
+    cents = train_centroids(emb, 16)
+    expr = {
+        r.id: (r.cell, tuple(r.v), r.nrm)
+        for r in assign_cells(emb, cents).collect()
+    }
+    arrow = {
+        r.id: (r.cell, tuple(r.v), r.nrm)
+        for r in assign_cells_arrow(emb, cents).collect()
+    }
+    assert arrow == expr
+
+
 def test_arrow_cosine_topk_row_identical_to_jvm(emb):
     """The Arrow-batched numpy scorer (r11 — serves the registered
     sim_cosine_topk) is row-identical to the JVM lambda-fold reference
