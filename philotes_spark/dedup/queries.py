@@ -115,9 +115,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_lsh")  # rows-only: xxhash64 not portable to DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs with
-    signature-estimated Jaccard ≥ 0.35."""
+    signature-estimated Jaccard ≥ 0.35.
+
+    min_bytes re-measured r17 under honest cold (the r16 1 MB crossover
+    was set when "cold" reps still served the persisted signatures from
+    the CacheManager): interleaved min-of-4 — guard −8% at 0.58 MB/sf0.1
+    (1.439 → 1.323 s), −59% at 5.9 MB/sf1 (6.548 → 2.690 s), +76% at
+    65 KB/sf0.01, so the gate sits at 256 KB."""
     docs = load_table_parallel(
-        spark, sf_dir, "documents", "doc_id", min_bytes=1 << 20
+        spark, sf_dir, "documents", "doc_id", min_bytes=256 << 10
     )
     return minhash_dedup(docs, "doc_id", "text", min_est_jaccard=0.35).orderBy(
         "doc_a", "doc_b"
